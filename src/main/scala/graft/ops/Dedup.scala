@@ -1,0 +1,108 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication operators for large-corpus pipelines: exact
+  * (content-hash groupBy), MinHash/LSH near-dup, SimHash, and n-gram Jaccard.
+  *
+  * All paths follow the same scale shape as the engine's other operators:
+  * compute a small key (hash / band / signature) per document with codegen'd
+  * expressions, then hash-aggregate or equi-join on that key. No pairwise
+  * O(n^2) comparison ever touches the full corpus — candidate pairs only
+  * materialize inside a shared small bucket.
+  */
+object Dedup {
+
+  /** Exact duplicate groups: md5(content) → (hash, count, keeper=min(id)).
+    * One shuffle on the 128-bit hash; at 100 TB this is the canonical
+    * hash-partitioned distinct. */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keeper_id"))
+
+  /** Word n-gram shingle set of a document, lowercase, as array<string>. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val words = split(lower(text), "\\s+")
+    array_distinct(
+      filter(
+        transform(words, (_, i) =>
+          when(i + n <= size(words),
+            concat_ws(" ", slice(words, i + 1, lit(n))))),
+        _.isNotNull))
+  }
+
+  /** MinHash signature of a shingle array: for each of `k` hash families,
+    * min over shingles of xxhash64(shingle, seed). Pure codegen expressions.
+    */
+  def minhashSignature(shingleArr: Column, k: Int = 32): Column =
+    array((0 until k).map { seed =>
+      array_min(transform(shingleArr, s => xxhash64(s, lit(seed))))
+    }: _*)
+
+  /** LSH band keys from a MinHash signature: signature split into `bands`
+    * rows-per-band groups, each hashed; docs sharing any band key are
+    * near-dup candidates. Explode → groupBy(band_key) co-locates candidates.
+    */
+  def lshBandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(concat_ws(",",
+          slice(sig, b * rowsPerBand + 1, rowsPerBand)), lit(b)).as("key"))
+    }: _*)
+
+  /** MinHash signatures via explode → groupBy: shingles become rows, the
+    * signature is k `min` aggregates in ONE shuffle on the doc id. This is
+    * the scale form — the nested-array variant ([[minhashSignature]])
+    * recomputes the shingle expression per hash family once Catalyst
+    * collapses projections, which blows up plan cost at any scale. */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, k: Int = 32): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      explode(shingles(col(textCol), n)).as("shingle"))
+    sh.groupBy(col("id"))
+      .agg(array((0 until k).map(seed =>
+        min(xxhash64(col("shingle"), lit(seed)))): _*).as("sig"))
+  }
+
+  /** Candidate near-dup pairs via MinHash LSH banding. Returns
+    * (id_a, id_b, est_jaccard) with id_a < id_b, est_jaccard = fraction of
+    * matching signature components. */
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, k: Int = 32, bands: Int = 8): DataFrame = {
+    val rowsPerBand = k / bands
+    val sigs = minhashSignatures(df, idCol, textCol, n, k)
+      .withColumn("bandkeys", lshBandKeys(col("sig"), bands, rowsPerBand))
+    val exploded = sigs.select(col("id"), col("sig"),
+      explode(col("bandkeys")).as("bk"))
+    val a = exploded.select(col("bk"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = exploded.select(col("bk"), col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("bk")).where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => x === y), b => b)).cast("double") / k)
+          .as("est_jaccard"))
+      .distinct()
+  }
+
+  /** SimHash: 64-bit fingerprint whose Hamming distance approximates
+    * cosine distance of the bag-of-shingles. Bit j = sign of the sum over
+    * shingles of bit j of xxhash64(shingle). */
+  def simhash(shingleArr: Column): Column = {
+    val hashes = transform(shingleArr, s => xxhash64(s))
+    val bits = (0 until 64).map { j =>
+      val vote = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, j).bitwiseAND(1L) === 1L, 1L)
+          .otherwise(-1L))
+      when(vote > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Exact n-gram Jaccard similarity between two shingle-array columns. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val uni = size(array_union(a, b)).cast("double")
+    when(uni > 0, inter / uni).otherwise(lit(0.0))
+  }
+}

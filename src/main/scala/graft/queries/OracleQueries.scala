@@ -1,0 +1,673 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.ops._
+
+/** The driver-graded query inventory: every entry is one operator shape from
+  * SURVEY.md §2 (or an LLM-pipeline extension) expressed over the synthetic
+  * corpus at `/root/testdata/sf*`, paired — where SQL-expressible — with an
+  * equivalent DuckDB oracle query.
+  *
+  * Cross-engine determinism rules used throughout (see SURVEY.md §7.4):
+  *  - sums of doubles go through DECIMAL(18,4) (exact, order-independent),
+  *    then back to double; means divide that exact sum by the count;
+  *  - medians/percentiles are exact interpolating (Spark `median` /
+  *    `percentile` vs DuckDB `median` / `quantile_cont`), rounded to 6 dp;
+  *  - stddev uses the explicit decimal-sum formula (RobustStats.stddevDet)
+  *    rather than accumulation-order-dependent `stddev_samp`;
+  *  - ranking ties are broken on an id column after rounding scores;
+  *  - every query ends with a total ORDER BY.
+  */
+object OracleQueries {
+
+  case class Q(name: String, fn: (SparkSession, String) => DataFrame,
+               sql: Option[String])
+
+  // ---- table loaders -----------------------------------------------------
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Exact order-independent sum of a double column via decimal. */
+  private def dsum(c: Column): Column =
+    sum(c.cast("decimal(18,4)")).cast("double")
+
+  /** Deterministic mean = exact decimal sum / count of non-nulls. */
+  private def dmean(c: Column): Column = dsum(c) / count(c)
+
+  // SQL fragments mirroring the helpers above.
+  private def sqlDsum(x: String) =
+    s"CAST(SUM(CAST(($x) AS DECIMAL(18,4))) AS DOUBLE)"
+  private def sqlDmean(x: String) = s"${sqlDsum(x)} / COUNT($x)"
+
+  // ---- the inventory -----------------------------------------------------
+  val all: Seq[Q] = Seq(
+
+    // ======================= headline relational ==========================
+
+    // TPC-H Q1 shape: multi-aggregate scan (A2/A12 analogue).
+    Q("q1_pricing",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        li.groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            dsum(col("l_quantity")).as("sum_qty"),
+            dsum(col("l_extendedprice")).as("sum_base_price"),
+            dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+              .as("sum_disc_price"),
+            (dsum(col("l_discount")) / count(lit(1))).as("avg_disc"),
+            count(lit(1)).as("count_order"))
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+      },
+      Some(s"""SELECT l_returnflag, l_linestatus,
+        ${sqlDsum("l_quantity")} AS sum_qty,
+        ${sqlDsum("l_extendedprice")} AS sum_base_price,
+        ${sqlDsum("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+        ${sqlDsum("l_discount")} / COUNT(*) AS avg_disc,
+        COUNT(*) AS count_order
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus""")),
+
+    // TPC-H Q3 shape: 3-way join + agg + deterministic top-k (J1/J5).
+    Q("q3_top_orders",
+      (s, dir) => {
+        val c = t(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
+        val o = t(s, dir, "orders")
+        val li = t(s, dir, "lineitem")
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("o_orderkey"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
+          .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("revenue"))
+          .orderBy(col("revenue").desc, col("o_orderkey"))
+          .limit(10)
+      },
+      Some(s"""SELECT o_orderkey,
+        strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        ${sqlDsum("l_extendedprice * (1 - l_discount)")} AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY o_orderkey, order_date
+        ORDER BY revenue DESC, o_orderkey LIMIT 10""")),
+
+    // ================== A1: per-ring robust outlier stats =================
+    // The engine's core operator (reference fmask.c:79-293): ring =
+    // computed bin key, per-ring exact median + MAD, count outliers at
+    // esdMul=3.0 with the <10-px ring guard.
+    Q("a1_ring_outlier",
+      (s, dir) => {
+        val px = t(s, dir, "lineitem").select(
+          (col("l_partkey") % 64).as("ring"),
+          col("l_extendedprice").as("x"))
+        val stats = RobustStats.medianMad(px, Seq("ring"), "x")
+        px.join(broadcast(stats), "ring")
+          .where(col("n") >= 10)
+          .groupBy(col("ring"))
+          .agg(
+            first(col("n")).as("n"),
+            round(first(col("med")), 6).as("med"),
+            round(first(col("mad")), 6).as("mad"),
+            count(when(abs(col("x") - col("med")) >
+              lit(3.0 * RobustStats.MadToSigma) * col("mad"), 1))
+              .as("n_outliers"))
+          .orderBy(col("ring"))
+      },
+      Some("""WITH t AS (
+          SELECT l_partkey % 64 AS ring, l_extendedprice AS x FROM lineitem),
+        med AS (SELECT ring, median(x) AS med, COUNT(*) AS n
+                FROM t GROUP BY ring),
+        dev AS (SELECT t.ring, t.x, med.med, med.n, abs(t.x - med.med) AS ad
+                FROM t JOIN med USING (ring)),
+        stats AS (SELECT ring, any_value(med) AS med, any_value(n) AS n,
+                         median(ad) AS mad
+                  FROM dev GROUP BY ring)
+        SELECT s.ring, any_value(s.n) AS n,
+          ROUND(any_value(s.med), 6) AS med, ROUND(any_value(s.mad), 6) AS mad,
+          COUNT(CASE WHEN abs(t.x - s.med) > 3.0 * 1.4826 * s.mad
+                THEN 1 END) AS n_outliers
+        FROM t JOIN stats s USING (ring) WHERE s.n >= 10
+        GROUP BY s.ring ORDER BY s.ring""")),
+
+    // ============ A2: binned integration, 4 variants in one pass ==========
+    // Reference does four bincount passes (pipeline.py:377-414); here all
+    // variants are conditional aggregates in a single shuffle.
+    Q("a2_integrate",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val corrected = col("l_extendedprice") * (lit(1) - col("l_discount"))
+        val base = !(col("l_returnflag") === "R")
+        val om = base && !(col("l_tax") > 0.06)
+        val spots = om && !(col("l_discount") > 0.08)
+        val arcs = om && !(col("l_linestatus") === "F")
+        Histogram.integrate(
+            li.withColumn("tth_bin", floor(col("l_quantity")).cast("int")),
+            col("tth_bin"), corrected,
+            Seq("base" -> base, "om" -> om, "spots" -> spots, "arcs" -> arcs))
+          .withColumnRenamed("bin", "tth_bin")
+          .orderBy(col("tth_bin"))
+      },
+      Some {
+        def v(name: String, cond: String) =
+          s"""CAST(SUM(CASE WHEN $cond THEN CAST(
+              l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) END)
+              AS DOUBLE) / COUNT(CASE WHEN $cond THEN 1 END) AS i_$name,
+              COUNT(CASE WHEN $cond THEN 1 END) AS n_$name"""
+        val base = "NOT (l_returnflag = 'R')"
+        val om = s"$base AND NOT (l_tax > 0.06)"
+        s"""SELECT CAST(FLOOR(l_quantity) AS INT) AS tth_bin,
+          ${v("base", base)}, ${v("om", om)},
+          ${v("spots", s"$om AND NOT (l_discount > 0.08)")},
+          ${v("arcs", s"$om AND NOT (l_linestatus = 'F')")}
+          FROM lineitem GROUP BY tth_bin ORDER BY tth_bin"""
+      }),
+
+    // ========== A3: per-cluster shape aggregates + classifier (C2) ========
+    // Reference classification.py:373-444: per-label area, extent and
+    // percentile spread drive the spot/arc/small decision.
+    Q("a3_cluster_shape",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val agg = li.groupBy(col("l_suppkey").as("label"))
+          .agg(
+            count(lit(1)).as("area"),
+            percentile(col("l_extendedprice"), lit(0.1)).as("qlo_raw"),
+            percentile(col("l_extendedprice"), lit(0.9)).as("qhi_raw"),
+            (max(col("l_quantity")) - min(col("l_quantity"))).as("span"))
+        agg.select(
+            col("label"), col("area"),
+            round(col("qlo_raw"), 6).as("qlo"),
+            round(col("qhi_raw"), 6).as("qhi"),
+            round(col("qhi_raw") - col("qlo_raw"), 6).as("dq"),
+            col("span"),
+            when(col("qhi_raw") - col("qlo_raw") < 60000 && col("span") > 40,
+              lit(2)).when(col("area") > 550, lit(1)).otherwise(lit(0))
+              .as("classifier"))
+          .orderBy(col("label"))
+      },
+      Some("""WITH agg AS (
+          SELECT l_suppkey AS label, COUNT(*) AS area,
+            quantile_cont(l_extendedprice, 0.1) AS qlo_raw,
+            quantile_cont(l_extendedprice, 0.9) AS qhi_raw,
+            MAX(l_quantity) - MIN(l_quantity) AS span
+          FROM lineitem GROUP BY l_suppkey)
+        SELECT label, area, ROUND(qlo_raw, 6) AS qlo, ROUND(qhi_raw, 6) AS qhi,
+          ROUND(qhi_raw - qlo_raw, 6) AS dq, span,
+          CASE WHEN qhi_raw - qlo_raw < 60000 AND span > 40 THEN 2
+               WHEN area > 550 THEN 1 ELSE 0 END AS classifier
+        FROM agg ORDER BY label""")),
+
+    // ====== A5/A12: grouped percentile vs global scalar threshold =========
+    // Reference classification.py:534-548: per-label 20th percentile
+    // compared against a whole-frame 10th-percentile threshold.
+    Q("a5_global_threshold",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val global = li.agg(
+          percentile(col("l_extendedprice"), lit(0.1)).as("g10_raw"))
+        li.groupBy(col("l_returnflag"))
+          .agg(percentile(col("l_extendedprice"), lit(0.2)).as("p20_raw"))
+          .crossJoin(broadcast(global))
+          .select(
+            col("l_returnflag"),
+            round(col("p20_raw"), 6).as("p20"),
+            round(col("g10_raw"), 6).as("g10"),
+            (col("p20_raw") < col("g10_raw") * 2.0).as("below"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag,
+          ROUND(quantile_cont(l_extendedprice, 0.2), 6) AS p20,
+          ROUND(g.g10_raw, 6) AS g10,
+          quantile_cont(l_extendedprice, 0.2) < g.g10_raw * 2.0 AS below
+        FROM lineitem CROSS JOIN (
+          SELECT quantile_cont(l_extendedprice, 0.1) AS g10_raw
+          FROM lineitem) g
+        GROUP BY l_returnflag, g.g10_raw ORDER BY l_returnflag""")),
+
+    // ========= A7 + J1: broadcast dim join + per-group spot stats =========
+    // Reference spottiness.py:30-46 (per-spot area/medianQ/intensity stats)
+    // over the pixel ⋈ geometry broadcast-join shape.
+    Q("a7_spot_stats",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val p = t(s, dir, "part")
+        li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"))
+          .agg(
+            count(lit(1)).as("area"),
+            round(median(col("l_quantity")), 6).as("median_qty"),
+            dsum(col("l_extendedprice")).as("intensity_sum"),
+            max(col("l_extendedprice")).as("intensity_max"),
+            (dsum(col("l_extendedprice")) / count(lit(1)))
+              .as("intensity_mean"),
+            max(when(col("p_size") > 40, 1).otherwise(0)).as("on_arc"))
+          .orderBy(col("p_brand"))
+      },
+      Some(s"""SELECT p_brand, COUNT(*) AS area,
+          ROUND(median(l_quantity), 6) AS median_qty,
+          ${sqlDsum("l_extendedprice")} AS intensity_sum,
+          MAX(l_extendedprice) AS intensity_max,
+          ${sqlDsum("l_extendedprice")} / COUNT(*) AS intensity_mean,
+          MAX(CASE WHEN p_size > 40 THEN 1 ELSE 0 END) AS on_arc
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand ORDER BY p_brand""")),
+
+    // ====== A8 + J4: per-bin mean/std/median/MAD (two-stage MAD) ==========
+    // Reference spottiness.py:49-61.
+    Q("a8_grad_stats",
+      (s, dir) => {
+        val px = t(s, dir, "lineitem").select(
+          floor(col("l_tax") * 100).cast("int").as("qbin"),
+          col("l_extendedprice").as("x"))
+        val mm = RobustStats.medianMad(px, Seq("qbin"), "x")
+        val more = px.groupBy(col("qbin")).agg(
+          dmean(col("x")).as("imean"),
+          round(RobustStats.stddevDet(col("x"), count(lit(1))), 6)
+            .as("istd"))
+        mm.join(more, "qbin")
+          .select(col("qbin"), col("n"), col("imean"), col("istd"),
+            round(col("med"), 6).as("imed"), round(col("mad"), 6).as("imad"))
+          .orderBy(col("qbin"))
+      },
+      Some("""WITH t AS (SELECT CAST(FLOOR(l_tax * 100) AS INT) AS qbin,
+            l_extendedprice AS x FROM lineitem),
+        med AS (SELECT qbin, median(x) AS med, COUNT(*) AS n FROM t
+                GROUP BY qbin),
+        mm AS (SELECT t.qbin, any_value(med.med) AS med, any_value(med.n) AS n,
+                 median(abs(t.x - med.med)) AS mad
+               FROM t JOIN med USING (qbin) GROUP BY t.qbin),
+        more AS (SELECT qbin,
+            CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE) / COUNT(x) AS imean,
+            ROUND(SQRT((CAST(SUM(CAST(x*x AS DECIMAL(28,6))) AS DOUBLE)
+              - CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE)
+                * CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*))
+              / (COUNT(*) - 1)), 6) AS istd
+          FROM t GROUP BY qbin)
+        SELECT mm.qbin, mm.n, more.imean, more.istd,
+          ROUND(mm.med, 6) AS imed, ROUND(mm.mad, 6) AS imad
+        FROM mm JOIN more USING (qbin) ORDER BY qbin""")),
+
+    // ===== A9: masked fraction + distinct labels per bin ==================
+    // Reference spottiness.py:16-27.
+    Q("a9_spottiness",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        li.groupBy(floor(col("l_quantity") / 5).cast("int").as("qband"))
+          .agg(
+            (count(when(col("l_discount") > 0.05, 1)).cast("double") /
+              count(lit(1))).as("pct_masked"),
+            countDistinct(col("l_suppkey")).as("n_labels"))
+          .orderBy(col("qband"))
+      },
+      Some("""SELECT CAST(FLOOR(l_quantity / 5) AS INT) AS qband,
+          CAST(COUNT(CASE WHEN l_discount > 0.05 THEN 1 END) AS DOUBLE)
+            / COUNT(*) AS pct_masked,
+          COUNT(DISTINCT l_suppkey) AS n_labels
+        FROM lineitem GROUP BY qband ORDER BY qband""")),
+
+    // ====== A11/J5: cosine similarity current vs next vector ==============
+    // Reference pipeline.py:546-553 (frame vs previous frame), as an
+    // equi-self-join on adjacent ids over array columns.
+    Q("a11_csim",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings").select(
+          col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
+        val nxt = e.select((col("vec_id") - 1).as("vec_id"),
+          col("v").as("v2"))
+        e.join(nxt, "vec_id")
+          .select(col("vec_id"),
+            round(VectorOps.cosine(col("v"), col("v2")), 6).as("csim"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""WITH e AS (SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        p AS (SELECT a.vec_id, a.v AS va, b.v AS vb
+              FROM e a JOIN e b ON b.vec_id = a.vec_id + 1),
+        u AS (SELECT vec_id, UNNEST(va) AS x, UNNEST(vb) AS y FROM p),
+        s AS (SELECT vec_id, SUM(x*y) AS dot, SUM(x*x) AS na, SUM(y*y) AS nb
+              FROM u GROUP BY vec_id)
+        SELECT vec_id, ROUND(dot/(SQRT(na)*SQRT(nb)), 6) AS csim
+        FROM s ORDER BY vec_id""")),
+
+    // ===== W1 analogue on vectors: per-group lag cosine series ============
+    Q("a11_csim_window",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings").select(col("vec_id"), col("label"),
+          VectorOps.toDouble(col("embedding")).as("v"))
+        VectorOps.lagCosine(e, "v", Seq("label"), "vec_id")
+          .select(col("vec_id"), col("label"),
+            round(col("csim_prev"), 6).as("csim_prev"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""WITH e AS (SELECT vec_id, label,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        p AS (SELECT vec_id, label, v,
+            COALESCE(LAG(v) OVER (PARTITION BY label ORDER BY vec_id), v) AS pv
+          FROM e),
+        u AS (SELECT vec_id, label, UNNEST(v) AS x, UNNEST(pv) AS y FROM p),
+        s AS (SELECT vec_id, any_value(label) AS label, SUM(x*y) AS dot,
+            SUM(x*x) AS na, SUM(y*y) AS nb FROM u GROUP BY vec_id)
+        SELECT vec_id, label, ROUND(dot/(SQRT(na)*SQRT(nb)), 6) AS csim_prev
+        FROM s ORDER BY vec_id""")),
+
+    // ============ similarity search: brute-force top-k cosine =============
+    Q("sim_topk",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings").select(
+          col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
+        VectorOps.topKCosine(e.where(col("vec_id") < 5), e, "vec_id", "v", 3)
+          .withColumnRenamed("rank", "rnk")
+          .orderBy(col("query_id"), col("rnk"))
+      },
+      Some("""WITH e AS (SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+        pairs AS (SELECT q.qid, e.vec_id AS cand_id, q.qv, e.v AS cv
+                  FROM q CROSS JOIN e WHERE e.vec_id != q.qid),
+        u AS (SELECT qid, cand_id, UNNEST(qv) AS x, UNNEST(cv) AS y
+              FROM pairs),
+        sc AS (SELECT qid, cand_id, SUM(x*y) AS dot, SUM(x*x) AS na,
+                 SUM(y*y) AS nb FROM u GROUP BY qid, cand_id),
+        r AS (SELECT qid, cand_id,
+                ROUND(dot/(SQRT(na)*SQRT(nb)), 6) AS sim FROM sc),
+        rk AS (SELECT qid AS query_id, cand_id, sim,
+                 ROW_NUMBER() OVER (PARTITION BY qid
+                   ORDER BY sim DESC, cand_id) AS rnk FROM r)
+        SELECT query_id, rnk, cand_id, sim FROM rk WHERE rnk <= 3
+        ORDER BY query_id, rnk""")),
+
+    // ==================== W1: previous-row lookup =========================
+    // Reference pipeline.py:506-553 — lag + first-row-compares-to-itself.
+    Q("w1_lag",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        t(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("value"),
+            coalesce(lag(col("value"), 1).over(w), col("value"))
+              .as("prev_value"))
+          .withColumn("delta", col("value") - col("prev_value"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some("""SELECT user_id, event_id, value,
+          COALESCE(LAG(value) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id), value) AS prev_value,
+          value - COALESCE(LAG(value) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id), value) AS delta
+        FROM events ORDER BY user_id, event_id""")),
+
+    // ==================== W2: first-row lookup ============================
+    Q("w2_first",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        t(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("value"),
+            first(col("value")).over(w).as("first_value"))
+          .withColumn("drift", col("value") - col("first_value"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some("""SELECT user_id, event_id, value,
+          FIRST_VALUE(value) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id) AS first_value,
+          value - FIRST_VALUE(value) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id) AS drift
+        FROM events ORDER BY user_id, event_id""")),
+
+    // ============== W5: stride sampling via row_number ====================
+    // Reference mainUI/contour.py:208-225 (contour stride downsampling).
+    Q("w5_stride",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        t(s, dir, "events")
+          .withColumn("rn", row_number().over(w))
+          .where((col("rn") - 1) % 10 === 0)
+          .select(col("user_id"), col("rn"), col("event_id"), col("value"))
+          .orderBy(col("user_id"), col("rn"))
+      },
+      Some("""SELECT user_id, rn, event_id, value FROM (
+          SELECT user_id, event_id, value,
+            ROW_NUMBER() OVER (PARTITION BY user_id
+              ORDER BY ts, event_id) AS rn
+          FROM events) WHERE (rn - 1) % 10 = 0
+        ORDER BY user_id, rn""")),
+
+    // ============== J7: anti-join membership check ========================
+    // Reference mainUI/main_window.py:348-366 (files without results).
+    Q("j7_cust_no_orders",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val o = t(s, dir, "orders")
+        val n = t(s, dir, "nation")
+        c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(count(lit(1)).as("n_cust"))
+          .orderBy(col("n_name"))
+      },
+      Some("""SELECT n_name, COUNT(*) AS n_cust
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        GROUP BY n_name ORDER BY n_name""")),
+
+    // ========== F1-F8: boolean mask algebra as conditional counts =========
+    // Reference pipeline.py:148-165 (mask union/intersect/complement).
+    Q("f2_mask_algebra",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val posp = col("l_quantity") > 0
+        val thresh = col("l_extendedprice").between(1000, 50000)
+        val rangep = col("l_tax").between(0.02, 0.06)
+        val linep = col("l_linenumber") === 1
+        li.groupBy(col("l_returnflag"))
+          .agg(
+            count(lit(1)).as("n_rows"),
+            count(when(thresh || rangep, 1)).as("n_union"),
+            count(when(thresh && !linep, 1)).as("n_inter_not"),
+            count(when(!(posp && thresh), 1)).as("n_base_excluded"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag, COUNT(*) AS n_rows,
+          COUNT(CASE WHEN l_extendedprice BETWEEN 1000 AND 50000
+            OR l_tax BETWEEN 0.02 AND 0.06 THEN 1 END) AS n_union,
+          COUNT(CASE WHEN l_extendedprice BETWEEN 1000 AND 50000
+            AND NOT (l_linenumber = 1) THEN 1 END) AS n_inter_not,
+          COUNT(CASE WHEN NOT (l_quantity > 0
+            AND l_extendedprice BETWEEN 1000 AND 50000) THEN 1 END)
+            AS n_base_excluded
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ====== M9/M10: wrap-aware azimuth wedge membership ===================
+    // Reference classification.py:40-43 (modulo_range).
+    Q("m9_wedge",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .withColumn("azim", (col("event_id") * 7) % 360)
+        val wrapped = ((col("azim") - 10) % 360 + 360) % 360
+        ev.groupBy(col("event_type"))
+          .agg(
+            count(lit(1)).as("n"),
+            count(when(wrapped < 30 || wrapped > 330, 1)).as("n_in_wedge"),
+            min(col("azim")).as("min_azim"),
+            max(col("azim")).as("max_azim"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH t AS (SELECT event_type, (event_id * 7) % 360 AS azim
+          FROM events)
+        SELECT event_type, COUNT(*) AS n,
+          COUNT(CASE WHEN ((azim - 10) % 360 + 360) % 360 < 30
+            OR ((azim - 10) % 360 + 360) % 360 > 330 THEN 1 END)
+            AS n_in_wedge,
+          MIN(azim) AS min_azim, MAX(azim) AS max_azim
+        FROM t GROUP BY event_type ORDER BY event_type""")),
+
+    // =============== S3: include/exclude regex source filters =============
+    Q("s3_regex_filter",
+      (s, dir) => {
+        t(s, dir, "documents")
+          .where(col("source").rlike("^src[0-9]+$") &&
+            !col("source").contains("7"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy(col("source"))
+      },
+      Some("""SELECT source, COUNT(*) AS n_docs FROM documents
+        WHERE regexp_matches(source, '^src[0-9]+$')
+          AND source NOT LIKE '%7%'
+        GROUP BY source ORDER BY source""")),
+
+    // =================== dedup: exact content hashing =====================
+    Q("dedup_exact",
+      (s, dir) => {
+        t(s, dir, "documents")
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            countDistinct(md5(col("text"))).as("n_unique"),
+            (count(lit(1)) - countDistinct(md5(col("text"))))
+              .as("n_dups"))
+          .orderBy(col("source"))
+      },
+      Some("""SELECT source, COUNT(*) AS n_docs,
+          COUNT(DISTINCT md5(text)) AS n_unique,
+          COUNT(*) - COUNT(DISTINCT md5(text)) AS n_dups
+        FROM documents GROUP BY source ORDER BY source""")),
+
+    // ============ dedup: exact n-gram Jaccard pair similarity =============
+    Q("dedup_ngram_jaccard",
+      (s, dir) => {
+        val d = t(s, dir, "documents").where(col("doc_id") < 50)
+          .select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+        val a = d.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+        val b = d.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+        a.join(b, col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"),
+            round(Dedup.jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
+          .where(col("jaccard") >= 0.02)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""WITH d AS (SELECT doc_id,
+            list_distinct([array_to_string(w[i:i+2], ' ')
+              FOR i IN range(1, len(w) - 1)]) AS sh
+          FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+                FROM documents WHERE doc_id < 50)),
+        pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+          FROM d a JOIN d b ON a.doc_id < b.doc_id)
+        SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.02
+        ORDER BY id_a, id_b""")),
+
+    // ===== dedup: MinHash-LSH near-dup candidates (rows-only check) =======
+    Q("dedup_minhash",
+      (s, dir) => {
+        Dedup.minhashCandidates(t(s, dir, "documents"), "doc_id", "text",
+            n = 3, k = 32, bands = 16)
+          .select(col("id_a"), col("id_b"),
+            round(col("est_jaccard"), 6).as("est_jaccard"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      None),
+
+    // ============== text analysis: per-language quality metrics ===========
+    Q("text_quality",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+          .withColumn("words", TextMetrics.tokenCount(col("text")))
+          .withColumn("the_ratio",
+            TextMetrics.occ(col("text"), " the ") / col("words"))
+        d.groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            (sum(col("n_chars")).cast("double") / count(lit(1)))
+              .as("avg_chars"),
+            (sum(col("words").cast("decimal(18,9)")).cast("double") /
+              count(lit(1))).as("avg_words"),
+            (sum(col("the_ratio").cast("decimal(18,9)")).cast("double") /
+              count(lit(1))).as("avg_the_ratio"),
+            min(col("n_chars")).as("min_chars"),
+            max(col("n_chars")).as("max_chars"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH d AS (SELECT lang, n_chars,
+            (length(text) - length(replace(text, ' ', ''))) / 1 + 1 AS words,
+            ((length(text) - length(replace(text, ' the ', ''))) / 5)
+              / ((length(text) - length(replace(text, ' ', ''))) / 1 + 1)
+              AS the_ratio
+          FROM documents)
+        SELECT lang, COUNT(*) AS n_docs,
+          CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+          CAST(SUM(CAST(words AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*)
+            AS avg_words,
+          CAST(SUM(CAST(the_ratio AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*)
+            AS avg_the_ratio,
+          MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+        FROM d GROUP BY lang ORDER BY lang""")),
+
+    // ========= text analysis: marker-based language id (confusion) ========
+    Q("lang_id",
+      (s, dir) => {
+        val markers = Seq(
+          "en" -> Seq("the", "and", "of"),
+          "de" -> Seq("der", "und", "die"),
+          "fr" -> Seq("le", "et", "la"),
+          "es" -> Seq("el", "y", "los"))
+        t(s, dir, "documents")
+          .withColumn("pred", TextMetrics.langId(col("text"), markers))
+          .groupBy(col("lang"), col("pred"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("lang"), col("pred"))
+      },
+      Some {
+        def sc(ms: Seq[String]) = ms.map(m =>
+          s"(length(text) - length(replace(text, ' $m ', ''))) / ${m.length + 2}")
+          .mkString(" + ")
+        s"""WITH sc AS (SELECT lang,
+            ${sc(Seq("the", "and", "of"))} AS s_en,
+            ${sc(Seq("der", "und", "die"))} AS s_de,
+            ${sc(Seq("le", "et", "la"))} AS s_fr,
+            ${sc(Seq("el", "y", "los"))} AS s_es
+          FROM documents)
+        SELECT lang,
+          CASE WHEN s_es > GREATEST(s_en, s_de, s_fr) THEN 'es'
+               WHEN s_fr > GREATEST(s_en, s_de) THEN 'fr'
+               WHEN s_de > s_en THEN 'de' ELSE 'en' END AS pred,
+          COUNT(*) AS n
+        FROM sc GROUP BY lang, pred ORDER BY lang, pred"""
+      }),
+
+    // ========= streaming-analytics shape: hourly event rollup =============
+    // ts is read as epoch-nanos long (nanosAsLong); truncate to the hour
+    // with exact integer arithmetic, format in the UTC session zone — the
+    // oracle's date_trunc over the naive ns timestamp lands on the same
+    // wall-clock hour.
+    Q("events_hourly",
+      (s, dir) => {
+        val hourSec = expr("ts DIV 3600000000000") * 3600
+        t(s, dir, "events")
+          .groupBy(
+            date_format(timestamp_seconds(hourSec), "yyyy-MM-dd HH:mm")
+              .as("hour"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("value_sum"))
+          .orderBy(col("hour"), col("event_type"))
+      },
+      Some(s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M')
+            AS hour, event_type, COUNT(*) AS n,
+          ${sqlDsum("value")} AS value_sum
+        FROM events GROUP BY hour, event_type ORDER BY hour, event_type"""))
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(q => q.name -> q.fn).toMap
+
+  val oracleSql: Map[String, String] =
+    all.flatMap(q => q.sql.map(q.name -> _)).toMap
+}
