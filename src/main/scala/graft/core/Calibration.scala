@@ -86,7 +86,9 @@ object Calibration {
       ioTth = pair("IOtth", base.ioTth),
       lrAzimuth = pair("LRazimuth", base.lrAzimuth),
       outChannels = num("outChannels", base.outChannels).toInt,
-      polaVal = kv.get("PolaVal").map(v => parsePair(v)._1)
+      // PolaVal is "[fraction, refine-flag]" — only the fraction is numeric
+      polaVal = kv.get("PolaVal")
+        .map(_.replaceAll("[\\[\\]()]", "").split(",").head.trim.toDouble)
         .getOrElse(base.polaVal),
       detDepth = num("DetDepth", base.detDepth),
       azmthOff = num("azmthOff", base.azmthOff))

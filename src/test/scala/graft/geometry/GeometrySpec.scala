@@ -1,0 +1,140 @@
+package graft.geometry
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.core.{Calibration, SyntheticFrame}
+
+class GeometrySpec extends SparkSpec {
+
+  val cal = SyntheticFrame.testCalibration(64)
+  lazy val geo = Geometry.build(spark, cal).cache()
+
+  test("2-theta is ~0 at the beam center and grows with radius") {
+    val cx = (cal.center._1 / (cal.pixelSize._1 / 1000.0) - 0.5).round.toInt
+    val cy = (cal.center._2 / (cal.pixelSize._2 / 1000.0) - 0.5).round.toInt
+    val centerTth = geo.where(col("x") === cx && col("y") === cy)
+      .select(col("tth")).collect()(0).getDouble(0)
+    assert(centerTth < 0.1)
+    val cornerTth = geo.where(col("x") === 63 && col("y") === 63)
+      .select(col("tth")).collect()(0).getDouble(0)
+    assert(cornerTth > centerTth + 1.0)
+  }
+
+  test("azimuth spans all four quadrants and flipped is 180 deg offset") {
+    val r = geo.agg(min(col("azim")), max(col("azim"))).collect()(0)
+    assert(r.getDouble(0) >= 0.0 && r.getDouble(1) <= 360.0)
+    assert(r.getDouble(1) - r.getDouble(0) > 270.0)
+    val bad = geo.where(
+      abs(pmod(col("azim") + 180.0, lit(360.0)) - col("azim_flipped")) > 1e-9)
+      .count()
+    assert(bad == 0)
+  }
+
+  test("q is monotonic in tth and matches the closed form") {
+    val bad = geo.where(abs(col("q") -
+      Geometry.tthToQ(col("tth"), cal.wavelength)) > 1e-9).count()
+    assert(bad == 0)
+  }
+
+  test("tth bins: in-range pixels get [0, outChannels), others -1") {
+    val r = geo.agg(min(col("tth_bin")), max(col("tth_bin"))).collect()(0)
+    assert(r.getInt(0) == -1 || r.getInt(0) >= 0)
+    assert(r.getInt(1) < cal.outChannels)
+    val wrong = geo.where(col("in_tth_range") &&
+      (col("tth_bin") < 0 || col("tth_bin") >= cal.outChannels)).count()
+    assert(wrong == 0)
+  }
+
+  test("polarization factor is in (0, 1] and 1 at tth=0") {
+    import spark.implicits._
+    val p = Seq((0.0, 0.0), (10.0, 45.0), (45.0, 90.0))
+      .toDF("tth", "azim")
+      .select(Geometry.polarization(col("tth"), col("azim"), 0.99).as("p"))
+      .collect().map(_.getDouble(0))
+    assert(math.abs(p(0) - 1.0) < 1e-12)
+    assert(p.forall(v => v > 0 && v <= 1.0 + 1e-12))
+  }
+
+  test("unit conversions round-trip") {
+    import spark.implicits._
+    val df = Seq(1.0, 5.0, 12.0).toDF("tth")
+    val bad = df.select(abs(Geometry.qToTth(
+      Geometry.tthToQ(col("tth"), 0.24), 0.24) - col("tth")).as("err"))
+      .where(col("err") > 1e-9).count()
+    assert(bad == 0)
+  }
+}
+
+class CalibrationSpec extends SparkSpec {
+
+  test("imctrl parser reads whitelisted keys, keeps defaults otherwise") {
+    val cal = Calibration.fromImctrl(
+      """wavelength:0.24087
+        |distance:689.55
+        |center:[214.787, 216.551]
+        |tilt:-0.168
+        |rotation:327.88
+        |IOtth:[1.0, 12.7]
+        |outChannels:2500
+        |PolaVal:[0.99, False]
+        |bogus_key:ignored
+        |""".stripMargin.linesIterator)
+    assert(cal.wavelength == 0.24087)
+    assert(cal.center == ((214.787, 216.551)))
+    assert(cal.tilt == -0.168 && cal.rotation == 327.88)
+    assert(cal.outChannels == 2500 && cal.polaVal == 0.99)
+    assert(cal.azmBands == 360) // default survives
+  }
+
+  test("poni conversion: untilted detector maps to tilt=0, mm units") {
+    val cal = Calibration.fromPoni(
+      """Distance: 0.68955
+        |Poni1: 0.216551
+        |Poni2: 0.214787
+        |Rot1: 0.0
+        |Rot2: 0.0
+        |Rot3: 0.0
+        |Wavelength: 2.4087e-11
+        |""".stripMargin.linesIterator)
+    assert(math.abs(cal.distance - 689.55) < 1e-9)
+    assert(cal.tilt == 0.0)
+    assert(math.abs(cal.wavelength - 0.24087) < 1e-12)
+    assert(math.abs(cal.center._1 - 214.787) < 1e-9)
+    assert(math.abs(cal.center._2 - 216.551) < 1e-9)
+  }
+
+  test("metadata sidecar overrides wavelength and pixel size") {
+    val cal = Calibration.withMetadata(Calibration(),
+      "wavelength=0.5\ndetectorxpixelsize=75\ndetectorypixelsize=75"
+        .linesIterator)
+    assert(cal.wavelength == 0.5 && cal.pixelSize == ((75.0, 75.0)))
+  }
+
+  test("q bin edges span the io range with outChannels+1 edges") {
+    val cal = Calibration(outChannels = 100)
+    val e = cal.qBinEdges
+    assert(e.length == 101)
+    assert(math.abs(e.head - cal.tthToQ(cal.ioTth._1)) < 1e-12)
+    assert(math.abs(e.last - cal.tthToQ(cal.ioTth._2)) < 1e-12)
+  }
+}
+
+class FramePipelineSpec extends SparkSpec {
+
+  test("demo pipeline produces integrals and masks hot pixels") {
+    val df = graft.pipeline.FramePipeline.demo(spark).cache()
+    val n = df.count()
+    assert(n > 100)
+    // hot pixels (50000) are planted at ~3/10000: in well-populated rings
+    // the outlier mask must remove them, so i_om <= i_base overall and
+    // strictly smaller somewhere.
+    val agg = df.agg(
+      sum(when(col("i_om") > col("i_base") + 1e-9, 1).otherwise(0)),
+      sum(when(col("i_om") < col("i_base") - 1e-9, 1).otherwise(0)))
+      .collect()(0)
+    assert(agg.getLong(1) > 0, "outlier mask never fired")
+    // i_om can exceed i_base only where the ring guard skipped stats
+    val upBins = agg.getLong(0)
+    assert(upBins < n / 10)
+  }
+}
