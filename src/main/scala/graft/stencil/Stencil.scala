@@ -1,0 +1,173 @@
+package graft.stencil
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Dense tile-stencil execution: partition the pixel table into square
+  * tiles, duplicate a halo ring of pixels to neighbouring tiles, run a
+  * per-tile dense kernel, and emit only interior results.
+  *
+  * This is the Spark analogue of the reference's blocked execution
+  * (MakeUseTA GSASII_imports.py:484-511 runs 128-512 px blocks) plus the
+  * convolution stages (radial_and_azim_gradient classification.py:46-63,
+  * kernels from gradient_cache cache_creation.py:108-197). Shuffle volume
+  * is |pixels| * (1 + O(halo/tile)) — the halo overhead is a few percent
+  * for tile=256, halo=1 — and each tile is a few MB of dense array, well
+  * inside executor memory at any frame size.
+  *
+  * Input schema: (frame_no: long-castable, y: int, x: int, v: double).
+  */
+object Stencil {
+
+  /** Run `kernel` over dense (tile+2*halo)^2 arrays assembled per tile.
+    * `kernel(buf, w, h)` returns the transformed buffer (same shape,
+    * row-major, y-major). Missing pixels are `fill`. Emits
+    * (frame_no, y, x, v) for interior pixels only. */
+  def mapTiles(px: DataFrame, width: Int, height: Int,
+               tile: Int = 256, halo: Int = 1, fill: Double = 0.0)
+              (kernel: (Array[Double], Int, Int) => Array[Double])
+      : DataFrame = {
+    val spark = px.sparkSession
+    import spark.implicits._
+    val side = tile + 2 * halo
+    val nTx = (width + tile - 1) / tile
+
+    val typed = px.select(col("frame_no").cast("long"), col("y").cast("int"),
+      col("x").cast("int"), col("v").cast("double")).as[(Long, Int, Int, Double)]
+
+    typed.flatMap { case (f, y, x, v) =>
+      // home tile plus any neighbour tile whose halo covers this pixel
+      val tys = ((y - halo) / tile) to ((y + halo) / tile)
+      val txs = ((x - halo) / tile) to ((x + halo) / tile)
+      for {
+        ty <- tys if ty >= 0 && ty * tile < height
+        tx <- txs if tx >= 0 && tx * tile < width
+      } yield ((f, ty, tx), (y, x, v))
+    }
+    .groupByKey(_._1)
+    .flatMapGroups { (key: (Long, Int, Int), it) =>
+      val (f, ty, tx) = key
+      val buf = Array.fill(side * side)(fill)
+      val y0 = ty * tile - halo; val x0 = tx * tile - halo
+      it.foreach { case (_, (y, x, v)) =>
+        val ly = y - y0; val lx = x - x0
+        if (ly >= 0 && ly < side && lx >= 0 && lx < side)
+          buf(ly * side + lx) = v
+      }
+      val out = kernel(buf, side, side)
+      val yMax = math.min(tile, height - ty * tile)
+      val xMax = math.min(tile, width - tx * tile)
+      for {
+        ly <- (halo until halo + yMax).iterator
+        lx <- halo until halo + xMax
+      } yield (f, y0 + ly, x0 + lx, out(ly * side + lx))
+    }
+    .toDF("frame_no", "y", "x", "v")
+  }
+
+  /** 2-D correlation with a (2r+1)^2 kernel (row-major, y-major). */
+  def convolve2d(px: DataFrame, width: Int, height: Int,
+                 k: Array[Array[Double]], tile: Int = 256,
+                 fill: Double = 0.0): DataFrame = {
+    val r = k.length / 2
+    mapTiles(px, width, height, tile, halo = r, fill = fill) {
+      (buf, w, h) =>
+        val out = new Array[Double](buf.length)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            var s = 0.0
+            var inBounds = y >= r && y < h - r && x >= r && x < w - r
+            if (inBounds) {
+              var dy = -r
+              while (dy <= r) {
+                var dx = -r
+                while (dx <= r) {
+                  s += k(dy + r)(dx + r) * buf((y + dy) * w + (x + dx))
+                  dx += 1
+                }
+                dy += 1
+              }
+            }
+            out(y * w + x) = s
+            x += 1
+          }
+          y += 1
+        }
+        out
+    }
+  }
+
+  /** Central-difference derivative kernels (y, x). */
+  val dyKernel: Array[Array[Double]] = Array(
+    Array(0.0, -0.5, 0.0), Array(0.0, 0.0, 0.0), Array(0.0, 0.5, 0.0))
+  val dxKernel: Array[Array[Double]] = Array(
+    Array(0.0, 0.0, 0.0), Array(-0.5, 0.0, 0.5), Array(0.0, 0.0, 0.0))
+
+  /** First derivatives (dI/dy, dI/dx) of a dense value image — the inputs
+    * to the reference's radial/azimuthal directional gradients
+    * (classification.py:46-63): grad_r = d . r_hat, grad_phi = d . phi_hat
+    * with the unit vectors as geometry columns, applied relationally by
+    * the caller. */
+  def derivatives(px: DataFrame, width: Int, height: Int,
+                  tile: Int = 256): DataFrame = {
+    val dy = convolve2d(px, width, height, dyKernel, tile)
+      .withColumnRenamed("v", "ddy")
+    val dx = convolve2d(px, width, height, dxKernel, tile)
+      .withColumnRenamed("v", "ddx")
+    dy.join(dx, Seq("frame_no", "y", "x"))
+  }
+
+  /** h-maxima: pixels on regional maxima whose height over the surrounding
+    * "sea level" exceeds h (reference spottiness.py:64-84). Computed by
+    * tile-local morphological reconstruction of (image - h) under image,
+    * with a generous halo; maxima whose plateau extends beyond
+    * tile + halo are approximated (documented halo bound — SURVEY §7.4). */
+  def hMaxima(px: DataFrame, width: Int, height: Int, h: Double,
+              tile: Int = 256, halo: Int = 16): DataFrame = {
+    val out = mapTiles(px, width, height, tile, halo,
+      fill = Double.NegativeInfinity) { (buf, w, ht) =>
+      val marker = buf.map(v => if (v.isNegInfinity) v else v - h)
+      // iterative geodesic dilation of marker under buf until fixpoint
+      var changed = true
+      var guard = 0
+      while (changed && guard < 10 * math.max(w, ht)) {
+        changed = false
+        var y = 0
+        while (y < ht) {
+          var x = 0
+          while (x < w) {
+            var m = marker(y * w + x)
+            var dy = -1
+            while (dy <= 1) {
+              var dx = -1
+              while (dx <= 1) {
+                val ny = y + dy; val nx = x + dx
+                if (ny >= 0 && ny < ht && nx >= 0 && nx < w) {
+                  val cand = marker(ny * w + nx)
+                  if (cand > m) m = cand
+                }
+                dx += 1
+              }
+              dy += 1
+            }
+            val lim = buf(y * w + x)
+            val nv = if (m < lim) m else lim
+            if (nv > marker(y * w + x)) { marker(y * w + x) = nv
+              changed = true }
+            x += 1
+          }
+          y += 1
+        }
+        guard += 1
+      }
+      // h-maxima mask: image - reconstruction >= h (within tolerance)
+      buf.indices.map { i =>
+        if (!buf(i).isNegInfinity && buf(i) - marker(i) >= h - 1e-9) 1.0
+        else 0.0
+      }.toArray
+    }
+    out.where(col("v") > 0.5).drop("v")
+  }
+}

@@ -1,0 +1,139 @@
+package graft.stencil
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class MorphologySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dilate r=1 grows a point into a 3x3 block, clipped at borders") {
+    val df = Seq((5, 5), (0, 0)).toDF("y", "x")
+    val out = Morphology.dilate(df, 1, Nil, width = 32, height = 32)
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    val expect = (for { dy <- -1 to 1; dx <- -1 to 1 }
+      yield (5 + dy, 5 + dx)).toSet ++
+      Set((0, 0), (0, 1), (1, 0), (1, 1))
+    assert(out == expect)
+  }
+
+  test("closing fills a 1-px hole in a solid blob") {
+    val blob = for { y <- 2 to 8; x <- 2 to 8; if !(y == 5 && x == 5) }
+      yield (y, x)
+    val out = Morphology.closing(blob.toDF("y", "x"), 1, Nil, 32, 32)
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(out.contains((5, 5)), "hole not filled")
+    // interior preserved
+    assert((for { y <- 3 to 7; x <- 3 to 7 } yield (y, x))
+      .forall(out.contains))
+  }
+
+  test("erode removes isolated pixels entirely") {
+    val df = Seq((5, 5), (10, 20)).toDF("y", "x")
+    assert(Morphology.erode(df, 1, Nil, 32, 32).count() == 0)
+  }
+}
+
+class CCLSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Single-node union-find oracle. */
+  def oracle(pts: Set[(Int, Int)], eight: Boolean): Map[(Int, Int), Int] = {
+    val idx = pts.toSeq.sorted.zipWithIndex.toMap
+    val parent = Array.tabulate(idx.size)(identity)
+    def find(i: Int): Int = { var r = i; while (parent(r) != r) r = parent(r)
+      parent(i) = r; r }
+    def union(i: Int, j: Int): Unit = {
+      val (ri, rj) = (find(i), find(j))
+      if (ri != rj) parent(math.max(ri, rj)) = math.min(ri, rj) }
+    val offs = if (eight) Seq((0,1),(1,-1),(1,0),(1,1)) else Seq((0,1),(1,0))
+    for { p <- pts; (dy, dx) <- offs
+          q = (p._1 + dy, p._2 + dx) if pts(q) } union(idx(p), idx(q))
+    pts.map(p => p -> find(idx(p))).toMap
+  }
+
+  def partitionOf(m: Map[(Int, Int), Int]): Set[Set[(Int, Int)]] =
+    m.groupBy(_._2).values.map(_.keySet).toSet
+
+  test("CCL matches union-find oracle on a random sparse mask") {
+    val rnd = new scala.util.Random(7)
+    val pts = (1 to 300).map(_ => (rnd.nextInt(40), rnd.nextInt(40))).toSet
+    val out = CCL.label(pts.toSeq.toDF("y", "x"), width = 40)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(partitionOf(out.view.mapValues(_.toInt).toMap)
+      == partitionOf(oracle(pts, eight = true)))
+  }
+
+  test("CCL labels are the min pixel id of each component") {
+    val pts = Seq((1, 1), (1, 2), (2, 2), (10, 10))
+    val out = CCL.label(pts.toDF("y", "x"), width = 16)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(out((1, 1)) == 17L && out((1, 2)) == 17L && out((2, 2)) == 17L)
+    assert(out((10, 10)) == 170L)
+  }
+
+  test("4-connectivity splits diagonal touches") {
+    val pts = Seq((0, 0), (1, 1))
+    val out8 = CCL.label(pts.toDF("y", "x"), 8, eightConnected = true)
+      .select(countDistinct(col("label"))).collect()(0).getLong(0)
+    val out4 = CCL.label(pts.toDF("y", "x"), 8, eightConnected = false)
+      .select(countDistinct(col("label"))).collect()(0).getLong(0)
+    assert(out8 == 1 && out4 == 2)
+  }
+
+  test("frame keys scope labeling: same coords in two frames stay separate") {
+    val pts = Seq((1, (1, 1)), (1, (1, 2)), (2, (1, 2)), (2, (1, 3)))
+      .map { case (f, (y, x)) => (f, y, x) }
+    val out = CCL.label(pts.toDF("frame_no", "y", "x"), 16,
+        keys = Seq("frame_no"))
+      .groupBy(col("frame_no")).agg(countDistinct(col("label")).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(out == Map(1 -> 1L, 2 -> 1L))
+  }
+}
+
+class StencilOpSpec extends SparkSpec {
+  import spark.implicits._
+
+  def ramp(n: Int): Seq[(Long, Int, Int, Double)] =
+    for { y <- 0 until n; x <- 0 until n }
+      yield (1L, y, x, 2.0 * x + 3.0 * y)
+
+  test("derivative of a linear ramp is constant in the interior") {
+    val px = ramp(24).toDF("frame_no", "y", "x", "v")
+    val d = Stencil.derivatives(px, 24, 24, tile = 8)
+      .where(col("y").between(1, 22) && col("x").between(1, 22))
+    val bad = d.where(abs(col("ddx") - 2.0) > 1e-9 ||
+      abs(col("ddy") - 3.0) > 1e-9).count()
+    assert(bad == 0)
+  }
+
+  test("convolution is invariant to tile size (halo correctness)") {
+    val rnd = new scala.util.Random(3)
+    val img = for { y <- 0 until 20; x <- 0 until 20 }
+      yield (1L, y, x, rnd.nextDouble() * 100)
+    val px = img.toDF("frame_no", "y", "x", "v")
+    val k = Array(Array(0.1, 0.2, 0.1), Array(0.2, 0.4, 0.2),
+      Array(0.1, 0.2, 0.1))
+    def run(tile: Int) = Stencil.convolve2d(px, 20, 20, k, tile)
+      .collect().map(r => ((r.getInt(1), r.getInt(2)), r.getDouble(3))).toMap
+    val a = run(5); val b = run(64)
+    assert(a.keySet == b.keySet)
+    assert(a.forall { case (k2, v) => math.abs(b(k2) - v) < 1e-9 })
+  }
+
+  test("hMaxima finds planted peaks of sufficient prominence") {
+    // flat floor at 10, two tall peaks, one shallow bump
+    val img = for { y <- 0 until 32; x <- 0 until 32 } yield {
+      val v = if ((y, x) == (8, 8)) 100.0
+        else if ((y, x) == (20, 25)) 80.0
+        else if ((y, x) == (15, 3)) 12.0  // prominence 2 < h
+        else 10.0
+      (1L, y, x, v)
+    }
+    val px = img.toDF("frame_no", "y", "x", "v")
+    val peaks = Stencil.hMaxima(px, 32, 32, h = 5.0, tile = 16, halo = 8)
+      .collect().map(r => (r.getInt(1), r.getInt(2))).toSet
+    assert(peaks.contains((8, 8)) && peaks.contains((20, 25)))
+    assert(!peaks.contains((15, 3)))
+  }
+}
