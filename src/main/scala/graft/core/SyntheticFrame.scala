@@ -20,11 +20,26 @@ object SyntheticFrame {
   def frame(spark: SparkSession, cal: Calibration, frameNo: Int,
             ringTths: Seq[Double] = Seq(3.0, 5.5, 8.0, 11.0),
             ringAmp: Double = 800.0, ringSigmaDeg: Double = 0.08,
-            nHotPer10k: Int = 3): DataFrame = {
+            nHotPer10k: Int = 3,
+            spots: Seq[(Int, Int, Double, Double)] = Nil,
+            arcs: Seq[(Double, Double, Double, Double)] = Nil): DataFrame = {
     val geo = graft.geometry.Geometry.build(spark, cal)
     val ringSignal = ringTths.map { t =>
       lit(ringAmp) * exp(-pow((col("tth") - t) / ringSigmaDeg, 2))
     }.reduce(_ + _)
+    // planted Gaussian spots (y0, x0, amplitude, sigma_px) — multi-pixel
+    // clusters for the CCL/classification ground truth
+    val spotSignal = spots.map { case (y0, x0, amp, sig) =>
+      lit(amp) * exp(-(pow(col("y") - y0, 2) + pow(col("x") - x0, 2)) /
+        (2.0 * sig * sig))
+    }.foldLeft(lit(0.0): org.apache.spark.sql.Column)(_ + _)
+    // planted texture arcs (tth0, azimLo, azimHi, amplitude): a bright
+    // wedge of a ring — radially thin, azimuthally long
+    val arcSignal = arcs.map { case (t0, aLo, aHi, amp) =>
+      when(col("azim") >= aLo && col("azim") <= aHi,
+        lit(amp) * exp(-pow((col("tth") - t0) / ringSigmaDeg, 2)))
+        .otherwise(lit(0.0))
+    }.foldLeft(lit(0.0): org.apache.spark.sql.Column)(_ + _)
     val pixId = col("y").cast("long") * cal.imageSize._2 + col("x")
     val noise = pmod(xxhash64(pixId, lit(frameNo)), lit(100L)).cast("double")
     val hot = when(
@@ -35,7 +50,8 @@ object SyntheticFrame {
     geo.select(
       lit(frameNo).as("frame_no"), col("y"), col("x"),
       when(dead, lit(0))
-        .otherwise((lit(100.0) + ringSignal + noise + hot).cast("int"))
+        .otherwise((lit(100.0) + ringSignal + spotSignal + arcSignal +
+          noise + hot).cast("int"))
         .as("intensity"))
   }
 

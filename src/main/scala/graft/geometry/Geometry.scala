@@ -78,9 +78,19 @@ object Geometry {
     val qLo = qEdges.head
     val qStep = (qEdges.last - qEdges.head) / cal.outChannels
 
+    // Radial / azimuthal unit vectors in pixel space (reference
+    // r_and_phi_hat cache_creation.py:94-105): r_hat points away from the
+    // beam center, phi_hat is its perpendicular; used to project stencil
+    // derivatives onto radial/azimuthal directions.
+    val rNorm = sqrt(dx * dx + dy * dy)
+    val rhatY = when(rNorm > 0, dy / rNorm).otherwise(lit(0.0))
+    val rhatX = when(rNorm > 0, dx / rNorm).otherwise(lit(0.0))
+
     base.select(
       col("y"), col("x"),
       tth.as("tth"), azim.as("azim"),
+      rhatY.as("rhat_y"), rhatX.as("rhat_x"),
+      (-rhatX).as("phat_y"), rhatY.as("phat_x"),
       // second azimuth origin so wedges crossing 0/360 measure correctly
       // (reference flipped-map trick, classification.py:386-393)
       pmod(azim + 180.0, lit(360.0)).as("azim_flipped"),

@@ -1,0 +1,186 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.ops.RobustStats
+import graft.stencil.{CCL, Morphology, Stencil}
+
+/** The spot/texture classification pipeline (reference
+  * `current_splitting_method` classification.py:829-912) — the centerpiece
+  * composition showing the whole stage DAG is relational:
+  *
+  *   outlier mask → closing (M2) → CCL (M1) → per-cluster shape aggregates
+  *   (A3) → shape classifier (C2) → 2nd directional gradients (M5) →
+  *   central-band percentile vs global threshold (A5) → gradient clusters
+  *   (M1) → wedge cuts near the cluster's median azimuth (A6/M9) → final
+  *   spot/arc pixel flags (C3).
+  *
+  * Every stage is a groupBy/join over the labeled pixel table; the only
+  * non-relational pieces are the tile-stencil derivatives and CCL, both
+  * from graft.stencil. Cluster aggregates are tiny relative to pixels, so
+  * every join-back broadcasts (J2).
+  */
+object Classification {
+
+  /** Tunables (reference defaults: qwidth classification.py:420-433, UI
+    * shape_min default pipeline_queue.py:444-448). */
+  final case class Params(
+      qWidthMax: Double = 0.1,      // arcs are radially thin: dQ < 0.1
+      azimSpanMin: Double = 3.5,    // and azimuthally long: dAzim > 3.5 deg
+      shapeRatioMin: Double = 100,  // dAzim/dQ > 100
+      minArcArea: Long = 100,       // drop tiny clusters before arc tests
+      minSpotArea: Long = 10,
+      centralBandQ: Double = 0.02,  // |q - medianQ| band for on_arc test
+      gradPercentile: Double = 0.2, // per-cluster percentile of grad2
+      globalPercentile: Double = 0.1, // global threshold percentile
+      wedgeQWidthMul: Double = 5.0) // cut width = 5 * Qwidth
+
+  /** C2 — shape classifier. Input: labeled outlier pixels with geometry
+    * columns (label, q, azim, azim_flipped). Output: per-label table
+    * (label, area, dq, dazim, classifier) with classifier 0=small, 1=spot,
+    * 2=arc (reference classification.py:373-444; the min-over-two-origins
+    * span is the fliplr wraparound trick at :403-413). */
+  def shapeClassify(px: DataFrame, keys: Seq[String],
+                    p: Params = Params()): DataFrame = {
+    val kcols = keys.map(col)
+    val agg = px.groupBy(kcols :+ col("label"): _*)
+      .agg(
+        count(lit(1)).as("area"),
+        (percentile(col("q"), lit(0.9)) - percentile(col("q"), lit(0.1)))
+          .as("dq"),
+        (max(col("azim")) - min(col("azim"))).as("span_raw"),
+        (max(col("azim_flipped")) - min(col("azim_flipped")))
+          .as("span_flip"),
+        percentile(col("q"), lit(0.5)).as("median_q"))
+      .withColumn("dazim", least(col("span_raw"), col("span_flip")))
+      .drop("span_raw", "span_flip")
+    agg.withColumn("classifier",
+      when(col("area") >= p.minArcArea &&
+          col("dq") < p.qWidthMax && col("dazim") > p.azimSpanMin &&
+          col("dazim") / col("dq") > p.shapeRatioMin, lit(2))
+        .when(col("area") >= p.minSpotArea, lit(1))
+        .otherwise(lit(0)))
+  }
+
+  /** C3 — gradient refinement of arc candidates. `allPx` is the FULL frame
+    * pixel table (frame_no, y, x, q, azim, azim_flipped, rhat_y, rhat_x,
+    * phat_y, phat_x, corr); `labeled` the outlier clusters with
+    * `classifier` from [[shapeClassify]]. Returns per-pixel final flags
+    * (frame_no, y, x, label, is_spot, is_arc).
+    *
+    * Faithful to the reference's structure (classification.py:447-608):
+    * second radial derivative decides on_arc per cluster; spots are cut
+    * out of arcs near the azimuthal-gradient clusters' median azimuth
+    * within 5*Qwidth (the modulo_range wedge, classification.py:40-43).
+    */
+  def gradientRefine(allPx: DataFrame, labeled: DataFrame, width: Int,
+                     height: Int, keys: Seq[String],
+                     p: Params = Params()): DataFrame = {
+    val kcols = keys.map(col)
+
+    // ---- 2nd directional (radial) derivative over the dense frame -----
+    val d2 = secondDirectionalDeriv(allPx, width, height, keys,
+      "rhat_y", "rhat_x").withColumnRenamed("grad2", "grad2_r")
+      .localCheckpoint(true) // feeds threshold, on_arc and wedge stages
+
+    // ---- A5: per-cluster central-band percentile vs global threshold --
+    val withG = labeled.join(d2, keys :+ "y" :+ "x").localCheckpoint(true)
+    val globalThresh = d2.groupBy(kcols: _*)
+      .agg(percentile(col("grad2_r"), lit(p.globalPercentile))
+        .as("g_thresh"))
+    val central = withG.where(
+      abs(col("q") - col("median_q")) < p.centralBandQ)
+    val onArc = central.groupBy(kcols :+ col("label"): _*)
+      .agg(percentile(col("grad2_r"), lit(p.gradPercentile)).as("c_pct"))
+      .join(broadcast(globalThresh), keys)
+      .withColumn("on_arc", col("c_pct") < col("g_thresh"))
+      .select(kcols ++ Seq(col("label"), col("on_arc")): _*)
+
+    // ---- wedge cuts: azimuthal-gradient clusters inside arcs ----------
+    // Strong 2nd-azim-gradient pixels within arc clusters mark spots
+    // sitting on arcs; cut a wedge of width 5*Qwidth around each such
+    // cluster's median azimuth.
+    val arcPx = withG.join(broadcast(onArc), keys :+ "label")
+      .where(col("classifier") === 2 && col("on_arc"))
+    val gradMaskPx = arcPx
+      .join(broadcast(globalThresh), keys)
+      .where(col("grad2_r") < col("g_thresh"))
+      .select(kcols ++ Seq(col("y"), col("x")): _*)
+    val gradClusters = CCL.label(gradMaskPx, width, keys)
+      .withColumnRenamed("label", "cut_label")
+    val cutStats = gradClusters.join(
+        arcPx.select(kcols ++ Seq(col("y"), col("x"), col("azim"),
+          col("dq")): _*), keys :+ "y" :+ "x")
+      .groupBy(kcols :+ col("cut_label"): _*)
+      .agg(percentile(col("azim"), lit(0.5)).as("cut_azim"),
+        first(col("dq")).as("cut_qw"))
+
+    // wedge membership for every arc pixel vs every cut of its frame:
+    // cuts per frame are few -> broadcast; wrap-aware modulo distance.
+    val cuts = cutStats.select(keys.map(k => col(k).as(s"_c_$k")) ++
+      Seq(col("cut_azim"), col("cut_qw")): _*)
+    val keyCond = keys.map(k => col(k) === col(s"_c_$k"))
+      .foldLeft(lit(true))(_ && _)
+    val wedgeW = greatest(
+      col("cut_qw") * p.wedgeQWidthMul * 30.0, lit(1.0)) // deg half-width
+    val inCut = withG.join(broadcast(cuts), keyCond, "left")
+      .withColumn("azdist",
+        pmod(col("azim") - col("cut_azim"), lit(360.0)))
+      .withColumn("hit", col("cut_azim").isNotNull &&
+        (col("azdist") < wedgeW || col("azdist") > lit(360.0) - wedgeW))
+      .groupBy(kcols ++ Seq(col("y"), col("x"), col("label"),
+        col("classifier")): _*)
+      .agg(max(when(col("hit"), 1).otherwise(0)).as("in_cut"))
+
+    // ---- final flags (reference classification.py:587-597) ------------
+    inCut.join(broadcast(onArc), keys :+ "label", "left")
+      .select(kcols ++ Seq(col("y"), col("x"), col("label"),
+        (col("classifier") === 1 ||
+          (col("classifier") === 2 && col("in_cut") === 1))
+          .as("is_spot"),
+        (col("classifier") === 2 && coalesce(col("on_arc"), lit(false)) &&
+          col("in_cut") === 0).as("is_arc")): _*)
+  }
+
+  /** Second directional derivative of `corr` along the (hatY, hatX) unit
+    * vector field: two stencil derivative passes, each projected onto the
+    * direction (reference radial_and_azim_gradient applied twice,
+    * classification.py:474-496). Returns (keys..., y, x, grad2). */
+  def secondDirectionalDeriv(allPx: DataFrame, width: Int, height: Int,
+                             keys: Seq[String], hatY: String,
+                             hatX: String): DataFrame = {
+    val kcols = keys.map(col)
+    val hats = allPx.select(kcols ++ Seq(col("y"), col("x"),
+      col(hatY).as("hy"), col(hatX).as("hx")): _*)
+    def project(df: DataFrame, out: String) =
+      Stencil.derivatives(df, width, height)
+        .join(hats, keys :+ "y" :+ "x")
+        .select(kcols ++ Seq(col("y"), col("x"),
+          (col("ddy") * col("hy") + col("ddx") * col("hx")).as(out)): _*)
+    val d1 = project(allPx.select(kcols ++ Seq(col("y"), col("x"),
+      col("corr").as("v")): _*), "v")
+    project(d1, "grad2")
+  }
+
+  /** C1 — full composition: outlier pixel set → closing → CCL → shape
+    * classifier → gradient refinement. `framePx` must carry (keys..., y,
+    * x, q, azim, azim_flipped, rhat_y, rhat_x, corr) for all pixels and an
+    * `is_outlier` flag. */
+  def classify(framePx: DataFrame, width: Int, height: Int,
+               keys: Seq[String], p: Params = Params()): DataFrame = {
+    val outlierPx = framePx.where(col("is_outlier"))
+      .select(keys.map(col) ++ Seq(col("y"), col("x")): _*)
+    val closed = Morphology.closing(outlierPx, 1, keys, width, height)
+    val labeled0 = CCL.label(closed, width, keys)
+    // closing can add pixels outside the original geometry join; re-join
+    // to recover geometry columns for cluster stats
+    val labeled = labeled0.join(framePx.select(keys.map(col) ++
+      Seq(col("y"), col("x"), col("q"), col("azim"),
+        col("azim_flipped")): _*), keys :+ "y" :+ "x")
+      .localCheckpoint(true) // reused by shape stats + refinement
+    val shaped = shapeClassify(labeled, keys, p)
+    val labeledFull = labeled.join(broadcast(shaped), keys :+ "label")
+    gradientRefine(framePx, labeledFull, width, height, keys, p)
+  }
+}

@@ -10,16 +10,26 @@ import graft.ops.{Histogram, RobustStats}
 /** The per-frame analytics plan (SURVEY §3.2) as one DataFrame lineage:
   *
   *   pixels ⋈ geometry → corrections → base mask → per-ring robust outlier
-  *   mask → masked azimuthal integration (all variants, one shuffle) →
-  *   per-ring stats.
+  *   mask → closing → CCL → shape + gradient classification → four masked
+  *   azimuthal integrations (one shuffle) → per-spot / per-Q-bin stats.
   *
   * Reference: run_iteration pipeline.py:78-567. Catalyst fuses the
   * elementwise stages into generated code; shuffles appear only at the
-  * grouped aggregations. The geometry side is produced once per calibration
-  * (Geometry.buildCached) and joined per frame; with both sides
-  * tile-bucketed the join is co-partitioned and shuffle-free.
+  * grouped aggregations, CCL, and the stencil tile exchange. The geometry
+  * side is produced once per calibration (Geometry.buildCached) and joined
+  * per frame; many frames flow through the SAME plan concurrently, keyed by
+  * frame_no — the parallelism the reference's serialized queue leaves on
+  * the table (pipeline_queue.py:745-746).
   */
 object FramePipeline {
+
+  /** All sink tables of one processing pass. */
+  final case class FrameOutputs(
+      pixels: DataFrame,     // per-pixel flags (debug/mask sinks)
+      integrals: DataFrame,  // (frame_no, tth_bin, tth, i_/n_ x 4 variants)
+      spotStats: DataFrame,  // A7 per-spot stats
+      gradStats: DataFrame,  // A8 per-Q-bin gradient stats
+      spottiness: DataFrame) // A9 per-Q-bin masked fraction + spot count
 
   /** Corrected intensity: flat-field (unity here), polarization divide,
     * solid-angle dist^1.5 multiply (reference pipeline.py:63-71,
@@ -28,55 +38,110 @@ object FramePipeline {
     intensity / col("pol") * pow(col("dist_sq"), 1.5)
 
   /** Base mask: non-positive ∨ out-of-azimuth ∨ out-of-tth-range
-    * (reference pipeline.py:148-165, nonzeromask
-    * corrections_and_maps.py:14-21). True = excluded. */
+    * (reference pipeline.py:148-165). True = excluded. */
   def baseMask(intensity: Column): Column =
     intensity <= 0 || !col("in_azim_range") || !col("in_tth_range")
 
-  /** Full per-frame plan over a (frame_no, y, x, intensity) pixel table.
-    * Returns the integral table (frame_no, tth_bin, tth, i_base, n_base,
-    * i_om, n_om). */
-  def integrateFrame(pixels: DataFrame, geometry: DataFrame,
-                     cal: Calibration, esdMul: Double = 3.0): DataFrame = {
+  /** Join pixels with geometry and flag base-mask + ring outliers (A1). */
+  def flagOutliers(pixels: DataFrame, geometry: DataFrame,
+                   esdMul: Double = 3.0): DataFrame = {
     val px = pixels.join(geometry, Seq("y", "x"))
       .withColumn("corr", corrected(col("intensity")))
       .withColumn("base_mask", baseMask(col("intensity")))
-
-    // A1: per-ring median/MAD outlier flag on raw intensity over 2-theta
-    // rings; masked pixels are excluded from the ring statistics up front
-    // (reference fmask.c:221-230 tests the frame mask in the bucket pass).
     val live = px.where(!col("base_mask"))
     val ringStats = RobustStats.medianMad(
       live.select(col("frame_no"), col("tth_bin"),
         col("intensity").cast("double").as("ival")),
       Seq("frame_no", "tth_bin"), "ival")
-
-    val flagged = px.join(broadcast(ringStats), Seq("frame_no", "tth_bin"),
-        "left")
+    px.join(broadcast(ringStats), Seq("frame_no", "tth_bin"), "left")
       .withColumn("is_outlier", coalesce(
         !col("base_mask") && col("n") >= 10 &&
         abs(col("intensity") - col("med")) >
           lit(esdMul * RobustStats.MadToSigma) * col("mad"), lit(false)))
+      .drop("med", "mad", "n")
+  }
 
-    // A2: all mask variants in ONE aggregation (reference runs four
-    // bincount passes, pipeline.py:377-414).
+  /** Full plan over a (frame_no, y, x, intensity) pixel table. */
+  def process(pixels: DataFrame, geometry: DataFrame, cal: Calibration,
+              esdMul: Double = 3.0,
+              params: Classification.Params = Classification.Params())
+      : FrameOutputs = {
+    val (h, w) = cal.imageSize
+    val keys = Seq("frame_no")
+    // Materialize once: every downstream stage (classification, four
+    // integrals, grad stats, spottiness) re-reads this table; without a
+    // persist the scan+join+ring-stats lineage would re-execute per branch.
+    val flagged = flagOutliers(pixels, geometry, esdMul).localCheckpoint(true)
+
+    // C1-C3: spot/arc classification of outlier clusters
+    val flags = Classification.classify(flagged, w, h, keys, params)
+    val px = flagged.join(
+        flags.select(col("frame_no"), col("y"), col("x"), col("label"),
+          col("is_spot"), col("is_arc")),
+        Seq("frame_no", "y", "x"), "left")
+      .withColumn("is_spot", coalesce(col("is_spot"), lit(false)))
+      .withColumn("is_arc", coalesce(col("is_arc"), lit(false)))
+
+    // A2: the four masked integrations of the reference
+    // (pipeline.py:377-414) in ONE aggregation pass.
     val variants = Seq(
       "base" -> !col("base_mask"),
-      "om" -> (!col("base_mask") && !col("is_outlier")))
-    Histogram.integrate(
-        flagged.where(col("tth_bin") >= 0), col("tth_bin"), col("corr"),
+      "om" -> (!col("base_mask") && !col("is_outlier")),
+      "spotsmasked" -> (!col("base_mask") && !col("is_spot")),
+      "arcsmasked" -> (!col("base_mask") && !col("is_arc")))
+    val integrals = Histogram.integrate(
+        px.where(col("tth_bin") >= 0), col("tth_bin"), col("corr"),
         variants, keys = Seq(col("frame_no")))
       .withColumnRenamed("bin", "tth_bin")
       .withColumn("tth",
         lit(cal.ioTth._1) + (col("tth_bin") + 0.5) * cal.tthStep)
-      .orderBy(col("tth_bin"))
+
+    // A7: per-spot stats (reference spottiness_df_stats spottiness.py:30-46)
+    val spotStats = px.where(col("is_spot"))
+      .groupBy(col("frame_no"), col("label").as("spot_stat_label"))
+      .agg(
+        count(lit(1)).as("area"),
+        percentile(col("q"), lit(0.5)).as("medianQ"),
+        percentile(col("q_bin"), lit(0.5)).cast("int").as("Qbin"),
+        sum(col("intensity")).as("intensity_sum"),
+        max(col("intensity")).as("intensity_max"),
+        avg(col("intensity")).as("intensity_mean"),
+        max(when(col("is_arc"), 1).otherwise(0)).as("on_arc"))
+
+    // A8: per-Q-bin stats of the 2nd azimuthal gradient (reference
+    // spottiness_azim_grad spottiness.py:49-61): mean/std/median/MAD.
+    val grad2Azim = Classification.secondDirectionalDeriv(
+      flagged, w, h, keys, "phat_y", "phat_x")
+    val gradPx = grad2Azim.join(
+      flagged.select(col("frame_no"), col("y"), col("x"), col("q_bin")),
+      Seq("frame_no", "y", "x"))
+    val gradMm = RobustStats.medianMad(
+      gradPx.select(col("frame_no"), col("q_bin"), col("grad2").as("g")),
+      Seq("frame_no", "q_bin"), "g")
+    val gradMoments = gradPx.groupBy(col("frame_no"), col("q_bin"))
+      .agg(avg(col("grad2")).as("mean"), stddev(col("grad2")).as("std"))
+    val gradStats = gradMoments.join(gradMm, Seq("frame_no", "q_bin"))
+      .select(col("frame_no"), col("q_bin").as("Qbin"), col("mean"),
+        col("std"), col("med").as("median"),
+        (col("mad") * RobustStats.MadToSigma).as("mad"))
+
+    // A9: spottiness per Q band (reference spottiness.py:16-27)
+    val spottiness = px.groupBy(col("frame_no"), col("q_bin"))
+      .agg(
+        (count(when(col("is_outlier") || col("is_spot") || col("is_arc"),
+          1)).cast("double") / count(lit(1))).as("pct_masked"),
+        countDistinct(when(col("is_spot"), col("label")))
+          .as("n_spots"))
+
+    FrameOutputs(px, integrals, spotStats, gradStats, spottiness)
   }
 
-  /** Flagship demo: synthetic 256x256 frame end-to-end. */
+  /** Flagship demo: synthetic frame end-to-end, returning the integral
+    * table (driver smoke-checks rows > 0). */
   def demo(spark: SparkSession): DataFrame = {
     val cal = SyntheticFrame.testCalibration(256)
     val geo = Geometry.build(spark, cal)
     val frame = SyntheticFrame.frame(spark, cal, frameNo = 1)
-    integrateFrame(frame, geo, cal)
+    process(frame, geo, cal).integrals.orderBy(col("tth_bin"))
   }
 }

@@ -8,89 +8,90 @@ import org.apache.spark.sql.functions._
   * Reference: scipy.ndimage.label / skimage.measure.label over the outlier
   * and gradient masks (classification.py:387,563; spottiness.py:31). Masked
   * pixels are a small fraction of the frame, so we label only the ACTIVE
-  * rows (keys..., y, x) — `keys` (e.g. frame_no) scope independent frames
-  * labeled in the same pass.
+  * rows (keys..., y, x), with an optional numeric frame key scoping many
+  * frames in one pass.
   *
-  * Algorithm: min-label propagation with pointer jumping —
-  *  1. node id = y * width + x, initial label = own id;
+  * Algorithm (loop-free — two shuffles, no driver iteration):
+  *  1. node id = y * width + x;
   *  2. edge list = 8- (or 4-) neighbour pairs among active pixels, built
   *     with equi-joins on shifted coordinates (no cartesian product);
-  *  3. iterate: label <- min(label, min over neighbours' labels), then
-  *     pointer-jump (label <- label's label) to collapse chains
-  *     exponentially; stop when no label changes.
+  *  3. per frame, union-find over that frame's edge list inside a single
+  *     `mapGroups` — masks are sparse (ring-outlier masks are a fraction
+  *     of a percent of the frame), so a frame's edges are at most a few
+  *     hundred thousand rows, microseconds of driver-free local work;
+  *  4. broadcast-join the (label -> root) mapping back to the pixels.
   *
-  * Converges in O(log(diameter)) rounds thanks to the pointer jumping;
-  * every round is a pair of hash joins + aggregations — shuffle-bound, no
-  * driver data movement except the convergence counter. Final labels are
-  * DETERMINISTIC: the min pixel id of the component (invariant to
-  * partitioning — property-tested against a single-node union-find).
+  * An earlier iterative min-label-propagation version converged linearly on
+  * path-shaped clusters (powder arcs are exactly that) and accumulated plan
+  * state per round; the per-frame union-find replaces O(diameter) Spark
+  * rounds with one tiny sequential pass per frame, embedded in an
+  * aggregation so frames still parallelize across executors. For DENSE
+  * masks the escalation path is tile-local union-find first, then the same
+  * per-frame merge on boundary edges only.
+  *
+  * Final labels are DETERMINISTIC: the min pixel id of the component
+  * (property-tested against a single-node union-find oracle).
   *
   * Returns the input (keys..., y, x) rows + a `label` column (long).
   */
 object CCL {
 
   def label(active: DataFrame, width: Int, keys: Seq[String] = Nil,
-            eightConnected: Boolean = true, maxIter: Int = 50): DataFrame = {
+            eightConnected: Boolean = true): DataFrame = {
+    val spark = active.sparkSession
+    import spark.implicits._
+    require(keys.size <= 1, "CCL supports at most one numeric frame key")
+
     val kcols = keys.map(col)
     val pid = col("y").cast("long") * width + col("x")
+    val fkey = keys.headOption.map(k => col(k).cast("long"))
+      .getOrElse(lit(0L))
 
-    // localCheckpoint (not cache): the loop below would otherwise nest the
-    // whole lineage each round and blow up plan compilation.
-    var nodes = active
-      .select(kcols :+ col("y") :+ col("x") :+ pid.as("id"): _*)
-      .withColumn("label", col("id"))
-      .localCheckpoint(true)
+    val nodes = active.select(kcols ++ Seq(col("y"), col("x"),
+      fkey.as("_f"), pid.as("id")): _*)
 
     // Neighbour edges among active pixels: equi-join on shifted coords,
-    // scoped by the frame keys. Forward offsets only, then symmetrized.
+    // scoped by the frame key. Forward offsets suffice for union-find.
     val offs = if (eightConnected) Seq((0, 1), (1, -1), (1, 0), (1, 1))
                else Seq((0, 1), (1, 0))
-    val a = nodes.select(kcols ++ Seq(col("y"), col("x"),
-      col("id").as("id_a")): _*)
-    val bb = nodes.select(keys.map(k => col(k).as(s"_k_$k")) ++
-      Seq(col("y").as("by"), col("x").as("bx"), col("id").as("id_b")): _*)
-    val keyCond = keys.map(k => col(k) === col(s"_k_$k"))
-      .foldLeft(lit(true))(_ && _)
-    val edgesRaw = offs.map { case (dy, dx) =>
-      a.join(bb, keyCond &&
+    val a = nodes.select(col("_f"), col("y"), col("x"), col("id").as("id_a"))
+    val b = nodes.select(col("_f").as("_fb"), col("y").as("by"),
+      col("x").as("bx"), col("id").as("id_b"))
+    val edges = offs.map { case (dy, dx) =>
+      a.join(b, col("_fb") === col("_f") &&
           col("by") === col("y") + dy && col("bx") === col("x") + dx)
-        .select(kcols ++ Seq(col("id_a"), col("id_b")): _*)
+        .select(col("_f"), col("id_a"), col("id_b"))
     }.reduce(_ union _)
-    val edges = edgesRaw.union(edgesRaw.select(
-        kcols ++ Seq(col("id_b").as("id_a"), col("id_a").as("id_b")): _*))
-      .localCheckpoint(true)
 
-    val keyJoin = keys.toSeq // join column names shared across frames
-    var converged = false
-    var iter = 0
-    while (!converged && iter < maxIter) {
-      val nbrMin = edges
-        .join(nodes.select(kcols ++ Seq(col("id").as("id_b"),
-          col("label").as("lb")): _*), keyJoin :+ "id_b")
-        .groupBy(kcols :+ col("id_a"): _*)
-        .agg(min(col("lb")).as("nmin"))
-        .withColumnRenamed("id_a", "id")
-      val stepped = nodes
-        .join(nbrMin, keyJoin :+ "id", "left")
-        .select(kcols ++ Seq(col("y"), col("x"), col("id"),
-          least(col("label"), coalesce(col("nmin"), col("label")))
-            .as("label")): _*)
-      // pointer jumping: label <- label(label), scoped by keys
-      val lut = stepped.select(keys.map(k => col(k).as(s"_k_$k")) ++
-        Seq(col("id").as("lid"), col("label").as("llabel")): _*)
-      val jumped = stepped
-        .join(lut, keyCond && stepped("label") === lut("lid"), "left")
-        .select(kcols ++ Seq(col("y"), col("x"), col("id"),
-          coalesce(col("llabel"), col("label")).as("label")): _*)
-        .localCheckpoint(true)
-      val changed = jumped
-        .join(nodes.select(kcols ++ Seq(col("id"),
-          col("label").as("olabel")): _*), keyJoin :+ "id")
-        .where(col("label") =!= col("olabel")).limit(1).count()
-      nodes = jumped
-      converged = changed == 0
-      iter += 1
-    }
-    nodes.drop("id")
+    // Per-frame union-find (min root) over the edge list.
+    val mapping = edges.as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (f, it) =>
+        val parent = scala.collection.mutable.LongMap.empty[Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) {
+            val nxt = parent(c); parent(c) = r; c = nxt
+          }
+          r
+        }
+        it.foreach { case (_, u, v) =>
+          val (ru, rv) = (find(u), find(v))
+          if (ru != rv) {
+            if (ru < rv) parent(rv) = ru else parent(ru) = rv
+          }
+        }
+        val out = parent.keys.map(k => (k, find(k))).toArray
+        (f, out)
+      }
+      .toDF("_f", "m")
+      .select(col("_f"), explode(col("m")).as("kv"))
+      .select(col("_f"), col("kv._1").as("id"), col("kv._2").as("root"))
+
+    nodes.join(broadcast(mapping), Seq("_f", "id"), "left")
+      .select(kcols ++ Seq(col("y"), col("x"),
+        coalesce(col("root"), col("id")).as("label")): _*)
   }
 }

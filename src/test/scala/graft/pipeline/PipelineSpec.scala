@@ -1,0 +1,79 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.core.SyntheticFrame
+import graft.geometry.Geometry
+import graft.ops.Csim
+
+class ClassificationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("shapeClassify separates compact spots from thin long arcs") {
+    // spot cluster: compact in q AND azim; arc: dq tiny, dazim large
+    val spot = for { i <- 0 until 120 }
+      yield (1, 10L, 5.0 + (i % 11) * 0.02, 100.0 + (i / 11) * 0.3)
+    val arc = for { i <- 0 until 200 }
+      yield (1, 20L, 7.0 + (i % 2) * 0.01, i * 1.5)
+    val tiny = Seq((1, 30L, 3.0, 50.0), (1, 30L, 3.01, 50.5))
+    val df = (spot ++ arc ++ tiny).toDF("frame_no", "label", "q", "azim")
+      .withColumn("azim_flipped", pmod(col("azim") + 180.0, lit(360.0)))
+    val out = Classification.shapeClassify(df, Seq("frame_no"))
+      .collect().map(r => r.getLong(1) -> r.getAs[Int]("classifier")).toMap
+    assert(out(20L) == 2, "arc not classified as arc")
+    assert(out(10L) == 1, "spot not classified as spot")
+    assert(out(30L) == 0, "tiny cluster not classified as small")
+  }
+}
+
+class FramePipelineSpec2 extends SparkSpec {
+
+  test("full pipeline: planted spots detected, integrals mask correctly") {
+    val cal = SyntheticFrame.testCalibration(192)
+    val geo = Geometry.build(spark, cal).cache()
+    // two fat planted spots on the 5.5-deg ring area + one planted arc
+    val frame = SyntheticFrame.frame(spark, cal, frameNo = 1,
+      nHotPer10k = 0,
+      spots = Seq((60, 80, 20000.0, 2.0), (120, 40, 20000.0, 2.0)),
+      arcs = Seq((8.0, 30.0, 150.0, 8000.0)))
+    val out = FramePipeline.process(frame, geo, cal)
+
+    val spots = out.spotStats.collect()
+    assert(spots.nonEmpty, "no spots detected")
+
+    val integ = out.integrals.cache()
+    val n = integ.count()
+    assert(n > 100)
+    // spot-masked integral never exceeds base where spots were removed
+    val worse = integ.where(col("i_spotsmasked") > col("i_base") + 1e-6)
+      .count()
+    assert(worse < n / 10)
+
+    val grads = out.gradStats.collect()
+    assert(grads.nonEmpty && grads.forall(r => !r.isNullAt(2)))
+
+    val spotty = out.spottiness
+      .agg(sum(when(col("n_spots") > 0, 1).otherwise(0))).collect()(0)
+    assert(spotty.getLong(0) > 0, "spottiness never saw a spot")
+  }
+}
+
+class CsimSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("csim series: first frame = 1.0, identical frames = 1.0, " +
+       "changed frame < 1") {
+    val f1 = for { y <- 0 until 8; x <- 0 until 8 }
+      yield ("d", 1, y, x, (y * 8 + x + 1).toDouble)
+    val f2 = f1.map { case (d, _, y, x, v) => (d, 2, y, x, v) } // identical
+    val f3 = f1.map { case (d, _, y, x, v) =>
+      (d, 3, y, x, if (x == 0) v * 10 else v) }                 // changed
+    val px = (f1 ++ f2 ++ f3).toDF("dataset", "frame_no", "y", "x", "v")
+    val out = Csim.series(px).orderBy(col("frame_no")).collect()
+      .map(r => (r.getInt(1), r.getDouble(2), r.getDouble(3)))
+    assert(out(0)._1 == 1 && math.abs(out(0)._2 - 1.0) < 1e-9 && math.abs(out(0)._3 - 1.0) < 1e-9)
+    assert(math.abs(out(1)._2 - 1.0) < 1e-9 &&
+      math.abs(out(1)._3 - 1.0) < 1e-9)
+    assert(out(2)._2 < 1.0 && out(2)._3 < 1.0)
+  }
+}
