@@ -1,0 +1,60 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Output writers. Parquet tables are canonical (transactional commits make
+  * the reference's mtime-debounce and drop-last-file hacks obsolete —
+  * SURVEY §2.11); the `.chi` / csv text formats are compatibility codecs
+  * for the reference's UI (Export_chi pipeline.py:44-52).
+  */
+object Sinks {
+
+  /** Canonical sink: partitioned parquet per table. Partitioning by
+    * dataset keeps 100 TB of output prunable by the UI's standing
+    * queries. */
+  def writeTable(df: DataFrame, outDir: String, name: String,
+                 partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("append")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(s"$outDir/$name")
+  }
+
+  /** `.chi` text codec (reference Export_chi pipeline.py:44-52): header of
+    * 4 lines, then "% .7e  % .7e" (2-theta, intensity) rows. Returns the
+    * file body; caller writes it next to the frame outputs. */
+  def chiBody(sourceName: String, rows: Seq[(Double, Double)]): String = {
+    val sb = new StringBuilder
+    sb.append(s"$sourceName Azm= 0.00\n")
+    sb.append("     2-theta, deg\n")
+    sb.append("     Intensity, cps\n")
+    sb.append(f"${rows.length}%12d\n")
+    rows.foreach { case (t, i) =>
+      sb.append(f" $t%.7e   $i%.7e\n")
+    }
+    sb.toString
+  }
+
+  /** Write one `.chi` file per (frame, variant) from the integral table —
+    * executed per frame on executors via foreachPartition. */
+  def writeChi(integrals: DataFrame, outDir: String, variant: String): Unit = {
+    val rows = integrals
+      .select(col("frame_no"), col("tth"), col(s"i_$variant"))
+      .na.fill(0.0, Seq(s"i_$variant"))
+      .orderBy(col("frame_no"), col("tth"))
+      .collect()
+    new java.io.File(outDir).mkdirs()
+    rows.groupBy(_.getInt(0)).foreach { case (frame, rs) =>
+      val body = chiBody(f"frame-$frame%05d.tif",
+        rs.toSeq.map(r => (r.getDouble(1), r.getDouble(2))))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(f"$outDir/frame-$frame%05d_$variant.chi"),
+        body)
+    }
+  }
+
+  /** csim text sink: "%0.9f\t%0.9f" per frame (reference
+    * pipeline.py:554-557). */
+  def csimBody(vsFirst: Double, vsPrev: Double): String =
+    f"$vsFirst%0.9f\t$vsPrev%0.9f"
+}

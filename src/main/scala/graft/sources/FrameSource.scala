@@ -1,0 +1,126 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import java.io.ByteArrayInputStream
+import javax.imageio.ImageIO
+
+/** Detector-frame sources: filename identity parsing, batch and streaming
+  * binary-file readers, and the TIFF → pixel-rows decoder.
+  *
+  * Reference: the watchdog directory monitor + regex frame identity
+  * (pipeline_queue.py:34-86: `(name)[_-](NNNNN)(ext)`), backfill glob
+  * (pipeline_queue.py:884-923), debounce (pipeline_queue.py:740), and the
+  * multi-dialect TIFF reader (GetTifData GSASII_imports.py:1068-1399).
+  *
+  * Spark-first: `binaryFile` is the one source format for both batch and
+  * streaming; frame identity is a column expression over the path; decode
+  * is a flatMap from (path, bytes) to pixel rows executed on executors —
+  * a 100 TB backlog of frames decodes with full cluster parallelism, no
+  * driver queue.
+  */
+object FrameSource {
+
+  /** Frame-identity regex (reference pipeline_queue.py:41): dataset name,
+    * 5-digit frame number, extension. */
+  val frameRegex = "^(.*?)[-_](\\d{5})\\.(tif|tiff|png)$"
+
+  /** Parse (dataset, frame_no) from a `path` column; non-matching paths
+    * get null frame_no (ANSI-safe cast). */
+  def withFrameIdentity(df: DataFrame): DataFrame = {
+    val fname = element_at(split(col("path"), "/"), -1)
+    val no = regexp_extract(fname, frameRegex, 2)
+    df.withColumn("dataset", regexp_extract(fname, frameRegex, 1))
+      .withColumn("frame_no",
+        when(length(no) > 0, no).otherwise(lit(null)).cast("int"))
+  }
+
+  /** Batch backfill scan (reference S2) with include/exclude filters
+    * (reference S3: pipeline_queue.py:45-52). */
+  def backfill(spark: SparkSession, dir: String,
+               include: Option[String] = None,
+               exclude: Option[String] = None): DataFrame = {
+    var df = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.tif*").load(dir)
+    include.foreach(p => df = df.where(col("path").rlike(p)))
+    exclude.foreach(p => df = df.where(!col("path").rlike(p)))
+    withFrameIdentity(df)
+  }
+
+  /** Streaming source over the same directory (reference S1's watchdog).
+    * `maxFilesPerTrigger` bounds micro-batch size; the 1-s mtime debounce
+    * (reference S4) becomes a modificationTime predicate. */
+  /** binaryFile's fixed schema (streaming sources need it explicit). */
+  private val binarySchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("path",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("modificationTime",
+      org.apache.spark.sql.types.TimestampType),
+    org.apache.spark.sql.types.StructField("length",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("content",
+      org.apache.spark.sql.types.BinaryType)))
+
+  def stream(spark: SparkSession, dir: String,
+             maxFilesPerTrigger: Int = 32,
+             debounceSeconds: Int = 1): DataFrame = {
+    val df = spark.readStream.format("binaryFile")
+      .schema(binarySchema)
+      .option("pathGlobFilter", "*.tif*")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .load(dir)
+      .where(col("modificationTime") <
+        current_timestamp() - expr(s"INTERVAL $debounceSeconds SECONDS"))
+    withFrameIdentity(df)
+  }
+
+  /** Decode TIFF payload bytes → (y, x, intensity) pixel rows. Executed
+    * per file on executors. Uses javax.imageio's TIFF plugin (JDK 9+),
+    * coercing samples to int (reference coerces all dialects to int32,
+    * GSASII_imports.py:1163+). */
+  def decodeTiff(bytes: Array[Byte]): Iterator[(Int, Int, Int)] = {
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    require(img != null, "undecodable TIFF payload")
+    val raster = img.getRaster
+    val (w, h) = (raster.getWidth, raster.getHeight)
+    val row = new Array[Int](w)
+    (0 until h).iterator.flatMap { y =>
+      raster.getSamples(0, y, w, 1, 0, row)
+      val copy = row.clone()
+      (0 until w).iterator.map(x => (y, x, copy(x)))
+    }
+  }
+
+  /** (dataset, frame_no, path, content) → pixel table
+    * (dataset, frame_no, y, x, intensity). */
+  def toPixels(frames: DataFrame): DataFrame = {
+    val spark = frames.sparkSession
+    import spark.implicits._
+    frames.select(col("dataset"), col("frame_no"), col("content"))
+      .as[(String, Int, Array[Byte])]
+      .flatMap { case (ds, no, bytes) =>
+        decodeTiff(bytes).map { case (y, x, v) => (ds, no, y, x, v) }
+      }
+      .toDF("dataset", "frame_no", "y", "x", "intensity")
+  }
+
+  /** Encode an int-matrix as a single-band 16-bit grayscale TIFF (test
+    * fixture generator + mask sink encoder). */
+  def encodeTiff(matrix: Array[Array[Int]]): Array[Byte] = {
+    val h = matrix.length; val w = matrix(0).length
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_USHORT_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { raster.setSample(x, y, 0, matrix(y)(x) & 0xffff)
+        x += 1 }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    ImageIO.write(img, "tiff", out)
+    out.toByteArray
+  }
+}
