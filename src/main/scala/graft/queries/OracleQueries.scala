@@ -643,6 +643,72 @@ object OracleQueries {
         FROM sc GROUP BY lang, pred ORDER BY lang, pred"""
       }),
 
+    // ====== W3: sorted neighbor-diff azimuth wraparound span ==============
+    // Reference classification.py:659-666: sort azimuths per label, find
+    // the largest gap; if it exceeds 10 deg the wedge wraps and the true
+    // span is 360 - gap.
+    Q("w3_azim_wraparound",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(col("event_type"), ((col("event_id") * 7) % 360).as("azim"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("azim"))
+        val gaps = ev
+          .withColumn("prev_azim", lag(col("azim"), 1).over(w))
+          .withColumn("gap", col("azim") - col("prev_azim"))
+        gaps.groupBy(col("event_type"))
+          .agg(max(col("gap")).as("max_gap"),
+            (max(col("azim")) - min(col("azim"))).as("raw_span"))
+          .withColumn("span",
+            when(col("max_gap") > 10, lit(360) - col("max_gap"))
+              .otherwise(col("raw_span")))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH t AS (SELECT event_type, (event_id * 7) % 360 AS azim
+          FROM events),
+        g AS (SELECT event_type, azim,
+            azim - LAG(azim) OVER (PARTITION BY event_type ORDER BY azim)
+              AS gap FROM t),
+        agg AS (SELECT event_type, MAX(gap) AS max_gap,
+            MAX(azim) - MIN(azim) AS raw_span FROM g GROUP BY event_type)
+        SELECT event_type, max_gap, raw_span,
+          CASE WHEN max_gap > 10 THEN 360 - max_gap ELSE raw_span END AS span
+        FROM agg ORDER BY event_type""")),
+
+    // ===== embedding centroids per label (clustering primitive) ===========
+    Q("vector_centroids",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+          .select(col("label"), posexplode(col("embedding"))
+            .as(Seq("i", "x")))
+        e.groupBy(col("label"), col("i"))
+          .agg(
+            (sum(col("x").cast("double").cast("decimal(18,9)"))
+              .cast("double") / count(lit(1))).as("centroid"),
+            count(lit(1)).as("n"))
+          .where(col("i") < 8) // first 8 dims keep the output small
+          .orderBy(col("label"), col("i"))
+      },
+      Some("""WITH u AS (SELECT label,
+            UNNEST(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x,
+            UNNEST(range(len(embedding))) AS i
+          FROM embeddings)
+        SELECT label, i,
+          CAST(SUM(CAST(x AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*)
+            AS centroid,
+          COUNT(*) AS n
+        FROM u WHERE i < 8 GROUP BY label, i ORDER BY label, i""")),
+
+    // ====== dedup: SimHash fingerprints (rows-only check) =================
+    Q("dedup_simhash",
+      (s, dir) => {
+        t(s, dir, "documents").where(col("doc_id") < 100)
+          .select(col("doc_id"),
+            Dedup.simhash(Dedup.shingles(col("text"), 3)).as("simhash"),
+            TextMetrics.fingerprint(col("text")).as("fingerprint"))
+          .orderBy(col("doc_id"))
+      },
+      None),
+
     // ========= streaming-analytics shape: hourly event rollup =============
     // ts is read as epoch-nanos long (nanosAsLong); truncate to the hour
     // with exact integer arithmetic, format in the UTC session zone — the
