@@ -51,16 +51,36 @@ object Dedup {
           slice(sig, b * rowsPerBand + 1, rowsPerBand)), lit(b)).as("key"))
     }: _*)
 
-  /** MinHash signatures via explode → groupBy: shingles become rows, the
-    * signature is k `min` aggregates in ONE shuffle on the doc id. This is
-    * the scale form — the nested-array variant ([[minhashSignature]])
-    * recomputes the shingle expression per hash family once Catalyst
-    * collapses projections, which blows up plan cost at any scale. */
+  /** Distinct word n-gram shingles as ROWS (id, shingle) — the scale path
+    * for signature computation. posexplode + window-lag concatenation is
+    * fully codegen'd; the array-lambda form ([[shingles]]) is interpreted
+    * per row (higher-order functions bypass codegen) and measured ~10x
+    * slower at corpus scale. One shuffle on the doc id. */
+  def shingleRows(df: DataFrame, idCol: String, textCol: String,
+                  n: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = df.select(col(idCol).as("id"),
+      posexplode(split(lower(col(textCol)), "\\s+")).as(Seq("pos", "w")))
+    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val lags = (n - 1) to 1 by -1
+    val parts = lags.map(i => lag(col("w"), i).over(w)) :+ col("w")
+    words.select(col("id"),
+        concat_ws(" ", parts: _*).as("shingle"),
+        lags.map(i => lag(col("w"), i).over(w).isNotNull)
+          .reduce(_ && _).as("_full"))
+      .where(col("_full")).drop("_full")
+      .distinct()
+  }
+
+  /** MinHash signatures via shingle rows → groupBy: the signature is k
+    * `min` aggregates in ONE shuffle on the doc id. This is the scale
+    * form — the nested-array variant ([[minhashSignature]]) recomputes
+    * the shingle expression per hash family once Catalyst collapses
+    * projections, which blows up plan cost at any scale. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, k: Int = 32): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
-      explode(shingles(col(textCol), n)).as("shingle"))
-    sh.groupBy(col("id"))
+    shingleRows(df, idCol, textCol, n)
+      .groupBy(col("id"))
       .agg(array((0 until k).map(seed =>
         min(xxhash64(col("shingle"), lit(seed)))): _*).as("sig"))
   }
@@ -72,17 +92,23 @@ object Dedup {
                         n: Int = 3, k: Int = 32, bands: Int = 8): DataFrame = {
     val rowsPerBand = k / bands
     val sigs = minhashSignatures(df, idCol, textCol, n, k)
+      .localCheckpoint(true) // reused for banding and for pair scoring
+    val exploded = sigs
       .withColumn("bandkeys", lshBandKeys(col("sig"), bands, rowsPerBand))
-    val exploded = sigs.select(col("id"), col("sig"),
-      explode(col("bandkeys")).as("bk"))
-    val a = exploded.select(col("bk"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = exploded.select(col("bk"), col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("bk")).where(col("id_a") < col("id_b"))
+      .select(col("id"), explode(col("bandkeys")).as("bk"))
+    // dedupe bare id pairs FIRST (cheap), then score each pair once —
+    // keeping the signature arrays out of the distinct shuffle
+    val a = exploded.select(col("bk"), col("id").as("id_a"))
+    val b = exploded.select(col("bk"), col("id").as("id_b"))
+    val pairs = a.join(b, Seq("bk")).where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    pairs
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         (size(filter(zip_with(col("sig_a"), col("sig_b"),
             (x, y) => x === y), b => b)).cast("double") / k)
           .as("est_jaccard"))
-      .distinct()
   }
 
   /** SimHash: 64-bit fingerprint whose Hamming distance approximates
@@ -97,6 +123,26 @@ object Dedup {
       when(vote > 0, lit(1L << j)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
+  }
+
+  /** SimHash signatures via explode → groupBy (the scale form, like
+    * [[minhashSignatures]]): one xxhash64 per shingle row, 64 conditional
+    * sums in a single shuffle, bits assembled from the vote signs. */
+  def simhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3): DataFrame = {
+    val sh = shingleRows(df, idCol, textCol, n)
+      .select(col("id"), xxhash64(col("shingle")).as("h"))
+    val votes = sh.groupBy(col("id"))
+      .agg((0 until 64).map { j =>
+        sum(when(shiftright(col("h"), j).bitwiseAND(1L) === 1L, 1L)
+          .otherwise(-1L)).as(s"v$j")
+      }.head, (1 until 64).map { j =>
+        sum(when(shiftright(col("h"), j).bitwiseAND(1L) === 1L, 1L)
+          .otherwise(-1L)).as(s"v$j")
+      }: _*)
+    votes.select(col("id"),
+      (0 until 64).map(j => when(col(s"v$j") > 0, lit(1L << j))
+        .otherwise(lit(0L))).reduce(_ + _).as("simhash"))
   }
 
   /** Exact n-gram Jaccard similarity between two shingle-array columns. */

@@ -543,8 +543,12 @@ object OracleQueries {
     // ============ dedup: exact n-gram Jaccard pair similarity =============
     Q("dedup_ngram_jaccard",
       (s, dir) => {
+        // materialize the shingle arrays: the self-join would otherwise
+        // re-inline the shingle expression into every pair comparison
+        // (CollapseProject), turning O(n) shingling into O(n^2)
         val d = t(s, dir, "documents").where(col("doc_id") < 50)
           .select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+          .localCheckpoint(true)
         val a = d.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
         val b = d.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
         a.join(b, col("id_a") < col("id_b"))
@@ -569,7 +573,7 @@ object OracleQueries {
     Q("dedup_minhash",
       (s, dir) => {
         Dedup.minhashCandidates(t(s, dir, "documents"), "doc_id", "text",
-            n = 3, k = 32, bands = 16)
+            n = 3, k = 32, bands = 8)
           .select(col("id_a"), col("id_b"),
             round(col("est_jaccard"), 6).as("est_jaccard"))
           .orderBy(col("id_a"), col("id_b"))
@@ -701,10 +705,12 @@ object OracleQueries {
     // ====== dedup: SimHash fingerprints (rows-only check) =================
     Q("dedup_simhash",
       (s, dir) => {
-        t(s, dir, "documents").where(col("doc_id") < 100)
-          .select(col("doc_id"),
-            Dedup.simhash(Dedup.shingles(col("text"), 3)).as("simhash"),
-            TextMetrics.fingerprint(col("text")).as("fingerprint"))
+        val docs = t(s, dir, "documents").where(col("doc_id") < 100)
+        Dedup.simhashSignatures(docs, "doc_id", "text")
+          .withColumnRenamed("id", "doc_id")
+          .join(docs.select(col("doc_id"),
+            TextMetrics.fingerprint(col("text")).as("fingerprint")),
+            "doc_id")
           .orderBy(col("doc_id"))
       },
       None),

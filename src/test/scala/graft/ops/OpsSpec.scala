@@ -139,6 +139,17 @@ class DedupSpec extends SparkSpec {
     assert(cands.length == 1 && cands(0).getDouble(2) > 0.5)
   }
 
+  test("simhashSignatures (explode form) equals per-row simhash") {
+    val docs = Seq((1L, "a b c d e f g h"), (2L, "x y z w q r s t u"))
+      .toDF("doc_id", "text")
+    val viaAgg = Dedup.simhashSignatures(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaExpr = docs.select($"doc_id",
+      Dedup.simhash(Dedup.shingles($"text", 3)).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaAgg == viaExpr, s"agg=$viaAgg expr=$viaExpr")
+  }
+
   test("simhash: near-identical docs have small Hamming distance") {
     val a = (1 to 60).map(i => s"w$i").mkString(" ")
     val b = a.replace("w30", "zz")
