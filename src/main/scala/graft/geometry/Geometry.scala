@@ -88,6 +88,9 @@ object Geometry {
 
     base.select(
       col("y"), col("x"),
+      // detector-plane mm coordinates (mask DSL shapes are given in mm)
+      ((col("x") + lit(0.5)) * pxX).as("x_mm"),
+      ((col("y") + lit(0.5)) * pxY).as("y_mm"),
       tth.as("tth"), azim.as("azim"),
       rhatY.as("rhat_y"), rhatX.as("rhat_x"),
       (-rhatX).as("phat_y"), rhatY.as("phat_x"),

@@ -37,17 +37,22 @@ object FramePipeline {
   def corrected(intensity: Column): Column =
     intensity / col("pol") * pow(col("dist_sq"), 1.5)
 
-  /** Base mask: non-positive ∨ out-of-azimuth ∨ out-of-tth-range
-    * (reference pipeline.py:148-165). True = excluded. */
-  def baseMask(intensity: Column): Column =
-    intensity <= 0 || !col("in_azim_range") || !col("in_tth_range")
+  /** Base mask: predefined shapes ∨ non-positive ∨ out-of-azimuth ∨
+    * out-of-tth-range (reference pipeline.py:148-165; predef =
+    * user-authored mask DSL, GSASII_imports.py:146-154). True = excluded.
+    */
+  def baseMask(intensity: Column,
+               predef: Seq[graft.core.MaskShape] = Nil): Column =
+    graft.core.MaskShape.combined(predef) ||
+      intensity <= 0 || !col("in_azim_range") || !col("in_tth_range")
 
   /** Join pixels with geometry and flag base-mask + ring outliers (A1). */
   def flagOutliers(pixels: DataFrame, geometry: DataFrame,
-                   esdMul: Double = 3.0): DataFrame = {
+                   esdMul: Double = 3.0,
+                   predef: Seq[graft.core.MaskShape] = Nil): DataFrame = {
     val px = pixels.join(geometry, Seq("y", "x"))
       .withColumn("corr", corrected(col("intensity")))
-      .withColumn("base_mask", baseMask(col("intensity")))
+      .withColumn("base_mask", baseMask(col("intensity"), predef))
     val live = px.where(!col("base_mask"))
     val ringStats = RobustStats.medianMad(
       live.select(col("frame_no"), col("tth_bin"),
@@ -64,14 +69,16 @@ object FramePipeline {
   /** Full plan over a (frame_no, y, x, intensity) pixel table. */
   def process(pixels: DataFrame, geometry: DataFrame, cal: Calibration,
               esdMul: Double = 3.0,
-              params: Classification.Params = Classification.Params())
+              params: Classification.Params = Classification.Params(),
+              predef: Seq[graft.core.MaskShape] = Nil)
       : FrameOutputs = {
     val (h, w) = cal.imageSize
     val keys = Seq("frame_no")
     // Materialize once: every downstream stage (classification, four
     // integrals, grad stats, spottiness) re-reads this table; without a
     // persist the scan+join+ring-stats lineage would re-execute per branch.
-    val flagged = flagOutliers(pixels, geometry, esdMul).localCheckpoint(true)
+    val flagged = flagOutliers(pixels, geometry, esdMul, predef)
+      .localCheckpoint(true)
 
     // C1-C3: spot/arc classification of outlier clusters
     val flags = Classification.classify(flagged, w, h, keys, params)

@@ -42,6 +42,12 @@ object OracleQueries {
     s"CAST(SUM(CAST(($x) AS DECIMAL(18,4))) AS DOUBLE)"
   private def sqlDmean(x: String) = s"${sqlDsum(x)} / COUNT($x)"
 
+  /** Concave test polygon in (quantity, tax*500) space — covers the
+    * even-odd rule's re-entrant case. Slopes are finite (no horizontal
+    * edges in y). Declared before `all` (referenced during init). */
+  val testPolygon: Seq[(Double, Double)] = Seq(
+    (5.0, 2.0), (45.0, 5.0), (40.0, 35.0), (25.0, 18.0), (10.0, 30.0))
+
   // ---- the inventory -----------------------------------------------------
   val all: Seq[Q] = Seq(
 
@@ -483,6 +489,40 @@ object OracleQueries {
             AND l_extendedprice BETWEEN 1000 AND 50000) THEN 1 END)
             AS n_base_excluded
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ====== F5: point-in-polygon (even-odd crossing) ======================
+    // Reference polymask.for:22-42: per-point even-odd ray test against a
+    // broadcast vertex list — here a pure XOR-fold column expression, with
+    // the identical fold mirrored in SQL.
+    Q("f5_polygon_mask",
+      (s, dir) => {
+        val poly = OracleQueries.testPolygon
+        val li = t(s, dir, "lineitem")
+          .withColumn("px", col("l_quantity"))
+          .withColumn("py", col("l_tax") * 500)
+        li.groupBy(col("l_returnflag"))
+          .agg(
+            count(lit(1)).as("n"),
+            count(when(graft.core.MaskShape.Polygon.contains(
+              col("px"), col("py"), poly), 1)).as("n_inside"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some {
+        val poly = OracleQueries.testPolygon
+        val n = poly.length
+        val terms = (0 until n).map { i =>
+          val (xi, yi) = poly(i)
+          val (xj, yj) = poly((i + n - 1) % n)
+          val slope = (xj - xi) / (yj - yi)
+          s"((($yi > py) <> ($yj > py)) AND (px < (py - $yi) * $slope + $xi))"
+        }
+        val xorChain = terms.reduce((a, b) => s"($a <> $b)")
+        s"""WITH t AS (SELECT l_returnflag, l_quantity AS px,
+            l_tax * 500 AS py FROM lineitem)
+          SELECT l_returnflag, COUNT(*) AS n,
+            COUNT(CASE WHEN $xorChain THEN 1 END) AS n_inside
+          FROM t GROUP BY l_returnflag ORDER BY l_returnflag"""
+      }),
 
     // ====== M9/M10: wrap-aware azimuth wedge membership ===================
     // Reference classification.py:40-43 (modulo_range).

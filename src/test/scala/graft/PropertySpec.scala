@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.MaskShape
+import graft.ops.RobustStats
+import graft.stencil.CCL
+
+/** Property-style invariants over seeded random cases (SURVEY §5.2):
+  * permutation invariance of robust stats, polygon vs reference even-odd,
+  * CCL vs union-find on random masks. */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  val rnd = new scala.util.Random(20260812)
+
+  test("property: median/MAD invariant under permutation") {
+    (1 to 5).foreach { _ =>
+      val vs = List.fill(4 + rnd.nextInt(60))(rnd.nextDouble() * 2000 - 1000)
+      val r1 = RobustStats.medianMad(vs.map(("g", _)).toDF("g", "v"),
+        Seq("g"), "v").collect()(0)
+      val r2 = RobustStats.medianMad(
+        scala.util.Random.shuffle(vs).map(("g", _)).toDF("g", "v"),
+        Seq("g"), "v").collect()(0)
+      assert(r1.getDouble(1) == r2.getDouble(1))
+      assert(r1.getDouble(3) == r2.getDouble(3))
+    }
+  }
+
+  test("property: polygon membership equals reference implementation") {
+    def refContains(x: Double, y: Double,
+                    vs: Seq[(Double, Double)]): Boolean = {
+      val n = vs.length
+      var inside = false
+      var i = 0
+      while (i < n) {
+        val (xi, yi) = vs(i); val (xj, yj) = vs((i + n - 1) % n)
+        if ((yi > y) != (yj > y) &&
+          x < (y - yi) * ((xj - xi) / (yj - yi)) + xi) inside = !inside
+        i += 1
+      }
+      inside
+    }
+    (1 to 5).foreach { _ =>
+      val n = 3 + rnd.nextInt(6)
+      // distinct y's avoid horizontal-edge degeneracy
+      val ys = rnd.shuffle((0 until 40).toList).take(n)
+        .map(_ * 0.5 + rnd.nextDouble() * 0.1)
+      val vs = ys.map(y => (rnd.nextDouble() * 20, y))
+      val pts = for { x <- 0 to 20; y <- 0 to 20 }
+        yield (x + 0.13, y + 0.77)
+      val got = pts.toDF("px", "py")
+        .select($"px", $"py",
+          MaskShape.Polygon.contains($"px", $"py", vs).as("in"))
+        .collect().map(r => (r.getDouble(0), r.getDouble(1)) ->
+          r.getBoolean(2)).toMap
+      pts.foreach { p =>
+        assert(got(p) == refContains(p._1, p._2, vs), s"at $p poly $vs")
+      }
+    }
+  }
+
+  test("property: CCL equals union-find oracle on random masks") {
+    def oracle(pts: Set[(Int, Int)]): Set[Set[(Int, Int)]] = {
+      val idx = pts.toSeq.sorted.zipWithIndex.toMap
+      val parent = Array.tabulate(idx.size)(identity)
+      def find(i: Int): Int = { var r = i
+        while (parent(r) != r) r = parent(r); parent(i) = r; r }
+      for { p <- pts; (dy, dx) <- Seq((0,1),(1,-1),(1,0),(1,1))
+            q = (p._1 + dy, p._2 + dx) if pts(q) } {
+        val (ri, rj) = (find(idx(p)), find(idx(q)))
+        if (ri != rj) parent(math.max(ri, rj)) = math.min(ri, rj)
+      }
+      pts.groupBy(p => find(idx(p))).values.toSet
+    }
+    (1 to 5).foreach { _ =>
+      val pts = Set.fill(20 + rnd.nextInt(180))(
+        (rnd.nextInt(31), rnd.nextInt(31)))
+      val got = CCL.label(pts.toSeq.toDF("y", "x"), width = 31)
+        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2))
+        .toMap
+      val gotParts = got.groupBy(_._2).values.map(_.keySet).toSet
+      assert(gotParts == oracle(pts))
+    }
+  }
+}
