@@ -57,19 +57,19 @@ object Dedup {
     * per row (higher-order functions bypass codegen) and measured ~10x
     * slower at corpus scale. One shuffle on the doc id. */
   def shingleRows(df: DataFrame, idCol: String, textCol: String,
-                  n: Int = 3): DataFrame = {
+                  n: Int = 3, distinct: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val words = df.select(col(idCol).as("id"),
       posexplode(split(lower(col(textCol)), "\\s+")).as(Seq("pos", "w")))
     val w = Window.partitionBy(col("id")).orderBy(col("pos"))
     val lags = (n - 1) to 1 by -1
     val parts = lags.map(i => lag(col("w"), i).over(w)) :+ col("w")
-    words.select(col("id"),
+    val rows = words.select(col("id"),
         concat_ws(" ", parts: _*).as("shingle"),
         lags.map(i => lag(col("w"), i).over(w).isNotNull)
           .reduce(_ && _).as("_full"))
       .where(col("_full")).drop("_full")
-      .distinct()
+    if (distinct) rows.distinct() else rows
   }
 
   /** MinHash signatures via shingle rows → groupBy: the signature is k
@@ -79,7 +79,8 @@ object Dedup {
     * projections, which blows up plan cost at any scale. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, k: Int = 32): DataFrame = {
-    shingleRows(df, idCol, textCol, n)
+    // min() is duplicate-insensitive: skip the distinct shuffle entirely
+    shingleRows(df, idCol, textCol, n, distinct = false)
       .groupBy(col("id"))
       .agg(array((0 until k).map(seed =>
         min(xxhash64(col("shingle"), lit(seed)))): _*).as("sig"))

@@ -388,6 +388,35 @@ object OracleQueries {
         SELECT query_id, rnk, cand_id, sim FROM rk WHERE rnk <= 3
         ORDER BY query_id, rnk""")),
 
+    // ====== embedding near-dup pairs: top-k most similar pairs ============
+    // The embedding-cosine near-duplicate sweep: brute-force pair scores on
+    // a bounded candidate set, ranked deterministically.
+    Q("sim_neardup_pairs",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings").where(col("vec_id") < 200)
+          .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
+        val a = e.select(col("vec_id").as("id_a"), col("v").as("va"))
+        val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"))
+        a.join(b, col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"),
+            round(VectorOps.cosine(col("va"), col("vb")), 6).as("cos"))
+          .orderBy(col("cos").desc, col("id_a"), col("id_b"))
+          .limit(20)
+      },
+      Some("""WITH e AS (SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings WHERE vec_id < 200),
+        pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+            a.v AS va, b.v AS vb
+          FROM e a JOIN e b ON a.vec_id < b.vec_id),
+        u AS (SELECT id_a, id_b, UNNEST(va) AS x, UNNEST(vb) AS y
+              FROM pairs),
+        sc AS (SELECT id_a, id_b, SUM(x*y) AS dot, SUM(x*x) AS na,
+                 SUM(y*y) AS nb FROM u GROUP BY id_a, id_b)
+        SELECT id_a, id_b,
+          ROUND(dot/(SQRT(na)*SQRT(nb)), 6) AS cos
+        FROM sc ORDER BY cos DESC, id_a, id_b LIMIT 20""")),
+
     // ==================== W1: previous-row lookup =========================
     // Reference pipeline.py:506-553 — lag + first-row-compares-to-itself.
     Q("w1_lag",

@@ -64,6 +64,13 @@ object StreamingPipeline {
         outDir, "grad_stats", Seq("dataset"))
       Sinks.writeTable(out.spottiness.withColumn("dataset", tag),
         outDir, "spottiness", Seq("dataset"))
+      // A11: similarity series over the corrected frames of this batch
+      // (vs-first/vs-prev within the batch; reference pipeline.py:506-557)
+      val vecs = out.pixels.where(!col("base_mask"))
+        .select(lit(ds).as("dataset"), col("frame_no"), col("y"), col("x"),
+          col("corr").as("v"))
+      Sinks.writeTable(graft.ops.Csim.series(vecs), outDir, "csim",
+        Seq("dataset"))
     }
   }
 }

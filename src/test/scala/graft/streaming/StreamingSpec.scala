@@ -36,8 +36,10 @@ class StreamingPipelineSpec extends SparkSpec {
     // write 2 frames of a synthetic dataset as real TIFF files
     val tmpIn = java.nio.file.Files.createTempDirectory("graft_in").toString
     val tmpOut = java.nio.file.Files.createTempDirectory("graft_out").toString
+    // no hot pixels: a single 50000-count outlier dominates the norms and
+    // makes frame-to-frame cosine meaningless for this assertion
     (1 to 2).foreach { no =>
-      val px = SyntheticFrame.frame(spark, cal, no, nHotPer10k = 2)
+      val px = SyntheticFrame.frame(spark, cal, no, nHotPer10k = 0)
         .collect()
       val m = Array.ofDim[Int](96, 96)
       px.foreach(r => m(r.getInt(1))(r.getInt(2)) = r.getInt(3))
@@ -57,5 +59,13 @@ class StreamingPipelineSpec extends SparkSpec {
       .map(_.getString(0)).toSeq == Seq("synth"))
     val spotty = spark.read.parquet(s"$tmpOut/spottiness")
     assert(spotty.count() > 0)
+    val csim = spark.read.parquet(s"$tmpOut/csim")
+      .orderBy(col("frame_no")).collect()
+    assert(csim.length == 2)
+    assert(math.abs(csim(0).getAs[Double]("csim_prev") - 1.0) < 1e-9)
+    // frame 2 differs from frame 1 only by noise/hot pixels: similar but
+    // not identical
+    assert(csim(1).getAs[Double]("csim_prev") < 1.0 + 1e-9)
+    assert(csim(1).getAs[Double]("csim_first") > 0.5)
   }
 }
