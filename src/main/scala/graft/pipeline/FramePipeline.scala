@@ -143,6 +143,30 @@ object FramePipeline {
     FrameOutputs(px, integrals, spotStats, gradStats, spottiness)
   }
 
+  /** A10 — h-maxima counts per Q bin (reference h_maxima_calc
+    * spottiness.py:64-84): regional maxima of depth h = 0.05 * P99.9 of
+    * the corrected frame, counted per Q bin, total and within the spot
+    * mask. Multi-frame in one pass: each frame's pixels are normalized by
+    * its own h (h-maxima commute with positive scaling), so a single
+    * depth-1.0 reconstruction serves every frame. */
+  def hMaximaStats(processedPx: DataFrame, cal: Calibration,
+                   tile: Int = 256): DataFrame = {
+    val (h, w) = cal.imageSize
+    val thresholds = processedPx.groupBy(col("frame_no"))
+      .agg((percentile(col("corr"), lit(0.999)) * 0.05).as("h_depth"))
+    val normalized = processedPx
+      .join(broadcast(thresholds), "frame_no")
+      .select(col("frame_no"), col("y"), col("x"),
+        (col("corr") / col("h_depth")).as("v"))
+    val maxima = graft.stencil.Stencil.hMaxima(normalized, w, h, h = 1.0,
+      tile = tile)
+    maxima.join(processedPx.select(col("frame_no"), col("y"), col("x"),
+        col("q_bin"), col("is_spot")), Seq("frame_no", "y", "x"))
+      .groupBy(col("frame_no"), col("q_bin"))
+      .agg(count(lit(1)).as("n_maxima"),
+        count(when(col("is_spot"), 1)).as("n_maxima_on_spots"))
+  }
+
   /** Flagship demo: synthetic frame end-to-end, returning the integral
     * table (driver smoke-checks rows > 0). */
   def demo(spark: SparkSession): DataFrame = {

@@ -771,6 +771,26 @@ object OracleQueries {
           COUNT(*) AS n
         FROM u WHERE i < 8 GROUP BY label, i ORDER BY label, i""")),
 
+    // ====== LSH-bucketed ANN (scale path; rows-only check) ================
+    // Random-hyperplane buckets co-locate cosine neighbours; per-bucket
+    // stats demonstrate the shuffle shape (groupBy bucket instead of an
+    // all-pairs join). Deterministic planes -> deterministic buckets.
+    Q("sim_lsh_buckets",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+          .select(col("vec_id"), col("label"),
+            VectorOps.toDouble(col("embedding")).as("v"))
+          .withColumn("bucket", VectorOps.lshBuckets(col("v"), dim = 64,
+            nPlanes = 10))
+        e.groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_vecs"),
+            countDistinct(col("label")).as("n_labels"),
+            min(col("vec_id")).as("min_vec_id"))
+          .where(col("n_vecs") > 1)
+          .orderBy(col("bucket"))
+      },
+      None),
+
     // ====== dedup: SimHash fingerprints (rows-only check) =================
     Q("dedup_simhash",
       (s, dir) => {

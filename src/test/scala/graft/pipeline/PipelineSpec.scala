@@ -55,6 +55,12 @@ class FramePipelineSpec2 extends SparkSpec {
     val spotty = out.spottiness
       .agg(sum(when(col("n_spots") > 0, 1).otherwise(0))).collect()(0)
     assert(spotty.getLong(0) > 0, "spottiness never saw a spot")
+
+    // A10: the two planted 20000-count spots are regional maxima far above
+    // the h = 0.05 * P99.9 depth -> h-maxima stats see them
+    val hmax = FramePipeline.hMaximaStats(out.pixels, cal, tile = 96)
+    val onSpots = hmax.agg(sum(col("n_maxima_on_spots"))).collect()(0)
+    assert(onSpots.getLong(0) > 0, "h-maxima missed the planted spots")
   }
 }
 
