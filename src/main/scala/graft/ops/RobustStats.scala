@@ -42,6 +42,17 @@ object RobustStats {
         median(abs(col(value) - col("med"))).as("mad"))
   }
 
+  /** Single-pass variant of [[medianMad]] using the custom
+    * [[MedianMadAgg]] Aggregator — one shuffle, no join-backs. Preferred
+    * when group populations are bounded (detector rings); the two-stage
+    * form remains the oracle-exact baseline. */
+  def medianMadOnePass(df: DataFrame, keys: Seq[String],
+                       value: String): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(MedianMadAgg.medMad(col(value)).as("mm"))
+      .select(keys.map(col) ++ Seq(col("mm.med").as("med"),
+        col("mm.n").as("n"), col("mm.mad").as("mad")): _*)
+
   /** Flag rows whose value is further than `esdMul * MadToSigma * MAD` from
     * the group median; groups with fewer than `minCount` rows are never
     * flagged (reference: sources/fmask.c:237 skips rings with < 10 px,

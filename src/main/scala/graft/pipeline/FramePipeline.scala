@@ -54,7 +54,9 @@ object FramePipeline {
       .withColumn("corr", corrected(col("intensity")))
       .withColumn("base_mask", baseMask(col("intensity"), predef))
     val live = px.where(!col("base_mask"))
-    val ringStats = RobustStats.medianMad(
+    // one-pass custom aggregator: ring stats in a single shuffle
+    // (ring populations are bounded, SURVEY §2.12 item 3)
+    val ringStats = RobustStats.medianMadOnePass(
       live.select(col("frame_no"), col("tth_bin"),
         col("intensity").cast("double").as("ival")),
       Seq("frame_no", "tth_bin"), "ival")

@@ -212,10 +212,15 @@ object OracleQueries {
     Q("a5_global_threshold",
       (s, dir) => {
         val li = t(s, dir, "lineitem")
-        val global = li.agg(
-          percentile(col("l_extendedprice"), lit(0.1)).as("g10_raw"))
-        li.groupBy(col("l_returnflag"))
-          .agg(percentile(col("l_extendedprice"), lit(0.2)).as("p20_raw"))
+        // rollup: per-group AND grand-total percentiles in ONE scan (the
+        // grand-total row is the reference's global-threshold scalar)
+        val r = li.rollup(col("l_returnflag"))
+          .agg(percentile(col("l_extendedprice"), lit(0.2)).as("p20_raw"),
+            percentile(col("l_extendedprice"), lit(0.1)).as("g10_all"))
+          .localCheckpoint(true)
+        val global = r.where(col("l_returnflag").isNull)
+          .select(col("g10_all").as("g10_raw"))
+        r.where(col("l_returnflag").isNotNull)
           .crossJoin(broadcast(global))
           .select(
             col("l_returnflag"),

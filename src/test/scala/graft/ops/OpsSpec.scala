@@ -30,6 +30,19 @@ class RobustStatsSpec extends SparkSpec {
       == Seq(("big", 9999.0)))
   }
 
+  test("medianMadOnePass (custom Aggregator) equals the two-stage form") {
+    val rnd = new scala.util.Random(11)
+    val df = (1 to 500).map(i => (s"g${i % 7}", rnd.nextDouble() * 1000))
+      .toDF("g", "v")
+    def toMap(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Double]("med"), r.getAs[Long]("n"), r.getAs[Double]("mad")))
+      .toMap
+    val twoStage = toMap(RobustStats.medianMad(df, Seq("g"), "v"))
+    val onePass = toMap(RobustStats.medianMadOnePass(df, Seq("g"), "v"))
+    assert(twoStage == onePass)
+  }
+
   test("medianMad is invariant to row order") {
     val base = (1 to 50).map(i => ("g", math.sin(i) * 100))
     val a = RobustStats.medianMad(base.toDF("g", "v"), Seq("g"), "v")
