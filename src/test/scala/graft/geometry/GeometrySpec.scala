@@ -55,6 +55,22 @@ class GeometrySpec extends SparkSpec {
     assert(p.forall(v => v > 0 && v <= 1.0 + 1e-12))
   }
 
+  test("bucketed geometry table joins without shuffling the geometry side") {
+    import spark.implicits._
+    Geometry.saveBucketed(spark, cal, "geo_bucketed_test", buckets = 8)
+    val geo = spark.table("geo_bucketed_test")
+    val pixels = (for { y <- 0 until 64; x <- 0 until 64 }
+      yield (1, y, x, 100)).toDF("frame_no", "y", "x", "intensity")
+    val joined = pixels.hint("merge").join(geo, Seq("y", "x"))
+    val plan = joined.queryExecution.executedPlan.toString
+    // exactly one exchange: the pixel side; the bucketed scan feeds the
+    // sort-merge join directly
+    val nExchanges = "Exchange hashpartitioning".r
+      .findAllIn(plan).length
+    assert(nExchanges == 1, s"expected 1 exchange, plan:\n$plan")
+    assert(joined.count() == 64 * 64)
+  }
+
   test("unit conversions round-trip") {
     import spark.implicits._
     val df = Seq(1.0, 5.0, 12.0).toDF("tth")
