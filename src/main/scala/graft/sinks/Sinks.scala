@@ -57,4 +57,17 @@ object Sinks {
     * pipeline.py:554-557). */
   def csimBody(vsFirst: Double, vsPrev: Double): String =
     f"$vsFirst%0.9f\t$vsPrev%0.9f"
+
+  /** Q-bin-edges dimension table, once per dataset (reference S14:
+    * `<dataset>_qbinedges.npy`, pipeline.py:493-497). */
+  def writeQBinEdges(spark: org.apache.spark.sql.SparkSession,
+                     cal: graft.core.Calibration, outDir: String,
+                     dataset: String): Unit = {
+    import spark.implicits._
+    cal.qBinEdges.zipWithIndex
+      .map { case (q, i) => (dataset, i, q) }.toSeq
+      .toDF("dataset", "edge_idx", "q")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$outDir/q_bin_edges/dataset=$dataset")
+  }
 }
