@@ -206,6 +206,67 @@ object OracleQueries {
                WHEN area > 550 THEN 1 ELSE 0 END AS classifier
         FROM agg ORDER BY label""")),
 
+    // ====== A4: per-cluster max/min/median extents ========================
+    // Reference split_grad_with_Q_groupby classification.py:510-516.
+    Q("a4_cluster_extent",
+      (s, dir) => {
+        t(s, dir, "lineitem")
+          .groupBy(col("l_suppkey").as("label"))
+          .agg(max(col("l_quantity")).as("max_q"),
+            min(col("l_quantity")).as("min_q"),
+            round(median(col("l_quantity")), 6).as("median_q"))
+          .orderBy(col("label"))
+      },
+      Some("""SELECT l_suppkey AS label, MAX(l_quantity) AS max_q,
+          MIN(l_quantity) AS min_q,
+          ROUND(median(l_quantity), 6) AS median_q
+        FROM lineitem GROUP BY label ORDER BY label""")),
+
+    // ====== J2: cluster aggregates joined back to member rows =============
+    // Reference classification.py:528 (medianQ.loc[df['label']]): group
+    // stats broadcast back onto the fact rows.
+    Q("j2_label_joinback",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem").where(col("l_orderkey") < 1000)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_suppkey").as("label"), col("l_extendedprice").as("x"))
+        val med = li.groupBy(col("label"))
+          .agg(median(col("x")).as("med"))
+        li.join(broadcast(med), "label")
+          .select(col("l_orderkey"), col("l_linenumber"), col("label"),
+            col("x"), round(col("med"), 6).as("med"),
+            round(abs(col("x") - col("med")), 6).as("abs_dev"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"))
+      },
+      Some("""WITH li AS (SELECT l_orderkey, l_linenumber,
+            l_suppkey AS label, l_extendedprice AS x
+          FROM lineitem WHERE l_orderkey < 1000),
+        med AS (SELECT label, median(x) AS med FROM li GROUP BY label)
+        SELECT l_orderkey, l_linenumber, label, x,
+          ROUND(med, 6) AS med, ROUND(abs(x - med), 6) AS abs_dev
+        FROM li JOIN med USING (label)
+        ORDER BY l_orderkey, l_linenumber""")),
+
+    // ====== A13: histogram densified against the full bin dimension =======
+    // Reference mainUI/stats.py:115-117: value_counts densified into the
+    // complete bin range (empty bins present with 0).
+    Q("a13_dense_histogram",
+      (s, dir) => {
+        val counts = t(s, dir, "lineitem")
+          .groupBy(floor(col("l_quantity") / 5).cast("int").as("bin"))
+          .agg(count(lit(1)).as("n"))
+        val bins = s.range(0, 11).select(col("id").cast("int").as("bin"))
+        bins.join(counts, Seq("bin"), "left")
+          .select(col("bin"), coalesce(col("n"), lit(0L)).as("n"))
+          .orderBy(col("bin"))
+      },
+      Some("""SELECT b.bin, COALESCE(c.n, 0) AS n
+        FROM (SELECT UNNEST(range(0, 11)) AS bin) b
+        LEFT JOIN (SELECT CAST(FLOOR(l_quantity / 5) AS INT) AS bin,
+            COUNT(*) AS n FROM lineitem GROUP BY 1) c
+          ON b.bin = c.bin
+        ORDER BY b.bin""")),
+
     // ====== A5/A12: grouped percentile vs global scalar threshold =========
     // Reference classification.py:534-548: per-label 20th percentile
     // compared against a whole-frame 10th-percentile threshold.
