@@ -273,15 +273,13 @@ object OracleQueries {
     Q("a5_global_threshold",
       (s, dir) => {
         val li = t(s, dir, "lineitem")
-        // rollup: per-group AND grand-total percentiles in ONE scan (the
-        // grand-total row is the reference's global-threshold scalar)
-        val r = li.rollup(col("l_returnflag"))
-          .agg(percentile(col("l_extendedprice"), lit(0.2)).as("p20_raw"),
-            percentile(col("l_extendedprice"), lit(0.1)).as("g10_all"))
-          .localCheckpoint(true)
-        val global = r.where(col("l_returnflag").isNull)
-          .select(col("g10_all").as("g10_raw"))
-        r.where(col("l_returnflag").isNotNull)
+        // two scans, not rollup: rollup duplicates every row into the
+        // grand-total group, whose single-task exact-percentile buffer
+        // becomes the bottleneck (measured 1.7x slower at sf0.1)
+        val global = li.agg(
+          percentile(col("l_extendedprice"), lit(0.1)).as("g10_raw"))
+        li.groupBy(col("l_returnflag"))
+          .agg(percentile(col("l_extendedprice"), lit(0.2)).as("p20_raw"))
           .crossJoin(broadcast(global))
           .select(
             col("l_returnflag"),
