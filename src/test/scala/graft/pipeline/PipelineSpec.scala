@@ -64,6 +64,33 @@ class FramePipelineSpec2 extends SparkSpec {
   }
 }
 
+class MultiFrameSpec extends SparkSpec {
+
+  test("two frames process through ONE keyed plan with separated outputs") {
+    val cal = SyntheticFrame.testCalibration(128)
+    val geo = Geometry.build(spark, cal).localCheckpoint(true)
+    // different planted spots per frame
+    val f1 = SyntheticFrame.frame(spark, cal, 1, nHotPer10k = 0,
+      spots = Seq((40, 50, 20000.0, 2.0)))
+    val f2 = SyntheticFrame.frame(spark, cal, 2, nHotPer10k = 0,
+      spots = Seq((80, 30, 20000.0, 2.0), (100, 90, 20000.0, 2.0)))
+    val out = FramePipeline.process(f1.union(f2), geo, cal)
+
+    val spotFrames = out.spotStats
+      .groupBy(col("frame_no")).count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(spotFrames.keySet == Set(1, 2), s"got $spotFrames")
+    // frame 2 planted more spots than frame 1
+    assert(spotFrames(2) >= spotFrames(1))
+
+    // per-frame integrals both present with full channel coverage
+    val integFrames = out.integrals.groupBy(col("frame_no")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(integFrames.keySet == Set(1, 2))
+    assert(integFrames.values.forall(_ > 50))
+  }
+}
+
 class CsimSpec extends SparkSpec {
   import spark.implicits._
 
