@@ -33,24 +33,29 @@ object Geometry {
     * (y, x, tth, azim, azim_flipped, q, dist_sq, pol, tth_bin, q_bin,
     *  azim_band, in_tth_range, in_azim_range).
     */
+  /** 3x3 rotation matrix about `axis` (0=x, 2=z) by `deg` degrees —
+    * the roll-based construction the reference uses (makeMat
+    * GSASII_imports.py:1050-1059). */
+  private[geometry] def rotMat(deg: Double, axis: Int): Array[Array[Double]] = {
+    val c = math.cos(math.toRadians(deg)); val s = math.sin(math.toRadians(deg))
+    val m = Array(Array(1.0, 0.0, 0.0), Array(0.0, c, -s), Array(0.0, s, c))
+    Array.tabulate(3, 3)((i, j) =>
+      m(((i - axis) % 3 + 3) % 3)(((j - axis) % 3 + 3) % 3))
+  }
+
   def build(spark: SparkSession, cal: Calibration): DataFrame = {
     val (ny, nx) = cal.imageSize
     val (pxX, pxY) = (cal.pixelSize._1 / 1000.0, cal.pixelSize._2 / 1000.0)
-    val tiltR = math.toRadians(cal.tilt)
-    val rotR = math.toRadians(cal.rotation)
-    // Precompute the 3x3 pose matrix on the driver (pure scalars).
-    // M = Rz(rot) * Rx(tilt) * Rz(-rot)
-    val (cr, sr, ct, st) =
-      (math.cos(rotR), math.sin(rotR), math.cos(tiltR), math.sin(tiltR))
-    val m00 = cr * cr + sr * sr * ct
-    val m01 = cr * sr - sr * cr * ct
-    val m10 = sr * cr - cr * sr * ct
-    val m11 = sr * sr + cr * cr * ct
-    val m20 = sr * st
-    val m21 = cr * st
-    // z-components of the rotated in-plane basis vectors
-    val m02 = -sr * st
-    val m12 = -cr * st
+    // Reference pose math (GetTthAzmG2 GSASII_imports.py:1023-1046, the
+    // detector-2theta = 0 path): effective distance D/cos(tilt); the
+    // out-of-plane pixel offset dz comes from MN = -(Rz(rot) . Rx(tilt)^T);
+    // 2-theta = atan2(sqrt(dx^2+dy^2-dz^2), dist - dz + penetration), with
+    // the detector-penetration term peneCorr (GSASII_imports.py:1063-1065).
+    val distEff = cal.distance / math.cos(math.toRadians(cal.tilt))
+    val mz = rotMat(cal.rotation, 2); val mx = rotMat(cal.tilt, 0)
+    // MN = -(Mz . Mx^T); only the z-column is needed for dz
+    def mn(i: Int, k: Int): Double = -(0 until 3).map(j => mz(i)(j) * mx(k)(j)).sum
+    val m02 = mn(0, 2); val m12 = mn(1, 2)
 
     val base = spark.range(ny.toLong * nx)
       .select(
@@ -59,18 +64,26 @@ object Geometry {
 
     val dx = (col("x") + lit(0.5)) * pxX - cal.center._1
     val dy = (col("y") + lit(0.5)) * pxY - cal.center._2
-    val px_ = dx * m00 + dy * m01
-    val py_ = dx * m10 + dy * m11
-    val pz_ = dx * m20 + dy * m21 + cal.distance
-    val r = sqrt(px_ * px_ + py_ * py_ + pz_ * pz_)
-    val tth = degrees(acos(pz_ / r))
-    val azim = pmod(degrees(atan2(py_, px_)) + cal.azmthOff, lit(360.0))
+    val dz = dx * m02 + dy * m12
+    val xyZ = dx * dx + dy * dy - dz * dz
+    val tth0 = degrees(atan(sqrt(xyZ) / (lit(distEff) - dz)))
+    val dzp = lit(cal.detDepth) * (lit(1.0) - cos(radians(tth0))) *
+      (distEff * distEff / 1000.0)
+    val tth = degrees(atan2(sqrt(xyZ), lit(distEff) - dz + dzp))
+    val azim = pmod(degrees(atan2(dy, dx)) + cal.azmthOff + 720.0,
+      lit(360.0))
     val q = lit(4.0 * math.Pi / cal.wavelength) * sin(radians(tth) / 2)
-    // Reference stores SQUARED sample distance and the solid-angle
-    // correction multiplies by dist^1.5 (pipeline.py:63-65): keep the same
-    // contract, normalized by the nominal distance so corrections are O(1).
-    val distSq = (r * r) / (cal.distance * cal.distance)
-    val polaF = polarization(tth, azim, cal.polaVal)
+    // Geometric (solid-angle) correction G = dist^2/d0^2: the reference
+    // stores this squared-distance map and the correction multiplies
+    // G^1.5 (pipeline.py:63-65; G from GSASII_imports.py:1039-1045).
+    val x0 = cal.distance * math.tan(math.toRadians(cal.tilt))
+    val x0x = x0 * math.cos(math.toRadians(cal.rotation))
+    val x0y = x0 * math.sin(math.toRadians(cal.rotation))
+    val distSq = ((dx - x0x) * (dx - x0x) + (dy - x0y) * (dy - x0y) +
+      cal.distance * cal.distance) / (cal.distance * cal.distance)
+    // reference applies the polarization formula at azm - 90 deg
+    // (Make2ThetaAzimuthMap GSASII_imports.py:553)
+    val polaF = polarization(tth, azim - 90.0, cal.polaVal)
 
     val (tthLo, tthHi) = cal.ioTth
     val step = cal.tthStep
