@@ -26,9 +26,9 @@ object Sinks {
   def chiBody(sourceName: String, rows: Seq[(Double, Double)]): String = {
     val sb = new StringBuilder
     sb.append(s"$sourceName Azm= 0.00\n")
-    sb.append("     2-theta, deg\n")
-    sb.append("     Intensity, cps\n")
-    sb.append(f"${rows.length}%12d\n")
+    sb.append("2-Theta Angle (Degrees)\n")
+    sb.append("Intensity\n")
+    sb.append(f"${rows.length}%11d\n")
     rows.foreach { case (t, i) =>
       sb.append(f" $t%.7e   $i%.7e\n")
     }
@@ -56,7 +56,7 @@ object Sinks {
   /** csim text sink: "%0.9f\t%0.9f" per frame (reference
     * pipeline.py:554-557). */
   def csimBody(vsFirst: Double, vsPrev: Double): String =
-    f"$vsFirst%0.9f\t$vsPrev%0.9f"
+    f"$vsFirst%.9f\t$vsPrev%.9f"
 
   /** Q-bin-edges dimension table, once per dataset (reference S14:
     * `<dataset>_qbinedges.npy`, pipeline.py:493-497). */

@@ -1,0 +1,38 @@
+package graft.sinks
+
+import graft.SparkSpec
+
+class SinksSpec extends SparkSpec {
+
+  test(".chi body matches the reference golden format byte-for-byte") {
+    // golden bytes from docs/GuiliangJun25_tutorial_output/integrals/
+    // MA2-00001_base.chi (Export_chi pipeline.py:44-52)
+    val goldenHead = Seq(
+      "MA2-00001.tif Azm= 0.00",
+      "2-Theta Angle (Degrees)",
+      "Intensity",
+      "       2500",
+      " 1.0023400e+00   7.8731575e+03",
+      " 1.0070200e+00   7.8724905e+03")
+    val rows = Seq((1.00234, 7873.1575), (1.00702, 7872.4905)) ++
+      Seq.fill(2498)((2.0, 1.0))
+    val body = Sinks.chiBody("MA2-00001.tif", rows)
+    assert(body.linesIterator.take(6).toSeq == goldenHead)
+  }
+
+  test("csim body format") {
+    assert(Sinks.csimBody(0.999999999, 0.87654321999) ==
+      "0.999999999\t0.876543220")
+  }
+
+  test("qbinedges table has outChannels+1 monotone edges") {
+    val cal = graft.core.Calibration(outChannels = 50)
+    val dir = java.nio.file.Files.createTempDirectory("graft_qe").toString
+    Sinks.writeQBinEdges(spark, cal, dir, "ds1")
+    val edges = spark.read.parquet(s"$dir/q_bin_edges")
+      .orderBy(org.apache.spark.sql.functions.col("edge_idx"))
+      .collect().map(_.getAs[Double]("q"))
+    assert(edges.length == 51)
+    assert(edges.sliding(2).forall(p => p(1) > p(0)))
+  }
+}
