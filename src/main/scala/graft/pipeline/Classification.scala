@@ -143,6 +143,38 @@ object Classification {
           col("in_cut") === 0).as("is_arc")): _*)
   }
 
+  /** Sequential reference implementation of the shape classifier — a
+    * direct transcription of the per-cluster rules (reference keeps its
+    * legacy loop path alongside the groupby path as the readable spec,
+    * classification.py:720-826 vs :373-444; SURVEY §2.10 C4). Used as the
+    * oracle in equivalence tests against [[shapeClassify]]; never run on
+    * real data. */
+  def shapeClassifyReference(
+      clusters: Map[Long, Seq[(Double, Double, Double)]], // label -> (q, azim, azimFlipped)
+      p: Params = Params()): Map[Long, Int] = {
+    def pct(vs: Seq[Double], f: Double): Double = {
+      val s = vs.sorted
+      val pos = (s.length - 1) * f
+      val lo = pos.toInt
+      if (lo + 1 >= s.length) s(lo)
+      else s(lo) + (s(lo + 1) - s(lo)) * (pos - lo)
+    }
+    clusters.map { case (label, px) =>
+      val area = px.length
+      val qs = px.map(_._1)
+      val dq = pct(qs, 0.9) - pct(qs, 0.1)
+      val spanRaw = px.map(_._2).max - px.map(_._2).min
+      val spanFlip = px.map(_._3).max - px.map(_._3).min
+      val dazim = math.min(spanRaw, spanFlip)
+      val cls =
+        if (area >= p.minArcArea && dq < p.qWidthMax &&
+            dazim > p.azimSpanMin && dazim / dq > p.shapeRatioMin) 2
+        else if (area >= p.minSpotArea) 1
+        else 0
+      label -> cls
+    }
+  }
+
   /** Second directional derivative of `corr` along the (hatY, hatX) unit
     * vector field: two stencil derivative passes, each projected onto the
     * direction (reference radial_and_azim_gradient applied twice,

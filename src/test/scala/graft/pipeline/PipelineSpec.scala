@@ -26,6 +26,36 @@ class ClassificationSpec extends SparkSpec {
   }
 }
 
+class LegacyEquivalenceSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("distributed shape classifier equals the sequential reference " +
+       "path on random clusters (C4 old-vs-new equivalence)") {
+    val rnd = new scala.util.Random(99)
+    (1 to 3).foreach { _ =>
+      val clusters = (1L to 20L).map { label =>
+        val n = 2 + rnd.nextInt(300)
+        val qBase = rnd.nextDouble() * 10
+        val qSpread = if (rnd.nextBoolean()) 0.02 else 2.0
+        val aBase = rnd.nextDouble() * 360
+        val aSpread = if (rnd.nextBoolean()) 2.0 else 120.0
+        label -> Seq.fill(n) {
+          val az = (aBase + rnd.nextDouble() * aSpread) % 360
+          (qBase + rnd.nextDouble() * qSpread, az, (az + 180.0) % 360.0)
+        }
+      }.toMap
+      val df = clusters.toSeq.flatMap { case (l, px) =>
+        px.map { case (q, a, af) => (1, l, q, a, af) }
+      }.toDF("frame_no", "label", "q", "azim", "azim_flipped")
+      val dist = Classification.shapeClassify(df, Seq("frame_no"))
+        .collect().map(r => r.getLong(1) -> r.getAs[Int]("classifier"))
+        .toMap
+      val ref = Classification.shapeClassifyReference(clusters)
+      assert(dist == ref)
+    }
+  }
+}
+
 class FramePipelineSpec2 extends SparkSpec {
 
   test("full pipeline: planted spots detected, integrals mask correctly") {
