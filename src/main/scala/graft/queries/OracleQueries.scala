@@ -481,6 +481,50 @@ object OracleQueries {
           ROUND(dot/(SQRT(na)*SQRT(nb)), 6) AS cos
         FROM sc ORDER BY cos DESC, id_a, id_b LIMIT 20""")),
 
+    // ====== IVF-style pruned ANN: search only the query's cell ============
+    // The scale path for similarity search: vectors are pre-assigned to
+    // cells (here the label column = the coarse quantizer) and each query
+    // probes ONE cell — an equi-join on the cell key replaces the
+    // all-pairs scan (per-cell work, shuffle on the cell key only).
+    Q("sim_ivf_topk",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+          .select(col("vec_id"), col("label"),
+            VectorOps.toDouble(col("embedding")).as("v"))
+        val q = e.where(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("label"),
+            col("v").as("qv"))
+        val scored = e.join(broadcast(q), Seq("label"))
+          .where(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id").as("cand_id"),
+            round(VectorOps.cosine(col("qv"), col("v")), 6).as("sim"))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("sim").desc, col("cand_id"))
+        scored.withColumn("rnk", row_number().over(w))
+          .where(col("rnk") <= 3)
+          .select(col("query_id"), col("rnk"), col("cand_id"), col("sim"))
+          .orderBy(col("query_id"), col("rnk"))
+      },
+      Some("""WITH e AS (SELECT vec_id, label,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        q AS (SELECT vec_id AS query_id, label, v AS qv FROM e
+              WHERE vec_id < 5),
+        pairs AS (SELECT q.query_id, e.vec_id AS cand_id, q.qv, e.v AS cv
+                  FROM q JOIN e USING (label)
+                  WHERE e.vec_id != q.query_id),
+        u AS (SELECT query_id, cand_id, UNNEST(qv) AS x, UNNEST(cv) AS y
+              FROM pairs),
+        sc AS (SELECT query_id, cand_id, SUM(x*y) AS dot, SUM(x*x) AS na,
+                 SUM(y*y) AS nb FROM u GROUP BY query_id, cand_id),
+        r AS (SELECT query_id, cand_id,
+                ROUND(dot/(SQRT(na)*SQRT(nb)), 6) AS sim FROM sc),
+        rk AS (SELECT query_id, cand_id, sim,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY sim DESC, cand_id) AS rnk FROM r)
+        SELECT query_id, rnk, cand_id, sim FROM rk WHERE rnk <= 3
+        ORDER BY query_id, rnk""")),
+
     // ==================== W1: previous-row lookup =========================
     // Reference pipeline.py:506-553 — lag + first-row-compares-to-itself.
     Q("w1_lag",
