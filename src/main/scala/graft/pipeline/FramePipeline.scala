@@ -72,7 +72,8 @@ object FramePipeline {
   def process(pixels: DataFrame, geometry: DataFrame, cal: Calibration,
               esdMul: Double = 3.0,
               params: Classification.Params = Classification.Params(),
-              predef: Seq[graft.core.MaskShape] = Nil)
+              predef: Seq[graft.core.MaskShape] = Nil,
+              referenceBinShift: Boolean = false)
       : FrameOutputs = {
     val (h, w) = cal.imageSize
     val keys = Seq("frame_no")
@@ -93,13 +94,23 @@ object FramePipeline {
 
     // A2: the four masked integrations of the reference
     // (pipeline.py:377-414) in ONE aggregation pass.
+    //
+    // Binning note (reference quirk, pipeline.py:69-72 +
+    // cache_creation.py:42-52): the reference diverts masked pixels to
+    // bin 0 and drops it with [1:], which ALSO discards the first real
+    // channel and leaves its output labels one bin below their content
+    // (verified against the committed golden .chi). This engine uses
+    // self-consistent bins (bin k content = [lo+k*step, lo+(k+1)*step),
+    // label = its own midpoint); pass referenceBinShift=true in
+    // processWithOptions for label-compatible output.
     val variants = Seq(
       "base" -> !col("base_mask"),
       "om" -> (!col("base_mask") && !col("is_outlier")),
       "spotsmasked" -> (!col("base_mask") && !col("is_spot")),
       "arcsmasked" -> (!col("base_mask") && !col("is_arc")))
+    val binCol = if (referenceBinShift) col("tth_bin") - 1 else col("tth_bin")
     val integrals = Histogram.integrate(
-        px.where(col("tth_bin") >= 0), col("tth_bin"), col("corr"),
+        px.where(binCol >= 0), binCol, col("corr"),
         variants, keys = Seq(col("frame_no")))
       .withColumnRenamed("bin", "tth_bin")
       .withColumn("tth",

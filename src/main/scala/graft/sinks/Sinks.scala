@@ -35,18 +35,29 @@ object Sinks {
     sb.toString
   }
 
-  /** Write one `.chi` file per (frame, variant) from the integral table —
-    * executed per frame on executors via foreachPartition. */
-  def writeChi(integrals: DataFrame, outDir: String, variant: String): Unit = {
+  /** Write one `.chi` file per (frame, variant) from the integral table.
+    * When `dense` gives (nChannels, tthLo, tthStep), empty channels are
+    * emitted as zeros so every file has exactly nChannels rows (the
+    * reference's bincount output is dense, pipeline.py:69-72). */
+  def writeChi(integrals: DataFrame, outDir: String, variant: String,
+               dense: Option[(Int, Double, Double)] = None): Unit = {
     val rows = integrals
-      .select(col("frame_no"), col("tth"), col(s"i_$variant"))
+      .select(col("frame_no"), col("tth_bin"), col("tth"),
+        col(s"i_$variant"))
       .na.fill(0.0, Seq(s"i_$variant"))
-      .orderBy(col("frame_no"), col("tth"))
+      .orderBy(col("frame_no"), col("tth_bin"))
       .collect()
     new java.io.File(outDir).mkdirs()
     rows.groupBy(_.getInt(0)).foreach { case (frame, rs) =>
-      val body = chiBody(f"frame-$frame%05d.tif",
-        rs.toSeq.map(r => (r.getDouble(1), r.getDouble(2))))
+      val series = dense match {
+        case Some((n, lo, step)) =>
+          val present = rs.map(r => r.getInt(1) -> r.getDouble(3)).toMap
+          (0 until n).map(b => (lo + (b + 0.5) * step,
+            present.getOrElse(b, 0.0)))
+        case None =>
+          rs.toSeq.map(r => (r.getDouble(2), r.getDouble(3)))
+      }
+      val body = chiBody(f"frame-$frame%05d.tif", series)
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(f"$outDir/frame-$frame%05d_$variant.chi"),
         body)

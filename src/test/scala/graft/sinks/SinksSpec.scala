@@ -20,6 +20,19 @@ class SinksSpec extends SparkSpec {
     assert(body.linesIterator.take(6).toSeq == goldenHead)
   }
 
+  test("writeChi densifies missing channels with zeros") {
+    import spark.implicits._
+    val integ = Seq((1, 0, 1.05, 10.0), (1, 2, 1.25, 30.0))
+      .toDF("frame_no", "tth_bin", "tth", "i_base")
+    val dir = java.nio.file.Files.createTempDirectory("graft_chi").toString
+    Sinks.writeChi(integ, dir, "base", dense = Some((4, 1.0, 0.1)))
+    val lines = scala.io.Source.fromFile(s"$dir/frame-00001_base.chi")
+      .getLines().toSeq
+    assert(lines(3).trim == "4")
+    val vals = lines.drop(4).map(_.trim.split("\\s+")(1).toDouble)
+    assert(vals == Seq(10.0, 0.0, 30.0, 0.0))
+  }
+
   test("csim body format") {
     assert(Sinks.csimBody(0.999999999, 0.87654321999) ==
       "0.999999999\t0.876543220")
