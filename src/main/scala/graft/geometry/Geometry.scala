@@ -161,11 +161,20 @@ object Geometry {
     */
   def buildCached(spark: SparkSession, cal: Calibration,
                   cacheDir: String): DataFrame = {
-    val key = math.abs(cal.hashCode).toString
-    val path = s"$cacheDir/geometry_$key"
+    val path = s"$cacheDir/geometry_${contentKey(cal)}"
     val fs = new java.io.File(path.stripPrefix("file:"))
     if (!fs.exists()) build(spark, cal).write.mode("ignore").parquet(path)
     spark.read.parquet(path)
+  }
+
+  /** Collision-proof cache key: SHA-256 over the calibration's full field
+    * string. A 32-bit `hashCode` key can collide across calibrations and
+    * silently serve the wrong geometry; a 256-bit content hash cannot in
+    * practice. */
+  def contentKey(cal: Calibration): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.digest(cal.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(32)
   }
 
   /** Persist the geometry table BUCKETED on (y, x): the per-frame

@@ -107,8 +107,9 @@ object Dedup {
       .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
       .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
       .select(col("id_a"), col("id_b"),
-        (size(filter(zip_with(col("sig_a"), col("sig_b"),
-            (x, y) => x === y), b => b)).cast("double") / k)
+        // codegen'd signature-agreement count (VectorExpressions) — the
+        // zip_with/filter form was interpreted per pair
+        (VectorOps.eqCount(col("sig_a"), col("sig_b")).cast("double") / k)
           .as("est_jaccard"))
   }
 

@@ -3,31 +3,43 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.graftshim.Internals.{column => toCol, expression => toExpr}
 
-/** Dense-vector column operations over `array<float|double>` columns:
+import graft.functions.VectorExpressions.{ArrayEqCount, CosineSim, DotProduct, LshBucket}
+
+/** Dense-vector column operations over `array<double>` columns:
   * dot products, cosine similarity, brute-force and LSH-bucketed
   * nearest-neighbour search.
   *
   * The reference computes full-frame cosine similarity between the current
   * frame and the first/previous frames (pipeline.py:546-553, raveled float32
-  * images). Here a frame/document embedding is a row with an array column and
-  * similarity is a codegen'd fold (`zip_with` + `aggregate`) — no UDF, no
-  * driver round-trip, so a 100 TB corpus streams through whole-stage codegen.
+  * images). Here a frame/document embedding is a row with an array column
+  * and similarity is a native codegen'd Catalyst expression
+  * ([[graft.functions.VectorExpressions]]) — no UDF, no interpreted
+  * higher-order function, no driver round-trip, so a 100 TB corpus streams
+  * through whole-stage codegen.
   */
 object VectorOps {
 
-  /** Elementwise-fold dot product of two array<double> columns.
-    * Sequential left fold — deterministic summation order. */
+  /** Dot product of two array<double> columns — generated tight loop,
+    * sequential accumulation (deterministic summation order). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    toCol(DotProduct(toExpr(a), toExpr(b)))
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** One-pass codegen'd cosine similarity. */
+  def cosine(a: Column, b: Column): Column =
+    toCol(CosineSim(toExpr(a), toExpr(b)))
+
+  /** Count of equal positions between two array<long> signature columns. */
+  def eqCount(a: Column, b: Column): Column =
+    toCol(ArrayEqCount(toExpr(a), toExpr(b)))
 
   /** Cast an array<float> embedding to array<double> for exact cross-engine
-    * arithmetic parity. */
-  def toDouble(a: Column): Column = transform(a, _.cast("double"))
+    * arithmetic parity. Native array cast — codegen'd, unlike a
+    * `transform` lambda. */
+  def toDouble(a: Column): Column = a.cast("array<double>")
 
   /** Similarity of each vector to its predecessor in `orderCol` order within
     * `partCols` — the reference's frame-vs-previous cosine series
@@ -67,15 +79,9 @@ object VectorOps {
     * deterministically from the element index — candidates sharing a bucket
     * are near in cosine. At scale: groupBy(bucket) co-locates probable
     * neighbours, turning O(n^2) search into per-bucket joins. */
-  def lshBuckets(vec: Column, dim: Int, nPlanes: Int = 16): Column = {
-    // plane p component i = sin(1 + i + p * dim) — fixed, engine-independent
-    val bits = (0 until nPlanes).map { p =>
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(p * dim), lit(p * dim + dim - 1)),
-          (x, i) => x * sin(i + lit(1.0))),
-        lit(0.0), (acc, v) => acc + v)
-      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
-  }
+  def lshBuckets(vec: Column, dim: Int, nPlanes: Int = 16): Column =
+    // plane p component i = sin(1 + i + p * dim) — fixed, engine-independent;
+    // the whole nPlanes x dim projection runs as one generated nested loop
+    // with the plane table built once on the driver.
+    toCol(LshBucket(toExpr(vec), dim, nPlanes))
 }

@@ -114,7 +114,10 @@ object Classification {
           col("dq")): _*), keys :+ "y" :+ "x")
       .groupBy(kcols :+ col("cut_label"): _*)
       .agg(percentile(col("azim"), lit(0.5)).as("cut_azim"),
-        first(col("dq")).as("cut_qw"))
+        // off-mask cuts default to the reference's 0.1 Qwidth
+        // (classification.py:243-275, :573)
+        coalesce(first(col("dq"), ignoreNulls = true), lit(0.1))
+          .as("cut_qw"))
 
     // wedge membership for every arc pixel vs every cut of its frame:
     // cuts per frame are few -> broadcast; wrap-aware modulo distance.
