@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
   * SURVEY §2.11); the `.chi` / csv text formats are compatibility codecs
   * for the reference's UI (Export_chi pipeline.py:44-52).
   */
-object Sinks {
+object Sinks extends Serializable {
 
   /** Canonical sink: partitioned parquet per table. Partitioning by
     * dataset keeps 100 TB of output prunable by the UI's standing
@@ -38,30 +38,104 @@ object Sinks {
   /** Write one `.chi` file per (frame, variant) from the integral table.
     * When `dense` gives (nChannels, tthLo, tthStep), empty channels are
     * emitted as zeros so every file has exactly nChannels rows (the
-    * reference's bincount output is dense, pipeline.py:69-72). */
+    * reference's bincount output is dense, pipeline.py:69-72).
+    *
+    * EXECUTOR-SIDE: the table is hash-partitioned on frame_no and each
+    * task writes its frames' files directly — the driver never sees
+    * integral rows, so a 10k-frame backfill batch writes with full
+    * cluster parallelism. (Requires a shared filesystem across
+    * executors, same as the reference's output directory.) */
   def writeChi(integrals: DataFrame, outDir: String, variant: String,
                dense: Option[(Int, Double, Double)] = None): Unit = {
-    val rows = integrals
-      .select(col("frame_no"), col("tth_bin"), col("tth"),
-        col(s"i_$variant"))
-      .na.fill(0.0, Seq(s"i_$variant"))
-      .orderBy(col("frame_no"), col("tth_bin"))
-      .collect()
     new java.io.File(outDir).mkdirs()
-    rows.groupBy(_.getInt(0)).foreach { case (frame, rs) =>
-      val series = dense match {
-        case Some((n, lo, step)) =>
-          val present = rs.map(r => r.getInt(1) -> r.getDouble(3)).toMap
-          (0 until n).map(b => (lo + (b + 0.5) * step,
-            present.getOrElse(b, 0.0)))
-        case None =>
-          rs.toSeq.map(r => (r.getDouble(2), r.getDouble(3)))
+    val dir = outDir; val vName = variant; val denseOpt = dense
+    integrals
+      .select(col("frame_no").cast("int"), col("tth_bin"), col("tth"),
+        col(s"i_$vName"))
+      .na.fill(0.0, Seq(s"i_$vName"))
+      .repartition(col("frame_no"))
+      .sortWithinPartitions(col("frame_no"), col("tth_bin"))
+      .foreachPartition { (it: Iterator[Row]) =>
+        val buf = scala.collection.mutable.ArrayBuffer
+          .empty[(Int, Double, Double)] // (bin, tth, intensity)
+        var cur = Int.MinValue
+        def flush(): Unit = if (cur != Int.MinValue) {
+          val series = denseOpt match {
+            case Some((n, lo, step)) =>
+              val present = buf.iterator.map(t => t._1 -> t._3).toMap
+              (0 until n).map(b => (lo + (b + 0.5) * step,
+                present.getOrElse(b, 0.0)))
+            case None => buf.toSeq.map(t => (t._2, t._3))
+          }
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(f"$dir/frame-$cur%05d_$vName.chi"),
+            chiBody(f"frame-$cur%05d.tif", series))
+        }
+        it.foreach { r =>
+          val f = r.getInt(0)
+          if (f != cur) { flush(); cur = f; buf.clear() }
+          buf += ((r.getInt(1), r.getDouble(2), r.getDouble(3)))
+        }
+        flush()
       }
-      val body = chiBody(f"frame-$frame%05d.tif", series)
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(f"$outDir/frame-$frame%05d_$variant.chi"),
-        body)
-    }
+  }
+
+  /** S11 — mask TIFF sink (reference pipeline.py:152-332 writes
+    * `_base/_outliermask/_spots/_arcs.tif` per frame for the UI). One
+    * single-band TIFF per (frame, mask), pixel value 1 where the mask
+    * column is true. Same executor-side shape as [[writeChi]]: partition
+    * on frame_no, each task densifies and encodes its own frames —
+    * per-task memory is one frame's matrices, independent of batch size.
+    */
+  def writeMaskTiffs(pixels: DataFrame, width: Int, height: Int,
+                     outDir: String,
+                     masks: Seq[(String, org.apache.spark.sql.Column)])
+      : Unit = {
+    new java.io.File(outDir).mkdirs()
+    val names = masks.map(_._1)
+    val dir = outDir; val w = width; val h = height
+    pixels
+      .select(Seq(col("frame_no").cast("int"), col("y").cast("int"),
+        col("x").cast("int")) ++
+        masks.map { case (n, c) => c.cast("boolean").as(s"m_$n") }: _*)
+      .repartition(col("frame_no"))
+      .sortWithinPartitions(col("frame_no"))
+      .foreachPartition { (it: Iterator[Row]) =>
+        var cur = Int.MinValue
+        var mats: Array[Array[Array[Int]]] = null
+        def flush(): Unit = if (mats != null) {
+          names.zipWithIndex.foreach { case (n, i) =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(f"$dir/frame-$cur%05d_$n.tif"),
+              graft.sources.FrameSource.encodeTiff(mats(i)))
+          }
+        }
+        it.foreach { r =>
+          val f = r.getInt(0)
+          if (f != cur) {
+            flush(); cur = f
+            mats = Array.fill(names.length)(Array.ofDim[Int](h, w))
+          }
+          val y = r.getInt(1); val x = r.getInt(2)
+          var i = 0
+          while (i < names.length) {
+            if (!r.isNullAt(3 + i) && r.getBoolean(3 + i)) mats(i)(y)(x) = 1
+            i += 1
+          }
+        }
+        flush()
+      }
+  }
+
+  /** S13 — CSV stats codec (reference pipeline.py:491-492 writes the
+    * spot/grad stats tables as CSV for the UI). Parquet stays canonical;
+    * this is the compatibility format. One header line, one dir per
+    * table. */
+  def writeCsv(df: DataFrame, outDir: String, name: String,
+               partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("append").option("header", "true")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .csv(s"$outDir/$name")
   }
 
   /** csim text sink: "%0.9f\t%0.9f" per frame (reference

@@ -48,9 +48,21 @@ object FrameSource {
     withFrameIdentity(df)
   }
 
+  /** Mtime debounce (reference S4, pipeline_queue.py:740) for BATCH
+    * scans: drop files modified within the last `seconds`. Safe in batch
+    * because the next run re-lists the directory and picks the file up.
+    * Deliberately NOT applied to the streaming source: a file-stream
+    * source marks a file processed the first time it is LISTED, so a
+    * row-level mtime filter would drop a young file's rows permanently
+    * rather than defer them. Streaming partial-file protection is the
+    * decode quarantine in [[toPixels]] plus the atomic-rename writer
+    * convention. */
+  def debounceFilter(df: DataFrame, seconds: Int): DataFrame =
+    df.where(col("modificationTime") <
+      current_timestamp() - expr(s"INTERVAL $seconds SECONDS"))
+
   /** Streaming source over the same directory (reference S1's watchdog).
-    * `maxFilesPerTrigger` bounds micro-batch size; the 1-s mtime debounce
-    * (reference S4) becomes a modificationTime predicate. */
+    * `maxFilesPerTrigger` bounds micro-batch size. */
   /** binaryFile's fixed schema (streaming sources need it explicit). */
   private val binarySchema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("path",
@@ -63,15 +75,12 @@ object FrameSource {
       org.apache.spark.sql.types.BinaryType)))
 
   def stream(spark: SparkSession, dir: String,
-             maxFilesPerTrigger: Int = 32,
-             debounceSeconds: Int = 1): DataFrame = {
+             maxFilesPerTrigger: Int = 32): DataFrame = {
     val df = spark.readStream.format("binaryFile")
       .schema(binarySchema)
       .option("pathGlobFilter", "*.tif*")
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .load(dir)
-      .where(col("modificationTime") <
-        current_timestamp() - expr(s"INTERVAL $debounceSeconds SECONDS"))
     withFrameIdentity(df)
   }
 
@@ -82,6 +91,14 @@ object FrameSource {
   def decodeTiff(bytes: Array[Byte]): Iterator[(Int, Int, Int)] = {
     val img = ImageIO.read(new ByteArrayInputStream(bytes))
     require(img != null, "undecodable TIFF payload")
+    rasterRows(img)
+  }
+
+  /** Stream (y, x, v) rows out of a fully-decoded image. ImageIO.read
+    * decodes the whole payload eagerly, so failures surface there — by
+    * the time this runs, row access cannot throw. */
+  private def rasterRows(
+      img: java.awt.image.BufferedImage): Iterator[(Int, Int, Int)] = {
     val raster = img.getRaster
     val (w, h) = (raster.getWidth, raster.getHeight)
     val row = new Array[Int](w)
@@ -93,14 +110,23 @@ object FrameSource {
   }
 
   /** (dataset, frame_no, path, content) → pixel table
-    * (dataset, frame_no, y, x, intensity). */
+    * (dataset, frame_no, y, x, intensity). A frame whose payload fails to
+    * decode (e.g. a partially-written file caught mid-copy) emits ONE
+    * sentinel row (y = -1, x = -1) instead of throwing, so the batch
+    * survives and the caller can quarantine the frame — nothing is
+    * silently dropped and nothing kills the stream. */
   def toPixels(frames: DataFrame): DataFrame = {
     val spark = frames.sparkSession
     import spark.implicits._
     frames.select(col("dataset"), col("frame_no"), col("content"))
       .as[(String, Int, Array[Byte])]
       .flatMap { case (ds, no, bytes) =>
-        decodeTiff(bytes).map { case (y, x, v) => (ds, no, y, x, v) }
+        scala.util.Try(ImageIO.read(new ByteArrayInputStream(bytes)))
+          .toOption.filter(_ != null) match {
+          case Some(img) =>
+            rasterRows(img).map { case (y, x, v) => (ds, no, y, x, v) }
+          case None => Iterator((ds, no, -1, -1, 0))
+        }
       }
       .toDF("dataset", "frame_no", "y", "x", "intensity")
   }

@@ -32,8 +32,7 @@ object StreamingPipeline {
             availableNow: Boolean = false,
             maxFilesPerTrigger: Int = 32): StreamingQuery = {
     val frames = FrameSource.stream(spark, inDir,
-      maxFilesPerTrigger = maxFilesPerTrigger,
-      debounceSeconds = if (availableNow) 0 else 1)
+      maxFilesPerTrigger = maxFilesPerTrigger)
     val writer = frames.writeStream
       .option("checkpointLocation", s"$outDir/_checkpoint")
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -52,25 +51,83 @@ object StreamingPipeline {
     val datasets = batch.select(col("dataset")).distinct()
       .collect().map(_.getString(0))
     datasets.foreach { ds =>
-      val px = FrameSource.toPixels(batch.where(col("dataset") === ds))
-        .drop("dataset")
+      // One decode pass per batch: quarantine sentinel rows (y = -1 marks
+      // an undecodable payload — e.g. a file caught mid-write) split off
+      // here; the checkpoint bounds memory at maxFilesPerTrigger frames.
+      val pxAll = FrameSource.toPixels(batch.where(col("dataset") === ds))
+        .drop("dataset").localCheckpoint(true)
+      val bad = pxAll.where(col("y") === -1)
+        .select(col("frame_no"), lit(ds).as("dataset"))
+      if (!bad.isEmpty)
+        Sinks.writeTable(bad, outDir, "quarantine", Seq("dataset"))
+      val px = pxAll.where(col("y") >= 0)
       val out = FramePipeline.process(px, geometry, cal)
       val tag = lit(ds).as("dataset")
-      Sinks.writeTable(out.integrals.withColumn("dataset", tag),
+      // pixels feed two sinks (mask TIFFs + csim) and integrals feed two
+      // (.chi + parquet): pin each once so the full per-frame plan does
+      // not re-execute per sink
+      val pixels = out.pixels.localCheckpoint(true)
+      val integrals = out.integrals.localCheckpoint(true)
+      Sinks.writeTable(integrals.withColumn("dataset", tag),
         outDir, "integrals", Seq("dataset"))
+      // S12: per-frame .chi files for the reference UI, executor-side
+      Sinks.writeChi(integrals, s"$outDir/chi/$ds", "om",
+        dense = Some((cal.outChannels, cal.ioTth._1, cal.tthStep)))
+      // S11: per-frame mask TIFFs (reference pipeline.py:152-332)
+      val (imgH, imgW) = cal.imageSize
+      Sinks.writeMaskTiffs(pixels, imgW, imgH, s"$outDir/masks/$ds", Seq(
+        "base" -> col("base_mask"),
+        "outliermask" -> (col("base_mask") || col("is_outlier")),
+        "spots" -> col("is_spot"),
+        "arcs" -> col("is_arc")))
       Sinks.writeTable(out.spotStats.withColumn("dataset", tag),
         outDir, "spot_stats", Seq("dataset"))
       Sinks.writeTable(out.gradStats.withColumn("dataset", tag),
         outDir, "grad_stats", Seq("dataset"))
       Sinks.writeTable(out.spottiness.withColumn("dataset", tag),
         outDir, "spottiness", Seq("dataset"))
-      // A11: similarity series over the corrected frames of this batch
-      // (vs-first/vs-prev within the batch; reference pipeline.py:506-557)
-      val vecs = out.pixels.where(!col("base_mask"))
+      // A11: similarity series vs the dataset's FIRST frame and the
+      // immediately PREVIOUS frame, ACROSS micro-batches (reference
+      // pipeline.py:506-557). Cross-batch state = a tiny parquet table per
+      // dataset holding the pixels of exactly two frames: the dataset's
+      // first and the last frame seen so far. Each batch unions that
+      // state with its own frames, runs the batch csim plan, keeps the
+      // rows for its own frames, and rolls the state forward.
+      val vecs = pixels.where(!col("base_mask"))
         .select(lit(ds).as("dataset"), col("frame_no"), col("y"), col("x"),
           col("corr").as("v"))
-      Sinks.writeTable(graft.ops.Csim.series(vecs), outDir, "csim",
-        Seq("dataset"))
+      writeCsimStateful(vecs, outDir, ds)
     }
+  }
+
+  /** Compute and append this batch's csim rows using (and advancing) the
+    * persisted first/prev frame state at `outDir/_state/csim/<ds>`. */
+  private[streaming] def writeCsimStateful(vecs: DataFrame, outDir: String,
+                                           ds: String): Unit = {
+    val spark = vecs.sparkSession
+    val statePath = s"$outDir/_state/csim/$ds"
+    // state schema: (dataset, frame_no, y, x, v) for the retained frames
+    // (dataset-first and latest); read fully materialized so the
+    // overwrite below cannot race the read
+    val state = if (new java.io.File(statePath).exists())
+      Some(spark.read.parquet(statePath).localCheckpoint(true))
+    else None
+    val batchVecs = vecs.localCheckpoint(true)
+
+    val union = state.map(_.unionByName(batchVecs)
+      .dropDuplicates("frame_no", "y", "x")).getOrElse(batchVecs)
+    val batchFrames = batchVecs.select(col("frame_no")).distinct()
+    val series = graft.ops.Csim.series(union)
+      .join(batchFrames, "frame_no") // emit only this batch's frames
+      .select(col("dataset"), col("frame_no"), col("csim_first"),
+        col("csim_prev"))
+    Sinks.writeTable(series, outDir, "csim", Seq("dataset"))
+
+    // roll state: keep the union's first frame + the batch's max frame
+    val firstNo = union.agg(min(col("frame_no"))).head.getInt(0)
+    val lastNo = batchVecs.agg(max(col("frame_no"))).head.getInt(0)
+    union.where(col("frame_no") === firstNo ||
+        col("frame_no") === lastNo)
+      .write.mode("overwrite").parquet(statePath)
   }
 }

@@ -33,6 +33,25 @@ class SinksSpec extends SparkSpec {
     assert(vals == Seq(10.0, 0.0, 30.0, 0.0))
   }
 
+  test("writeCsv emits headered csv readable back with the same rows") {
+    import spark.implicits._
+    val df = Seq((1, "a", 1.5), (2, "b", 2.5)).toDF("id", "s", "v")
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    Sinks.writeCsv(df, dir, "stats")
+    val back = spark.read.option("header", "true")
+      .option("inferSchema", "true").csv(s"$dir/stats")
+    assert(back.columns.toSeq == Seq("id", "s", "v"))
+    assert(back.orderBy($"id").collect().map(r =>
+      (r.getInt(0), r.getString(1), r.getDouble(2))).toSeq ==
+      Seq((1, "a", 1.5), (2, "b", 2.5)))
+  }
+
+  test("graft.sinks contains no driver-side collect") {
+    val src = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("src/main/scala/graft/sinks/Sinks.scala")))
+    assert(!src.contains(".collect()"), "driver collect in sink path")
+  }
+
   test("csim body format") {
     assert(Sinks.csimBody(0.999999999, 0.87654321999) ==
       "0.999999999\t0.876543220")

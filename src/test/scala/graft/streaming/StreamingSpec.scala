@@ -15,6 +15,18 @@ class FrameSourceSpec extends SparkSpec {
     assert(decoded.forall { case (y, x, v) => v == y * 100 + x })
   }
 
+  test("debounceFilter drops files younger than the window (batch S4)") {
+    import spark.implicits._
+    // window >> session-startup latency so "now" is still inside it when
+    // the query actually runs
+    val now = new java.sql.Timestamp(System.currentTimeMillis())
+    val old = new java.sql.Timestamp(System.currentTimeMillis() - 600000)
+    val df = Seq(("a.tif", now), ("b.tif", old))
+      .toDF("path", "modificationTime")
+    val kept = FrameSource.debounceFilter(df, 60).collect().map(_.getString(0))
+    assert(kept.toSeq == Seq("b.tif"))
+  }
+
   test("frame identity regex parses dataset and number") {
     import spark.implicits._
     val df = Seq("/data/MA2-00001.tif", "/data/run_b_00042.tif",
@@ -28,6 +40,95 @@ class FrameSourceSpec extends SparkSpec {
 }
 
 class StreamingPipelineSpec extends SparkSpec {
+
+  /** Write `n` synthetic frames as TIFF files into a fresh temp dir. */
+  private def writeFrames(cal: graft.core.Calibration, dir: String,
+                          nums: Range): Unit =
+    nums.foreach { no =>
+      val px = SyntheticFrame.frame(spark, cal, no, nHotPer10k = 0)
+        .collect()
+      val m = Array.ofDim[Int](96, 96)
+      px.foreach(r => m(r.getInt(1))(r.getInt(2)) = r.getInt(3))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(f"$dir/synth-${no}%05d.tif"),
+        FrameSource.encodeTiff(m))
+    }
+
+  test("csim state: two micro-batches equal one batch (reference " +
+      "vs-first/vs-prev semantics across batches)") {
+    val cal = SyntheticFrame.testCalibration(96)
+    val geo = Geometry.build(spark, cal).localCheckpoint(true)
+    val tmpIn = java.nio.file.Files.createTempDirectory("graft_in2").toString
+    writeFrames(cal, tmpIn, 1 to 4)
+
+    def run(maxFiles: Int): Map[Int, (Double, Double)] = {
+      val out = java.nio.file.Files.createTempDirectory("graft_out2").toString
+      val q = StreamingPipeline.start(spark, tmpIn, out, cal, geo,
+        availableNow = true, maxFilesPerTrigger = maxFiles)
+      q.awaitTermination(300000)
+      spark.read.parquet(s"$out/csim").collect().map(r =>
+        r.getAs[Int]("frame_no") ->
+          (r.getAs[Double]("csim_first"), r.getAs[Double]("csim_prev")))
+        .toMap
+    }
+
+    val split = run(maxFiles = 2)   // 2 batches x 2 frames
+    val whole = run(maxFiles = 32)  // single batch
+    assert(split.keySet == Set(1, 2, 3, 4))
+    assert(whole.keySet == Set(1, 2, 3, 4))
+    (1 to 4).foreach { f =>
+      assert(math.abs(split(f)._1 - whole(f)._1) < 1e-9,
+        s"csim_first differs at frame $f: ${split(f)} vs ${whole(f)}")
+      assert(math.abs(split(f)._2 - whole(f)._2) < 1e-9,
+        s"csim_prev differs at frame $f: ${split(f)} vs ${whole(f)}")
+    }
+    // frames 3 and 4 must compare against frame 1 (previous batch), not
+    // their own batch's min — i.e. csim_first strictly below 1 and equal
+    // to the single-batch value (checked above), and csim_prev of frame 3
+    // crosses the batch boundary without defaulting to the 1.0 edge rule
+    assert(split(3)._1 < 1.0 - 1e-12)
+    assert(split(3)._2 < 1.0 - 1e-12)
+  }
+
+  test("undecodable file is quarantined; good frames still process") {
+    val cal = SyntheticFrame.testCalibration(96)
+    val geo = Geometry.build(spark, cal).localCheckpoint(true)
+    val tmpIn = java.nio.file.Files.createTempDirectory("graft_in4").toString
+    val tmpOut = java.nio.file.Files.createTempDirectory("graft_out4").toString
+    writeFrames(cal, tmpIn, 1 to 2)
+    // frame 3: garbage payload, as if caught mid-write
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$tmpIn/synth-00003.tif"),
+      Array.fill[Byte](512)(42))
+    val q = StreamingPipeline.start(spark, tmpIn, tmpOut, cal, geo,
+      availableNow = true)
+    q.awaitTermination(300000)
+    val quarantined = spark.read.parquet(s"$tmpOut/quarantine").collect()
+    assert(quarantined.map(_.getAs[Int]("frame_no")).toSeq == Seq(3))
+    assert(spark.read.parquet(s"$tmpOut/integrals")
+      .select(col("frame_no")).distinct().count() == 2)
+  }
+
+  test("live ProcessingTime trigger processes files as they arrive") {
+    val cal = SyntheticFrame.testCalibration(96)
+    val geo = Geometry.build(spark, cal).localCheckpoint(true)
+    val tmpIn = java.nio.file.Files.createTempDirectory("graft_in3").toString
+    val tmpOut = java.nio.file.Files.createTempDirectory("graft_out3").toString
+    writeFrames(cal, tmpIn, 1 to 2)
+    val q = StreamingPipeline.start(spark, tmpIn, tmpOut, cal, geo,
+      availableNow = false)
+    try {
+      val deadline = System.currentTimeMillis() + 240000
+      var n = 0L
+      while (n < 2 && System.currentTimeMillis() < deadline) {
+        Thread.sleep(2000)
+        n = try {
+          spark.read.parquet(s"$tmpOut/csim").count()
+        } catch { case _: Exception => 0L }
+      }
+      assert(n >= 2, s"live trigger produced $n csim rows")
+    } finally q.stop()
+  }
 
   test("end-to-end: tiff files -> streaming backfill -> parquet sinks") {
     val cal = SyntheticFrame.testCalibration(96)
@@ -67,5 +168,33 @@ class StreamingPipelineSpec extends SparkSpec {
     // not identical
     assert(csim(1).getAs[Double]("csim_prev") < 1.0 + 1e-9)
     assert(csim(1).getAs[Double]("csim_first") > 0.5)
+
+    // S12: one .chi per frame, dense (outChannels data rows), written
+    // executor-side
+    (1 to 2).foreach { no =>
+      val chi = java.nio.file.Paths.get(
+        f"$tmpOut/chi/synth/frame-$no%05d_om.chi")
+      assert(java.nio.file.Files.exists(chi), s"missing $chi")
+      val lines = java.nio.file.Files.readAllLines(chi)
+      assert(lines.get(3).trim.toInt == cal.outChannels)
+      assert(lines.size == 4 + cal.outChannels)
+    }
+    // S11: four mask TIFFs per frame, decodable, plausible content
+    (1 to 2).foreach { no =>
+      Seq("base", "outliermask", "spots", "arcs").foreach { m =>
+        val p = java.nio.file.Paths.get(
+          f"$tmpOut/masks/synth/frame-$no%05d_$m.tif")
+        assert(java.nio.file.Files.exists(p), s"missing $p")
+        val px = FrameSource.decodeTiff(
+          java.nio.file.Files.readAllBytes(p)).toSeq
+        assert(px.size == 96 * 96)
+        assert(px.forall { case (_, _, v) => v == 0 || v == 1 })
+      }
+      // base mask: out-of-range corners of the synthetic frame are masked
+      val base = FrameSource.decodeTiff(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(f"$tmpOut/masks/synth/frame-$no%05d_base.tif")))
+        .count(_._3 == 1)
+      assert(base > 0, "base mask empty")
+    }
   }
 }
