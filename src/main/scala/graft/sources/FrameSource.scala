@@ -88,11 +88,25 @@ object FrameSource {
     * per file on executors. Uses javax.imageio's TIFF plugin (JDK 9+),
     * coercing samples to int (reference coerces all dialects to int32,
     * GSASII_imports.py:1163+). */
-  def decodeTiff(bytes: Array[Byte]): Iterator[(Int, Int, Int)] = {
-    val img = ImageIO.read(new ByteArrayInputStream(bytes))
-    require(img != null, "undecodable TIFF payload")
-    rasterRows(img)
-  }
+  def decodeTiff(bytes: Array[Byte]): Iterator[(Int, Int, Int)] =
+    decodeAny(bytes).getOrElse(
+      throw new IllegalArgumentException("undecodable TIFF payload"))
+
+  /** Detector-dialect decode first (raw-payload pseudo-TIFFs standard
+    * readers cannot parse — [[TiffDialects]]), then javax.imageio for
+    * baseline TIFF/PNG. None = undecodable by either. */
+  private[sources] def decodeAny(
+      bytes: Array[Byte]): Option[Iterator[(Int, Int, Int)]] =
+    TiffDialects.decode(bytes).map(frameRows).orElse(
+      scala.util.Try(ImageIO.read(new ByteArrayInputStream(bytes)))
+        .toOption.filter(_ != null).map(rasterRows))
+
+  private def frameRows(
+      f: TiffDialects.DetectorFrame): Iterator[(Int, Int, Int)] =
+    (0 until f.ny).iterator.flatMap { y =>
+      val base = y * f.nx
+      (0 until f.nx).iterator.map(x => (y, x, f.samples(base + x)))
+    }
 
   /** Stream (y, x, v) rows out of a fully-decoded image. ImageIO.read
     * decodes the whole payload eagerly, so failures surface there — by
@@ -121,10 +135,9 @@ object FrameSource {
     frames.select(col("dataset"), col("frame_no"), col("content"))
       .as[(String, Int, Array[Byte])]
       .flatMap { case (ds, no, bytes) =>
-        scala.util.Try(ImageIO.read(new ByteArrayInputStream(bytes)))
-          .toOption.filter(_ != null) match {
-          case Some(img) =>
-            rasterRows(img).map { case (y, x, v) => (ds, no, y, x, v) }
+        decodeAny(bytes) match {
+          case Some(rows) =>
+            rows.map { case (y, x, v) => (ds, no, y, x, v) }
           case None => Iterator((ds, no, -1, -1, 0))
         }
       }

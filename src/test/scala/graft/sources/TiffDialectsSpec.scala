@@ -1,0 +1,177 @@
+package graft.sources
+
+import java.nio.{ByteBuffer, ByteOrder}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Per-dialect fixtures built from the layout facts in the reference's
+  * GetTifData (GSASII_imports.py:1068-1399): a real IFD + a raw payload
+  * at the dialect's offset/element-type, round-tripped through
+  * [[TiffDialects.decode]]. */
+class TiffDialectsSpec extends AnyFunSuite {
+
+  /** Minimal TIFF writer for fixtures: header, payload at `payloadOff`,
+    * optional ASCII tag text, IFD at the end. */
+  private def buildTiff(le: Boolean, nx: Int, ny: Int, bits: Int,
+                        payloadOff: Int, payload: Array[Byte],
+                        stringTag: Option[(Int, String)] = None,
+                        stripOff: Option[Int] = None,
+                        extraTags: Seq[(Int, Int, Long)] = Nil)
+      : Array[Byte] = {
+    val order = if (le) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN
+    val strBytes = stringTag.map(_._2.getBytes("ISO-8859-1"))
+      .getOrElse(Array.empty[Byte])
+    val strOff = payloadOff + payload.length
+    val ifdOff = strOff + strBytes.length + (strBytes.length % 2)
+    // entries: tag -> (type, count, value) ; value either inline or offset
+    var tags = List(
+      (256, 3, 1, nx.toLong), (257, 3, 1, ny.toLong),
+      (258, 3, 1, bits.toLong))
+    stripOff.foreach(o => tags ::= ((273, 4, 1, o.toLong)))
+    stringTag.foreach { case (t, s) => tags ::= ((t, 2, s.length, strOff.toLong)) }
+    extraTags.foreach { case (t, typ, v) => tags ::= ((t, typ, 1, v)) }
+    val entries = tags.sortBy(_._1)
+    val total = ifdOff + 2 + entries.length * 12 + 4
+    val bb = ByteBuffer.allocate(total).order(order)
+    bb.put(0, (if (le) 0x49 else 0x4d).toByte)
+    bb.put(1, (if (le) 0x49 else 0x4d).toByte)
+    bb.putShort(2, 42.toShort)
+    bb.putInt(4, ifdOff)
+    System.arraycopy(payload, 0, bb.array(), payloadOff, payload.length)
+    System.arraycopy(strBytes, 0, bb.array(), strOff, strBytes.length)
+    bb.putShort(ifdOff, entries.length.toShort)
+    entries.zipWithIndex.foreach { case ((tag, typ, count, value), i) =>
+      val base = ifdOff + 2 + i * 12
+      bb.putShort(base, tag.toShort)
+      bb.putShort(base + 2, typ.toShort)
+      bb.putInt(base + 4, count)
+      typ match {
+        case 3 if count == 1 => bb.putShort(base + 8, value.toShort)
+        case _ => bb.putInt(base + 8, value.toInt)
+      }
+    }
+    bb.array()
+  }
+
+  private val nx = 4; private val ny = 3
+  private val vals = Array(0, 1, 77, 40000, 65535, 12, 7, 3, 900, 2, 5, 8)
+
+  private def u16le(v: Seq[Int]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(2 * v.length).order(ByteOrder.LITTLE_ENDIAN)
+    v.foreach(x => bb.putShort(x.toShort)); bb.array()
+  }
+  private def i32(v: Seq[Int], le: Boolean = true): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 * v.length)
+      .order(if (le) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
+    v.foreach(bb.putInt); bb.array()
+  }
+  private def f32le(v: Seq[Float]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 * v.length).order(ByteOrder.LITTLE_ENDIAN)
+    v.foreach(bb.putFloat); bb.array()
+  }
+
+  private def check(bytes: Array[Byte], expectType: String,
+                    expectPix: (Double, Double), expect: Seq[Int],
+                    dataType: Int = 5): Unit = {
+    val f = TiffDialects.decode(bytes, dataType)
+      .getOrElse(fail(s"$expectType fixture not decoded"))
+    assert(f.tifType == expectType)
+    assert(f.pixelSizeUm == expectPix)
+    assert(f.nx == nx && f.ny == ny)
+    assert(f.samples.toSeq == expect)
+  }
+
+  test("Pilatus: software tag + int32 LE at 4096 (negative gap pixels)") {
+    val px = vals.map(v => v - 2) // Pilatus uses -1/-2 for gaps
+    check(buildTiff(le = true, nx, ny, 32, 4096, i32(px.toIndexedSeq),
+      stringTag = Some((272, "PILATUS 300K detector"))),
+      "Pilatus", (172.0, 172.0), px.toIndexedSeq)
+  }
+
+  test("GE: model tag + uint16 LE at 8") {
+    check(buildTiff(le = true, nx, ny, 16, 8, u16le(vals.toIndexedSeq),
+      stringTag = Some((272, "GE Detector Rev 2"))),
+      "GE", (200.0, 200.0), vals.toIndexedSeq)
+  }
+
+  test("CHESS: model tag + 32-bit at 8") {
+    check(buildTiff(le = true, nx, ny, 32, 8, i32(vals.toIndexedSeq),
+      stringTag = Some((272, "AreaDetector unknown"))),
+      "CHESS", (200.0, 200.0), vals.toIndexedSeq)
+  }
+
+  test("Pilatus3: description tag + int32 at strip offset") {
+    check(buildTiff(le = true, nx, ny, 32, 256, i32(vals.toIndexedSeq),
+      stringTag = Some((270, "Pilatus3 1M camsetup")),
+      stripOff = Some(256)),
+      "Pilatus3", (172.0, 172.0), vals.toIndexedSeq)
+  }
+
+  test("ImageJ big-endian uint16 honors byte order and strip offset") {
+    val bb = ByteBuffer.allocate(2 * vals.length).order(ByteOrder.BIG_ENDIAN)
+    vals.foreach(v => bb.putShort(v.toShort))
+    check(buildTiff(le = false, nx, ny, 16, 64, bb.array(),
+      stringTag = Some((270, "ImageJ=1.52")),
+      stripOff = Some(64)),
+      "ImageJ", (109.92, 109.92), vals.toIndexedSeq)
+  }
+
+  test("DND: photometric > 4 + uint16 at 512") {
+    check(buildTiff(le = true, nx, ny, 16, 512, u16le(vals.toIndexedSeq),
+      extraTags = Seq((262, 3, 5L))),
+      "DND", (158.0, 158.0), vals.toIndexedSeq)
+  }
+
+  test("PE: 1024x1024 + strip 8 + 32-bit: float32 payload (dataType 5) " +
+      "vs int32 (dataType 0)") {
+    val n = 1024
+    val fvals = Array.tabulate(n * n)(i => (i % 1000).toFloat)
+    val bytesF = buildTiff(le = true, n, n, 32, 8, f32le(fvals.toIndexedSeq),
+      stripOff = Some(8))
+    val f = TiffDialects.decode(bytesF, dataType = 5).get
+    assert(f.tifType == "PE" && f.pixelSizeUm == ((200.0, 200.0)))
+    assert(f.samples.take(1000).toSeq == (0 until 1000))
+    val ivals = Array.tabulate(n * n)(i => i % 997)
+    val bytesI = buildTiff(le = true, n, n, 32, 8, i32(ivals.toIndexedSeq),
+      stripOff = Some(8))
+    val g = TiffDialects.decode(bytesI, dataType = 0).get
+    assert(g.tifType == "PE" && g.samples.take(997).toSeq == (0 until 997))
+  }
+
+  test("APS Gold: 1536x1536 uint16 at 64") {
+    val n = 1536
+    val pv = Array.tabulate(n * n)(i => i % 60000)
+    val bytes = buildTiff(le = true, n, n, 16, 64, u16le(pv.toIndexedSeq))
+    val f = TiffDialects.decode(bytes).get
+    assert(f.tifType == "APS Gold" && f.pixelSizeUm == ((150.0, 150.0)))
+    assert(f.samples(123456) == 123456 % 60000)
+  }
+
+  test("baseline TIFF (ImageIO-encoded) is NOT claimed by a dialect") {
+    val m = Array.tabulate(8, 8)((y, x) => y * 10 + x)
+    assert(TiffDialects.decode(FrameSource.encodeTiff(m)).isEmpty)
+    // but decodeTiff still reads it via the imageio fallback
+    val rows = FrameSource.decodeTiff(FrameSource.encodeTiff(m)).toSeq
+    assert(rows.size == 64 && rows.forall { case (y, x, v) => v == y * 10 + x })
+  }
+
+  test("sidecar dataType selects PE int32 path; pixel sizes override") {
+    val n = 1024
+    val ivals = Array.tabulate(n * n)(i => i % 997)
+    val bytes = buildTiff(le = true, n, n, 32, 8, i32(ivals.toIndexedSeq),
+      stripOff = Some(8))
+    val sidecar = Seq("dataType=0", "detectorXPixelSize=123.4",
+      "detectorYPixelSize=56.7")
+    val f = TiffDialects.decodeWithSidecar(bytes, sidecar.iterator).get
+    assert(f.tifType == "PE")
+    assert(f.pixelSizeUm == ((123.4, 56.7)))
+    assert(f.samples.take(5).toSeq == Seq(0, 1, 2, 3, 4))
+  }
+
+  test("garbage and truncated payloads return None, not an exception") {
+    assert(TiffDialects.decode(Array.fill[Byte](64)(33)).isEmpty)
+    // file caught mid-write: IFD (written last) missing entirely
+    val whole = buildTiff(le = true, nx, ny, 16, 8,
+      u16le(vals.toIndexedSeq), stringTag = Some((272, "GE Detector")))
+    assert(TiffDialects.decode(whole.take(whole.length / 2)).isEmpty)
+  }
+}
