@@ -15,6 +15,25 @@ import org.apache.spark.sql.functions._
   */
 object Corrections {
 
+  /** The correction-frame bundle a pipeline run carries (reference
+    * cache["flatfield"] etc., pipeline.py:135-146). Each frame is a
+    * (y, x, value) table, calibration-scoped — load via
+    * `FrameSource.toPixels` from predef/flat-field TIFFs (S10). */
+  final case class Frames(
+      dark: Option[(DataFrame, Double)] = None,
+      background: Option[(DataFrame, Double)] = None,
+      gainMap: Option[DataFrame] = None,
+      flatBkg: Double = 0.0,
+      flatField: Option[DataFrame] = None) {
+    def isEmpty: Boolean = dark.isEmpty && background.isEmpty &&
+      gainMap.isEmpty && flatBkg == 0.0 && flatField.isEmpty
+  }
+
+  /** Apply a correction bundle (see [[apply]]). */
+  def applyFrames(px: DataFrame, frames: Frames): DataFrame =
+    apply(px, frames.dark, frames.background, frames.gainMap,
+      frames.flatBkg, frames.flatField)
+
   /** Apply the correction chain to a pixel table with an `intensity`
     * column. Each correction frame is (y, x, value). Order follows the
     * reference: dark, background, gain (per-mille), flat background,

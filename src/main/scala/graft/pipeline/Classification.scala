@@ -34,7 +34,12 @@ object Classification {
       centralBandQ: Double = 0.02,  // |q - medianQ| band for on_arc test
       gradPercentile: Double = 0.2, // per-cluster percentile of grad2
       globalPercentile: Double = 0.1, // global threshold percentile
-      wedgeQWidthMul: Double = 5.0) // cut width = 5 * Qwidth
+      wedgeQWidthMul: Double = 5.0, // cut width = 5 * Qwidth
+      // M6: Gaussian-interpolate masked pixels before gradient stages
+      // (always-on in the reference's current path,
+      // classification.py:466-468; sigma 1 -> 9x9 kernel)
+      interpolate: Boolean = true,
+      interpolateSigma: Double = 1.0)
 
   /** C2 — shape classifier. Input: labeled outlier pixels with geometry
     * columns (label, q, azim, azim_flipped). Output: per-label table

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.{Calibration, SyntheticFrame}
 import graft.geometry.Geometry
-import graft.ops.{Histogram, RobustStats}
+import graft.ops.{Corrections, Histogram, RobustStats}
 
 /** The per-frame analytics plan (SURVEY §3.2) as one DataFrame lineage:
   *
@@ -46,24 +46,34 @@ object FramePipeline {
     graft.core.MaskShape.combined(predef) ||
       intensity <= 0 || !col("in_azim_range") || !col("in_tth_range")
 
-  /** Join pixels with geometry and flag base-mask + ring outliers (A1). */
+  /** Join pixels with geometry and flag base-mask + ring outliers (A1).
+    * The correction bundle (P4/S10) applies to the RAW intensity before
+    * anything else, exactly like the reference corrects the image on
+    * load (pipeline.py:135-146) — so the non-positive mask, ring
+    * statistics and outlier flags all see the corrected counts.
+    * `corr_i` carries the flat-corrected raw value (the reference's
+    * `_flatfield_correct.tif` content); `corr` adds the geometric
+    * polarization/solid-angle factors on top. */
   def flagOutliers(pixels: DataFrame, geometry: DataFrame,
                    esdMul: Double = 3.0,
-                   predef: Seq[graft.core.MaskShape] = Nil): DataFrame = {
-    val px = pixels.join(geometry, Seq("y", "x"))
-      .withColumn("corr", corrected(col("intensity")))
-      .withColumn("base_mask", baseMask(col("intensity"), predef))
+                   predef: Seq[graft.core.MaskShape] = Nil,
+                   corrections: Corrections.Frames = Corrections.Frames())
+      : DataFrame = {
+    val pixC = Corrections.applyFrames(pixels, corrections)
+    val px = pixC.join(geometry, Seq("y", "x"))
+      .withColumn("corr", corrected(col("corr_i")))
+      .withColumn("base_mask", baseMask(col("corr_i"), predef))
     val live = px.where(!col("base_mask"))
     // one-pass custom aggregator: ring stats in a single shuffle
     // (ring populations are bounded, SURVEY §2.12 item 3)
     val ringStats = RobustStats.medianMadOnePass(
       live.select(col("frame_no"), col("tth_bin"),
-        col("intensity").cast("double").as("ival")),
+        col("corr_i").as("ival")),
       Seq("frame_no", "tth_bin"), "ival")
     px.join(broadcast(ringStats), Seq("frame_no", "tth_bin"), "left")
       .withColumn("is_outlier", coalesce(
         !col("base_mask") && col("n") >= 10 &&
-        abs(col("intensity") - col("med")) >
+        abs(col("corr_i") - col("med")) >
           lit(esdMul * RobustStats.MadToSigma) * col("mad"), lit(false)))
       .drop("med", "mad", "n")
   }
@@ -73,15 +83,34 @@ object FramePipeline {
               esdMul: Double = 3.0,
               params: Classification.Params = Classification.Params(),
               predef: Seq[graft.core.MaskShape] = Nil,
-              referenceBinShift: Boolean = false)
+              referenceBinShift: Boolean = false,
+              corrections: Corrections.Frames = Corrections.Frames())
       : FrameOutputs = {
     val (h, w) = cal.imageSize
     val keys = Seq("frame_no")
+    val flagged0 = flagOutliers(pixels, geometry, esdMul, predef,
+      corrections)
+    // M6 (reference classification.py:466-468): replace PREDEF-masked
+    // pixels' corrected value with the Gaussian interpolation of their
+    // valid neighbourhood BEFORE the gradient stages. The reference
+    // interpolates exactly the user-drawn mask (and skips when none is
+    // given); base-mask range/non-positive pixels keep their values.
+    // Integrals exclude masked pixels either way, so .chi output is
+    // untouched; only the gradient fields near mask edges change.
+    val flaggedI = if (params.interpolate && predef.nonEmpty) {
+      val pmask = graft.core.MaskShape.combined(predef)
+      val vIn = flagged0.select(col("frame_no"), col("y"), col("x"),
+        when(pmask, lit(Double.NaN)).otherwise(col("corr")).as("v"))
+      val interp = graft.stencil.Stencil.interpolateMasked(vIn, w, h,
+        sigma = params.interpolateSigma)
+      flagged0.drop("corr")
+        .join(interp.withColumnRenamed("v", "corr"),
+          Seq("frame_no", "y", "x"))
+    } else flagged0
     // Materialize once: every downstream stage (classification, four
     // integrals, grad stats, spottiness) re-reads this table; without a
     // persist the scan+join+ring-stats lineage would re-execute per branch.
-    val flagged = flagOutliers(pixels, geometry, esdMul, predef)
-      .localCheckpoint(true)
+    val flagged = flaggedI.localCheckpoint(true)
 
     // C1-C3: spot/arc classification of outlier clusters
     val flags = Classification.classify(flagged, w, h, keys, params)
@@ -123,9 +152,9 @@ object FramePipeline {
         count(lit(1)).as("area"),
         percentile(col("q"), lit(0.5)).as("medianQ"),
         percentile(col("q_bin"), lit(0.5)).cast("int").as("Qbin"),
-        sum(col("intensity")).as("intensity_sum"),
-        max(col("intensity")).as("intensity_max"),
-        avg(col("intensity")).as("intensity_mean"),
+        sum(col("corr_i")).as("intensity_sum"),
+        max(col("corr_i")).as("intensity_max"),
+        avg(col("corr_i")).as("intensity_mean"),
         max(when(col("is_arc"), 1).otherwise(0)).as("on_arc"))
 
     // A8: per-Q-bin stats of the 2nd azimuthal gradient (reference

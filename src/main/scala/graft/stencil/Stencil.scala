@@ -119,6 +119,64 @@ object Stencil {
     dy.join(dx, Seq("frame_no", "y", "x"))
   }
 
+  /** M6 — NaN interpolation (reference classification.py:466-468 via
+    * astropy interpolate_replace_nans with Gaussian2DKernel(x_stddev=1)):
+    * masked pixels (NaN in `v`) are replaced by the Gaussian-weighted
+    * mean of VALID pixels in the (2r+1)^2 window — normalized
+    * convolution, weights renormalized over the valid subset — while
+    * valid pixels pass through untouched. A masked pixel with no valid
+    * neighbour in the window stays NaN (astropy behavior). Out-of-frame
+    * neighbours are excluded rather than zero-filled (interior behavior
+    * matches astropy; the frame border differs from its boundary='fill'
+    * zero padding, documented).
+    *
+    * astropy sizes the kernel at 8*stddev rounded up to odd = 9x9 for
+    * the reference's stddev 1 — radius 4 below. */
+  def interpolateMasked(px: DataFrame, width: Int, height: Int,
+                        sigma: Double = 1.0, radius: Int = 4,
+                        tile: Int = 256): DataFrame = {
+    val r = radius
+    val k = Array.tabulate(2 * r + 1, 2 * r + 1) { (dy, dx) =>
+      val yy = dy - r; val xx = dx - r
+      math.exp(-(yy * yy + xx * xx) / (2 * sigma * sigma))
+    }
+    mapTiles(px, width, height, tile, halo = r, fill = Double.NaN) {
+      (buf, w, h) =>
+        val out = new Array[Double](buf.length)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val v = buf(y * w + x)
+            if (!v.isNaN) out(y * w + x) = v
+            else {
+              var num = 0.0; var den = 0.0
+              var dy = -r
+              while (dy <= r) {
+                var dx = -r
+                while (dx <= r) {
+                  val ny = y + dy; val nx = x + dx
+                  if (ny >= 0 && ny < h && nx >= 0 && nx < w) {
+                    val nv = buf(ny * w + nx)
+                    if (!nv.isNaN) {
+                      val wgt = k(dy + r)(dx + r)
+                      num += wgt * nv; den += wgt
+                    }
+                  }
+                  dx += 1
+                }
+                dy += 1
+              }
+              out(y * w + x) = if (den > 0) num / den else Double.NaN
+            }
+            x += 1
+          }
+          y += 1
+        }
+        out
+    }
+  }
+
   /** h-maxima: pixels on regional maxima whose height over the surrounding
     * "sea level" exceeds h (reference spottiness.py:64-84). Computed by
     * tile-local morphological reconstruction of (image - h) under image,

@@ -140,3 +140,88 @@ class CsimSpec extends SparkSpec {
     assert(out(2)._2 < 1.0 && out(2)._3 < 1.0)
   }
 }
+
+class InterpolatePipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("M6 wiring: predef-mask interpolation changes gradient stats, " +
+      "never integrals") {
+    val cal = SyntheticFrame.testCalibration(128)
+    val geo = Geometry.build(spark, cal).cache()
+    val frame = SyntheticFrame.frame(spark, cal, frameNo = 1,
+      nHotPer10k = 0, spots = Seq((60, 60, 15000.0, 2.0)))
+    // a user-drawn spot mask near the planted feature
+    val (pxX, _) = cal.pixelSize
+    val predef = Seq(graft.core.MaskShape.Spot(
+      62 * pxX / 1000.0, 62 * pxX / 1000.0, 6 * pxX / 1000.0))
+
+    val on = FramePipeline.process(frame, geo, cal, predef = predef)
+    val off = FramePipeline.process(frame, geo, cal, predef = predef,
+      params = Classification.Params(interpolate = false))
+
+    // integrals identical: interpolation only rewrites masked pixels,
+    // which every integral variant excludes
+    def integMap(o: FramePipeline.FrameOutputs) =
+      o.integrals.collect().map(r =>
+        r.getAs[Int]("tth_bin") -> r.getAs[Double]("i_base")).toMap
+    assert(integMap(on) == integMap(off))
+
+    // masked pixels' corr is rewritten to the neighbourhood interpolation
+    val pmask = graft.core.MaskShape.combined(predef)
+    val corrOn = on.pixels.where(pmask).agg(sum($"corr")).head.getDouble(0)
+    val corrOff = off.pixels.where(pmask).agg(sum($"corr")).head.getDouble(0)
+    assert(math.abs(corrOn - corrOff) > 1e-6,
+      "interpolation did not rewrite masked pixels")
+
+    // gradient stats near the mask shift (the reference's motivation)
+    val gOn = on.gradStats.agg(sum(abs($"mean"))).head.getDouble(0)
+    val gOff = off.gradStats.agg(sum(abs($"mean"))).head.getDouble(0)
+    assert(math.abs(gOn - gOff) > 1e-9, "gradients unaffected by M6")
+  }
+}
+
+class CorrectionsPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("P1/S10 wiring: a 2x flat-field doubles every unmasked integral") {
+    val cal = SyntheticFrame.testCalibration(96)
+    val geo = Geometry.build(spark, cal).cache()
+    val frame = SyntheticFrame.frame(spark, cal, frameNo = 1,
+      nHotPer10k = 0)
+    val flat = (for (y <- 0 until 96; x <- 0 until 96) yield (y, x, 2.0))
+      .toDF("y", "x", "value")
+
+    val plain = FramePipeline.process(frame, geo, cal)
+    val ff = FramePipeline.process(frame, geo, cal,
+      corrections = graft.ops.Corrections.Frames(flatField = Some(flat)))
+
+    def m(o: FramePipeline.FrameOutputs) = o.integrals.collect()
+      .map(r => r.getAs[Int]("tth_bin") ->
+        (r.getAs[Double]("i_base"), r.getAs[Long]("n_base"))).toMap
+    val a = m(plain); val b = m(ff)
+    // same bins survive (flat-field cannot change the nonpositive mask
+    // for a positive multiplier), each base integral exactly doubles
+    assert(a.keySet == b.keySet && a.nonEmpty)
+    a.foreach { case (bin, (i0, n0)) =>
+      val (i1, n1) = b(bin)
+      assert(n0 == n1, s"bin $bin pixel count changed")
+      assert(math.abs(i1 - 2 * i0) < 1e-6 * math.max(1.0, math.abs(i0)),
+        s"bin $bin: $i1 != 2 * $i0")
+    }
+  }
+
+  test("dark subtraction shifts the non-positive mask (reference order: " +
+      "corrections before masking)") {
+    val cal = SyntheticFrame.testCalibration(96)
+    val geo = Geometry.build(spark, cal).cache()
+    val frame = SyntheticFrame.frame(spark, cal, frameNo = 1,
+      nHotPer10k = 0)
+    // dark frame equal to a huge constant with scale -1 drives every
+    // pixel non-positive -> everything base-masked
+    val dark = (for (y <- 0 until 96; x <- 0 until 96) yield (y, x, 1e9))
+      .toDF("y", "x", "value")
+    val out = FramePipeline.process(frame, geo, cal,
+      corrections = graft.ops.Corrections.Frames(dark = Some((dark, -1.0))))
+    assert(out.pixels.where(!col("base_mask")).count() == 0)
+  }
+}

@@ -137,3 +137,81 @@ class StencilOpSpec extends SparkSpec {
     assert(!peaks.contains((15, 3)))
   }
 }
+
+class InterpolateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def frame(n: Int, masked: Set[(Int, Int)],
+                    f: (Int, Int) => Double) =
+    (for (y <- 0 until n; x <- 0 until n) yield
+      (1L, y, x, if (masked((y, x))) Double.NaN else f(y, x)))
+      .toDF("frame_no", "y", "x", "v")
+
+  /** Independent dense oracle: normalized 9x9 Gaussian convolution over
+    * valid in-bounds neighbours (what astropy interpolate_replace_nans
+    * computes away from the array border). */
+  private def oracle(n: Int, masked: Set[(Int, Int)],
+                     f: (Int, Int) => Double, sigma: Double = 1.0,
+                     r: Int = 4)(y: Int, x: Int): Double = {
+    var num = 0.0; var den = 0.0
+    for (dy <- -r to r; dx <- -r to r) {
+      val ny = y + dy; val nx = x + dx
+      if (ny >= 0 && ny < n && nx >= 0 && nx < n && !masked((ny, nx))) {
+        val w = math.exp(-(dy * dy + dx * dx) / (2 * sigma * sigma))
+        num += w * f(ny, nx); den += w
+      }
+    }
+    num / den
+  }
+
+  test("valid pixels pass through bit-identically") {
+    val masked = Set((5, 5), (10, 3))
+    val out = Stencil.interpolateMasked(
+      frame(24, masked, (y, x) => y * 7.0 + x * 0.5), 24, 24)
+      .collect().map(r => (r.getInt(1), r.getInt(2)) -> r.getDouble(3)).toMap
+    for (y <- 0 until 24; x <- 0 until 24 if !masked((y, x)))
+      assert(out((y, x)) == y * 7.0 + x * 0.5)
+  }
+
+  test("isolated masked pixel on a linear ramp recovers the ramp value") {
+    // Gaussian weights are symmetric; on a linear field the weighted mean
+    // of a full window equals the centre value exactly.
+    val out = Stencil.interpolateMasked(
+      frame(32, Set((16, 16)), (y, x) => 2.0 * y + 3.0 * x), 32, 32)
+      .where($"y" === 16 && $"x" === 16).head.getDouble(3)
+    assert(math.abs(out - (2.0 * 16 + 3.0 * 16)) < 1e-9)
+  }
+
+  test("clustered mask and border pixels match the dense oracle to 1e-9") {
+    val masked = Set((0, 0), (0, 1), (1, 0), (7, 7), (7, 8), (8, 7), (8, 8),
+      (20, 2))
+    def f(y: Int, x: Int) = math.sin(y * 0.3) * 10 + math.cos(x * 0.2) * 5
+    val out = Stencil.interpolateMasked(frame(24, masked, f), 24, 24)
+      .collect().map(r => (r.getInt(1), r.getInt(2)) -> r.getDouble(3)).toMap
+    masked.foreach { case (y, x) =>
+      val exp = oracle(24, masked, f)(y, x)
+      assert(math.abs(out((y, x)) - exp) < 1e-9,
+        s"($y,$x): ${out((y, x))} vs $exp")
+    }
+  }
+
+  test("interpolation is invariant to tile size (halo correctness)") {
+    val masked = Set((7, 7), (8, 8), (15, 3), (3, 15))
+    def f(y: Int, x: Int) = (y * 13 + x * 7 % 11).toDouble
+    def run(tile: Int) = Stencil.interpolateMasked(
+        frame(24, masked, f), 24, 24, tile = tile)
+      .collect().map(r => ((r.getInt(1), r.getInt(2)), r.getDouble(3)))
+      .sortBy(_._1).map(_._2)
+    assert(run(8).zip(run(256)).forall { case (a, b) =>
+      a == b || (a.isNaN && b.isNaN) })
+  }
+
+  test("fully-isolated masked region stays NaN") {
+    val n = 24
+    val masked = (for (y <- 0 until n; x <- 0 until n
+      if y >= 2 && y <= 20 && x >= 2 && x <= 20) yield (y, x)).toSet
+    val out = Stencil.interpolateMasked(frame(n, masked, (_, _) => 1.0), n, n)
+      .where($"y" === 11 && $"x" === 11).head.getDouble(3)
+    assert(out.isNaN) // centre is > radius away from any valid pixel
+  }
+}
