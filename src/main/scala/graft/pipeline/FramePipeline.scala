@@ -57,20 +57,29 @@ object FramePipeline {
   def flagOutliers(pixels: DataFrame, geometry: DataFrame,
                    esdMul: Double = 3.0,
                    predef: Seq[graft.core.MaskShape] = Nil,
-                   corrections: Corrections.Frames = Corrections.Frames())
-      : DataFrame = {
+                   corrections: Corrections.Frames = Corrections.Frames(),
+                   maxBroadcastStatsRows: Long = 1000000L): DataFrame = {
     val pixC = Corrections.applyFrames(pixels, corrections)
     val px = pixC.join(geometry, Seq("y", "x"))
       .withColumn("corr", corrected(col("corr_i")))
       .withColumn("base_mask", baseMask(col("corr_i"), predef))
     val live = px.where(!col("base_mask"))
     // one-pass custom aggregator: ring stats in a single shuffle
-    // (ring populations are bounded, SURVEY §2.12 item 3)
+    // (ring populations are bounded, SURVEY §2.12 item 3). Materialized
+    // so the row count can gate the join strategy below without
+    // recomputing the aggregate.
     val ringStats = RobustStats.medianMadOnePass(
       live.select(col("frame_no"), col("tth_bin"),
         col("corr_i").as("ival")),
-      Seq("frame_no", "tth_bin"), "ival")
-    px.join(broadcast(ringStats), Seq("frame_no", "tth_bin"), "left")
+      Seq("frame_no", "tth_bin"), "ival").localCheckpoint(true)
+    // Broadcast growth guard: ring-stat rows scale as frames x rings, so
+    // a 10k-frame backfill batch would broadcast tens of millions of
+    // rows and OOM the driver. Below the threshold the broadcast keeps
+    // the fact side shuffle-free (the hot path for live batches); above
+    // it the join falls back to a hash-partitioned shuffle.
+    val stats = if (ringStats.count() <= maxBroadcastStatsRows)
+      broadcast(ringStats) else ringStats
+    px.join(stats, Seq("frame_no", "tth_bin"), "left")
       .withColumn("is_outlier", coalesce(
         !col("base_mask") && col("n") >= 10 &&
         abs(col("corr_i") - col("med")) >

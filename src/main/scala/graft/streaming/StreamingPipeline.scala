@@ -51,11 +51,18 @@ object StreamingPipeline {
     val datasets = batch.select(col("dataset")).distinct()
       .collect().map(_.getString(0))
     datasets.foreach { ds =>
+      // A14: per-stage wall times for this batch, appended to the timing
+      // table at the end (reference pipeline_queue.py:1010-1014)
+      val times = scala.collection.mutable.ArrayBuffer
+        .empty[(String, Double)]
+      def timed[T](stage: String)(f: => T): T =
+        graft.ops.Timing.timed(stage, times)(f)
       // One decode pass per batch: quarantine sentinel rows (y = -1 marks
       // an undecodable payload — e.g. a file caught mid-write) split off
       // here; the checkpoint bounds memory at maxFilesPerTrigger frames.
-      val pxAll = FrameSource.toPixels(batch.where(col("dataset") === ds))
-        .drop("dataset").localCheckpoint(true)
+      val pxAll = timed("decode")(
+        FrameSource.toPixels(batch.where(col("dataset") === ds))
+          .drop("dataset").localCheckpoint(true))
       val bad = pxAll.where(col("y") === -1)
         .select(col("frame_no"), lit(ds).as("dataset"))
       if (!bad.isEmpty)
@@ -66,20 +73,22 @@ object StreamingPipeline {
       // pixels feed two sinks (mask TIFFs + csim) and integrals feed two
       // (.chi + parquet): pin each once so the full per-frame plan does
       // not re-execute per sink
-      val pixels = out.pixels.localCheckpoint(true)
+      val pixels = timed("process")(out.pixels.localCheckpoint(true))
       val integrals = out.integrals.localCheckpoint(true)
-      Sinks.writeTable(integrals.withColumn("dataset", tag),
-        outDir, "integrals", Seq("dataset"))
+      timed("sink_integrals")(
+        Sinks.writeTable(integrals.withColumn("dataset", tag),
+          outDir, "integrals", Seq("dataset")))
       // S12: per-frame .chi files for the reference UI, executor-side
-      Sinks.writeChi(integrals, s"$outDir/chi/$ds", "om",
-        dense = Some((cal.outChannels, cal.ioTth._1, cal.tthStep)))
+      timed("sink_chi")(Sinks.writeChi(integrals, s"$outDir/chi/$ds", "om",
+        dense = Some((cal.outChannels, cal.ioTth._1, cal.tthStep))))
       // S11: per-frame mask TIFFs (reference pipeline.py:152-332)
       val (imgH, imgW) = cal.imageSize
-      Sinks.writeMaskTiffs(pixels, imgW, imgH, s"$outDir/masks/$ds", Seq(
-        "base" -> col("base_mask"),
-        "outliermask" -> (col("base_mask") || col("is_outlier")),
-        "spots" -> col("is_spot"),
-        "arcs" -> col("is_arc")))
+      timed("sink_masks")(
+        Sinks.writeMaskTiffs(pixels, imgW, imgH, s"$outDir/masks/$ds", Seq(
+          "base" -> col("base_mask"),
+          "outliermask" -> (col("base_mask") || col("is_outlier")),
+          "spots" -> col("is_spot"),
+          "arcs" -> col("is_arc"))))
       Sinks.writeTable(out.spotStats.withColumn("dataset", tag),
         outDir, "spot_stats", Seq("dataset"))
       Sinks.writeTable(out.gradStats.withColumn("dataset", tag),
@@ -96,7 +105,8 @@ object StreamingPipeline {
       val vecs = pixels.where(!col("base_mask"))
         .select(lit(ds).as("dataset"), col("frame_no"), col("y"), col("x"),
           col("corr").as("v"))
-      writeCsimStateful(vecs, outDir, ds)
+      timed("csim")(writeCsimStateful(vecs, outDir, ds))
+      graft.ops.Timing.write(batch.sparkSession, outDir, ds, times.toSeq)
     }
   }
 

@@ -225,3 +225,29 @@ class CorrectionsPipelineSpec extends SparkSpec {
     assert(out.pixels.where(!col("base_mask")).count() == 0)
   }
 }
+
+class BroadcastGuardSpec extends SparkSpec {
+
+  test("ring-stats join broadcasts under the cap, shuffles above it, " +
+      "same results") {
+    val cal = SyntheticFrame.testCalibration(96)
+    val geo = Geometry.build(spark, cal).cache()
+    val frame = SyntheticFrame.frame(spark, cal, frameNo = 1,
+      nHotPer10k = 20)
+    def run(cap: Long) = FramePipeline.flagOutliers(frame, geo,
+      maxBroadcastStatsRows = cap)
+    val bcast = run(1000000L)
+    val shuffle = run(1L) // force the shuffle path
+    val a = bcast.where(col("is_outlier")).select(col("y"), col("x"))
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    val b = shuffle.where(col("is_outlier")).select(col("y"), col("x"))
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(a == b && a.nonEmpty)
+    // the guard actually changes the physical join strategy: the
+    // broadcast plan has one more broadcast join than the shuffle plan
+    def nBroadcast(df: org.apache.spark.sql.DataFrame) =
+      "BroadcastHashJoin".r.findAllIn(
+        df.queryExecution.executedPlan.toString).length
+    assert(nBroadcast(bcast) > nBroadcast(shuffle))
+  }
+}

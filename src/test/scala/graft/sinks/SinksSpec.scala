@@ -68,3 +68,19 @@ class SinksSpec extends SparkSpec {
     assert(edges.sliding(2).forall(p => p(1) > p(0)))
   }
 }
+
+class TimingSpec extends graft.SparkSpec {
+
+  test("A14 timing table: write + mean/std summary per stage") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tm").toString
+    graft.ops.Timing.write(spark, dir, "ds1",
+      Seq("decode" -> 1.0, "process" -> 3.0))
+    graft.ops.Timing.write(spark, dir, "ds1",
+      Seq("decode" -> 3.0, "process" -> 3.0))
+    val s = graft.ops.Timing.summary(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toMap
+    assert(s("decode") == ((2L, 2.0, 1.0)))  // mean 2, std_pop 1
+    assert(s("process") == ((2L, 3.0, 0.0)))
+  }
+}
