@@ -931,7 +931,64 @@ object OracleQueries {
       Some(s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M')
             AS hour, event_type, COUNT(*) AS n,
           ${sqlDsum("value")} AS value_sum
-        FROM events GROUP BY hour, event_type ORDER BY hour, event_type"""))
+        FROM events GROUP BY hour, event_type ORDER BY hour, event_type""")),
+
+    // ============ W5b: contour PIVOT (stride sample -> wide matrix) =======
+    // Reference contour display pivots sampled frames x channels into a
+    // dense matrix (mainUI/contour.py:228-268). Spark's relational pivot
+    // with an explicit value list stays a single hash aggregate; the
+    // oracle spells the same matrix with conditional aggregation.
+    Q("w5_contour_pivot",
+      (s, dir) => {
+        val bucket = concat(lit("h"), expr("ts DIV 3600000000000") % 6)
+        t(s, dir, "events")
+          .where(col("user_id") < 200)
+          .withColumn("b", bucket)
+          .groupBy(col("user_id"))
+          .pivot("b", (0 until 6).map(i => s"h$i"))
+          .agg(round(coalesce(dsum(col("value")), lit(0.0)), 6))
+          .orderBy(col("user_id"))
+      },
+      Some((0 until 6).map(i =>
+          s"""ROUND(COALESCE(CAST(SUM(CAST(CASE WHEN
+             (CAST(epoch_ns(ts) AS BIGINT) // 3600000000000) % 6 = $i
+             THEN value END AS DECIMAL(18,4))) AS DOUBLE), 0), 6) AS h$i""")
+        .mkString("SELECT user_id, ", ", ",
+          " FROM events WHERE user_id < 200 GROUP BY user_id" +
+          " ORDER BY user_id"))),
+
+    // ============ A6: grad-cluster medians + wedge bounds =================
+    // Reference: per gradient-cluster median azimuth and the 5*Qwidth cut
+    // wedge around it (classification.py:563-580). Cluster proxy: events
+    // by (event_type, user band); median value = the cut centre, wedge =
+    // +/- 0.1 * median; members inside the wedge counted by a join-back —
+    // the exact two-stage shape of the pipeline's cut computation.
+    Q("a6_cluster_median_wedge",
+      (s, dir) => {
+        val ev = t(s, dir, "events").select(col("event_type"),
+          (col("user_id") % 8).as("band"), col("value"))
+        val med = ev.groupBy(col("event_type"), col("band"))
+          .agg(percentile(col("value"), lit(0.5)).as("cut_centre"),
+            count(lit(1)).as("n"))
+        ev.join(med, Seq("event_type", "band"))
+          .groupBy(col("event_type"), col("band"))
+          .agg(first(col("n")).as("n"),
+            round(first(col("cut_centre")), 6).as("cut_centre"),
+            sum(when(abs(col("value") - col("cut_centre")) <
+              col("cut_centre") * 0.1, 1).otherwise(0)).as("n_in_wedge"))
+          .orderBy(col("event_type"), col("band"))
+      },
+      Some("""WITH ev AS (SELECT event_type, user_id % 8 AS band, value
+          FROM events),
+        med AS (SELECT event_type, band, median(value) AS cut_centre,
+            COUNT(*) AS n FROM ev GROUP BY event_type, band)
+        SELECT ev.event_type, ev.band, any_value(med.n) AS n,
+          ROUND(any_value(med.cut_centre), 6) AS cut_centre,
+          CAST(SUM(CASE WHEN ABS(ev.value - med.cut_centre) <
+            med.cut_centre * 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS n_in_wedge
+        FROM ev JOIN med USING (event_type, band)
+        GROUP BY ev.event_type, ev.band
+        ORDER BY ev.event_type, ev.band"""))
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

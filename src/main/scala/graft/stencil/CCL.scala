@@ -94,4 +94,117 @@ object CCL {
       .select(kcols ++ Seq(col("y"), col("x"),
         coalesce(col("root"), col("id")).as("label")): _*)
   }
+
+  /** Dense-mask escalation path (SURVEY §7.4): when the active set is a
+    * large fraction of the frame, [[label]]'s per-frame union-find would
+    * pull a whole frame's edge list into one task. Here the union-find
+    * runs TILE-LOCALLY first (each task sees one tile's pixels), and only
+    * edges CROSSING tile boundaries — O(perimeter), not O(area) — feed
+    * the per-frame merge. Labels are identical to [[label]]: the local
+    * root is the min pixel id of the tile-component, the boundary merge
+    * keeps the min across tiles, so the final label is the component's
+    * global min pixel id.
+    */
+  def labelDense(active: DataFrame, width: Int, height: Int,
+                 keys: Seq[String] = Nil, tile: Int = 256,
+                 eightConnected: Boolean = true): DataFrame = {
+    val spark = active.sparkSession
+    import spark.implicits._
+    require(keys.size <= 1, "CCL supports at most one numeric frame key")
+
+    val kcols = keys.map(col)
+    val pid = col("y").cast("long") * width + col("x")
+    val fkey = keys.headOption.map(k => col(k).cast("long"))
+      .getOrElse(lit(0L))
+    val nodes = active.select(kcols ++ Seq(col("y"), col("x"),
+      fkey.as("_f"), pid.as("id")): _*).localCheckpoint(true)
+
+    val offs = if (eightConnected) Seq((0, 1), (1, -1), (1, 0), (1, 1))
+               else Seq((0, 1), (1, 0))
+
+    // ---- phase 1: tile-local union-find -------------------------------
+    val localRoots = nodes
+      .select(col("_f"), (col("y") / tile).cast("int").as("_ty"),
+        (col("x") / tile).cast("int").as("_tx"), col("y"), col("x"),
+        col("id"))
+      .as[(Long, Int, Int, Int, Int, Long)]
+      .groupByKey(t => (t._1, t._2, t._3))
+      .flatMapGroups { (key, it) =>
+        val px = it.map(t => (t._4, t._5, t._6)).toArray
+        val byPos = px.map(p => (p._1.toLong << 32 | (p._2 & 0xffffffffL),
+          p._3)).toMap
+        val parent = scala.collection.mutable.LongMap.empty[Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) {
+            val nxt = parent(c); parent(c) = r; c = nxt
+          }
+          r
+        }
+        def union(u: Long, v: Long): Unit = {
+          val (ru, rv) = (find(u), find(v))
+          if (ru != rv) { if (ru < rv) parent(rv) = ru else parent(ru) = rv }
+        }
+        px.foreach { case (y, x, id) =>
+          offs.foreach { case (dy, dx) =>
+            byPos.get((y + dy).toLong << 32 | ((x + dx) & 0xffffffffL))
+              .foreach(nid => union(id, nid))
+          }
+        }
+        px.iterator.map { case (_, _, id) => (key._1, id, find(id)) }
+      }
+      .toDF("_f", "id", "lroot")
+
+    // ---- phase 2: boundary edges between tiles, on local roots --------
+    val a = nodes.select(col("_f"), col("y"), col("x"), col("id").as("id_a"))
+    val b = nodes.select(col("_f").as("_fb"), col("y").as("by"),
+      col("x").as("bx"), col("id").as("id_b"))
+    val crossEdges = offs.map { case (dy, dx) =>
+      a.join(b, col("_fb") === col("_f") &&
+          col("by") === col("y") + dy && col("bx") === col("x") + dx &&
+          // only pairs whose endpoints live in DIFFERENT tiles
+          ((col("by") / tile).cast("int") =!= (col("y") / tile).cast("int") ||
+           (col("bx") / tile).cast("int") =!= (col("x") / tile).cast("int")))
+        .select(col("_f"), col("id_a"), col("id_b"))
+    }.reduce(_ union _)
+    val lr = localRoots
+    val rootEdges = crossEdges
+      .join(lr.select(col("_f"), col("id").as("id_a"),
+        col("lroot").as("ra")), Seq("_f", "id_a"))
+      .join(lr.select(col("_f"), col("id").as("id_b"),
+        col("lroot").as("rb")), Seq("_f", "id_b"))
+      .select(col("_f"), col("ra"), col("rb")).distinct()
+
+    // ---- phase 3: per-frame merge over boundary root edges ------------
+    val merge = rootEdges.as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (f, it) =>
+        val parent = scala.collection.mutable.LongMap.empty[Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) {
+            val nxt = parent(c); parent(c) = r; c = nxt
+          }
+          r
+        }
+        it.foreach { case (_, u, v) =>
+          val (ru, rv) = (find(u), find(v))
+          if (ru != rv) { if (ru < rv) parent(rv) = ru else parent(ru) = rv }
+        }
+        (f, parent.keys.map(k => (k, find(k))).toArray)
+      }
+      .toDF("_f", "m")
+      .select(col("_f"), explode(col("m")).as("kv"))
+      .select(col("_f"), col("kv._1").as("lroot"), col("kv._2").as("groot"))
+
+    localRoots
+      .join(broadcast(merge), Seq("_f", "lroot"), "left")
+      .withColumn("label", coalesce(col("groot"), col("lroot")))
+      .join(nodes, Seq("_f", "id"))
+      .select(kcols ++ Seq(col("y"), col("x"), col("label")): _*)
+  }
 }

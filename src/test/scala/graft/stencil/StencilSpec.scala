@@ -215,3 +215,51 @@ class InterpolateSpec extends SparkSpec {
     assert(out.isNaN) // centre is > radius away from any valid pixel
   }
 }
+
+class DenseCCLSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def compare(px: Seq[(Int, Int, Int)], width: Int, height: Int,
+                      tile: Int): Unit = {
+    val df = px.toDF("frame_no", "y", "x")
+    def toMap(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getLong(3))
+      .toMap
+    val sparse = toMap(CCL.label(df, width, Seq("frame_no")))
+    val dense = toMap(CCL.labelDense(df, width, height, Seq("frame_no"),
+      tile = tile))
+    assert(dense == sparse, "dense escalation labels differ from sparse")
+  }
+
+  test("labelDense equals label on a 70%-fill random mask across tiles") {
+    val rnd = new scala.util.Random(3)
+    val px = for {
+      f <- 1 to 2; y <- 0 until 48; x <- 0 until 64
+      if rnd.nextDouble() < 0.7
+    } yield (f, y, x)
+    compare(px, width = 64, height = 48, tile = 16)
+  }
+
+  test("labelDense merges a component spanning 4+ tile boundaries") {
+    // one thin snake crossing tiles horizontally and vertically
+    val snake = (0 until 60).map(x => (1, 8, x)) ++
+      (8 until 40).map(y => (1, y, 59)) ++
+      (0 until 60).map(x => (1, 39, x))
+    compare(snake.distinct, width = 64, height = 48, tile = 16)
+    // single component expected
+    val labels = CCL.labelDense(snake.distinct.toDF("frame_no", "y", "x"),
+      64, 48, Seq("frame_no"), tile = 16)
+      .select($"label").distinct().count()
+    assert(labels == 1)
+  }
+
+  test("labelDense keeps frames separated and labels deterministic") {
+    val px = Seq((1, 0, 0), (1, 0, 1), (2, 0, 0), (2, 0, 1), (2, 5, 5))
+    val out = CCL.labelDense(px.toDF("frame_no", "y", "x"), 16, 16,
+      Seq("frame_no"), tile = 4)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2),
+        r.getLong(3))).toSet
+    assert(out == Set((1, 0, 0, 0L), (1, 0, 1, 0L), (2, 0, 0, 0L),
+      (2, 0, 1, 0L), (2, 5, 5, 85L)))
+  }
+}
