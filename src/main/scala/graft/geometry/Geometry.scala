@@ -155,6 +155,51 @@ object Geometry {
   def tthToD(tth: Column, wavelength: Double): Column =
     lit(wavelength) / (sin(radians(tth) / 2) * 2)
 
+  /** P11 — derive the output channel count from the detector geometry
+    * (reference pipeline_queue.py:302-312): the detector-plane X
+    * positions of the two 2-theta limits at azimuth 0 are found from the
+    * Dandelin-sphere ellipse of each diffraction cone (GetEllipse2 /
+    * GetDetectorXY2, GSASII_imports.py:856-970), and the channel count is
+    * half the pixel span between them. Pure driver-side scalar math, run
+    * once per calibration. Only the ellipse branch (tth + |tilt| < 90,
+    * every powder geometry in practice) is derived; the reference's
+    * hyperbola branch raises at the same point we throw. */
+  def deriveNumChans(cal: Calibration): Int = {
+    def sind(d: Double) = math.sin(math.toRadians(d))
+    def cosd(d: Double) = math.cos(math.toRadians(d))
+    def tand(d: Double) = math.tan(math.toRadians(d))
+    val tilt = cal.tilt; val dist = cal.distance
+    val phi = cal.rotation - 90.0 // rotation of the ellipse major axis
+    def detectorX(tth: Double): Double = {
+      require(tth + math.abs(tilt) < 90.0,
+        "hyperbola branch not supported (tth + |tilt| >= 90)")
+      // detector-penetration shift (peneCorr, GSASII_imports.py:1062-1063)
+      val dxy = cal.detDepth * (1.0 - cosd(tth)) * dist * dist / 1000.0
+      val d = dist + dxy
+      val stth = sind(tth); val cosb = cosd(tilt); val tanb = tand(tilt)
+      val tbm = tand((tth - tilt) / 2.0); val tbp = tand((tth + tilt) / 2.0)
+      val fplus = d * tanb * stth / (cosb + stth)
+      val fminus = d * tanb * stth / (cosb - stth)
+      val vplus = d * (tanb + (1 + tbm) / (1 - tbm)) * stth / (cosb + stth)
+      val vminus = d * (tanb + (1 - tbp) / (1 + tbp)) * stth / (cosb - stth)
+      val rMinor = math.sqrt((vplus + vminus) * (vplus + vminus) -
+        (fplus + fminus) * (fplus + fminus)) / 2.0
+      val rMajor = (vplus + vminus) / 2.0
+      val zdis = (fplus - fminus) / 2.0
+      // radius toward azimuth 0 (GetDetectorXY2's ellipse branch)
+      val rsqPlus = rMinor * rMinor + rMajor * rMajor
+      val rsqMinus = rMinor * rMinor - rMajor * rMajor
+      val bigR = rsqMinus * cosd(-2.0 * phi) + rsqPlus
+      val bigQ = math.sqrt(2.0) * rMinor * rMajor *
+        math.sqrt(bigR - 2.0 * zdis * zdis * sind(-phi) * sind(-phi))
+      val bigP = 2.0 * rMinor * rMinor * zdis * cosd(-phi)
+      (bigP + bigQ) / bigR + cal.center._1
+    }
+    val x0 = detectorX(cal.ioTth._1)
+    val x1 = detectorX(cal.ioTth._2)
+    (1000.0 * (x1 - x0) / cal.pixelSize._1).toInt / 2
+  }
+
   /** Persist+reload helper: geometry is content-addressed by calibration so
     * recomputation happens only when the calibration changes (reference
     * invalidates its cache on settings change, pipeline_queue.py:870-871).

@@ -144,6 +144,18 @@ object FrameSource {
       .toDF("dataset", "frame_no", "y", "x", "intensity")
   }
 
+  /** S10 — load a correction/mask frame (flat-field, dark, gain, predef
+    * mask TIFF) as a (y, x, value) table ready for
+    * `Corrections.Frames` / mask algebra. Decode runs executor-side like
+    * any other frame. */
+  def loadCorrectionFrame(spark: SparkSession, path: String): DataFrame =
+    toPixels(spark.read.format("binaryFile").load(path)
+        .select(lit("corrections").as("dataset"), lit(0).as("frame_no"),
+          col("content")))
+      .where(col("y") >= 0) // drop quarantine sentinels
+      .select(col("y"), col("x"),
+        col("intensity").cast("double").as("value"))
+
   /** Encode an int-matrix as a single-band 16-bit grayscale TIFF (test
     * fixture generator + mask sink encoder). */
   def encodeTiff(matrix: Array[Array[Int]]): Array[Byte] = {

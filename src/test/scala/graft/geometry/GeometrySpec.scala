@@ -154,3 +154,51 @@ class FramePipelineSpec extends SparkSpec {
     assert(upBins < n / 10)
   }
 }
+
+class NumChansSpec extends graft.SparkSpec {
+
+  test("P11: untilted detector matches the closed-form circle radius") {
+    val cal = graft.core.Calibration(tilt = 0.0, rotation = 0.0)
+    def tand(d: Double) = math.tan(math.toRadians(d))
+    val (lo, hi) = cal.ioTth
+    val expected = (1000.0 * cal.distance * (tand(hi) - tand(lo)) /
+      cal.pixelSize._1).toInt / 2
+    val derived = Geometry.deriveNumChans(cal)
+    assert(math.abs(derived - expected) <= 1,
+      s"derived $derived vs closed-form $expected")
+  }
+
+  test("P11: tilted detector gives a positive count that grows with range") {
+    val cal = graft.core.Calibration(tilt = 3.0, rotation = 30.0)
+    val n1 = Geometry.deriveNumChans(cal)
+    val wide = cal.copy(ioTth = (cal.ioTth._1, cal.ioTth._2 + 2.0))
+    assert(n1 > 0 && Geometry.deriveNumChans(wide) > n1)
+    // tilt shifts the count away from the untilted value but same scale
+    val flat = Geometry.deriveNumChans(cal.copy(tilt = 0.0))
+    assert(math.abs(n1 - flat).toDouble / flat < 0.1)
+  }
+
+  test("P11: hyperbola branch rejected") {
+    val cal = graft.core.Calibration(tilt = 50.0,
+      ioTth = (1.0, 45.0))
+    intercept[IllegalArgumentException] {
+      Geometry.deriveNumChans(cal)
+    }
+  }
+}
+
+class CorrectionFrameLoadSpec extends graft.SparkSpec {
+
+  test("S10: correction TIFF loads as (y, x, value)") {
+    val m = Array.tabulate(8, 8)((y, x) => y * 10 + x)
+    val dir = java.nio.file.Files.createTempDirectory("graft_corr")
+    java.nio.file.Files.write(dir.resolve("flat.tif"),
+      graft.sources.FrameSource.encodeTiff(m))
+    val df = graft.sources.FrameSource.loadCorrectionFrame(spark,
+      dir.toString + "/flat.tif")
+    val vals = df.collect().map(r =>
+      (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(vals.size == 64)
+    assert(vals((3, 4)) == 34.0)
+  }
+}
