@@ -78,9 +78,13 @@ object StreamingPipeline {
       timed("sink_integrals")(
         Sinks.writeTable(integrals.withColumn("dataset", tag),
           outDir, "integrals", Seq("dataset")))
-      // S12: per-frame .chi files for the reference UI, executor-side
-      timed("sink_chi")(Sinks.writeChi(integrals, s"$outDir/chi/$ds", "om",
-        dense = Some((cal.outChannels, cal.ioTth._1, cal.tthStep))))
+      // S12: per-frame .chi files for the reference UI, executor-side —
+      // all four variants like the reference (pipeline.py:421-449)
+      timed("sink_chi")(
+        Seq("base", "om", "spotsmasked", "arcsmasked").foreach { v =>
+          Sinks.writeChi(integrals, s"$outDir/chi/$ds", v,
+            dense = Some((cal.outChannels, cal.ioTth._1, cal.tthStep)))
+        })
       // S11: per-frame mask TIFFs (reference pipeline.py:152-332)
       val (imgH, imgW) = cal.imageSize
       timed("sink_masks")(

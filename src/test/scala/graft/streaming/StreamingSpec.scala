@@ -109,6 +109,36 @@ class StreamingPipelineSpec extends SparkSpec {
       .select(col("frame_no")).distinct().count() == 2)
   }
 
+  test("checkpoint restart: only new files process, csim state survives") {
+    val cal = SyntheticFrame.testCalibration(96)
+    val geo = Geometry.build(spark, cal).localCheckpoint(true)
+    val tmpIn = java.nio.file.Files.createTempDirectory("graft_in5").toString
+    val tmpOut = java.nio.file.Files.createTempDirectory("graft_out5").toString
+    writeFrames(cal, tmpIn, 1 to 2)
+    val q1 = StreamingPipeline.start(spark, tmpIn, tmpOut, cal, geo,
+      availableNow = true)
+    q1.awaitTermination(300000)
+    writeFrames(cal, tmpIn, 3 to 4)
+    val q2 = StreamingPipeline.start(spark, tmpIn, tmpOut, cal, geo,
+      availableNow = true)
+    q2.awaitTermination(300000)
+
+    // exactly one integrals row-set per frame, no re-processing dupes
+    val perFrame = spark.read.parquet(s"$tmpOut/integrals")
+      .groupBy(col("frame_no"), col("tth_bin")).count()
+      .where(col("count") > 1).count()
+    assert(perFrame == 0, "restart reprocessed already-seen frames")
+    assert(spark.read.parquet(s"$tmpOut/integrals")
+      .select(col("frame_no")).distinct().count() == 4)
+    // csim of frames 3/4 references the TRUE first frame (vs-first < 1,
+    // carried through the persisted state across the restart)
+    val csim = spark.read.parquet(s"$tmpOut/csim").collect()
+      .map(r => r.getAs[Int]("frame_no") -> r.getAs[Double]("csim_first"))
+      .toMap
+    assert(csim.keySet == Set(1, 2, 3, 4))
+    assert(csim(3) < 1.0 - 1e-12 && csim(4) < 1.0 - 1e-12)
+  }
+
   test("live ProcessingTime trigger processes files as they arrive") {
     val cal = SyntheticFrame.testCalibration(96)
     val geo = Geometry.build(spark, cal).localCheckpoint(true)
@@ -169,11 +199,12 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(csim(1).getAs[Double]("csim_prev") < 1.0 + 1e-9)
     assert(csim(1).getAs[Double]("csim_first") > 0.5)
 
-    // S12: one .chi per frame, dense (outChannels data rows), written
-    // executor-side
-    (1 to 2).foreach { no =>
+    // S12: four .chi variants per frame, dense (outChannels data rows),
+    // written executor-side (reference pipeline.py:421-449)
+    for (no <- 1 to 2;
+         v <- Seq("base", "om", "spotsmasked", "arcsmasked")) {
       val chi = java.nio.file.Paths.get(
-        f"$tmpOut/chi/synth/frame-$no%05d_om.chi")
+        f"$tmpOut/chi/synth/frame-$no%05d_$v.chi")
       assert(java.nio.file.Files.exists(chi), s"missing $chi")
       val lines = java.nio.file.Files.readAllLines(chi)
       assert(lines.get(3).trim.toInt == cal.outChannels)
