@@ -76,14 +76,23 @@ object Dedup {
     * `min` aggregates in ONE shuffle on the doc id. This is the scale
     * form — the nested-array variant ([[minhashSignature]]) recomputes
     * the shingle expression per hash family once Catalyst collapses
-    * projections, which blows up plan cost at any scale. */
+    * projections, which blows up plan cost at any scale.
+    *
+    * Hash-family construction: the variable-length shingle STRING is
+    * hashed once (the expensive part — string hashing dominated the
+    * k-string-hash form at ~k x the cost), and the k families re-hash
+    * that fixed 8-byte value with per-family seeds. Seeding a strong
+    * 64-bit hash is the standard one-hash MinHash construction; each
+    * family stays uniform and independent-enough for the Jaccard
+    * estimator. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, k: Int = 32): DataFrame = {
     // min() is duplicate-insensitive: skip the distinct shuffle entirely
     shingleRows(df, idCol, textCol, n, distinct = false)
+      .select(col("id"), xxhash64(col("shingle")).as("h"))
       .groupBy(col("id"))
       .agg(array((0 until k).map(seed =>
-        min(xxhash64(col("shingle"), lit(seed)))): _*).as("sig"))
+        min(xxhash64(col("h"), lit(seed)))): _*).as("sig"))
   }
 
   /** Candidate near-dup pairs via MinHash LSH banding. Returns

@@ -109,7 +109,10 @@ object OracleQueries {
         val px = t(s, dir, "lineitem").select(
           (col("l_partkey") % 64).as("ring"),
           col("l_extendedprice").as("x"))
-        val stats = RobustStats.medianMad(px, Seq("ring"), "x")
+        // one-pass custom Aggregator: exact median+MAD in a single
+        // shuffle (equality with the two-stage form is spec-tested;
+        // measured ~2.5x faster at sf0.1)
+        val stats = RobustStats.medianMadOnePass(px, Seq("ring"), "x")
         px.join(broadcast(stats), "ring")
           .where(col("n") >= 10)
           .groupBy(col("ring"))
@@ -332,7 +335,7 @@ object OracleQueries {
         val px = t(s, dir, "lineitem").select(
           floor(col("l_tax") * 100).cast("int").as("qbin"),
           col("l_extendedprice").as("x"))
-        val mm = RobustStats.medianMad(px, Seq("qbin"), "x")
+        val mm = RobustStats.medianMadOnePass(px, Seq("qbin"), "x")
         val more = px.groupBy(col("qbin")).agg(
           dmean(col("x")).as("imean"),
           round(RobustStats.stddevDet(col("x"), count(lit(1))), 6)
