@@ -52,14 +52,17 @@ object Classification {
     val agg = px.groupBy(kcols :+ col("label"): _*)
       .agg(
         count(lit(1)).as("area"),
-        (percentile(col("q"), lit(0.9)) - percentile(col("q"), lit(0.1)))
-          .as("dq"),
+        // all three q-percentiles share ONE sort buffer (array form)
+        percentile(col("q"), array(lit(0.1), lit(0.5), lit(0.9)))
+          .as("_qp"),
         (max(col("azim")) - min(col("azim"))).as("span_raw"),
         (max(col("azim_flipped")) - min(col("azim_flipped")))
-          .as("span_flip"),
-        percentile(col("q"), lit(0.5)).as("median_q"))
+          .as("span_flip"))
+      .withColumn("dq",
+        element_at(col("_qp"), 3) - element_at(col("_qp"), 1))
+      .withColumn("median_q", element_at(col("_qp"), 2))
       .withColumn("dazim", least(col("span_raw"), col("span_flip")))
-      .drop("span_raw", "span_flip")
+      .drop("span_raw", "span_flip", "_qp")
     agg.withColumn("classifier",
       when(col("area") >= p.minArcArea &&
           col("dq") < p.qWidthMax && col("dazim") > p.azimSpanMin &&

@@ -183,9 +183,14 @@ object OracleQueries {
         val agg = li.groupBy(col("l_suppkey").as("label"))
           .agg(
             count(lit(1)).as("area"),
-            percentile(col("l_extendedprice"), lit(0.1)).as("qlo_raw"),
-            percentile(col("l_extendedprice"), lit(0.9)).as("qhi_raw"),
+            // both percentiles from ONE sort buffer (array form) instead
+            // of two independent percentile aggregates
+            percentile(col("l_extendedprice"),
+              array(lit(0.1), lit(0.9))).as("q_raw"),
             (max(col("l_quantity")) - min(col("l_quantity"))).as("span"))
+          .select(col("label"), col("area"), col("span"),
+            element_at(col("q_raw"), 1).as("qlo_raw"),
+            element_at(col("q_raw"), 2).as("qhi_raw"))
         agg.select(
             col("label"), col("area"),
             round(col("qlo_raw"), 6).as("qlo"),
