@@ -996,7 +996,33 @@ object OracleQueries {
             med.cut_centre * 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS n_in_wedge
         FROM ev JOIN med USING (event_type, band)
         GROUP BY ev.event_type, ev.band
-        ORDER BY ev.event_type, ev.band"""))
+        ORDER BY ev.event_type, ev.band""")),
+
+    // ================ skew: salted two-stage aggregation ==================
+    // The 100 TB pattern for a hot key: fold most keys into one giant
+    // group (every user_id >= 1000 lands on key 0 here), then aggregate
+    // in two stages — (key, salt) partials first, so the hot key's rows
+    // spread over 16 tasks, then combine per key. Decimal-routed sums are
+    // associative, so the result is bit-identical to the direct GROUP BY
+    // the oracle runs.
+    Q("skew_salted_agg",
+      (s, dir) => {
+        val ev = t(s, dir, "events").select(
+          when(col("user_id") >= 1000, lit(0L)).otherwise(col("user_id"))
+            .as("key"),
+          (col("event_id") % 16).as("salt"), col("value"))
+        val partial = ev.groupBy(col("key"), col("salt"))
+          .agg(sum(col("value").cast("decimal(18,4)")).as("psum"),
+            count(lit(1)).as("pn"))
+        partial.groupBy(col("key"))
+          .agg(sum(col("psum")).cast("double").as("value_sum"),
+            sum(col("pn")).as("n"))
+          .orderBy(col("key"))
+      },
+      Some(s"""SELECT CASE WHEN user_id >= 1000 THEN 0 ELSE user_id END
+            AS key, ${sqlDsum("value")} AS value_sum,
+          COUNT(*) AS n
+        FROM events GROUP BY key ORDER BY key"""))
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
