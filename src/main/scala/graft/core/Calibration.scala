@@ -33,7 +33,13 @@ final case class Calibration(
     detDepth: Double = 0.0,
     azmthOff: Double = 0.0,
     azmBands: Int = 360,
-    imageSize: (Int, Int) = (2880, 2880)) {
+    imageSize: (Int, Int) = (2880, 2880),
+    // correction config carried from .imctrl (reference LoadControls
+    // keys "Flat Bkg", "dark image", "background image" — each image
+    // entry is [path, scale]; consumed via Corrections.Frames)
+    flatBkg: Double = 0.0,
+    darkImage: Option[(String, Double)] = None,
+    backgroundImage: Option[(String, Double)] = None) {
 
   /** Width of one 2-theta channel in degrees. */
   def tthStep: Double = (ioTth._2 - ioTth._1) / outChannels
@@ -84,15 +90,32 @@ object Calibration {
       rotation = num("rotation", base.rotation),
       pixelSize = pair("pixelSize", base.pixelSize),
       ioTth = pair("IOtth", base.ioTth),
-      lrAzimuth = pair("LRazimuth", base.lrAzimuth),
+      lrAzimuth =
+        if (kv.get("fullIntegrate").exists(_.trim.equalsIgnoreCase("True")))
+          (0.0, 360.0)
+        else pair("LRazimuth", base.lrAzimuth),
       outChannels = num("outChannels", base.outChannels).toInt,
       // PolaVal is "[fraction, refine-flag]" — only the fraction is numeric
       polaVal = kv.get("PolaVal")
         .map(_.replaceAll("[\\[\\]()]", "").split(",").head.trim.toDouble)
         .getOrElse(base.polaVal),
       detDepth = num("DetDepth", base.detDepth),
-      azmthOff = num("azmthOff", base.azmthOff))
+      azmthOff = num("azmthOff", base.azmthOff),
+      flatBkg = num("Flat Bkg", base.flatBkg),
+      darkImage = imgEntry(kv, "dark image"),
+      backgroundImage = imgEntry(kv, "background image"))
   }
+
+  /** "['/path/to.tif', scale]" / "[, 1.0]" → Some((path, scale)); empty
+    * path means no frame configured (reference stores a 2-list). */
+  private def imgEntry(kv: Map[String, String],
+                       key: String): Option[(String, Double)] =
+    kv.get(key).flatMap { v =>
+      val parts = v.replaceAll("[\\[\\]']", "").split(",").map(_.trim)
+      if (parts.length >= 2 && parts(0).nonEmpty)
+        parts(1).toDoubleOption.map(sc => (parts(0), sc))
+      else None
+    }
 
   /** Parse a pyFAI `.poni` file and convert to the GSAS-II-style schema
     * (reference LoadControlsPONI/poni_to_gsasii GSASII_imports.py:234-330).

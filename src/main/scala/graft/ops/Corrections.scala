@@ -34,6 +34,19 @@ object Corrections {
     apply(px, frames.dark, frames.background, frames.gainMap,
       frames.flatBkg, frames.flatField)
 
+  /** Build the bundle from a calibration's `.imctrl` correction config
+    * ("dark image" / "background image" [path, scale] entries and
+    * "Flat Bkg"), loading each configured frame via
+    * `FrameSource.loadCorrectionFrame`. */
+  def fromCalibration(spark: org.apache.spark.sql.SparkSession,
+                      cal: graft.core.Calibration): Frames =
+    Frames(
+      dark = cal.darkImage.map { case (p, sc) =>
+        (graft.sources.FrameSource.loadCorrectionFrame(spark, p), sc) },
+      background = cal.backgroundImage.map { case (p, sc) =>
+        (graft.sources.FrameSource.loadCorrectionFrame(spark, p), sc) },
+      flatBkg = cal.flatBkg)
+
   /** Apply the correction chain to a pixel table with an `intensity`
     * column. Each correction frame is (y, x, value). Order follows the
     * reference: dark, background, gain (per-mille), flat background,

@@ -102,6 +102,36 @@ class CalibrationSpec extends SparkSpec {
     assert(cal.azmBands == 360) // default survives
   }
 
+  test("imctrl correction keys: Flat Bkg, dark/background image, " +
+      "fullIntegrate") {
+    val cal = Calibration.fromImctrl(
+      """wavelength:0.24087
+        |Flat Bkg:12.5
+        |dark image:['/data/dark_00001.tif', -1.0]
+        |background image:[, 1.0]
+        |fullIntegrate:True
+        |LRazimuth:[10.0, 80.0]
+        |""".stripMargin.linesIterator)
+    assert(cal.flatBkg == 12.5)
+    assert(cal.darkImage.contains(("/data/dark_00001.tif", -1.0)))
+    assert(cal.backgroundImage.isEmpty) // empty path = not configured
+    assert(cal.lrAzimuth == ((0.0, 360.0))) // fullIntegrate wins
+  }
+
+  test("Corrections.fromCalibration loads configured frames and flatBkg") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dk")
+    val m = Array.tabulate(8, 8)((y, x) => 100 + y + x)
+    java.nio.file.Files.write(dir.resolve("dark.tif"),
+      graft.sources.FrameSource.encodeTiff(m))
+    val cal = Calibration(flatBkg = 3.0,
+      darkImage = Some((dir.toString + "/dark.tif", -1.0)))
+    val frames = graft.ops.Corrections.fromCalibration(spark, cal)
+    assert(frames.flatBkg == 3.0 && frames.background.isEmpty)
+    val (df, scale) = frames.dark.get
+    assert(scale == -1.0)
+    assert(df.count() == 64)
+  }
+
   test("poni conversion: untilted detector maps to tilt=0, mm units") {
     val cal = Calibration.fromPoni(
       """Distance: 0.68955
