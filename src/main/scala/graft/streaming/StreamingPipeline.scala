@@ -128,9 +128,13 @@ object StreamingPipeline {
     else None
     val batchVecs = vecs.localCheckpoint(true)
 
-    val union = state.map(_.unionByName(batchVecs)
-      .dropDuplicates("frame_no", "y", "x")).getOrElse(batchVecs)
     val batchFrames = batchVecs.select(col("frame_no")).distinct()
+    // state frames re-delivered in this batch (shouldn't happen under
+    // exactly-once file semantics, but cheap to guard) are dropped via a
+    // broadcast anti-join on the tiny frame list — NOT a row-level
+    // distinct, which would shuffle every pixel of state + batch.
+    val union = state.map(_.join(broadcast(batchFrames), Seq("frame_no"),
+        "left_anti").unionByName(batchVecs)).getOrElse(batchVecs)
     val series = graft.ops.Csim.series(union)
       .join(batchFrames, "frame_no") // emit only this batch's frames
       .select(col("dataset"), col("frame_no"), col("csim_first"),

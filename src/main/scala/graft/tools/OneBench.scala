@@ -17,30 +17,6 @@ object OneBench {
     spark.sparkContext.setLogLevel("ERROR")
     graft.SparkEntry.queries("q1_pricing")(spark, sfDir)
       .write.format("noop").mode("overwrite").save() // warmup
-    if (args(0) == "__a1_onepass") {
-      val dir = sfDir
-      import org.apache.spark.sql.functions._
-      for (r <- 1 to reps) {
-        val t0 = System.nanoTime()
-        val px = spark.read.parquet(s"$dir/lineitem.parquet").select(
-          (col("l_partkey") % 64).as("ring"),
-          col("l_extendedprice").as("x"))
-        val stats = graft.ops.RobustStats.medianMadOnePass(px, Seq("ring"), "x")
-        px.join(broadcast(stats), "ring")
-          .where(col("n") >= 10)
-          .groupBy(col("ring"))
-          .agg(first(col("n")).as("n"),
-            round(first(col("med")), 6).as("med"),
-            round(first(col("mad")), 6).as("mad"),
-            count(when(abs(col("x") - col("med")) >
-              lit(3.0 * graft.ops.RobustStats.MadToSigma) * col("mad"), 1))
-              .as("n_outliers"))
-          .orderBy(col("ring"))
-          .write.format("noop").mode("overwrite").save()
-        println(f"ONEBENCH a1_onepass rep$r ${(System.nanoTime() - t0) / 1e9}%.2f s")
-      }
-      spark.stop(); return
-    }
     for (q <- args(0).split(",")) {
       for (r <- 1 to reps) {
         val t0 = System.nanoTime()
