@@ -152,11 +152,18 @@ object TiffDialects {
     val le = ByteOrder.LITTLE_ENDIAN
 
     // Dialect table — same discrimination order as the reference
-    // (GSASII_imports.py:1160-1362). MAR-CCD (34710) and multislice
-    // CheMin need their own header modules in the reference too; both
-    // return None here (documented gap).
+    // (GSASII_imports.py:1160-1362). MAR-CCD files carry the standard
+    // marCCD layout: a 1024-byte TIFF header + 3072-byte frame header,
+    // uint16 samples at 4096. The reference additionally mines
+    // wavelength/distance/center from the frame header via an external
+    // GSAS-II module (ReadMarCCDFrame, not bundled here); this engine
+    // takes those from the .imctrl/.poni calibration instead, so only
+    // the image payload is read. Multislice CheMin (PIL-dependent in the
+    // reference too) returns None (documented gap).
     val decoded: Option[(String, (Double, Double), Option[Array[Int]])] =
-      if (ifd.entries.contains(34710) || ifd.nStrips > 1) None
+      if (ifd.entries.contains(34710))
+        Some(("MAR CCD", (73.242, 73.242), readU16(bytes, 4096, npix, o)))
+      else if (ifd.nStrips > 1) None
       else if (ifd.entries.contains(272)) {
         val sw = ifd.text(272, bytes)
         if (sw.contains("PILATUS"))

@@ -142,8 +142,8 @@ object StreamingPipeline {
     Sinks.writeTable(series, outDir, "csim", Seq("dataset"))
 
     // roll state: keep the union's first frame + the batch's max frame
-    val firstNo = union.agg(min(col("frame_no"))).head.getInt(0)
-    val lastNo = batchVecs.agg(max(col("frame_no"))).head.getInt(0)
+    val firstNo = union.agg(min(col("frame_no"))).head().getInt(0)
+    val lastNo = batchVecs.agg(max(col("frame_no"))).head().getInt(0)
     union.where(col("frame_no") === firstNo ||
         col("frame_no") === lastNo)
       .write.mode("overwrite").parquet(statePath)

@@ -167,6 +167,12 @@ class TiffDialectsSpec extends AnyFunSuite {
     assert(f.samples.take(5).toSeq == Seq(0, 1, 2, 3, 4))
   }
 
+  test("MAR CCD: tag 34710 + uint16 at 4096 (geometry from calibration)") {
+    check(buildTiff(le = true, nx, ny, 16, 4096, u16le(vals.toIndexedSeq),
+      extraTags = Seq((34710, 3, 1L))),
+      "MAR CCD", (73.242, 73.242), vals.toIndexedSeq)
+  }
+
   test("garbage and truncated payloads return None, not an exception") {
     assert(TiffDialects.decode(Array.fill[Byte](64)(33)).isEmpty)
     // file caught mid-write: IFD (written last) missing entirely
