@@ -137,23 +137,18 @@ object Dedup {
   }
 
   /** SimHash signatures via explode → groupBy (the scale form, like
-    * [[minhashSignatures]]): one xxhash64 per shingle row, 64 conditional
-    * sums in a single shuffle, bits assembled from the vote signs. */
+    * [[minhashSignatures]]): one xxhash64 per shingle row, then ONE
+    * custom Aggregator holding all 64 bit-votes in a single int[64]
+    * buffer. The previous 64-separate-sums form generated so much code
+    * that Janino compilation alone cost ~25 s on first use; the
+    * Aggregator's buffer is one array update per row and a fixed-size
+    * merge. */
   def simhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3): DataFrame = {
     val sh = shingleRows(df, idCol, textCol, n)
       .select(col("id"), xxhash64(col("shingle")).as("h"))
-    val votes = sh.groupBy(col("id"))
-      .agg((0 until 64).map { j =>
-        sum(when(shiftright(col("h"), j).bitwiseAND(1L) === 1L, 1L)
-          .otherwise(-1L)).as(s"v$j")
-      }.head, (1 until 64).map { j =>
-        sum(when(shiftright(col("h"), j).bitwiseAND(1L) === 1L, 1L)
-          .otherwise(-1L)).as(s"v$j")
-      }: _*)
-    votes.select(col("id"),
-      (0 until 64).map(j => when(col(s"v$j") > 0, lit(1L << j))
-        .otherwise(lit(0L))).reduce(_ + _).as("simhash"))
+    sh.groupBy(col("id"))
+      .agg(SimHashAgg.simhash(col("h")).as("simhash"))
   }
 
   /** Exact n-gram Jaccard similarity between two shingle-array columns. */

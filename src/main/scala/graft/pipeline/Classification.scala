@@ -94,8 +94,11 @@ object Classification {
 
     // ---- A5: per-cluster central-band percentile vs global threshold --
     val withG = labeled.join(d2, keys :+ "y" :+ "x").localCheckpoint(true)
+    // gather-and-sort exact percentile: the builtin percentile agg's
+    // value-count map costs ~10x more on full-frame groups
     val globalThresh = d2.groupBy(kcols: _*)
-      .agg(percentile(col("grad2_r"), lit(p.globalPercentile))
+      .agg(graft.ops.PercentileAgg
+        .percentileExact(col("grad2_r"), p.globalPercentile)
         .as("g_thresh"))
     val central = withG.where(
       abs(col("q") - col("median_q")) < p.centralBandQ)
@@ -187,23 +190,23 @@ object Classification {
   }
 
   /** Second directional derivative of `corr` along the (hatY, hatX) unit
-    * vector field: two stencil derivative passes, each projected onto the
-    * direction (reference radial_and_azim_gradient applied twice,
-    * classification.py:474-496). Returns (keys..., y, x, grad2). */
+    * vector field: two FUSED stencil passes (derivative + hat projection
+    * inside the tile kernel, hats carried through —
+    * [[Stencil.directionalDeriv]]), matching the reference
+    * radial_and_azim_gradient applied twice (classification.py:474-496).
+    * Returns (keys..., y, x, grad2). Join-free: the previous
+    * convolve-then-join form sort-merged the full pixel table four
+    * times. */
   def secondDirectionalDeriv(allPx: DataFrame, width: Int, height: Int,
                              keys: Seq[String], hatY: String,
                              hatX: String): DataFrame = {
-    val kcols = keys.map(col)
-    val hats = allPx.select(kcols ++ Seq(col("y"), col("x"),
-      col(hatY).as("hy"), col(hatX).as("hx")): _*)
-    def project(df: DataFrame, out: String) =
-      Stencil.derivatives(df, width, height)
-        .join(hats, keys :+ "y" :+ "x")
-        .select(kcols ++ Seq(col("y"), col("x"),
-          (col("ddy") * col("hy") + col("ddx") * col("hx")).as(out)): _*)
-    val d1 = project(allPx.select(kcols ++ Seq(col("y"), col("x"),
-      col("corr").as("v")): _*), "v")
-    project(d1, "grad2")
+    require(keys == Seq("frame_no"),
+      "directional derivatives support the frame_no key")
+    val in = allPx.select(col("frame_no"), col("y"), col("x"),
+      col("corr").as("v"), col(hatY).as("hy"), col(hatX).as("hx"))
+    val d1 = Stencil.directionalDeriv(in, width, height)
+    Stencil.directionalDeriv(d1, width, height)
+      .select(col("frame_no"), col("y"), col("x"), col("v").as("grad2"))
   }
 
   /** C1 — full composition: outlier pixel set → closing → CCL → shape

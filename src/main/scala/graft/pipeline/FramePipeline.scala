@@ -121,8 +121,14 @@ object FramePipeline {
     // persist the scan+join+ring-stats lineage would re-execute per branch.
     val flagged = flaggedI.localCheckpoint(true)
 
-    // C1-C3: spot/arc classification of outlier clusters
+    // C1-C3: spot/arc classification of outlier clusters. Pinned: the
+    // classification tail (gradient refinement joins) otherwise
+    // re-executes for EVERY output branch that reads the flag columns
+    // (integrals, spot stats, spottiness, pixel sink) — measured 3x the
+    // work at production frame sizes. The table is outlier-pixels-only,
+    // so the checkpoint is tiny relative to the frame.
     val flags = Classification.classify(flagged, w, h, keys, params)
+      .localCheckpoint(true)
     val px = flagged.join(
         flags.select(col("frame_no"), col("y"), col("x"), col("label"),
           col("is_spot"), col("is_arc")),
@@ -204,7 +210,8 @@ object FramePipeline {
                    tile: Int = 256): DataFrame = {
     val (h, w) = cal.imageSize
     val thresholds = processedPx.groupBy(col("frame_no"))
-      .agg((percentile(col("corr"), lit(0.999)) * 0.05).as("h_depth"))
+      .agg((graft.ops.PercentileAgg.percentileExact(col("corr"), 0.999)
+        * 0.05).as("h_depth"))
     val normalized = processedPx
       .join(broadcast(thresholds), "frame_no")
       .select(col("frame_no"), col("y"), col("x"),

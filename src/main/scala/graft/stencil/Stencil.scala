@@ -119,6 +119,67 @@ object Stencil {
     dy.join(dx, Seq("frame_no", "y", "x"))
   }
 
+  /** Fused directional derivative: ONE tile pass computes
+    * g = 0.5*(v[y+1]-v[y-1])*hy + 0.5*(v[x+1]-v[x-1])*hx per pixel, with
+    * the (hy, hx) unit-vector field carried through the tiles as two
+    * extra planes. Identical math to `derivatives` + a join against the
+    * hat columns, but with ZERO joins and one tile assembly instead of
+    * two — at production frame sizes the join-based form spent most of
+    * its time sort-merging 16M-row tables. Output carries (v=g, hy, hx)
+    * so passes CHAIN without re-joining the hats (the second directional
+    * derivative is just another call).
+    *
+    * Input/output schema: (frame_no, y, x, v, hy, hx). */
+  def directionalDeriv(px: DataFrame, width: Int, height: Int,
+                       tile: Int = 256): DataFrame = {
+    val spark = px.sparkSession
+    import spark.implicits._
+    val halo = 1
+    val side = tile + 2 * halo
+
+    val typed = px.select(col("frame_no").cast("long"), col("y").cast("int"),
+      col("x").cast("int"), col("v").cast("double"),
+      col("hy").cast("double"), col("hx").cast("double"))
+      .as[(Long, Int, Int, Double, Double, Double)]
+
+    typed.flatMap { case (f, y, x, v, hy, hx) =>
+      val tys = ((y - halo) / tile) to ((y + halo) / tile)
+      val txs = ((x - halo) / tile) to ((x + halo) / tile)
+      for {
+        ty <- tys if ty >= 0 && ty * tile < height
+        tx <- txs if tx >= 0 && tx * tile < width
+      } yield ((f, ty, tx), (y, x, v, hy, hx))
+    }
+    .groupByKey(_._1)
+    .flatMapGroups { (key: (Long, Int, Int), it) =>
+      val (f, ty, tx) = key
+      val vbuf = new Array[Double](side * side)
+      val hybuf = new Array[Double](side * side)
+      val hxbuf = new Array[Double](side * side)
+      val y0 = ty * tile - halo; val x0 = tx * tile - halo
+      it.foreach { case (_, (y, x, v, hy, hx)) =>
+        val ly = y - y0; val lx = x - x0
+        if (ly >= 0 && ly < side && lx >= 0 && lx < side) {
+          val i = ly * side + lx
+          vbuf(i) = v; hybuf(i) = hy; hxbuf(i) = hx
+        }
+      }
+      val yMax = math.min(tile, height - ty * tile)
+      val xMax = math.min(tile, width - tx * tile)
+      for {
+        ly <- (halo until halo + yMax).iterator
+        lx <- halo until halo + xMax
+      } yield {
+        val i = ly * side + lx
+        val ddy = 0.5 * (vbuf(i + side) - vbuf(i - side))
+        val ddx = 0.5 * (vbuf(i + 1) - vbuf(i - 1))
+        (f, y0 + ly, x0 + lx, ddy * hybuf(i) + ddx * hxbuf(i),
+          hybuf(i), hxbuf(i))
+      }
+    }
+    .toDF("frame_no", "y", "x", "v", "hy", "hx")
+  }
+
   /** M6 — NaN interpolation (reference classification.py:466-468 via
     * astropy interpolate_replace_nans with Gaussian2DKernel(x_stddev=1)):
     * masked pixels (NaN in `v`) are replaced by the Gaussian-weighted

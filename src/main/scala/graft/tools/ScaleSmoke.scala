@@ -1,0 +1,71 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.core.SyntheticFrame
+import graft.geometry.Geometry
+import graft.pipeline.FramePipeline
+
+/** Production-frame-size smoke run: the full per-frame plan (geometry
+  * join, ring stats, classification, four integrals, stats tables) over
+  * synthetic frames at the REAL detector resolution (2880 x 2880 =
+  * 8.3 M px/frame — the reference's Eiger-class frames), plus the
+  * executor-side .chi and mask-TIFF sinks. Prints per-stage wall times;
+  * exercises the memory/shuffle behavior the sf-scale unit tests cannot.
+  *
+  *   sbt "runMain graft.tools.ScaleSmoke [nFrames] [size]"
+  */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val nFrames = if (args.length > 0) args(0).toInt else 2
+    val size = if (args.length > 1) args(1).toInt else 2880
+    val spark = SparkSession.builder().master("local[32]")
+      .appName("graft-scale-smoke")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def timed[T](stage: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"SCALE_SMOKE $stage%-16s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+
+    val cal = SyntheticFrame.testCalibration(size)
+    val geo = timed("geometry")(
+      Geometry.build(spark, cal).localCheckpoint(true))
+    val frames = (1 to nFrames).map(no =>
+      SyntheticFrame.frame(spark, cal, no, nHotPer10k = 2,
+        spots = Seq((size / 3, size / 3, 30000.0, 3.0)),
+        arcs = Seq((5.5, 20.0, 160.0, 9000.0))))
+      .reduce(_ unionByName _)
+    val px = timed("frames")(frames.localCheckpoint(true))
+    println(s"SCALE_SMOKE pixels = ${px.count()} (${nFrames}x${size}x$size)")
+
+    // process() eagerly materializes the flagged pixels and the
+    // classification flags (both checkpointed inside), so the heavy
+    // per-frame work lands here
+    val out = timed("process")(FramePipeline.process(px, geo, cal))
+    val integrals = timed("integrate")(
+      out.integrals.localCheckpoint(true))
+    println(s"SCALE_SMOKE integral rows = ${integrals.count()}")
+    val pixels = timed("pixel flags")(out.pixels.localCheckpoint(true))
+
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft_smoke").toString
+    timed("chi sink")(graft.sinks.Sinks.writeChi(integrals, outDir, "om",
+      dense = Some((cal.outChannels, cal.ioTth._1, cal.tthStep))))
+    timed("mask sink")(graft.sinks.Sinks.writeMaskTiffs(pixels, size, size,
+      outDir, Seq("spots" -> col("is_spot"), "arcs" -> col("is_arc"))))
+    timed("spot stats")(out.spotStats
+      .write.format("noop").mode("overwrite").save())
+    val nChi = new java.io.File(outDir).list().count(_.endsWith(".chi"))
+    val nTif = new java.io.File(outDir).list().count(_.endsWith(".tif"))
+    println(s"SCALE_SMOKE sink files: $nChi chi + $nTif tif")
+    spark.stop()
+  }
+}

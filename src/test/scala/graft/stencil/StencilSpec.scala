@@ -263,3 +263,37 @@ class DenseCCLSpec extends SparkSpec {
       (2, 0, 1, 0L), (2, 5, 5, 85L)))
   }
 }
+
+class DirectionalDerivSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("fused directional derivative equals convolve+join bit-exactly " +
+      "through two chained passes") {
+    val n = 24
+    val rnd = new scala.util.Random(5)
+    val rows = for (y <- 0 until n; x <- 0 until n) yield {
+      val ang = math.atan2(y - 12.0, x - 12.0)
+      (1L, y, x, rnd.nextDouble() * 100, math.sin(ang), math.cos(ang))
+    }
+    val px = rows.toDF("frame_no", "y", "x", "v", "hy", "hx")
+
+    // oracle: the round-1 convolve2d + hats-join formulation
+    val hats = px.select($"frame_no", $"y", $"x", $"hy", $"hx")
+    def project(df: org.apache.spark.sql.DataFrame) =
+      Stencil.derivatives(df, n, n, tile = 8)
+        .join(hats, Seq("frame_no", "y", "x"))
+        .select($"frame_no", $"y", $"x",
+          ($"ddy" * $"hy" + $"ddx" * $"hx").as("v"))
+    val oracle = project(project(px.select($"frame_no", $"y", $"x", $"v")))
+      .collect().map(r => (r.getInt(1), r.getInt(2)) -> r.getDouble(3))
+      .toMap
+
+    val fused = Stencil.directionalDeriv(
+        Stencil.directionalDeriv(px, n, n, tile = 8), n, n, tile = 8)
+      .collect().map(r => (r.getInt(1), r.getInt(2)) -> r.getDouble(3))
+      .toMap
+    assert(fused.keySet == oracle.keySet)
+    fused.foreach { case (k, v) =>
+      assert(v == oracle(k), s"$k: $v vs ${oracle(k)}") }
+  }
+}
