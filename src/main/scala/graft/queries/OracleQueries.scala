@@ -285,9 +285,11 @@ object OracleQueries {
         // grand-total group, whose single-task exact-percentile buffer
         // becomes the bottleneck (measured 1.7x slower at sf0.1)
         val global = li.agg(
-          percentile(col("l_extendedprice"), lit(0.1)).as("g10_raw"))
+          PercentileAgg.percentileExact(col("l_extendedprice"), 0.1)
+            .as("g10_raw"))
         li.groupBy(col("l_returnflag"))
-          .agg(percentile(col("l_extendedprice"), lit(0.2)).as("p20_raw"))
+          .agg(PercentileAgg
+            .percentileExact(col("l_extendedprice"), 0.2).as("p20_raw"))
           .crossJoin(broadcast(global))
           .select(
             col("l_returnflag"),
