@@ -47,7 +47,12 @@ object PercentileAgg {
       val pos = (n - 1) * p
       val lo = pos.toInt
       if (lo + 1 >= n) buf(n)
-      else buf(lo + 1) + (buf(lo + 2) - buf(lo + 1)) * (pos - lo)
+      else {
+        // Spark's Percentile interpolation: symmetric convex combination
+        // lower*(hi-pos) + higher*(pos-lo) — 1-ulp-identical to builtin
+        val frac = pos - lo
+        buf(lo + 1) * (1.0 - frac) + buf(lo + 2) * frac
+      }
     }
 
     def bufferEncoder: Encoder[Array[Double]] = Encoders.kryo[Array[Double]]

@@ -197,3 +197,52 @@ class TextMetricsSpec extends SparkSpec {
     assert(out == Seq("en", "de"))
   }
 }
+
+class PercentileAggSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("gather-sort percentile equals builtin percentile bit-exactly " +
+      "across groups, percentiles, and group sizes") {
+    val rnd = new scala.util.Random(17)
+    val df = (1 to 5000).map(i => (s"g${i % 7}", rnd.nextDouble() * 1e6))
+      .toDF("g", "v")
+    for (p <- Seq(0.1, 0.2, 0.5, 0.999)) {
+      val out = df.groupBy($"g").agg(
+        percentile($"v", lit(p)).as("builtin"),
+        PercentileAgg.percentileExact($"v", p).as("gather")).collect()
+      out.foreach(r => assert(r.getDouble(1) == r.getDouble(2),
+        s"p=$p g=${r.getString(0)}: ${r.getDouble(1)} vs ${r.getDouble(2)}"))
+    }
+    // single-element and two-element groups (interpolation edges)
+    val tiny = Seq(("a", 5.0), ("b", 1.0), ("b", 2.0)).toDF("g", "v")
+    val t = tiny.groupBy($"g").agg(
+      percentile($"v", lit(0.25)).as("builtin"),
+      PercentileAgg.percentileExact($"v", 0.25).as("gather")).collect()
+    t.foreach(r => assert(r.getDouble(1) == r.getDouble(2)))
+  }
+}
+
+class SimHashAggSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("vote-buffer simhash equals the 64-conditional-sums form") {
+    val rnd = new scala.util.Random(23)
+    val df = (1 to 400).map(_ => (rnd.nextInt(5).toLong, rnd.nextLong()))
+      .toDF("id", "h")
+    val sums = df.groupBy($"id")
+      .agg((0 until 64).map { j =>
+        sum(when(shiftright($"h", j).bitwiseAND(1L) === 1L, 1L)
+          .otherwise(-1L)).as(s"v$j")
+      }.head, (1 until 64).map { j =>
+        sum(when(shiftright($"h", j).bitwiseAND(1L) === 1L, 1L)
+          .otherwise(-1L)).as(s"v$j")
+      }: _*)
+      .select($"id", (0 until 64).map(j =>
+        when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+        .reduce(_ + _).as("expected"))
+    val agg = df.groupBy($"id").agg(SimHashAgg.simhash($"h").as("got"))
+    val joined = sums.join(agg, "id").collect()
+    assert(joined.nonEmpty)
+    joined.foreach(r => assert(r.getLong(1) == r.getLong(2)))
+  }
+}
