@@ -118,8 +118,14 @@ object FramePipeline {
     } else flagged0
     // Materialize once: every downstream stage (classification, four
     // integrals, grad stats, spottiness) re-reads this table; without a
-    // persist the scan+join+ring-stats lineage would re-execute per branch.
-    val flagged = flaggedI.localCheckpoint(true)
+    // persist the scan+join+ring-stats lineage would re-execute per
+    // branch. Geometry columns already consumed by the corrections and
+    // base mask (pol, dist_sq, range flags, azim_band) are dropped
+    // first — they are dead weight in a checkpoint that is ~40% of the
+    // per-batch memory footprint at production frame sizes.
+    val flagged = flaggedI
+      .drop("pol", "dist_sq", "in_tth_range", "in_azim_range", "azim_band")
+      .localCheckpoint(true)
 
     // C1-C3: spot/arc classification of outlier clusters. Pinned: the
     // classification tail (gradient refinement joins) otherwise

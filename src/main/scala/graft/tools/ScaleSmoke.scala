@@ -15,6 +15,14 @@ import graft.pipeline.FramePipeline
   * exercises the memory/shuffle behavior the sf-scale unit tests cannot.
   *
   *   sbt "runMain graft.tools.ScaleSmoke [nFrames] [size]"
+  *
+  * Single-JVM scaling note: per-frame work parallelizes by frame_no, but
+  * the materialized checkpoints (flagged pixels, gradient field) are
+  * ~100 B/px, so an 8-frame batch carries ~7 GB of checkpoint state —
+  * beyond a lone 24 GB heap's cache capacity the run turns disk-bound
+  * (observed: 2 frames = 21 s/frame, 8 frames = 50 s/frame locally).
+  * On a real cluster this state distributes across executors; locally,
+  * size maxFilesPerTrigger so a batch's checkpoints fit in memory.
   */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
