@@ -30,13 +30,16 @@ object StreamingPipeline {
   def start(spark: SparkSession, inDir: String, outDir: String,
             cal: Calibration, geometry: DataFrame,
             availableNow: Boolean = false,
-            maxFilesPerTrigger: Int = 32): StreamingQuery = {
+            maxFilesPerTrigger: Int = 32,
+            predef: Seq[graft.core.MaskShape] = Nil,
+            corrections: graft.ops.Corrections.Frames =
+              graft.ops.Corrections.Frames()): StreamingQuery = {
     val frames = FrameSource.stream(spark, inDir,
       maxFilesPerTrigger = maxFilesPerTrigger)
     val writer = frames.writeStream
       .option("checkpointLocation", s"$outDir/_checkpoint")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        processBatch(batch, outDir, cal, geometry)
+        processBatch(batch, outDir, cal, geometry, predef, corrections)
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow())
      else writer.trigger(Trigger.ProcessingTime("1 second")))
@@ -46,7 +49,10 @@ object StreamingPipeline {
   /** One micro-batch: decode → per-frame plan → sinks. Datasets are
     * processed separately (frame_no is only unique within a dataset). */
   def processBatch(batch: DataFrame, outDir: String, cal: Calibration,
-                   geometry: DataFrame): Unit = {
+                   geometry: DataFrame,
+                   predef: Seq[graft.core.MaskShape] = Nil,
+                   corrections: graft.ops.Corrections.Frames =
+                     graft.ops.Corrections.Frames()): Unit = {
     if (batch.isEmpty) return
     val datasets = batch.select(col("dataset")).distinct()
       .collect().map(_.getString(0))
@@ -68,8 +74,13 @@ object StreamingPipeline {
       if (!bad.isEmpty)
         Sinks.writeTable(bad, outDir, "quarantine", Seq("dataset"))
       val px = pxAll.where(col("y") >= 0)
-      val out = FramePipeline.process(px, geometry, cal)
+      val out = FramePipeline.process(px, geometry, cal, predef = predef,
+        corrections = corrections)
       val tag = lit(ds).as("dataset")
+      // S14: the q-bin-edges dimension table, once per dataset
+      // (reference writes <dataset>_qbinedges once, pipeline.py:493-497)
+      if (!new java.io.File(s"$outDir/q_bin_edges/dataset=$ds").exists())
+        Sinks.writeQBinEdges(batch.sparkSession, cal, outDir, ds)
       // pixels feed two sinks (mask TIFFs + csim) and integrals feed two
       // (.chi + parquet): pin each once so the full per-frame plan does
       // not re-execute per sink

@@ -109,6 +109,45 @@ class StreamingPipelineSpec extends SparkSpec {
       .select(col("frame_no")).distinct().count() == 2)
   }
 
+  test("corrections + predef mask + q-bin-edges flow through the stream") {
+    import spark.implicits._
+    val cal = SyntheticFrame.testCalibration(96)
+    val geo = Geometry.build(spark, cal).localCheckpoint(true)
+    val tmpIn = java.nio.file.Files.createTempDirectory("graft_in6").toString
+    writeFrames(cal, tmpIn, 1 to 1)
+    val flat = (for (y <- 0 until 96; x <- 0 until 96) yield (y, x, 2.0))
+      .toDF("y", "x", "value")
+    val (pxX, _) = cal.pixelSize
+    val predef = Seq(graft.core.MaskShape.Spot(
+      48 * pxX / 1000.0, 48 * pxX / 1000.0, 8 * pxX / 1000.0))
+
+    def run(corr: graft.ops.Corrections.Frames,
+            masks: Seq[graft.core.MaskShape]) = {
+      val out = java.nio.file.Files.createTempDirectory("graft_out6").toString
+      val q = StreamingPipeline.start(spark, tmpIn, out, cal, geo,
+        availableNow = true, predef = masks, corrections = corr)
+      q.awaitTermination(300000)
+      out
+    }
+    val plain = run(graft.ops.Corrections.Frames(), Nil)
+    val treated = run(
+      graft.ops.Corrections.Frames(flatField = Some(flat)), predef)
+
+    def iBase(dir: String) = spark.read.parquet(s"$dir/integrals")
+      .agg(sum(col("i_base"))).head().getDouble(0)
+    // 2x flat-field roughly doubles the summed base integral (predef mask
+    // removes a few pixels, so compare with slack)
+    assert(iBase(treated) > iBase(plain) * 1.8)
+    // predef-masked pixels appear in the base-mask TIFF
+    val base = FrameSource.decodeTiff(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$treated/masks/synth/frame-00001_base.tif")))
+      .filter(_._3 == 1).map(p => (p._1, p._2)).toSet
+    assert(base.contains((48, 48)), "predef spot missing from base mask")
+    // S14: q-bin-edges written once for the dataset
+    val edges = spark.read.parquet(s"$treated/q_bin_edges")
+    assert(edges.count() == cal.outChannels + 1)
+  }
+
   test("checkpoint restart: only new files process, csim state survives") {
     val cal = SyntheticFrame.testCalibration(96)
     val geo = Geometry.build(spark, cal).localCheckpoint(true)
