@@ -12,6 +12,14 @@ import org.apache.spark.sql.functions._
   * norms are per-frame aggregates and the cross terms one join each, all in
   * two shuffles regardless of frame count. Frames are identified by an
   * integer `frame_no` within a `dataset` partition column.
+  *
+  * Gap semantics are DELIBERATELY filename-arithmetic, like the reference:
+  * `pipeline.py:508-523` reads file `number-1` and, when it does not exist
+  * (a skipped/unreadable frame), falls back to comparing the current image
+  * with ITSELF — csim_prev = 1.0. The `coalesce(..., 1.0)` below reproduces
+  * exactly that, so after a quarantined frame N, frame N+1 reports 1.0 just
+  * as the reference would. Do not "fix" this into last-processed-frame
+  * semantics; that would diverge from the reference output.
   */
 object Csim {
 

@@ -56,7 +56,16 @@ object StreamingPipeline {
     if (batch.isEmpty) return
     val datasets = batch.select(col("dataset")).distinct()
       .collect().map(_.getString(0))
-    datasets.foreach { ds =>
+    datasets.foreach(ds =>
+      processDataset(batch, ds, outDir, cal, geometry, predef, corrections))
+  }
+
+  /** Decode → per-frame plan → sinks for one dataset of one micro-batch. */
+  private def processDataset(batch: DataFrame, ds: String, outDir: String,
+                             cal: Calibration, geometry: DataFrame,
+                             predef: Seq[graft.core.MaskShape],
+                             corrections: graft.ops.Corrections.Frames)
+      : Unit = {
       // A14: per-stage wall times for this batch, appended to the timing
       // table at the end (reference pipeline_queue.py:1010-1014)
       val times = scala.collection.mutable.ArrayBuffer
@@ -74,6 +83,11 @@ object StreamingPipeline {
       if (!bad.isEmpty)
         Sinks.writeTable(bad, outDir, "quarantine", Seq("dataset"))
       val px = pxAll.where(col("y") >= 0)
+      // A batch can contribute no decodable pixels at all — e.g. its only
+      // file is caught mid-write (quarantined above). Skip the dataset for
+      // this batch instead of running the pipeline on an empty frame set;
+      // the reference simply never processes a frame it cannot read.
+      if (px.isEmpty) return
       val out = FramePipeline.process(px, geometry, cal, predef = predef,
         corrections = corrections)
       val tag = lit(ds).as("dataset")
@@ -122,7 +136,6 @@ object StreamingPipeline {
           col("corr").as("v"))
       timed("csim")(writeCsimStateful(vecs, outDir, ds))
       graft.ops.Timing.write(batch.sparkSession, outDir, ds, times.toSeq)
-    }
   }
 
   /** Compute and append this batch's csim rows using (and advancing) the
@@ -139,6 +152,15 @@ object StreamingPipeline {
     else None
     val batchVecs = vecs.localCheckpoint(true)
 
+    // A batch can contribute no vectors even when it had decodable files —
+    // e.g. a shutter-closed frame whose every pixel is base-masked (all
+    // non-positive). The max()/min() reads below would then return null
+    // rows and NPE, and the state overwrite would wipe the retained
+    // first/prev frames. Skip csim for such a batch and leave state as-is.
+    val lastRow = batchVecs.agg(max(col("frame_no"))).head()
+    if (lastRow.isNullAt(0)) return
+    val lastNo = lastRow.getInt(0)
+
     val batchFrames = batchVecs.select(col("frame_no")).distinct()
     // state frames re-delivered in this batch (shouldn't happen under
     // exactly-once file semantics, but cheap to guard) are dropped via a
@@ -154,7 +176,6 @@ object StreamingPipeline {
 
     // roll state: keep the union's first frame + the batch's max frame
     val firstNo = union.agg(min(col("frame_no"))).head().getInt(0)
-    val lastNo = batchVecs.agg(max(col("frame_no"))).head().getInt(0)
     union.where(col("frame_no") === firstNo ||
         col("frame_no") === lastNo)
       .write.mode("overwrite").parquet(statePath)

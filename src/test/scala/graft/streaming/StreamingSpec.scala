@@ -109,6 +109,52 @@ class StreamingPipelineSpec extends SparkSpec {
       .select(col("frame_no")).distinct().count() == 2)
   }
 
+  test("a batch of ONLY undecodable files is quarantined, not a poison " +
+      "pill; later frames keep reference gap semantics (csim_prev=1)") {
+    val cal = SyntheticFrame.testCalibration(96)
+    val geo = Geometry.build(spark, cal).localCheckpoint(true)
+    val tmpIn = java.nio.file.Files.createTempDirectory("graft_in7").toString
+    val tmpOut = java.nio.file.Files.createTempDirectory("graft_out7").toString
+    writeFrames(cal, tmpIn, 1 to 2)
+    // frame 3: garbage payload — with maxFilesPerTrigger=1 it is the ONLY
+    // file of its micro-batch, the case that used to NPE writeCsimStateful
+    // and permanently poison the stream on replay
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$tmpIn/synth-00003.tif"),
+      Array.fill[Byte](512)(42))
+    writeFrames(cal, tmpIn, 4 to 4)
+    val q = StreamingPipeline.start(spark, tmpIn, tmpOut, cal, geo,
+      availableNow = true, maxFilesPerTrigger = 1)
+    q.awaitTermination(300000)
+    val quarantined = spark.read.parquet(s"$tmpOut/quarantine").collect()
+    assert(quarantined.map(_.getAs[Int]("frame_no")).toSeq == Seq(3))
+    val csim = spark.read.parquet(s"$tmpOut/csim").collect()
+      .map(r => r.getAs[Int]("frame_no") ->
+        (r.getAs[Double]("csim_first"), r.getAs[Double]("csim_prev")))
+      .toMap
+    assert(csim.keySet == Set(1, 2, 4), s"csim frames: ${csim.keySet}")
+    // reference gap semantics (pipeline.py:508-523): frame 4's previous
+    // file (3) is unreadable -> compare to self -> exactly 1.0, while
+    // vs-first still crosses the gap through the persisted state
+    assert(csim(4)._2 == 1.0)
+    assert(csim(4)._1 < 1.0 - 1e-12)
+  }
+
+  test("writeCsimStateful: empty vector batch is a no-op, state survives") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft_out8").toString
+    val full = Seq(("d", 1, 0, 0, 2.0), ("d", 1, 0, 1, 3.0))
+      .toDF("dataset", "frame_no", "y", "x", "v")
+    StreamingPipeline.writeCsimStateful(full, out, "d")
+    val stateBefore = spark.read.parquet(s"$out/_state/csim/d").collect()
+    // an all-masked frame contributes zero vectors
+    val empty = full.where(col("frame_no") === 999)
+    StreamingPipeline.writeCsimStateful(empty, out, "d")
+    val stateAfter = spark.read.parquet(s"$out/_state/csim/d").collect()
+    assert(stateAfter.toSet == stateBefore.toSet, "empty batch moved state")
+    assert(spark.read.parquet(s"$out/csim").count() == 1)
+  }
+
   test("corrections + predef mask + q-bin-edges flow through the stream") {
     import spark.implicits._
     val cal = SyntheticFrame.testCalibration(96)
