@@ -40,15 +40,24 @@ object Sinks extends Serializable {
     * emitted as zeros so every file has exactly nChannels rows (the
     * reference's bincount output is dense, pipeline.py:69-72).
     *
+    * `dataset` is the acquisition stem: files are named
+    * `<dataset>-<number>_<variant>.chi` and the header line carries
+    * `<dataset>-<number>.tif`, exactly like the reference
+    * (pipeline.py:416-449 joins name+"-"+number regardless of whether the
+    * source file used `-` or `_`), so the reference UI's stem-glob
+    * (mainUI/contour.py:170-186) groups the files correctly.
+    *
     * EXECUTOR-SIDE: the table is hash-partitioned on frame_no and each
     * task writes its frames' files directly — the driver never sees
     * integral rows, so a 10k-frame backfill batch writes with full
     * cluster parallelism. (Requires a shared filesystem across
     * executors, same as the reference's output directory.) */
   def writeChi(integrals: DataFrame, outDir: String, variant: String,
-               dense: Option[(Int, Double, Double)] = None): Unit = {
+               dense: Option[(Int, Double, Double)] = None,
+               dataset: String = "frame"): Unit = {
     new java.io.File(outDir).mkdirs()
     val dir = outDir; val vName = variant; val denseOpt = dense
+    val ds = dataset
     integrals
       .select(col("frame_no").cast("int"), col("tth_bin"), col("tth"),
         col(s"i_$vName"))
@@ -68,8 +77,8 @@ object Sinks extends Serializable {
             case None => buf.toSeq.map(t => (t._2, t._3))
           }
           java.nio.file.Files.writeString(
-            java.nio.file.Paths.get(f"$dir/frame-$cur%05d_$vName.chi"),
-            chiBody(f"frame-$cur%05d.tif", series))
+            java.nio.file.Paths.get(f"$dir/$ds-$cur%05d_$vName.chi"),
+            chiBody(f"$ds-$cur%05d.tif", series))
         }
         it.foreach { r =>
           val f = r.getInt(0)
@@ -89,11 +98,13 @@ object Sinks extends Serializable {
     */
   def writeMaskTiffs(pixels: DataFrame, width: Int, height: Int,
                      outDir: String,
-                     masks: Seq[(String, org.apache.spark.sql.Column)])
+                     masks: Seq[(String, org.apache.spark.sql.Column)],
+                     dataset: String = "frame")
       : Unit = {
     new java.io.File(outDir).mkdirs()
     val names = masks.map(_._1)
     val dir = outDir; val w = width; val h = height
+    val ds = dataset
     pixels
       .select(Seq(col("frame_no").cast("int"), col("y").cast("int"),
         col("x").cast("int")) ++
@@ -106,7 +117,7 @@ object Sinks extends Serializable {
         def flush(): Unit = if (mats != null) {
           names.zipWithIndex.foreach { case (n, i) =>
             java.nio.file.Files.write(
-              java.nio.file.Paths.get(f"$dir/frame-$cur%05d_$n.tif"),
+              java.nio.file.Paths.get(f"$dir/$ds-$cur%05d_$n.tif"),
               graft.sources.FrameSource.encodeTiff(mats(i)))
           }
         }
@@ -142,6 +153,28 @@ object Sinks extends Serializable {
     * pipeline.py:554-557). */
   def csimBody(vsFirst: Double, vsPrev: Double): String =
     f"$vsFirst%.9f\t$vsPrev%.9f"
+
+  /** S15 — per-frame csim text files the reference UI plots
+    * (pipeline.py:554-557 writes `stats/<name>-<number>_csim.txt`;
+    * mainUI/csim.py:48-64 globs `<stem>*_csim.txt` and vstacks them).
+    * Input: (dataset, frame_no, csim_first, csim_prev) rows. Executor-side
+    * like [[writeChi]] — one tiny file per row, written by the task that
+    * holds it. */
+  def writeCsimTxt(series: DataFrame, outDir: String): Unit = {
+    new java.io.File(outDir).mkdirs()
+    val dir = outDir
+    series
+      .select(col("dataset"), col("frame_no").cast("int"),
+        col("csim_first"), col("csim_prev"))
+      .foreachPartition { (it: Iterator[Row]) =>
+        it.foreach { r =>
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(
+              f"$dir/${r.getString(0)}%s-${r.getInt(1)}%05d_csim.txt"),
+            csimBody(r.getDouble(2), r.getDouble(3)) + "\n")
+        }
+      }
+  }
 
   /** Q-bin-edges dimension table, once per dataset (reference S14:
     * `<dataset>_qbinedges.npy`, pipeline.py:493-497). */

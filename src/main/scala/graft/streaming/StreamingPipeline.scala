@@ -60,6 +60,14 @@ object StreamingPipeline {
       processDataset(batch, ds, outDir, cal, geometry, predef, corrections))
   }
 
+  /** Canonical parquet tables live under `outDir/tables/<name>`; the
+    * reference-shaped text/TIFF tree (.chi files under `integrals`, mask
+    * TIFFs under `masks`, csim text under `stats`) sits at `outDir` top
+    * level exactly where the reference UI's globs expect it
+    * (mainUI contour.py:170-186, csim.py:48-64), with every file named
+    * `<dataset>-<number>_<suffix>` from the real acquisition stem. */
+  private[streaming] def tablesDir(outDir: String): String = s"$outDir/tables"
+
   /** Decode → per-frame plan → sinks for one dataset of one micro-batch. */
   private def processDataset(batch: DataFrame, ds: String, outDir: String,
                              cal: Calibration, geometry: DataFrame,
@@ -81,7 +89,7 @@ object StreamingPipeline {
       val bad = pxAll.where(col("y") === -1)
         .select(col("frame_no"), lit(ds).as("dataset"))
       if (!bad.isEmpty)
-        Sinks.writeTable(bad, outDir, "quarantine", Seq("dataset"))
+        Sinks.writeTable(bad, tablesDir(outDir), "quarantine", Seq("dataset"))
       val px = pxAll.where(col("y") >= 0)
       // A batch can contribute no decodable pixels at all — e.g. its only
       // file is caught mid-write (quarantined above). Skip the dataset for
@@ -93,8 +101,9 @@ object StreamingPipeline {
       val tag = lit(ds).as("dataset")
       // S14: the q-bin-edges dimension table, once per dataset
       // (reference writes <dataset>_qbinedges once, pipeline.py:493-497)
-      if (!new java.io.File(s"$outDir/q_bin_edges/dataset=$ds").exists())
-        Sinks.writeQBinEdges(batch.sparkSession, cal, outDir, ds)
+      if (!new java.io.File(
+          s"${tablesDir(outDir)}/q_bin_edges/dataset=$ds").exists())
+        Sinks.writeQBinEdges(batch.sparkSession, cal, tablesDir(outDir), ds)
       // pixels feed two sinks (mask TIFFs + csim) and integrals feed two
       // (.chi + parquet): pin each once so the full per-frame plan does
       // not re-execute per sink
@@ -102,28 +111,29 @@ object StreamingPipeline {
       val integrals = out.integrals.localCheckpoint(true)
       timed("sink_integrals")(
         Sinks.writeTable(integrals.withColumn("dataset", tag),
-          outDir, "integrals", Seq("dataset")))
+          tablesDir(outDir), "integrals", Seq("dataset")))
       // S12: per-frame .chi files for the reference UI, executor-side —
       // all four variants like the reference (pipeline.py:421-449)
       timed("sink_chi")(
         Seq("base", "om", "spotsmasked", "arcsmasked").foreach { v =>
-          Sinks.writeChi(integrals, s"$outDir/chi/$ds", v,
-            dense = Some((cal.outChannels, cal.ioTth._1, cal.tthStep)))
+          Sinks.writeChi(integrals, s"$outDir/integrals", v,
+            dense = Some((cal.outChannels, cal.ioTth._1, cal.tthStep)),
+            dataset = ds)
         })
       // S11: per-frame mask TIFFs (reference pipeline.py:152-332)
       val (imgH, imgW) = cal.imageSize
       timed("sink_masks")(
-        Sinks.writeMaskTiffs(pixels, imgW, imgH, s"$outDir/masks/$ds", Seq(
+        Sinks.writeMaskTiffs(pixels, imgW, imgH, s"$outDir/masks", Seq(
           "base" -> col("base_mask"),
           "outliermask" -> (col("base_mask") || col("is_outlier")),
           "spots" -> col("is_spot"),
-          "arcs" -> col("is_arc"))))
+          "arcs" -> col("is_arc")), dataset = ds))
       Sinks.writeTable(out.spotStats.withColumn("dataset", tag),
-        outDir, "spot_stats", Seq("dataset"))
+        tablesDir(outDir), "spot_stats", Seq("dataset"))
       Sinks.writeTable(out.gradStats.withColumn("dataset", tag),
-        outDir, "grad_stats", Seq("dataset"))
+        tablesDir(outDir), "grad_stats", Seq("dataset"))
       Sinks.writeTable(out.spottiness.withColumn("dataset", tag),
-        outDir, "spottiness", Seq("dataset"))
+        tablesDir(outDir), "spottiness", Seq("dataset"))
       // A11: similarity series vs the dataset's FIRST frame and the
       // immediately PREVIOUS frame, ACROSS micro-batches (reference
       // pipeline.py:506-557). Cross-batch state = a tiny parquet table per
@@ -135,7 +145,8 @@ object StreamingPipeline {
         .select(lit(ds).as("dataset"), col("frame_no"), col("y"), col("x"),
           col("corr").as("v"))
       timed("csim")(writeCsimStateful(vecs, outDir, ds))
-      graft.ops.Timing.write(batch.sparkSession, outDir, ds, times.toSeq)
+      graft.ops.Timing.write(batch.sparkSession, tablesDir(outDir), ds,
+        times.toSeq)
   }
 
   /** Compute and append this batch's csim rows using (and advancing) the
@@ -172,7 +183,10 @@ object StreamingPipeline {
       .join(batchFrames, "frame_no") // emit only this batch's frames
       .select(col("dataset"), col("frame_no"), col("csim_first"),
         col("csim_prev"))
-    Sinks.writeTable(series, outDir, "csim", Seq("dataset"))
+      .localCheckpoint(true) // two sinks below: compute the plan once
+    Sinks.writeTable(series, tablesDir(outDir), "csim", Seq("dataset"))
+    // S15: the per-frame text files the reference UI actually reads
+    Sinks.writeCsimTxt(series, s"$outDir/stats")
 
     // roll state: keep the union's first frame + the batch's max frame
     val firstNo = union.agg(min(col("frame_no"))).head().getInt(0)

@@ -57,6 +57,43 @@ class SinksSpec extends SparkSpec {
       "0.999999999\t0.876543220")
   }
 
+  test("sink filenames carry the acquisition stem and round-trip the " +
+      "reference UI's identity parsing") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_stem").toString
+    val integ = Seq((7, 0, 1.05, 10.0), (7, 1, 1.15, 20.0))
+      .toDF("frame_no", "tth_bin", "tth", "i_base")
+    Sinks.writeChi(integ, dir, "base", dataset = "MA2")
+    // reference shape (pipeline.py:416-449): <name>-<number>_<variant>.chi
+    // with the source image name in the header line
+    val chi = new java.io.File(s"$dir/MA2-00007_base.chi")
+    assert(chi.exists, "chi not named <name>-<number>_<variant>.chi")
+    val head = scala.io.Source.fromFile(chi).getLines().next()
+    assert(head == "MA2-00007.tif Azm= 0.00")
+    // the header's source name parses back through the frame-identity
+    // regex to the same (dataset, frame) — the UI's grouping key
+    val m = java.util.regex.Pattern
+      .compile(graft.sources.FrameSource.frameRegex).matcher("MA2-00007.tif")
+    assert(m.matches && m.group(1) == "MA2" && m.group(2).toInt == 7)
+    // the UI stem glob (mainUI/contour.py:170-186: filename up to the
+    // first 5-digit group, + "*" + extension) selects the file
+    assert(chi.getName.startsWith("MA2-") && chi.getName.endsWith("_base.chi"))
+
+    // mask TIFFs and csim text carry the same stem
+    val px = Seq((7, 0, 0, true)).toDF("frame_no", "y", "x", "flag")
+    Sinks.writeMaskTiffs(px, 2, 2, dir, Seq("spots" -> col("flag")),
+      dataset = "MA2")
+    assert(new java.io.File(s"$dir/MA2-00007_spots.tif").exists)
+    val series = Seq(("MA2", 7, 0.5, 0.25))
+      .toDF("dataset", "frame_no", "csim_first", "csim_prev")
+    Sinks.writeCsimTxt(series, dir)
+    // body format: "%0.9f\t%0.9f\n" (pipeline.py:554-557)
+    val txt = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$dir/MA2-00007_csim.txt"))
+    assert(txt == "0.500000000\t0.250000000\n")
+  }
+
   test("qbinedges table has outChannels+1 monotone edges") {
     val cal = graft.core.Calibration(outChannels = 50)
     val dir = java.nio.file.Files.createTempDirectory("graft_qe").toString

@@ -66,7 +66,7 @@ class StreamingPipelineSpec extends SparkSpec {
       val q = StreamingPipeline.start(spark, tmpIn, out, cal, geo,
         availableNow = true, maxFilesPerTrigger = maxFiles)
       q.awaitTermination(300000)
-      spark.read.parquet(s"$out/csim").collect().map(r =>
+      spark.read.parquet(s"$out/tables/csim").collect().map(r =>
         r.getAs[Int]("frame_no") ->
           (r.getAs[Double]("csim_first"), r.getAs[Double]("csim_prev")))
         .toMap
@@ -103,9 +103,9 @@ class StreamingPipelineSpec extends SparkSpec {
     val q = StreamingPipeline.start(spark, tmpIn, tmpOut, cal, geo,
       availableNow = true)
     q.awaitTermination(300000)
-    val quarantined = spark.read.parquet(s"$tmpOut/quarantine").collect()
+    val quarantined = spark.read.parquet(s"$tmpOut/tables/quarantine").collect()
     assert(quarantined.map(_.getAs[Int]("frame_no")).toSeq == Seq(3))
-    assert(spark.read.parquet(s"$tmpOut/integrals")
+    assert(spark.read.parquet(s"$tmpOut/tables/integrals")
       .select(col("frame_no")).distinct().count() == 2)
   }
 
@@ -126,9 +126,9 @@ class StreamingPipelineSpec extends SparkSpec {
     val q = StreamingPipeline.start(spark, tmpIn, tmpOut, cal, geo,
       availableNow = true, maxFilesPerTrigger = 1)
     q.awaitTermination(300000)
-    val quarantined = spark.read.parquet(s"$tmpOut/quarantine").collect()
+    val quarantined = spark.read.parquet(s"$tmpOut/tables/quarantine").collect()
     assert(quarantined.map(_.getAs[Int]("frame_no")).toSeq == Seq(3))
-    val csim = spark.read.parquet(s"$tmpOut/csim").collect()
+    val csim = spark.read.parquet(s"$tmpOut/tables/csim").collect()
       .map(r => r.getAs[Int]("frame_no") ->
         (r.getAs[Double]("csim_first"), r.getAs[Double]("csim_prev")))
       .toMap
@@ -152,7 +152,7 @@ class StreamingPipelineSpec extends SparkSpec {
     StreamingPipeline.writeCsimStateful(empty, out, "d")
     val stateAfter = spark.read.parquet(s"$out/_state/csim/d").collect()
     assert(stateAfter.toSet == stateBefore.toSet, "empty batch moved state")
-    assert(spark.read.parquet(s"$out/csim").count() == 1)
+    assert(spark.read.parquet(s"$out/tables/csim").count() == 1)
   }
 
   test("corrections + predef mask + q-bin-edges flow through the stream") {
@@ -179,18 +179,18 @@ class StreamingPipelineSpec extends SparkSpec {
     val treated = run(
       graft.ops.Corrections.Frames(flatField = Some(flat)), predef)
 
-    def iBase(dir: String) = spark.read.parquet(s"$dir/integrals")
+    def iBase(dir: String) = spark.read.parquet(s"$dir/tables/integrals")
       .agg(sum(col("i_base"))).head().getDouble(0)
     // 2x flat-field roughly doubles the summed base integral (predef mask
     // removes a few pixels, so compare with slack)
     assert(iBase(treated) > iBase(plain) * 1.8)
     // predef-masked pixels appear in the base-mask TIFF
     val base = FrameSource.decodeTiff(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(s"$treated/masks/synth/frame-00001_base.tif")))
+      java.nio.file.Paths.get(s"$treated/masks/synth-00001_base.tif")))
       .filter(_._3 == 1).map(p => (p._1, p._2)).toSet
     assert(base.contains((48, 48)), "predef spot missing from base mask")
     // S14: q-bin-edges written once for the dataset
-    val edges = spark.read.parquet(s"$treated/q_bin_edges")
+    val edges = spark.read.parquet(s"$treated/tables/q_bin_edges")
     assert(edges.count() == cal.outChannels + 1)
   }
 
@@ -209,15 +209,15 @@ class StreamingPipelineSpec extends SparkSpec {
     q2.awaitTermination(300000)
 
     // exactly one integrals row-set per frame, no re-processing dupes
-    val perFrame = spark.read.parquet(s"$tmpOut/integrals")
+    val perFrame = spark.read.parquet(s"$tmpOut/tables/integrals")
       .groupBy(col("frame_no"), col("tth_bin")).count()
       .where(col("count") > 1).count()
     assert(perFrame == 0, "restart reprocessed already-seen frames")
-    assert(spark.read.parquet(s"$tmpOut/integrals")
+    assert(spark.read.parquet(s"$tmpOut/tables/integrals")
       .select(col("frame_no")).distinct().count() == 4)
     // csim of frames 3/4 references the TRUE first frame (vs-first < 1,
     // carried through the persisted state across the restart)
-    val csim = spark.read.parquet(s"$tmpOut/csim").collect()
+    val csim = spark.read.parquet(s"$tmpOut/tables/csim").collect()
       .map(r => r.getAs[Int]("frame_no") -> r.getAs[Double]("csim_first"))
       .toMap
     assert(csim.keySet == Set(1, 2, 3, 4))
@@ -238,7 +238,7 @@ class StreamingPipelineSpec extends SparkSpec {
       while (n < 2 && System.currentTimeMillis() < deadline) {
         Thread.sleep(2000)
         n = try {
-          spark.read.parquet(s"$tmpOut/csim").count()
+          spark.read.parquet(s"$tmpOut/tables/csim").count()
         } catch { case _: Exception => 0L }
       }
       assert(n >= 2, s"live trigger produced $n csim rows")
@@ -268,14 +268,14 @@ class StreamingPipelineSpec extends SparkSpec {
       availableNow = true)
     q.awaitTermination(300000)
 
-    val integrals = spark.read.parquet(s"$tmpOut/integrals")
+    val integrals = spark.read.parquet(s"$tmpOut/tables/integrals")
     assert(integrals.select(col("frame_no")).distinct().count() == 2)
     assert(integrals.where(col("i_base").isNotNull).count() > 100)
     assert(integrals.select(col("dataset")).distinct().collect()
       .map(_.getString(0)).toSeq == Seq("synth"))
-    val spotty = spark.read.parquet(s"$tmpOut/spottiness")
+    val spotty = spark.read.parquet(s"$tmpOut/tables/spottiness")
     assert(spotty.count() > 0)
-    val csim = spark.read.parquet(s"$tmpOut/csim")
+    val csim = spark.read.parquet(s"$tmpOut/tables/csim")
       .orderBy(col("frame_no")).collect()
     assert(csim.length == 2)
     assert(math.abs(csim(0).getAs[Double]("csim_prev") - 1.0) < 1e-9)
@@ -289,17 +289,27 @@ class StreamingPipelineSpec extends SparkSpec {
     for (no <- 1 to 2;
          v <- Seq("base", "om", "spotsmasked", "arcsmasked")) {
       val chi = java.nio.file.Paths.get(
-        f"$tmpOut/chi/synth/frame-$no%05d_$v.chi")
+        f"$tmpOut/integrals/synth-$no%05d_$v.chi")
       assert(java.nio.file.Files.exists(chi), s"missing $chi")
       val lines = java.nio.file.Files.readAllLines(chi)
       assert(lines.get(3).trim.toInt == cal.outChannels)
       assert(lines.size == 4 + cal.outChannels)
     }
+    // S15: per-frame csim text files under stats/, reference format
+    // (pipeline.py:554-557), named from the acquisition stem so
+    // mainUI/csim.py:48-64's glob "<stem>*_csim.txt" collects them
+    (1 to 2).foreach { no =>
+      val p = java.nio.file.Paths.get(f"$tmpOut/stats/synth-$no%05d_csim.txt")
+      assert(java.nio.file.Files.exists(p), s"missing $p")
+      val parts = java.nio.file.Files.readString(p).stripLineEnd.split("\t")
+      assert(parts.length == 2 &&
+        parts.forall(_.matches("\\d\\.\\d{9}")), s"bad csim body in $p")
+    }
     // S11: four mask TIFFs per frame, decodable, plausible content
     (1 to 2).foreach { no =>
       Seq("base", "outliermask", "spots", "arcs").foreach { m =>
         val p = java.nio.file.Paths.get(
-          f"$tmpOut/masks/synth/frame-$no%05d_$m.tif")
+          f"$tmpOut/masks/synth-$no%05d_$m.tif")
         assert(java.nio.file.Files.exists(p), s"missing $p")
         val px = FrameSource.decodeTiff(
           java.nio.file.Files.readAllBytes(p)).toSeq
@@ -308,7 +318,7 @@ class StreamingPipelineSpec extends SparkSpec {
       }
       // base mask: out-of-range corners of the synthetic frame are masked
       val base = FrameSource.decodeTiff(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(f"$tmpOut/masks/synth/frame-$no%05d_base.tif")))
+        java.nio.file.Paths.get(f"$tmpOut/masks/synth-$no%05d_base.tif")))
         .count(_._3 == 1)
       assert(base > 0, "base mask empty")
     }
