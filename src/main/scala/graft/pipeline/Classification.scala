@@ -118,7 +118,7 @@ object Classification {
       .join(broadcast(globalThresh), keys)
       .where(col("grad2_r") < col("g_thresh"))
       .select(kcols ++ Seq(col("y"), col("x")): _*)
-    val gradClusters = CCL.label(gradMaskPx, width, keys)
+    val gradClusters = CCL.labelAuto(gradMaskPx, width, height, keys)
       .withColumnRenamed("label", "cut_label")
     val cutStats = gradClusters.join(
         arcPx.select(kcols ++ Seq(col("y"), col("x"), col("azim"),
@@ -218,7 +218,9 @@ object Classification {
     val outlierPx = framePx.where(col("is_outlier"))
       .select(keys.map(col) ++ Seq(col("y"), col("x")): _*)
     val closed = Morphology.closing(outlierPx, 1, keys, width, height)
-    val labeled0 = CCL.label(closed, width, keys)
+    // density-gated: a pathological mask (e.g. threshold selecting half
+    // the frame) escalates to the tile-local dense path automatically
+    val labeled0 = CCL.labelAuto(closed, width, height, keys)
     // closing can add pixels outside the original geometry join; re-join
     // to recover geometry columns for cluster stats
     val labeled = labeled0.join(framePx.select(keys.map(col) ++

@@ -36,8 +36,44 @@ import org.apache.spark.sql.functions._
   */
 object CCL {
 
+  /** Broadcast cap for the label-mapping join-back, mirroring
+    * FramePipeline.flagOutliers: mapping rows scale with active pixels ×
+    * frames-per-batch, so a 10k-frame backfill batch must not broadcast
+    * them through the driver. */
+  val MaxBroadcastMappingRows: Long = 1000000L
+
+  /** Active pixels per frame above which [[labelAuto]] escalates to
+    * [[labelDense]]: the sparse path's per-frame `mapGroups` pulls ~4
+    * edge rows per active pixel into ONE task, fine for ring-outlier
+    * masks (<1% of a frame) but not for a pathological threshold mask
+    * selecting half a 2880² frame. */
+  val DensePixelsPerFrame: Long = 500000L
+
+  /** Density-gated dispatch: counts the busiest frame's active pixels
+    * (one pass over the pinned input) and routes to [[label]] for sparse
+    * masks or [[labelDense]] when any frame exceeds
+    * `densePixelsPerFrame`. Labels are identical on both paths (the
+    * component's min pixel id), so callers never see which ran. */
+  def labelAuto(active: DataFrame, width: Int, height: Int,
+                keys: Seq[String] = Nil, eightConnected: Boolean = true,
+                densePixelsPerFrame: Long = DensePixelsPerFrame,
+                maxBroadcastRows: Long = MaxBroadcastMappingRows)
+      : DataFrame = {
+    val pinned = active.localCheckpoint(true)
+    val fkey = keys.headOption.map(col).getOrElse(lit(0))
+    val maxRow = pinned.groupBy(fkey.as("_f")).count()
+      .agg(max(col("count"))).head()
+    val maxPerFrame = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+    if (maxPerFrame > densePixelsPerFrame)
+      labelDense(pinned, width, height, keys,
+        eightConnected = eightConnected, maxBroadcastRows = maxBroadcastRows)
+    else
+      label(pinned, width, keys, eightConnected, maxBroadcastRows)
+  }
+
   def label(active: DataFrame, width: Int, keys: Seq[String] = Nil,
-            eightConnected: Boolean = true): DataFrame = {
+            eightConnected: Boolean = true,
+            maxBroadcastRows: Long = MaxBroadcastMappingRows): DataFrame = {
     val spark = active.sparkSession
     import spark.implicits._
     require(keys.size <= 1, "CCL supports at most one numeric frame key")
@@ -89,8 +125,15 @@ object CCL {
       .toDF("_f", "m")
       .select(col("_f"), explode(col("m")).as("kv"))
       .select(col("_f"), col("kv._1").as("id"), col("kv._2").as("root"))
+      // materialized so the row count can gate the join strategy without
+      // recomputing the union-find
+      .localCheckpoint(true)
 
-    nodes.join(broadcast(mapping), Seq("_f", "id"), "left")
+    // broadcast growth guard (same rationale as flagOutliers): mapping
+    // rows ≤ active pixels, which scale with frames per batch
+    val m = if (mapping.count() <= maxBroadcastRows) broadcast(mapping)
+            else mapping
+    nodes.join(m, Seq("_f", "id"), "left")
       .select(kcols ++ Seq(col("y"), col("x"),
         coalesce(col("root"), col("id")).as("label")): _*)
   }
@@ -107,7 +150,9 @@ object CCL {
     */
   def labelDense(active: DataFrame, width: Int, height: Int,
                  keys: Seq[String] = Nil, tile: Int = 256,
-                 eightConnected: Boolean = true): DataFrame = {
+                 eightConnected: Boolean = true,
+                 maxBroadcastRows: Long = MaxBroadcastMappingRows)
+      : DataFrame = {
     val spark = active.sparkSession
     import spark.implicits._
     require(keys.size <= 1, "CCL supports at most one numeric frame key")
@@ -200,9 +245,14 @@ object CCL {
       .toDF("_f", "m")
       .select(col("_f"), explode(col("m")).as("kv"))
       .select(col("_f"), col("kv._1").as("lroot"), col("kv._2").as("groot"))
+      .localCheckpoint(true)
 
+    // merge rows are O(boundary components) — usually tiny, but a
+    // 10k-frame batch still multiplies them; same guard as [[label]]
+    val mg = if (merge.count() <= maxBroadcastRows) broadcast(merge)
+             else merge
     localRoots
-      .join(broadcast(merge), Seq("_f", "lroot"), "left")
+      .join(mg, Seq("_f", "lroot"), "left")
       .withColumn("label", coalesce(col("groot"), col("lroot")))
       .join(nodes, Seq("_f", "id"))
       .select(kcols ++ Seq(col("y"), col("x"), col("label")): _*)

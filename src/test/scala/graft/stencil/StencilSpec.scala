@@ -253,6 +253,51 @@ class DenseCCLSpec extends SparkSpec {
     assert(labels == 1)
   }
 
+  test("labelAuto routes by per-frame density; both routes agree") {
+    val rnd = new scala.util.Random(7)
+    val px = for { y <- 0 until 32; x <- 0 until 32
+      if rnd.nextDouble() < 0.5 } yield (1, y, x)
+    val df = px.toDF("frame_no", "y", "x")
+    def toMap(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getLong(3))
+      .toMap
+    // high threshold -> sparse path; tiny threshold -> dense escalation
+    val sparse = toMap(CCL.labelAuto(df, 32, 32, Seq("frame_no"),
+      densePixelsPerFrame = 1000000L))
+    val dense = toMap(CCL.labelAuto(df, 32, 32, Seq("frame_no"),
+      densePixelsPerFrame = 10L))
+    assert(sparse == dense, "dense escalation changed labels")
+    assert(sparse == toMap(CCL.label(df, 32, Seq("frame_no"))))
+  }
+
+  test("label-mapping join-back drops the FORCED broadcast above the " +
+      "row cap (size-based auto-broadcast stays Catalyst's call)") {
+    val px = Seq((1, 0, 0), (1, 0, 1), (1, 5, 5))
+      .toDF("frame_no", "y", "x")
+    // disable size-based auto-broadcast so the plan shows only what the
+    // HINT forces — at scale the checkpointed mapping's real stats keep
+    // Catalyst from broadcasting a huge mapping on its own
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    keys.foreach(k => spark.conf.set(k, "-1"))
+    try {
+      val guarded = CCL.label(px, 16, Seq("frame_no"), maxBroadcastRows = 0L)
+      val hinted = CCL.label(px, 16, Seq("frame_no"))
+      assert(hinted.queryExecution.executedPlan.toString
+        .contains("Broadcast"), "below the cap the mapping should broadcast")
+      assert(!guarded.queryExecution.executedPlan.toString
+        .contains("Broadcast"),
+        "above the cap the mapping join must not force a broadcast")
+      // the guarded plan still labels identically
+      def toSet(d: org.apache.spark.sql.DataFrame) = d.collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+        .toSet
+      assert(toSet(guarded) == toSet(hinted))
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
   test("labelDense keeps frames separated and labels deterministic") {
     val px = Seq((1, 0, 0), (1, 0, 1), (2, 0, 0), (2, 0, 1), (2, 5, 5))
     val out = CCL.labelDense(px.toDF("frame_no", "y", "x"), 16, 16,
