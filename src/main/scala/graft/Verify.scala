@@ -17,6 +17,9 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // raw-hash aux tables for the minhash/simhash/LSH oracles (DuckDB has
+    // no xxhash64; the aggregation/banding logic is verified over these)
+    queries.OracleQueries.writeOracleAux(spark, sfDir)
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

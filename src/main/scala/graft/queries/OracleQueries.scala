@@ -48,6 +48,60 @@ object OracleQueries {
   val testPolygon: Seq[(Double, Double)] = Seq(
     (5.0, 2.0), (45.0, 5.0), (40.0, 35.0), (25.0, 18.0), (10.0, 30.0))
 
+  // ---- oracle auxiliary hash tables --------------------------------------
+  // DuckDB has no xxhash64, so the MinHash / SimHash / LSH queries cannot
+  // be oracled directly. What CAN be verified cross-engine is every step
+  // ABOVE the raw hash primitive: min-per-seed signature construction, LSH
+  // banding and candidate pairing, signature agreement scoring, bit-vote
+  // fingerprinting, and hyperplane bucketing. Verify pre-materializes the
+  // per-row hash values (computed ONCE, in Spark) to a fixed location and
+  // the oracle SQL re-derives everything downstream from that table —
+  // hashes identical by construction, logic checked in both engines.
+
+  /** Fixed aux-table location baked into the oracle SQL (the driver runs
+    * DuckDB on the same host right after Verify). */
+  val AuxDir = "/tmp/graft_oracle_aux"
+
+  /** Parameters shared by the dedup queries and their oracles. */
+  private val MinhashK = 32
+  private val MinhashBands = 8
+  private val LshPlanes = 10
+  private val LshDim = 64
+
+  /** Write the raw-hash aux tables for the current scale factor. Called by
+    * Verify before the query dump; NOT part of any benched query. */
+  def writeOracleAux(s: SparkSession, dir: String): Unit = {
+    val docs = t(s, dir, "documents")
+    // minhash: one row per (doc, shingle occurrence, hash family) with the
+    // family hash fh = xxhash64(xxhash64(shingle), seed) — exactly the
+    // value Dedup.minhashSignatures aggregates with min()
+    Dedup.shingleRows(docs, "doc_id", "text", 3, distinct = false)
+      .select(col("id"), xxhash64(col("shingle")).as("h"))
+      .select(col("id"),
+        explode(array((0 until MinhashK).map(lit): _*)).as("seed"),
+        col("h"))
+      .select(col("id"), col("seed"),
+        xxhash64(col("h"), col("seed")).as("fh"))
+      .write.mode("overwrite").parquet(s"$AuxDir/minhash_family")
+    // simhash: distinct shingle hashes per doc (the bit-vote input) for
+    // the dedup_simhash slice, plus the whole-text fingerprints
+    val sDocs = docs.where(col("doc_id") < 100)
+    Dedup.shingleRows(sDocs, "doc_id", "text", 3)
+      .select(col("id"), xxhash64(col("shingle")).as("h"))
+      .write.mode("overwrite").parquet(s"$AuxDir/simhash_shingle_hashes")
+    sDocs.select(col("doc_id"),
+        TextMetrics.fingerprint(col("text")).as("fingerprint"))
+      .write.mode("overwrite").parquet(s"$AuxDir/doc_fp")
+    // LSH hyperplanes: the deterministic sin-table the LshBucket
+    // expression tabulates, written from the SAME Math.sin so the oracle
+    // is independent of DuckDB's libm
+    import s.implicits._
+    (0 until LshPlanes).flatMap(p => (0 until LshDim).map(j =>
+        (p, j, math.sin(p * LshDim + j + 1.0))))
+      .toDF("p", "j", "w")
+      .coalesce(1).write.mode("overwrite").parquet(s"$AuxDir/lsh_planes")
+  }
+
   // ---- the inventory -----------------------------------------------------
   val all: Seq[Q] = Seq(
 
@@ -765,7 +819,29 @@ object OracleQueries {
             round(col("est_jaccard"), 6).as("est_jaccard"))
           .orderBy(col("id_a"), col("id_b"))
       },
-      None),
+      // the min-per-seed signatures, banding, candidate pairing and
+      // agreement scoring all re-derived in DuckDB from the
+      // pre-materialized family hashes (equal band keys <=> equal
+      // signature slices, xxhash64 being injective-in-practice)
+      Some(s"""WITH fam AS (SELECT id, seed, fh
+            FROM '$AuxDir/minhash_family/*.parquet'),
+          sig AS (SELECT id, seed, MIN(fh) AS m FROM fam GROUP BY id, seed),
+          sigl AS (SELECT id, list(m ORDER BY seed) AS sig
+            FROM sig GROUP BY id),
+          bands AS (SELECT id, b, sig[b*4+1:b*4+4] AS slc
+            FROM sigl CROSS JOIN range(0, 8) t(b)),
+          pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+            FROM bands a JOIN bands b
+              ON a.b = b.b AND a.slc = b.slc AND a.id < b.id),
+          scored AS (SELECT p.id_a, p.id_b,
+              ROUND(SUM(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) / 32.0, 6)
+                AS est_jaccard
+            FROM pairs p
+            JOIN sig sa ON sa.id = p.id_a
+            JOIN sig sb ON sb.id = p.id_b AND sb.seed = sa.seed
+            GROUP BY p.id_a, p.id_b)
+        SELECT id_a, id_b, est_jaccard FROM scored
+        ORDER BY id_a, id_b""")),
 
     // ============== text analysis: per-language quality metrics ===========
     Q("text_quality",
@@ -907,7 +983,21 @@ object OracleQueries {
           .where(col("n_vecs") > 1)
           .orderBy(col("bucket"))
       },
-      None),
+      // hyperplane bucketing re-derived in DuckDB over the materialized
+      // sin-plane table; list_inner_product accumulates left-to-right like
+      // the LshBucket codegen loop, so the sign tests are bit-exact
+      Some(s"""WITH pl AS (SELECT p, list(w ORDER BY j) AS plane
+            FROM '$AuxDir/lsh_planes/*.parquet' GROUP BY p),
+          d AS (SELECT vec_id, label,
+              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings),
+          bk AS (SELECT vec_id, ANY_VALUE(label) AS label,
+              CAST(SUM(CASE WHEN list_inner_product(v, plane) >= 0
+                THEN 1::BIGINT << p ELSE 0 END) AS BIGINT) AS bucket
+            FROM d CROSS JOIN pl GROUP BY vec_id)
+        SELECT bucket, COUNT(*) AS n_vecs,
+          COUNT(DISTINCT label) AS n_labels, MIN(vec_id) AS min_vec_id
+        FROM bk GROUP BY bucket HAVING COUNT(*) > 1 ORDER BY bucket""")),
 
     // ====== dedup: SimHash fingerprints (rows-only check) =================
     Q("dedup_simhash",
@@ -920,7 +1010,24 @@ object OracleQueries {
             "doc_id")
           .orderBy(col("doc_id"))
       },
-      None),
+      // the 64 bit-votes and the fingerprint assembly re-derived in
+      // DuckDB from the materialized distinct shingle hashes; bit 63 is
+      // spelled as the long min-value because 1<<63 overflows BIGINT
+      Some(s"""WITH sh AS (SELECT id, h
+            FROM '$AuxDir/simhash_shingle_hashes/*.parquet'),
+          votes AS (SELECT id, j,
+              SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+            FROM sh CROSS JOIN range(0, 64) t(j) GROUP BY id, j),
+          sim AS (SELECT id AS doc_id,
+              CAST(SUM(CASE WHEN v > 0 THEN
+                  CASE WHEN j = 63 THEN CAST(-9223372036854775808 AS HUGEINT)
+                       ELSE CAST(1::BIGINT << j AS HUGEINT) END
+                ELSE 0 END) AS BIGINT) AS simhash
+            FROM votes GROUP BY id)
+        SELECT s.doc_id, s.simhash, f.fingerprint
+        FROM sim s JOIN '$AuxDir/doc_fp/*.parquet' f
+          ON f.doc_id = s.doc_id
+        ORDER BY s.doc_id""")),
 
     // ========= streaming-analytics shape: hourly event rollup =============
     // ts is read as epoch-nanos long (nanosAsLong); truncate to the hour
