@@ -19,13 +19,21 @@ object Bench {
     catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
-        val t0 = System.nanoTime()
-        // noop sink: materializes every output column (count() would let
-        // the optimizer prune the aggregates away)
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-        name -> (System.nanoTime() - t0) / 1e9
+        // two iterations, report the SECOND: the first run pays Janino
+        // codegen compilation and JIT warm-up, which made round-over-round
+        // per-query deltas noise-dominated (cold-start variance is the
+        // startup story, not the operator's steady-state cost)
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          // noop sink: materializes every output column (count() would
+          // let the optimizer prune the aggregates away)
+          try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}") }
+          (System.nanoTime() - t0) / 1e9
+        }
+        once()
+        name -> once()
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
