@@ -22,11 +22,38 @@ import java.nio.{ByteBuffer, ByteOrder}
   */
 object TiffDialects {
 
+  /** Calibration mined from a detector frame header (MAR-CCD): wavelength
+    * in Angstrom, sample-detector distance in mm, beam center in mm —
+    * the reference's "extract reasonable X from header" rules
+    * (GSASII_imports.py:1170-1182). */
+  final case class HeaderCal(wavelength: Option[Double],
+                             distance: Option[Double],
+                             center: Option[(Double, Double)])
+
   /** A decoded detector frame: row-major samples, sizes in pixels,
-    * pixel pitch in microns (the reference's `pixy`). */
+    * pixel pitch in microns (the reference's `pixy`), plus any
+    * calibration the frame header itself carries. */
   final case class DetectorFrame(
       tifType: String, nx: Int, ny: Int,
-      pixelSizeUm: (Double, Double), samples: Array[Int])
+      pixelSizeUm: (Double, Double), samples: Array[Int],
+      headerCal: Option[HeaderCal] = None)
+
+  /** Apply header-mined calibration over a base: a standalone MAR dataset
+    * (no `.imctrl`/`.poni` present) calibrates from its own frame header,
+    * exactly the values the reference feeds into its data dict
+    * (GSASII_imports.py:1396). Explicit calibration files still win —
+    * callers overlay them after this. */
+  def calibrationFrom(frame: DetectorFrame,
+                      base: graft.core.Calibration): graft.core.Calibration = {
+    val hc = frame.headerCal.getOrElse(
+      HeaderCal(None, None, None))
+    base.copy(
+      wavelength = hc.wavelength.getOrElse(base.wavelength),
+      distance = hc.distance.getOrElse(base.distance),
+      center = hc.center.getOrElse(base.center),
+      pixelSize = frame.pixelSizeUm,
+      imageSize = (frame.ny, frame.nx))
+  }
 
   private final case class IfdEntry(tag: Int, typ: Int, count: Int,
                                     values: Array[Long], valOff: Int)
@@ -137,6 +164,53 @@ object TiffDialects {
       Some(Array.fill(n)((bb.getFloat() * scale).toInt))
     }
 
+  // ---- MAR-CCD frame header (public marCCD frame_header struct) --------
+  // 1024-byte TIFF header, then the 3072-byte frame header the reference
+  // mines via its ReadMarCCDFrame module: goniostat block at header+640
+  // (xtal_to_detector, beam_x, beam_y, ... start/end_xtal_to_detector),
+  // detector block at +768 (pixelsize nm), X-ray source/optics at +896
+  // (wavelengths in femtometers), origin/view_direction flags at +116/+124.
+
+  /** Mined (pixelSizeUm, HeaderCal, flipud, fliplr) from a MAR frame
+    * header, with the reference's "reasonable value" fallbacks
+    * (GSASII_imports.py:1164-1182). */
+  private def marHeader(bytes: Array[Byte], o: ByteOrder)
+      : Option[((Double, Double), HeaderCal, Boolean, Boolean)] = {
+    if (bytes.length < 4096) return None
+    val bb = ByteBuffer.wrap(bytes).order(o)
+    def i32(off: Int): Int = bb.getInt(1024 + off)
+    val pixX = i32(772); val pixY = i32(776) // nanometers
+    val pix = if (pixX > 0 && pixY > 0) (pixX / 1000.0, pixY / 1000.0)
+              else (73.242, 73.242) // degenerate header: plate default
+    // wavelength: optics wins over source when positive; femtometers -> A
+    val srcWl = i32(908) * 1e-5
+    val optWl = i32(940) * 1e-5
+    val wl = if (optWl > 0) optWl else srcWl
+    // distance: mean of start/end (fields are 1000*mm); a zero end frame
+    // falls back to the static xtal_to_detector
+    val startXtd = i32(696); val endXtd = i32(728)
+    val dAvg = (startXtd + endXtd) * 5e-4
+    val d = if (dAvg <= startXtd * 5e-4) i32(640) * 1e-3 else dAvg
+    // center: 1000*pixels x nanometers -> mm; zero means unset
+    val beamX = i32(644); val beamY = i32(648)
+    val center = if (beamX != 0 && beamY != 0)
+      Some((beamX.toDouble * pixX * 1e-9, beamY.toDouble * pixY * 1e-9))
+    else None
+    val cal = HeaderCal(
+      wavelength = if (wl > 0) Some(wl) else None,
+      distance = if (d > 0) Some(d) else None,
+      center = center)
+    Some((pix, cal, i32(116) != 0, i32(124) != 0))
+  }
+
+  private def flipSamples(s: Array[Int], nx: Int, ny: Int,
+                          ud: Boolean, lr: Boolean): Array[Int] =
+    if (!ud && !lr) s
+    else Array.tabulate(s.length) { k =>
+      val y = k / nx; val x = k % nx
+      s((if (ud) ny - 1 - y else y) * nx + (if (lr) nx - 1 - x else x))
+    }
+
   /** Decode a detector dialect. `dataType` comes from the `.metadata`
     * sidecar (reference default 5 = PE float32 payload). Returns None for
     * anything that is not a known raw-payload dialect — callers fall back
@@ -151,19 +225,24 @@ object TiffDialects {
     val o = ifd.order
     val le = ByteOrder.LITTLE_ENDIAN
 
+    // MAR-CCD (tag 34710): uint16 samples at 4096 behind the marCCD frame
+    // header, which carries its own calibration — mined here like the
+    // reference's ReadMarCCDFrame path (GSASII_imports.py:1159-1182),
+    // including the origin/view-direction flips. A standalone MAR dataset
+    // therefore calibrates with no .imctrl present ([[calibrationFrom]]).
+    if (ifd.entries.contains(34710)) {
+      val (pix, cal, ud, lr) = marHeader(bytes, o).getOrElse(
+        ((73.242, 73.242), HeaderCal(None, None, None), false, false))
+      return readU16(bytes, 4096, npix, o).map(s =>
+        DetectorFrame("MAR CCD", nx, ny, pix,
+          flipSamples(s, nx, ny, ud, lr), Some(cal)))
+    }
+
     // Dialect table — same discrimination order as the reference
-    // (GSASII_imports.py:1160-1362). MAR-CCD files carry the standard
-    // marCCD layout: a 1024-byte TIFF header + 3072-byte frame header,
-    // uint16 samples at 4096. The reference additionally mines
-    // wavelength/distance/center from the frame header via an external
-    // GSAS-II module (ReadMarCCDFrame, not bundled here); this engine
-    // takes those from the .imctrl/.poni calibration instead, so only
-    // the image payload is read. Multislice CheMin (PIL-dependent in the
-    // reference too) returns None (documented gap).
+    // (GSASII_imports.py:1160-1362). Multislice CheMin (PIL-dependent in
+    // the reference too) returns None (documented gap).
     val decoded: Option[(String, (Double, Double), Option[Array[Int]])] =
-      if (ifd.entries.contains(34710))
-        Some(("MAR CCD", (73.242, 73.242), readU16(bytes, 4096, npix, o)))
-      else if (ifd.nStrips > 1) None
+      if (ifd.nStrips > 1) None
       else if (ifd.entries.contains(272)) {
         val sw = ifd.text(272, bytes)
         if (sw.contains("PILATUS"))
@@ -244,9 +323,13 @@ object TiffDialects {
   }
 
   /** Decode with a `.metadata` sidecar (reference GSASII_imports.py:
-    * 1086-1111): `dataType=` selects the PE float/int payload variant and
-    * `detectorXPixelSize`/`detectorYPixelSize` override the dialect's
-    * pixel pitch. */
+    * 1086-1111): `dataType=` selects the PE float/int payload variant.
+    * Pixel-size precedence matches GetTifData exactly: the DIALECT's
+    * pitch wins; `detectorXPixelSize`/`detectorYPixelSize` are a fallback
+    * applied only when no dialect set one (`if pixy is None: pixy =
+    * pixy_meta`, GSASII_imports.py:1389-1395) — and every successfully
+    * decoded dialect sets one, so the sidecar pitch never overrides a
+    * decoded frame. */
   def decodeWithSidecar(bytes: Array[Byte],
                         sidecar: Iterator[String]): Option[DetectorFrame] = {
     val kv = sidecar.flatMap { ln =>
@@ -256,13 +339,6 @@ object TiffDialects {
       }
     }.toMap
     val dataType = kv.get("datatype").flatMap(_.toIntOption).getOrElse(5)
-    decode(bytes, dataType).map { f =>
-      val px = (kv.get("detectorxpixelsize").flatMap(_.toDoubleOption),
-        kv.get("detectorypixelsize").flatMap(_.toDoubleOption)) match {
-        case (Some(x), Some(y)) => (x, y)
-        case _ => f.pixelSizeUm
-      }
-      f.copy(pixelSizeUm = px)
-    }
+    decode(bytes, dataType)
   }
 }

@@ -154,7 +154,8 @@ class TiffDialectsSpec extends AnyFunSuite {
     assert(rows.size == 64 && rows.forall { case (y, x, v) => v == y * 10 + x })
   }
 
-  test("sidecar dataType selects PE int32 path; pixel sizes override") {
+  test("sidecar dataType selects PE int32 path; dialect pitch wins over " +
+      "sidecar pixel sizes (GetTifData precedence)") {
     val n = 1024
     val ivals = Array.tabulate(n * n)(i => i % 997)
     val bytes = buildTiff(le = true, n, n, 32, 8, i32(ivals.toIndexedSeq),
@@ -163,14 +164,77 @@ class TiffDialectsSpec extends AnyFunSuite {
       "detectorYPixelSize=56.7")
     val f = TiffDialects.decodeWithSidecar(bytes, sidecar.iterator).get
     assert(f.tifType == "PE")
-    assert(f.pixelSizeUm == ((123.4, 56.7)))
+    // reference: sidecar pitch applies ONLY when the dialect set none
+    // (GSASII_imports.py:1389-1395); PE sets 200
+    assert(f.pixelSizeUm == ((200.0, 200.0)))
     assert(f.samples.take(5).toSeq == Seq(0, 1, 2, 3, 4))
   }
 
-  test("MAR CCD: tag 34710 + uint16 at 4096 (geometry from calibration)") {
+  /** Write MAR frame-header ints (offset relative to the header at 1024)
+    * into a fixture. */
+  private def withMarHeader(bytes: Array[Byte],
+                            fields: Seq[(Int, Int)]): Array[Byte] = {
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    fields.foreach { case (off, v) => bb.putInt(1024 + off, v) }
+    bytes
+  }
+
+  test("MAR CCD: tag 34710 + uint16 at 4096, degenerate header falls " +
+      "back to plate defaults") {
     check(buildTiff(le = true, nx, ny, 16, 4096, u16le(vals.toIndexedSeq),
       extraTags = Seq((34710, 3, 1L))),
       "MAR CCD", (73.242, 73.242), vals.toIndexedSeq)
+  }
+
+  test("MAR CCD frame header mines wavelength/distance/center/pitch " +
+      "with no .imctrl present") {
+    val raw = buildTiff(le = true, nx, ny, 16, 4096, u16le(vals.toIndexedSeq),
+      extraTags = Seq((34710, 3, 1L)))
+    val bytes = withMarHeader(raw, Seq(
+      640 -> 210000,   // xtal_to_detector: 1000*mm (unused when start/end set)
+      644 -> 1536500,  // beam_x: 1000*pixels
+      648 -> 1024250,  // beam_y
+      696 -> 250000,   // start_xtal_to_detector: 1000*mm
+      728 -> 250000,   // end_xtal_to_detector
+      772 -> 79000,    // pixelsize_x: nm
+      776 -> 79000,    // pixelsize_y
+      908 -> 41300,    // source_wavelength: femtometers
+      940 -> 0))       // optics_wavelength unset -> source wins
+    val f = TiffDialects.decode(bytes).get
+    assert(f.tifType == "MAR CCD")
+    assert(f.pixelSizeUm == ((79.0, 79.0)))
+    val hc = f.headerCal.get
+    assert(math.abs(hc.wavelength.get - 0.413) < 1e-12)
+    assert(math.abs(hc.distance.get - 250.0) < 1e-9)
+    // center mm = (1000*px) * nm * 1e-9
+    assert(math.abs(hc.center.get._1 - 1536.5 * 0.079) < 1e-9)
+    assert(math.abs(hc.center.get._2 - 1024.25 * 0.079) < 1e-9)
+    // the calibration override chain picks the mined values up
+    val cal = TiffDialects.calibrationFrom(f, graft.core.Calibration())
+    assert(cal.wavelength == hc.wavelength.get)
+    assert(cal.distance == hc.distance.get)
+    assert(cal.center == hc.center.get)
+    assert(cal.pixelSize == ((79.0, 79.0)))
+    assert(cal.imageSize == ((ny, nx)))
+    // optics wavelength, when positive, wins over source
+    val f2 = TiffDialects.decode(withMarHeader(raw.clone(),
+      Seq(908 -> 41300, 940 -> 70900))).get
+    assert(math.abs(f2.headerCal.get.wavelength.get - 0.709) < 1e-12)
+    // zero end-distance falls back to the static xtal_to_detector
+    val f3 = TiffDialects.decode(withMarHeader(raw.clone(),
+      Seq(640 -> 210000, 696 -> 250000, 728 -> 0))).get
+    assert(math.abs(f3.headerCal.get.distance.get - 210.0) < 1e-9)
+  }
+
+  test("MAR CCD origin/view flags flip the image like the reference") {
+    val raw = buildTiff(le = true, nx, ny, 16, 4096, u16le(vals.toIndexedSeq),
+      extraTags = Seq((34710, 3, 1L)))
+    // origin != 0 -> flipud; view_direction != 0 -> fliplr
+    val both = TiffDialects.decode(withMarHeader(raw,
+      Seq(116 -> 1, 124 -> 1))).get.samples.toSeq
+    val m = vals.grouped(nx).toSeq
+    val expect = m.reverse.flatMap(_.reverse)
+    assert(both == expect)
   }
 
   test("garbage and truncated payloads return None, not an exception") {
