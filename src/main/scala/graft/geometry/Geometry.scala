@@ -185,7 +185,14 @@ object Geometry {
       val rMinor = math.sqrt((vplus + vminus) * (vplus + vminus) -
         (fplus + fminus) * (fplus + fminus)) / 2.0
       val rMajor = (vplus + vminus) / 2.0
-      val zdis = (fplus - fminus) / 2.0
+      // GetDetectorXY2 recomputes f± for zdis from the PLAIN distance
+      // (GSASII_imports.py:872-874); only the ellipse radii above use the
+      // penetration-corrected d. With DetDepth != 0 the two differ, and
+      // since numChans = int(1000*(x1-x0)/pix)/2 a mixed-up zdis can
+      // shift the derived channel count by one.
+      val fplusD = dist * tanb * stth / (cosb + stth)
+      val fminusD = dist * tanb * stth / (cosb - stth)
+      val zdis = (fplusD - fminusD) / 2.0
       // radius toward azimuth 0 (GetDetectorXY2's ellipse branch)
       val rsqPlus = rMinor * rMinor + rMajor * rMajor
       val rsqMinus = rMinor * rMinor - rMajor * rMajor

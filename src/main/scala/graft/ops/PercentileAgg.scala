@@ -17,10 +17,17 @@ import org.apache.spark.sql.functions.udaf
   */
 object PercentileAgg {
 
-  private class Agg(p: Double) extends Aggregator[Double, Array[Double], Double] {
+  private class Agg(p: Double)
+      extends Aggregator[java.lang.Double, Array[Double], Double] {
     def zero: Array[Double] = Array(0.0) // slot 0 = logical size
 
-    def reduce(buf: Array[Double], v: Double): Array[Double] = {
+    // boxed input + null skip: the builtin `percentile` IGNORES nulls, and
+    // a primitive-Double encoder would silently coerce them to 0.0 and
+    // count them — a divergence waiting for the first nullable call site
+    // (e.g. a left-join product)
+    def reduce(buf: Array[Double], boxed: java.lang.Double): Array[Double] = {
+      if (boxed == null) return buf
+      val v = boxed.doubleValue()
       val n = buf(0).toInt
       val out = if (n + 1 >= buf.length) {
         val grown = new Array[Double](math.max(8, buf.length * 2))

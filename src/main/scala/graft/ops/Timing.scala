@@ -30,6 +30,10 @@ object Timing {
     if (rows.nonEmpty)
       rows.map { case (s, t) => (dataset, s, t) }
         .toDF("dataset", "stage", "seconds")
+        // one task: the source is a driver-local handful of stage rows, so
+        // there is no upstream parallelism to collapse — without this the
+        // write scatters ~5 rows across defaultParallelism empty files.
+        // Revisit only if the table ever grows per-stage x per-frame rows.
         .coalesce(1).write.mode("append").parquet(s"$outDir/timing")
   }
 

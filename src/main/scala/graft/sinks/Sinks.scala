@@ -138,6 +138,24 @@ object Sinks extends Serializable {
       }
   }
 
+  /** `.xye` legacy export codec (reference Export_xye pipeline.py:28-41):
+    * a three-line block-comment header carrying the source name, then
+    * x TAB y TAB esd rows. Rows without a per-point esd write a literal
+    * `0` like the reference's `error=False` path. Pure codec — only
+    * legacy tooling consumes it; chi/parquet are the production sinks.
+    * Values print via Double.toString (shortest decimal, like Python's
+    * repr for the magnitudes these files carry). */
+  def xyeBody(sourceName: String,
+              rows: Seq[(Double, Double, Option[Double])]): String = {
+    val sb = new StringBuilder
+    sb.append("/*\n# ").append(sourceName).append("\n*/\n")
+    rows.foreach { case (x, y, e) =>
+      sb.append(x).append('\t').append(y).append('\t')
+        .append(e.map(_.toString).getOrElse("0")).append('\n')
+    }
+    sb.toString
+  }
+
   /** S13 — CSV stats codec (reference pipeline.py:491-492 writes the
     * spot/grad stats tables as CSV for the UI). Parquet stays canonical;
     * this is the compatibility format. One header line, one dir per

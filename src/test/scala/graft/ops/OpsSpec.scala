@@ -220,6 +220,17 @@ class PercentileAggSpec extends SparkSpec {
       PercentileAgg.percentileExact($"v", 0.25).as("gather")).collect()
     t.foreach(r => assert(r.getDouble(1) == r.getDouble(2)))
   }
+
+  test("nulls are ignored exactly like the builtin percentile") {
+    val df = Seq(("a", Some(1.0)), ("a", None), ("a", Some(3.0)),
+      ("a", None)).toDF("g", "v")
+    val r = df.groupBy($"g").agg(
+      percentile($"v", lit(0.5)).as("builtin"),
+      PercentileAgg.percentileExact($"v", 0.5).as("gather")).head()
+    // a null-coercing encoder would count the two nulls as 0.0 and
+    // report 0.5 here instead of 2.0
+    assert(r.getDouble(1) == 2.0 && r.getDouble(2) == 2.0)
+  }
 }
 
 class SimHashAggSpec extends SparkSpec {

@@ -52,6 +52,15 @@ class SinksSpec extends SparkSpec {
     assert(!src.contains(".collect()"), "driver collect in sink path")
   }
 
+  test(".xye body matches the reference Export_xye layout") {
+    val body = Sinks.xyeBody("MA2-00001.tif",
+      Seq((1.00234, 7873.1575, Some(2.5)), (1.00702, 7872.0, None)))
+    assert(body ==
+      "/*\n# MA2-00001.tif\n*/\n" +
+      "1.00234\t7873.1575\t2.5\n" +
+      "1.00702\t7872.0\t0\n")
+  }
+
   test("csim body format") {
     assert(Sinks.csimBody(0.999999999, 0.87654321999) ==
       "0.999999999\t0.876543220")
