@@ -45,6 +45,24 @@ object Geometry {
 
   def build(spark: SparkSession, cal: Calibration): DataFrame = {
     val (ny, nx) = cal.imageSize
+    val base = spark.range(ny.toLong * nx)
+      .select(
+        (col("id") / nx).cast("int").as("y"),
+        (col("id") % nx).cast("int").as("x"))
+    attach(base, cal)
+  }
+
+  /** Append the geometry columns to ANY table carrying integer pixel
+    * coordinates (y, x) — the inline form of [[build]]: the same Column
+    * expressions, so every value is bit-identical to the persisted
+    * table's, but computed inside the consumer's own whole-stage codegen
+    * with ZERO shuffle and no join. This is the hot path at scale: the
+    * geometry "dimension" is a closed-form function of its join key, so
+    * re-deriving ~30 doubles of trig per pixel (sub-µs) beats
+    * co-partitioning two 8M-row-per-frame tables on (y, x). The table
+    * form ([[build]]/[[saveBucketed]]) remains for explicit-join
+    * consumers and the UI's standing geometry queries. */
+  def attach(df: DataFrame, cal: Calibration): DataFrame = {
     val (pxX, pxY) = (cal.pixelSize._1 / 1000.0, cal.pixelSize._2 / 1000.0)
     // Reference pose math (GetTthAzmG2 GSASII_imports.py:1023-1046, the
     // detector-2theta = 0 path): effective distance D/cos(tilt); the
@@ -56,11 +74,6 @@ object Geometry {
     // MN = -(Mz . Mx^T); only the z-column is needed for dz
     def mn(i: Int, k: Int): Double = -(0 until 3).map(j => mz(i)(j) * mx(k)(j)).sum
     val m02 = mn(0, 2); val m12 = mn(1, 2)
-
-    val base = spark.range(ny.toLong * nx)
-      .select(
-        (col("id") / nx).cast("int").as("y"),
-        (col("id") % nx).cast("int").as("x"))
 
     val dx = (col("x") + lit(0.5)) * pxX - cal.center._1
     val dy = (col("y") + lit(0.5)) * pxY - cal.center._2
@@ -99,8 +112,8 @@ object Geometry {
     val rhatY = when(rNorm > 0, dy / rNorm).otherwise(lit(0.0))
     val rhatX = when(rNorm > 0, dx / rNorm).otherwise(lit(0.0))
 
-    base.select(
-      col("y"), col("x"),
+    df.select(
+      col("*"),
       // detector-plane mm coordinates (mask DSL shapes are given in mm)
       ((col("x") + lit(0.5)) * pxX).as("x_mm"),
       ((col("y") + lit(0.5)) * pxY).as("y_mm"),
@@ -116,6 +129,50 @@ object Geometry {
       floor(azim / (360.0 / cal.azmBands)).cast("int").as("azim_band"),
       (tth >= tthLo && tth < tthHi).as("in_tth_range"),
       azimIn(azim, cal.lrAzimuth).as("in_azim_range"))
+  }
+
+  /** Scalar mirror of the [[attach]] hat-field and q-bin expressions:
+    * a serializable (y, x) => (rhat_y, rhat_x, phat_y, phat_x, q_bin)
+    * closure over the calibration constants, for kernels that assemble
+    * tiles and would otherwise SHIP these four doubles + int per shuffled
+    * row (the tile exchange is encoder-bound, so shrinking the row from
+    * nine fields to four roughly halves its cost). Every arithmetic step
+    * matches the Column expressions' evaluation order, so values are
+    * bit-identical — asserted in GeometrySpec. */
+  def scalarPixelGeo(cal: Calibration)
+      : (Int, Int) => (Double, Double, Double, Double, Int) = {
+    val (pxX, pxY) = (cal.pixelSize._1 / 1000.0, cal.pixelSize._2 / 1000.0)
+    val (cx, cy) = cal.center
+    val distEff = cal.distance / math.cos(math.toRadians(cal.tilt))
+    val mz = rotMat(cal.rotation, 2); val mx = rotMat(cal.tilt, 0)
+    def mn(i: Int, k: Int): Double =
+      -(0 until 3).map(j => mz(i)(j) * mx(k)(j)).sum
+    val m02 = mn(0, 2); val m12 = mn(1, 2)
+    val detDepth = cal.detDepth
+    val distK = distEff * distEff / 1000.0
+    val qMul = 4.0 * math.Pi / cal.wavelength
+    val qEdges = cal.qBinEdges
+    val qLo = qEdges.head
+    val qStep = (qEdges.last - qEdges.head) / cal.outChannels
+    val nChan = cal.outChannels
+
+    (y: Int, x: Int) => {
+      val dx = (x + 0.5) * pxX - cx
+      val dy = (y + 0.5) * pxY - cy
+      val dz = dx * m02 + dy * m12
+      val xyZ = dx * dx + dy * dy - dz * dz
+      val tth0 = math.toDegrees(math.atan(math.sqrt(xyZ) / (distEff - dz)))
+      val dzp = detDepth * (1.0 - math.cos(math.toRadians(tth0))) * distK
+      val tth = math.toDegrees(
+        math.atan2(math.sqrt(xyZ), distEff - dz + dzp))
+      val q = qMul * math.sin(math.toRadians(tth) / 2)
+      val rawBin = math.floor((q - qLo) / qStep).toInt
+      val qBin = if (rawBin >= 0 && rawBin < nChan) rawBin else -1
+      val rNorm = math.sqrt(dx * dx + dy * dy)
+      val ry = if (rNorm > 0) dy / rNorm else 0.0
+      val rx = if (rNorm > 0) dx / rNorm else 0.0
+      (ry, rx, -rx, ry, qBin)
+    }
   }
 
   /** Channel index, -1 for out-of-range (reference clamps to the discard

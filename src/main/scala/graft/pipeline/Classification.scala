@@ -84,16 +84,27 @@ object Classification {
     */
   def gradientRefine(allPx: DataFrame, labeled: DataFrame, width: Int,
                      height: Int, keys: Seq[String],
-                     p: Params = Params()): DataFrame = {
+                     p: Params = Params(),
+                     d2Precomputed: Option[DataFrame] = None): DataFrame = {
     val kcols = keys.map(col)
 
     // ---- 2nd directional (radial) derivative over the dense frame -----
-    val d2 = secondDirectionalDeriv(allPx, width, height, keys,
-      "rhat_y", "rhat_x").withColumnRenamed("grad2", "grad2_r")
-      .localCheckpoint(true) // feeds threshold, on_arc and wedge stages
+    // (or the caller's pre-materialized field — FramePipeline.process
+    // computes the radial and azimuthal d2 in ONE fused tile pass)
+    val d2 = d2Precomputed
+      .map(_.select(kcols ++ Seq(col("y"), col("x"), col("grad2_r")): _*))
+      .getOrElse(
+        secondDirectionalDeriv(allPx, width, height, keys,
+          "rhat_y", "rhat_x").withColumnRenamed("grad2", "grad2_r")
+          .localCheckpoint(true)) // feeds threshold, on_arc, wedge stages
 
     // ---- A5: per-cluster central-band percentile vs global threshold --
-    val withG = labeled.join(d2, keys :+ "y" :+ "x").localCheckpoint(true)
+    // d2 is the full frame; the labeled cluster side broadcasts so the
+    // frame never shuffles (count-gated like every cluster join here)
+    val labeledPinned = labeled.localCheckpoint(true)
+    val labHint = if (labeledPinned.count() <= 1000000L)
+      broadcast(labeledPinned) else labeledPinned
+    val withG = d2.join(labHint, keys :+ "y" :+ "x").localCheckpoint(true)
     // gather-and-sort exact percentile: the builtin percentile agg's
     // value-count map costs ~10x more on full-frame groups
     val globalThresh = d2.groupBy(kcols: _*)
@@ -214,21 +225,29 @@ object Classification {
     * x, q, azim, azim_flipped, rhat_y, rhat_x, corr) for all pixels and an
     * `is_outlier` flag. */
   def classify(framePx: DataFrame, width: Int, height: Int,
-               keys: Seq[String], p: Params = Params()): DataFrame = {
+               keys: Seq[String], p: Params = Params(),
+               d2Precomputed: Option[DataFrame] = None): DataFrame = {
     val outlierPx = framePx.where(col("is_outlier"))
       .select(keys.map(col) ++ Seq(col("y"), col("x")): _*)
     val closed = Morphology.closing(outlierPx, 1, keys, width, height)
     // density-gated: a pathological mask (e.g. threshold selecting half
     // the frame) escalates to the tile-local dense path automatically
     val labeled0 = CCL.labelAuto(closed, width, height, keys)
+      .localCheckpoint(true)
     // closing can add pixels outside the original geometry join; re-join
-    // to recover geometry columns for cluster stats
-    val labeled = labeled0.join(framePx.select(keys.map(col) ++
-      Seq(col("y"), col("x"), col("q"), col("azim"),
-        col("azim_flipped")): _*), keys :+ "y" :+ "x")
+    // to recover geometry columns for cluster stats. The labeled side is
+    // cluster pixels — broadcast it (count-gated) so the full frame table
+    // never shuffles here.
+    val lab0 = if (labeled0.count() <= 1000000L) broadcast(labeled0)
+               else labeled0
+    val labeled = framePx.select(keys.map(col) ++
+        Seq(col("y"), col("x"), col("q"), col("azim"),
+          col("azim_flipped")): _*)
+      .join(lab0, keys :+ "y" :+ "x")
       .localCheckpoint(true) // reused by shape stats + refinement
     val shaped = shapeClassify(labeled, keys, p)
     val labeledFull = labeled.join(broadcast(shaped), keys :+ "label")
-    gradientRefine(framePx, labeledFull, width, height, keys, p)
+    gradientRefine(framePx, labeledFull, width, height, keys, p,
+      d2Precomputed)
   }
 }

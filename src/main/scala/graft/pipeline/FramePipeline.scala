@@ -58,9 +58,32 @@ object FramePipeline {
                    esdMul: Double = 3.0,
                    predef: Seq[graft.core.MaskShape] = Nil,
                    corrections: Corrections.Frames = Corrections.Frames(),
-                   maxBroadcastStatsRows: Long = 1000000L): DataFrame = {
-    val pixC = Corrections.applyFrames(pixels, corrections)
-    val px = pixC.join(geometry, Seq("y", "x"))
+                   maxBroadcastStatsRows: Long = 1000000L): DataFrame =
+    flagOutliersOn(
+      Corrections.applyFrames(pixels, corrections).join(geometry,
+        Seq("y", "x")),
+      esdMul, predef, maxBroadcastStatsRows)
+
+  /** Inline-geometry variant: the geometry columns are computed inside
+    * the pixel scan's codegen ([[Geometry.attach]] — bit-identical
+    * expressions) instead of joined from the persisted table, removing
+    * the two-sided (y, x) shuffle entirely. This is the default path in
+    * [[process]]; the join form above remains for explicit-join
+    * consumers (J1) and is asserted result-identical in PipelineSpec. */
+  def flagOutliersInline(pixels: DataFrame, cal: Calibration,
+                         esdMul: Double = 3.0,
+                         predef: Seq[graft.core.MaskShape] = Nil,
+                         corrections: Corrections.Frames =
+                           Corrections.Frames(),
+                         maxBroadcastStatsRows: Long = 1000000L): DataFrame =
+    flagOutliersOn(
+      Geometry.attach(Corrections.applyFrames(pixels, corrections), cal),
+      esdMul, predef, maxBroadcastStatsRows)
+
+  private def flagOutliersOn(pixGeo: DataFrame, esdMul: Double,
+                             predef: Seq[graft.core.MaskShape],
+                             maxBroadcastStatsRows: Long): DataFrame = {
+    val px = pixGeo
       .withColumn("corr", corrected(col("corr_i")))
       .withColumn("base_mask", baseMask(col("corr_i"), predef))
     val live = px.where(!col("base_mask"))
@@ -87,18 +110,24 @@ object FramePipeline {
       .drop("med", "mad", "n")
   }
 
-  /** Full plan over a (frame_no, y, x, intensity) pixel table. */
+  /** Full plan over a (frame_no, y, x, intensity) pixel table.
+    * `inlineGeometry = true` (default) computes the geometry columns
+    * inside the pixel scan instead of joining `geometry` — same values,
+    * no (y, x) shuffle; pass false to exercise the explicit join path. */
   def process(pixels: DataFrame, geometry: DataFrame, cal: Calibration,
               esdMul: Double = 3.0,
               params: Classification.Params = Classification.Params(),
               predef: Seq[graft.core.MaskShape] = Nil,
               referenceBinShift: Boolean = false,
-              corrections: Corrections.Frames = Corrections.Frames())
+              corrections: Corrections.Frames = Corrections.Frames(),
+              inlineGeometry: Boolean = true)
       : FrameOutputs = {
     val (h, w) = cal.imageSize
     val keys = Seq("frame_no")
-    val flagged0 = flagOutliers(pixels, geometry, esdMul, predef,
-      corrections)
+    val flagged0 =
+      if (inlineGeometry)
+        flagOutliersInline(pixels, cal, esdMul, predef, corrections)
+      else flagOutliers(pixels, geometry, esdMul, predef, corrections)
     // M6 (reference classification.py:466-468): replace PREDEF-masked
     // pixels' corrected value with the Gaussian interpolation of their
     // valid neighbourhood BEFORE the gradient stages. The reference
@@ -119,12 +148,33 @@ object FramePipeline {
     // Materialize once: every downstream stage (classification, four
     // integrals, grad stats, spottiness) re-reads this table; without a
     // persist the scan+join+ring-stats lineage would re-execute per
-    // branch. Geometry columns already consumed by the corrections and
-    // base mask (pol, dist_sq, range flags, azim_band) are dropped
-    // first — they are dead weight in a checkpoint that is ~40% of the
-    // per-batch memory footprint at production frame sizes.
-    val flagged = flaggedI
+    // branch. On the inline path the checkpoint holds ONLY the seven
+    // columns that cannot be recomputed from (y, x) — geometry columns
+    // are re-attached after (sub-µs of codegen trig per pixel), which
+    // cuts the per-batch checkpoint footprint ~2.5x at production frame
+    // sizes (the former full-width checkpoint was the batch's memory
+    // ceiling). The join path keeps the materialized geometry columns —
+    // recomputing them there would mean re-running the join.
+    val flagged = if (inlineGeometry) {
+      val core = flaggedI.select(col("frame_no"), col("y"), col("x"),
+          col("corr_i"), col("corr"), col("base_mask"), col("is_outlier"))
+        .localCheckpoint(true)
+      Geometry.attach(core, cal)
+    } else flaggedI
       .drop("pol", "dist_sq", "in_tth_range", "in_azim_range", "azim_band")
+      .localCheckpoint(true)
+
+    // Both second directional derivatives (radial for classification,
+    // azimuthal for the A8 gradient stats) in ONE fused tile pass with
+    // q_bin carried through — where the chained form cost four full-frame
+    // tile shuffles per batch plus a join-back. Only (key, y, x, corr)
+    // crosses the exchange; the hats and q_bin are recomputed in-kernel
+    // from the scalar geometry mirror. Materialized once; both consumers
+    // read the checkpoint.
+    val gradBoth = graft.stencil.Stencil.secondDirectionalDerivGeo(
+        flagged.select(col("frame_no"), col("y"), col("x"),
+          col("corr").as("v")),
+        w, h, Geometry.scalarPixelGeo(cal), tile = 512)
       .localCheckpoint(true)
 
     // C1-C3: spot/arc classification of outlier clusters. Pinned: the
@@ -133,11 +183,18 @@ object FramePipeline {
     // (integrals, spot stats, spottiness, pixel sink) — measured 3x the
     // work at production frame sizes. The table is outlier-pixels-only,
     // so the checkpoint is tiny relative to the frame.
-    val flags = Classification.classify(flagged, w, h, keys, params)
+    val flags = Classification.classify(flagged, w, h, keys, params,
+        d2Precomputed = Some(gradBoth))
       .localCheckpoint(true)
+    // flag rows are outlier-cluster pixels — orders of magnitude smaller
+    // than the frame. Without the hint Catalyst plans a sort-merge that
+    // shuffles the 33M-row fact side; count-gate it like flagOutliers so
+    // a pathological dense mask still degrades gracefully.
+    val flagsSmall = flags.count() <= 1000000L
+    val flagsSel = flags.select(col("frame_no"), col("y"), col("x"),
+      col("label"), col("is_spot"), col("is_arc"))
     val px = flagged.join(
-        flags.select(col("frame_no"), col("y"), col("x"), col("label"),
-          col("is_spot"), col("is_arc")),
+        if (flagsSmall) broadcast(flagsSel) else flagsSel,
         Seq("frame_no", "y", "x"), "left")
       .withColumn("is_spot", coalesce(col("is_spot"), lit(false)))
       .withColumn("is_arc", coalesce(col("is_arc"), lit(false)))
@@ -180,11 +237,9 @@ object FramePipeline {
 
     // A8: per-Q-bin stats of the 2nd azimuthal gradient (reference
     // spottiness_azim_grad spottiness.py:49-61): mean/std/median/MAD.
-    val grad2Azim = Classification.secondDirectionalDeriv(
-      flagged, w, h, keys, "phat_y", "phat_x")
-    val gradPx = grad2Azim.join(
-      flagged.select(col("frame_no"), col("y"), col("x"), col("q_bin")),
-      Seq("frame_no", "y", "x"))
+    // q_bin rode through the tile shuffle, so no join-back is needed.
+    val gradPx = gradBoth.select(col("frame_no"), col("y"), col("x"),
+      col("q_bin"), col("grad2_a").as("grad2"))
     val gradMm = RobustStats.medianMad(
       gradPx.select(col("frame_no"), col("q_bin"), col("grad2").as("g")),
       Seq("frame_no", "q_bin"), "g")

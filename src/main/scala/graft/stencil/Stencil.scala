@@ -180,6 +180,201 @@ object Stencil {
     .toDF("frame_no", "y", "x", "v", "hy", "hx")
   }
 
+  /** Fused SECOND directional derivative along BOTH hat fields in ONE
+    * tile pass. Where the chained form runs [[directionalDeriv]] twice
+    * per field (four 33M-row tile shuffles per batch for the radial +
+    * azimuthal gradients at production frame size), this pass uses a
+    * halo of 2: the first derivative is computed tile-locally into the
+    * halo-1 ring with the SAME expression as [[directionalDeriv]]
+    * (zero for out-of-frame positions), then differentiated again for
+    * the tile interior — bit-identical output, one shuffle total.
+    *
+    * The key is packed into one long and the shuffle rows are flat
+    * primitive tuples: nested-tuple encoders measured as the dominant
+    * cost of the tile exchange. `q_bin` rides through the tiles so the
+    * per-Q-bin gradient stats (A8) need no join-back.
+    *
+    * Input: (frame_no, y, x, v, ry, rx, py, px) — the value plus radial
+    * and azimuthal unit-vector fields. Output: (frame_no, y, x,
+    * grad2_r, grad2_a, q_bin). */
+  def secondDirectionalDerivBoth(px: DataFrame, width: Int, height: Int,
+                                 tile: Int = 256): DataFrame = {
+    val spark = px.sparkSession
+    import spark.implicits._
+    val halo = 2
+    val side = tile + 2 * halo
+    val tilesX = (width + tile - 1) / tile
+
+    val typed = px.select(col("frame_no").cast("long"), col("y").cast("int"),
+      col("x").cast("int"), col("v").cast("double"),
+      col("ry").cast("double"), col("rx").cast("double"),
+      col("py").cast("double"), col("px").cast("double"),
+      col("q_bin").cast("int"))
+      .as[(Long, Int, Int, Double, Double, Double, Double, Double, Int)]
+
+    val w = width; val h = height
+    typed.flatMap { case (f, y, x, v, ry, rx, py, pxh, qb) =>
+      val tys = ((y - halo) / tile) to ((y + halo) / tile)
+      val txs = ((x - halo) / tile) to ((x + halo) / tile)
+      for {
+        ty <- tys if ty >= 0 && ty * tile < h
+        tx <- txs if tx >= 0 && tx * tile < w
+      } yield ((f << 24) | (ty.toLong << 12) | tx.toLong,
+        y, x, v, ry, rx, py, pxh, qb)
+    }
+    .groupByKey(_._1)
+    .flatMapGroups { (key: Long, it) =>
+      val f = key >> 24
+      val ty = ((key >> 12) & 0xfff).toInt; val tx = (key & 0xfff).toInt
+      val n = side * side
+      val vb = new Array[Double](n)
+      val ryb = new Array[Double](n); val rxb = new Array[Double](n)
+      val pyb = new Array[Double](n); val pxb = new Array[Double](n)
+      val qbb = new Array[Int](n)
+      val y0 = ty * tile - halo; val x0 = tx * tile - halo
+      it.foreach { t =>
+        val ly = t._2 - y0; val lx = t._3 - x0
+        if (ly >= 0 && ly < side && lx >= 0 && lx < side) {
+          val i = ly * side + lx
+          vb(i) = t._4; ryb(i) = t._5; rxb(i) = t._6
+          pyb(i) = t._7; pxb(i) = t._8; qbb(i) = t._9
+        }
+      }
+      // first directional derivatives on the halo-1 ring, zero outside
+      // the frame (identical to directionalDeriv's absent-row zeros)
+      val d1r = new Array[Double](n); val d1a = new Array[Double](n)
+      var ly = 1
+      while (ly < side - 1) {
+        val gy = y0 + ly
+        var lx = 1
+        while (lx < side - 1) {
+          val gx = x0 + lx
+          if (gy >= 0 && gy < h && gx >= 0 && gx < w) {
+            val i = ly * side + lx
+            val ddy = 0.5 * (vb(i + side) - vb(i - side))
+            val ddx = 0.5 * (vb(i + 1) - vb(i - 1))
+            d1r(i) = ddy * ryb(i) + ddx * rxb(i)
+            d1a(i) = ddy * pyb(i) + ddx * pxb(i)
+          }
+          lx += 1
+        }
+        ly += 1
+      }
+      val yMax = math.min(tile, h - ty * tile)
+      val xMax = math.min(tile, w - tx * tile)
+      for {
+        ly <- (halo until halo + yMax).iterator
+        lx <- halo until halo + xMax
+      } yield {
+        val i = ly * side + lx
+        val d2r = 0.5 * (d1r(i + side) - d1r(i - side)) * ryb(i) +
+          0.5 * (d1r(i + 1) - d1r(i - 1)) * rxb(i)
+        val d2a = 0.5 * (d1a(i + side) - d1a(i - side)) * pyb(i) +
+          0.5 * (d1a(i + 1) - d1a(i - 1)) * pxb(i)
+        (f, y0 + ly, x0 + lx, d2r, d2a, qbb(i))
+      }
+    }
+    .toDF("frame_no", "y", "x", "grad2_r", "grad2_a", "q_bin")
+  }
+
+  /** Slim-shuffle variant of [[secondDirectionalDerivBoth]]: only
+    * (packed key, y, x, v) crosses the tile exchange — the hat fields and
+    * q_bin are recomputed INSIDE the kernel from the scalar geometry
+    * closure (bit-identical to the geometry columns, GeometrySpec), which
+    * roughly halves the encoder-bound shuffle row. Output and semantics
+    * are exactly [[secondDirectionalDerivBoth]]'s (asserted bit-equal in
+    * StencilSpec).
+    *
+    * Input: (frame_no, y, x, v); `geo(y, x) = (ry, rx, py, px, qBin)`. */
+  def secondDirectionalDerivGeo(px: DataFrame, width: Int, height: Int,
+                                geo: (Int, Int) =>
+                                  (Double, Double, Double, Double, Int),
+                                tile: Int = 256): DataFrame = {
+    val spark = px.sparkSession
+    import spark.implicits._
+    val halo = 2
+    val side = tile + 2 * halo
+
+    val typed = px.select(col("frame_no").cast("long"), col("y").cast("int"),
+      col("x").cast("int"), col("v").cast("double"))
+      .as[(Long, Int, Int, Double)]
+
+    val w = width; val h = height
+    typed.flatMap { case (f, y, x, v) =>
+      val tys = ((y - halo) / tile) to ((y + halo) / tile)
+      val txs = ((x - halo) / tile) to ((x + halo) / tile)
+      for {
+        ty <- tys if ty >= 0 && ty * tile < h
+        tx <- txs if tx >= 0 && tx * tile < w
+      } yield ((f << 24) | (ty.toLong << 12) | tx.toLong, y, x, v)
+    }
+    .groupByKey(_._1)
+    .flatMapGroups { (key: Long, it) =>
+      val f = key >> 24
+      val ty = ((key >> 12) & 0xfff).toInt; val tx = (key & 0xfff).toInt
+      val n = side * side
+      val vb = new Array[Double](n)
+      val y0 = ty * tile - halo; val x0 = tx * tile - halo
+      it.foreach { t =>
+        val ly = t._2 - y0; val lx = t._3 - x0
+        if (ly >= 0 && ly < side && lx >= 0 && lx < side)
+          vb(ly * side + lx) = t._4
+      }
+      // hat planes from the scalar geometry (in-frame positions only)
+      val ryb = new Array[Double](n); val rxb = new Array[Double](n)
+      val pyb = new Array[Double](n); val pxb = new Array[Double](n)
+      var ly = 0
+      while (ly < side) {
+        val gy = y0 + ly
+        if (gy >= 0 && gy < h) {
+          var lx = 0
+          while (lx < side) {
+            val gx = x0 + lx
+            if (gx >= 0 && gx < w) {
+              val g = geo(gy, gx)
+              val i = ly * side + lx
+              ryb(i) = g._1; rxb(i) = g._2; pyb(i) = g._3; pxb(i) = g._4
+            }
+            lx += 1
+          }
+        }
+        ly += 1
+      }
+      val d1r = new Array[Double](n); val d1a = new Array[Double](n)
+      ly = 1
+      while (ly < side - 1) {
+        val gy = y0 + ly
+        var lx = 1
+        while (lx < side - 1) {
+          val gx = x0 + lx
+          if (gy >= 0 && gy < h && gx >= 0 && gx < w) {
+            val i = ly * side + lx
+            val ddy = 0.5 * (vb(i + side) - vb(i - side))
+            val ddx = 0.5 * (vb(i + 1) - vb(i - 1))
+            d1r(i) = ddy * ryb(i) + ddx * rxb(i)
+            d1a(i) = ddy * pyb(i) + ddx * pxb(i)
+          }
+          lx += 1
+        }
+        ly += 1
+      }
+      val yMax = math.min(tile, h - ty * tile)
+      val xMax = math.min(tile, w - tx * tile)
+      for {
+        oy <- (halo until halo + yMax).iterator
+        ox <- halo until halo + xMax
+      } yield {
+        val i = oy * side + ox
+        val d2r = 0.5 * (d1r(i + side) - d1r(i - side)) * ryb(i) +
+          0.5 * (d1r(i + 1) - d1r(i - 1)) * rxb(i)
+        val d2a = 0.5 * (d1a(i + side) - d1a(i - side)) * pyb(i) +
+          0.5 * (d1a(i + 1) - d1a(i - 1)) * pxb(i)
+        (f, y0 + oy, x0 + ox, d2r, d2a, geo(y0 + oy, x0 + ox)._5)
+      }
+    }
+    .toDF("frame_no", "y", "x", "grad2_r", "grad2_a", "q_bin")
+  }
+
   /** M6 — NaN interpolation (reference classification.py:466-468 via
     * astropy interpolate_replace_nans with Gaussian2DKernel(x_stddev=1)):
     * masked pixels (NaN in `v`) are replaced by the Gaussian-weighted

@@ -107,7 +107,13 @@ object StreamingPipeline {
       // pixels feed two sinks (mask TIFFs + csim) and integrals feed two
       // (.chi + parquet): pin each once so the full per-frame plan does
       // not re-execute per sink
-      val pixels = timed("process")(out.pixels.localCheckpoint(true))
+      // only the columns the two pixel sinks (mask TIFFs, csim) read —
+      // the full-width pixel table is ~3x this checkpoint's footprint
+      val pixels = timed("process")(out.pixels
+        .select(col("frame_no"), col("y"), col("x"), col("corr"),
+          col("base_mask"), col("is_outlier"), col("is_spot"),
+          col("is_arc"))
+        .localCheckpoint(true))
       val integrals = out.integrals.localCheckpoint(true)
       timed("sink_integrals")(
         Sinks.writeTable(integrals.withColumn("dataset", tag),

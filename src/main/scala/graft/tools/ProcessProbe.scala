@@ -1,0 +1,79 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.core.SyntheticFrame
+import graft.geometry.Geometry
+import graft.pipeline.{Classification, FramePipeline}
+
+/** Sub-stage timing of FramePipeline.process at production frame size
+  * (dev tool): where does the per-batch wall time actually go.
+  *
+  *   sbt "runMain graft.tools.ProcessProbe [nFrames] [size]"
+  */
+object ProcessProbe {
+  def main(args: Array[String]): Unit = {
+    val nFrames = if (args.length > 0) args(0).toInt else 4
+    val size = if (args.length > 1) args(1).toInt else 2880
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def t[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[pprobe] $name%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+
+    val cal = SyntheticFrame.testCalibration(size)
+    val (h, w) = cal.imageSize
+    val px = t("frames")((1 to nFrames).map(no =>
+      SyntheticFrame.frame(spark, cal, no, nHotPer10k = 2,
+        spots = Seq((size / 3, size / 3, 30000.0, 3.0)),
+        arcs = Seq((5.5, 20.0, 160.0, 9000.0))))
+      .reduce(_ unionByName _).localCheckpoint(true))
+    println(s"[pprobe] pixels = ${px.count()}")
+
+    val flagged0 = FramePipeline.flagOutliersInline(px, cal)
+    val core = t("flag+checkpoint")(flagged0.select(col("frame_no"),
+        col("y"), col("x"), col("corr_i"), col("corr"), col("base_mask"),
+        col("is_outlier"))
+      .localCheckpoint(true))
+    val flagged = Geometry.attach(core, cal)
+
+    val slimIn = flagged.select(col("frame_no"), col("y"), col("x"),
+      col("corr").as("v"))
+    val sg = Geometry.scalarPixelGeo(cal)
+    val gradBoth = t("gradBoth+ckpt")(
+      graft.stencil.Stencil.secondDirectionalDerivGeo(slimIn, w, h, sg,
+        tile = 512).localCheckpoint(true))
+
+    t("globalThresh")(gradBoth.groupBy(col("frame_no"))
+      .agg(graft.ops.PercentileAgg
+        .percentileExact(col("grad2_r"), 0.1).as("g_thresh"))
+      .write.format("noop").mode("overwrite").save())
+
+    t("scan+agg only")(flagged.groupBy(col("frame_no"), col("tth_bin"))
+      .agg(sum(col("corr")).as("s"))
+      .write.format("noop").mode("overwrite").save())
+
+    val flags = t("classify")(Classification.classify(flagged, w, h,
+      Seq("frame_no"), d2Precomputed = Some(gradBoth))
+      .localCheckpoint(true))
+    println(s"[pprobe] flag rows = ${flags.count()}")
+
+    val joined = flagged.join(flags.select(col("frame_no"), col("y"),
+        col("x"), col("label"), col("is_spot"), col("is_arc")),
+      Seq("frame_no", "y", "x"), "left")
+    t("integrals")(graft.ops.Histogram.integrate(
+        joined.where(col("tth_bin") >= 0), col("tth_bin"), col("corr"),
+        Seq("base" -> !col("base_mask"),
+          "om" -> (!col("base_mask") && !col("is_outlier"))),
+        keys = Seq(col("frame_no")))
+      .write.format("noop").mode("overwrite").save())
+    spark.stop()
+  }
+}

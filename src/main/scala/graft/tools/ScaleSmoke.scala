@@ -61,7 +61,10 @@ object ScaleSmoke {
     val integrals = timed("integrate")(
       out.integrals.localCheckpoint(true))
     println(s"SCALE_SMOKE integral rows = ${integrals.count()}")
-    val pixels = timed("pixel flags")(out.pixels.localCheckpoint(true))
+    val pixels = timed("pixel flags")(out.pixels
+      .select(col("frame_no"), col("y"), col("x"),
+        col("base_mask"), col("is_outlier"), col("is_spot"), col("is_arc"))
+      .localCheckpoint(true))
 
     val outDir = java.nio.file.Files
       .createTempDirectory("graft_smoke").toString

@@ -9,6 +9,22 @@ class GeometrySpec extends SparkSpec {
   val cal = SyntheticFrame.testCalibration(64)
   lazy val geo = Geometry.build(spark, cal).cache()
 
+  test("scalarPixelGeo mirrors the attach columns bit-exactly " +
+      "(hats + q_bin), including the beam-center pixel") {
+    val f = Geometry.scalarPixelGeo(cal)
+    val cols = geo.select(col("y"), col("x"), col("rhat_y"),
+        col("rhat_x"), col("phat_y"), col("phat_x"), col("q_bin"))
+      .collect()
+    assert(cols.length == 64 * 64)
+    cols.foreach { r =>
+      val (ry, rx, py, px, qb) = f(r.getInt(0), r.getInt(1))
+      assert(ry == r.getDouble(2) && rx == r.getDouble(3) &&
+        py == r.getDouble(4) && px == r.getDouble(5) &&
+        qb == r.getInt(6),
+        s"scalar geo diverges at (${r.getInt(0)}, ${r.getInt(1)})")
+    }
+  }
+
   test("2-theta is ~0 at the beam center and grows with radius") {
     val cx = (cal.center._1 / (cal.pixelSize._1 / 1000.0) - 0.5).round.toInt
     val cy = (cal.center._2 / (cal.pixelSize._2 / 1000.0) - 0.5).round.toInt

@@ -58,6 +58,26 @@ class LegacyEquivalenceSpec extends SparkSpec {
 
 class FramePipelineSpec2 extends SparkSpec {
 
+  test("inline geometry equals the explicit geometry join bit-exactly") {
+    val cal = SyntheticFrame.testCalibration(128)
+    val geo = Geometry.build(spark, cal).cache()
+    val frame = SyntheticFrame.frame(spark, cal, frameNo = 1,
+      spots = Seq((40, 50, 20000.0, 2.0)),
+      arcs = Seq((8.0, 30.0, 150.0, 8000.0))).localCheckpoint(true)
+    def dump(inline: Boolean) = {
+      val o = FramePipeline.process(frame, geo, cal,
+        inlineGeometry = inline)
+      (o.integrals.collect().map(r => r.toSeq).toSet,
+        o.pixels.select(col("frame_no"), col("y"), col("x"), col("corr"),
+          col("base_mask"), col("is_outlier"), col("is_spot"),
+          col("is_arc")).collect().map(_.toSeq).toSet)
+    }
+    val (iInline, pInline) = dump(inline = true)
+    val (iJoin, pJoin) = dump(inline = false)
+    assert(iInline == iJoin, "integrals differ between inline and join")
+    assert(pInline == pJoin, "pixel flags differ between inline and join")
+  }
+
   test("full pipeline: planted spots detected, integrals mask correctly") {
     val cal = SyntheticFrame.testCalibration(192)
     val geo = Geometry.build(spark, cal).cache()

@@ -206,6 +206,62 @@ class InterpolateSpec extends SparkSpec {
       a == b || (a.isNaN && b.isNaN) })
   }
 
+  test("fused dual second directional derivative equals two chained " +
+      "directionalDeriv passes bit-exactly, across tiles and frames") {
+    val w = 56; val h = 40
+    val rnd = new scala.util.Random(11)
+    val rows = for (f <- 1 to 2; y <- 0 until h; x <- 0 until w) yield {
+      val ang = rnd.nextDouble() * math.Pi * 2
+      (f, y, x, rnd.nextDouble() * 100,
+        math.sin(ang), math.cos(ang),        // radial hat
+        -math.cos(ang), math.sin(ang),       // azimuthal hat
+        (x / 7) + 1)                         // a fake q_bin
+    }
+    val in = rows.toDF("frame_no", "y", "x", "v", "ry", "rx", "py", "px",
+      "q_bin")
+    def chained(hy: String, hx: String) = {
+      val first = Stencil.directionalDeriv(in.select($"frame_no", $"y",
+        $"x", $"v", col(hy).as("hy"), col(hx).as("hx")), w, h, tile = 16)
+      Stencil.directionalDeriv(first, w, h, tile = 16)
+        .select($"frame_no", $"y", $"x", $"v")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)) ->
+          r.getDouble(3)).toMap
+    }
+    val fused = Stencil.secondDirectionalDerivBoth(in, w, h, tile = 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)) ->
+        (r.getDouble(3), r.getDouble(4), r.getInt(5))).toMap
+    val cr = chained("ry", "rx"); val ca = chained("py", "px")
+    assert(fused.keySet == cr.keySet)
+    fused.foreach { case (k, (g2r, g2a, qb)) =>
+      assert(g2r == cr(k), s"grad2_r differs at $k")
+      assert(g2a == ca(k), s"grad2_a differs at $k")
+    }
+    // q_bin rode through the tiles unchanged
+    assert(fused.forall { case ((_, _, x), (_, _, qb)) => qb == (x / 7) + 1 })
+  }
+
+  test("slim-shuffle geo kernel equals the generic dual derivative " +
+      "bit-exactly on a real calibration") {
+    val cal = graft.core.SyntheticFrame.testCalibration(64)
+    val (h, w) = cal.imageSize
+    val rnd = new scala.util.Random(5)
+    val rows = for (f <- 1 to 2; y <- 0 until h; x <- 0 until w)
+      yield (f, y, x, rnd.nextDouble() * 100)
+    val px = rows.toDF("frame_no", "y", "x", "v")
+    val withHats = graft.geometry.Geometry.attach(px, cal)
+      .select($"frame_no", $"y", $"x", $"v", $"rhat_y".as("ry"),
+        $"rhat_x".as("rx"), $"phat_y".as("py"), $"phat_x".as("px"),
+        $"q_bin")
+    def toMap(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)) ->
+        (r.getDouble(3), r.getDouble(4), r.getInt(5))).toMap
+    val generic = toMap(Stencil.secondDirectionalDerivBoth(
+      withHats, w, h, tile = 16))
+    val slim = toMap(Stencil.secondDirectionalDerivGeo(
+      px, w, h, graft.geometry.Geometry.scalarPixelGeo(cal), tile = 16))
+    assert(slim == generic, "slim geo kernel diverges from generic")
+  }
+
   test("fully-isolated masked region stays NaN") {
     val n = 24
     val masked = (for (y <- 0 until n; x <- 0 until n
