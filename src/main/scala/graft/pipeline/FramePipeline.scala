@@ -171,7 +171,7 @@ object FramePipeline {
     // crosses the exchange; the hats and q_bin are recomputed in-kernel
     // from the scalar geometry mirror. Materialized once; both consumers
     // read the checkpoint.
-    val gradBoth = graft.stencil.Stencil.secondDirectionalDerivGeo(
+    val gradBoth = graft.stencil.Stencil.secondDirectionalDerivGeoRaw(
         flagged.select(col("frame_no"), col("y"), col("x"),
           col("corr").as("v")),
         w, h, Geometry.scalarPixelGeo(cal), tile = 512)

@@ -375,6 +375,146 @@ object Stencil {
     .toDF("frame_no", "y", "x", "grad2_r", "grad2_a", "q_bin")
   }
 
+  /** InternalRow-level variant of [[secondDirectionalDerivGeo]] — same
+    * output bit-for-bit (spec-asserted), minus the typed-Dataset object
+    * boundary that dominates the tile exchange at 33M rows/batch:
+    *
+    *  - tile-key duplication is EXPRESSED IN COLUMNS (explode of an
+    *    array_compact'd candidate-key array) so the emission runs in
+    *    whole-stage codegen with no per-row Scala objects;
+    *  - the exchange is a plain hash repartition of UnsafeRows;
+    *  - the kernel reads fields straight off InternalRows (zero
+    *    allocation) via queryExecution.toRdd, buffers tiles per
+    *    partition, and emits InternalRows back through the graftshim —
+    *    no groupByKey sort, no encoder round-trip.
+    */
+  def secondDirectionalDerivGeoRaw(px: DataFrame, width: Int, height: Int,
+                                   geo: (Int, Int) =>
+                                     (Double, Double, Double, Double, Int),
+                                   tile: Int = 512): DataFrame = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.types._
+    val spark = px.sparkSession
+    val halo = 2
+    val side = tile + 2 * halo
+    val w = width; val h = height
+
+    val y = col("y").cast("int"); val x = col("x").cast("int")
+    val f = col("frame_no").cast("long")
+    // tile coordinates, truncated toward zero exactly like the scala
+    // kernel's Int division (y is never below 0, so -2/tile -> 0 both
+    // ways)
+    val tyLo = ((y - halo) / tile).cast("int")
+    val tyHi = ((y + halo) / tile).cast("int")
+    val txLo = ((x - halo) / tile).cast("int")
+    val txHi = ((x + halo) / tile).cast("int")
+    def key(ty: org.apache.spark.sql.Column, tx: org.apache.spark.sql.Column) =
+      shiftleft(f, 24).bitwiseOR(shiftleft(ty.cast("long"), 12))
+        .bitwiseOR(tx.cast("long"))
+    def inFrame(ty: org.apache.spark.sql.Column,
+                tx: org.apache.spark.sql.Column) =
+      ty >= 0 && ty * tile < h && tx >= 0 && tx * tile < w
+    val cands = array(
+      when(inFrame(tyLo, txLo), key(tyLo, txLo)),
+      when(tyHi =!= tyLo && inFrame(tyHi, txLo), key(tyHi, txLo)),
+      when(txHi =!= txLo && inFrame(tyLo, txHi), key(tyLo, txHi)),
+      when(tyHi =!= tyLo && txHi =!= txLo && inFrame(tyHi, txHi),
+        key(tyHi, txHi)))
+    val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val dup = px.select(explode(array_compact(cands)).as("bk"),
+        y.as("y"), x.as("x"), col("v").cast("double").as("v"))
+      .repartition(parts, col("bk"))
+
+    final class TileBuf {
+      val vb = new Array[Double](side * side)
+    }
+    val outRdd = dup.queryExecution.toRdd.mapPartitions { it =>
+      // emit compact UnsafeRows: boxed GenericInternalRows kept alive by
+      // the downstream localCheckpoint are ~6 objects/row — GC collapse
+      // at 66M rows/batch
+      val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+        .create(Array[org.apache.spark.sql.types.DataType](LongType,
+          IntegerType, IntegerType, DoubleType, DoubleType, IntegerType))
+      val tiles = new scala.collection.mutable.LongMap[TileBuf]
+      it.foreach { r =>
+        val bk = r.getLong(0)
+        val ty = ((bk >> 12) & 0xfff).toInt; val tx = (bk & 0xfff).toInt
+        val buf = tiles.getOrElseUpdate(bk, new TileBuf)
+        val ly = r.getInt(1) - (ty * tile - halo)
+        val lx = r.getInt(2) - (tx * tile - halo)
+        if (ly >= 0 && ly < side && lx >= 0 && lx < side)
+          buf.vb(ly * side + lx) = r.getDouble(3)
+      }
+      tiles.iterator.flatMap { case (bk, buf) =>
+        val f = bk >> 24
+        val ty = ((bk >> 12) & 0xfff).toInt; val tx = (bk & 0xfff).toInt
+        val n = side * side
+        val vb = buf.vb
+        val ryb = new Array[Double](n); val rxb = new Array[Double](n)
+        val pyb = new Array[Double](n); val pxb = new Array[Double](n)
+        val y0 = ty * tile - halo; val x0 = tx * tile - halo
+        var ly = 0
+        while (ly < side) {
+          val gy = y0 + ly
+          if (gy >= 0 && gy < h) {
+            var lx = 0
+            while (lx < side) {
+              val gx = x0 + lx
+              if (gx >= 0 && gx < w) {
+                val g = geo(gy, gx)
+                val i = ly * side + lx
+                ryb(i) = g._1; rxb(i) = g._2; pyb(i) = g._3; pxb(i) = g._4
+              }
+              lx += 1
+            }
+          }
+          ly += 1
+        }
+        val d1r = new Array[Double](n); val d1a = new Array[Double](n)
+        ly = 1
+        while (ly < side - 1) {
+          val gy = y0 + ly
+          var lx = 1
+          while (lx < side - 1) {
+            val gx = x0 + lx
+            if (gy >= 0 && gy < h && gx >= 0 && gx < w) {
+              val i = ly * side + lx
+              val ddy = 0.5 * (vb(i + side) - vb(i - side))
+              val ddx = 0.5 * (vb(i + 1) - vb(i - 1))
+              d1r(i) = ddy * ryb(i) + ddx * rxb(i)
+              d1a(i) = ddy * pyb(i) + ddx * pxb(i)
+            }
+            lx += 1
+          }
+          ly += 1
+        }
+        val yMax = math.min(tile, h - ty * tile)
+        val xMax = math.min(tile, w - tx * tile)
+        (halo until halo + yMax).iterator.flatMap { oy =>
+          (halo until halo + xMax).iterator.map { ox =>
+            val i = oy * side + ox
+            val d2r = 0.5 * (d1r(i + side) - d1r(i - side)) * ryb(i) +
+              0.5 * (d1r(i + 1) - d1r(i - 1)) * rxb(i)
+            val d2a = 0.5 * (d1a(i + side) - d1a(i - side)) * pyb(i) +
+              0.5 * (d1a(i + 1) - d1a(i - 1)) * pxb(i)
+            proj(new GenericInternalRow(Array[Any](f, y0 + oy, x0 + ox,
+              d2r, d2a, geo(y0 + oy, x0 + ox)._5))).copy(): InternalRow
+          }
+        }
+      }
+    }
+    val schema = StructType(Seq(
+      StructField("frame_no", LongType, nullable = false),
+      StructField("y", IntegerType, nullable = false),
+      StructField("x", IntegerType, nullable = false),
+      StructField("grad2_r", DoubleType, nullable = false),
+      StructField("grad2_a", DoubleType, nullable = false),
+      StructField("q_bin", IntegerType, nullable = false)))
+    org.apache.spark.sql.graftshim.Internals
+      .internalCreateDataFrame(spark, outRdd, schema)
+  }
+
   /** M6 — NaN interpolation (reference classification.py:466-468 via
     * astropy interpolate_replace_nans with Gaussian2DKernel(x_stddev=1)):
     * masked pixels (NaN in `v`) are replaced by the Gaussian-weighted

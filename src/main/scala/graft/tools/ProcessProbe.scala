@@ -47,8 +47,16 @@ object ProcessProbe {
     val slimIn = flagged.select(col("frame_no"), col("y"), col("x"),
       col("corr").as("v"))
     val sg = Geometry.scalarPixelGeo(cal)
-    val gradBoth = t("gradBoth+ckpt")(
-      graft.stencil.Stencil.secondDirectionalDerivGeo(slimIn, w, h, sg,
+    for (i <- 1 to 2) {
+      t(s"typed noop #$i")(
+        graft.stencil.Stencil.secondDirectionalDerivGeo(slimIn, w, h, sg,
+          tile = 512).write.format("noop").mode("overwrite").save())
+      t(s"raw noop #$i")(
+        graft.stencil.Stencil.secondDirectionalDerivGeoRaw(slimIn, w, h, sg,
+          tile = 512).write.format("noop").mode("overwrite").save())
+    }
+    val gradBoth = t("gradBoth raw+ckpt")(
+      graft.stencil.Stencil.secondDirectionalDerivGeoRaw(slimIn, w, h, sg,
         tile = 512).localCheckpoint(true))
 
     t("globalThresh")(gradBoth.groupBy(col("frame_no"))
@@ -65,15 +73,39 @@ object ProcessProbe {
       .localCheckpoint(true))
     println(s"[pprobe] flag rows = ${flags.count()}")
 
-    val joined = flagged.join(flags.select(col("frame_no"), col("y"),
-        col("x"), col("label"), col("is_spot"), col("is_arc")),
+    val joined = flagged.join(broadcast(flags.select(col("frame_no"),
+        col("y"), col("x"), col("label"), col("is_spot"),
+        col("is_arc"))),
       Seq("frame_no", "y", "x"), "left")
-    t("integrals")(graft.ops.Histogram.integrate(
-        joined.where(col("tth_bin") >= 0), col("tth_bin"), col("corr"),
-        Seq("base" -> !col("base_mask"),
-          "om" -> (!col("base_mask") && !col("is_outlier"))),
-        keys = Seq(col("frame_no")))
-      .write.format("noop").mode("overwrite").save())
+    val integ = graft.ops.Histogram.integrate(
+      joined.where(col("tth_bin") >= 0), col("tth_bin"), col("corr"),
+      Seq("base" -> !col("base_mask"),
+        "om" -> (!col("base_mask") && !col("is_outlier"))),
+      keys = Seq(col("frame_no")))
+    println("[pprobe] integ joins: " +
+      "SortMergeJoin|BroadcastHashJoin".r.findAllIn(
+        integ.queryExecution.executedPlan.toString).toSeq)
+    for (i <- 1 to 2)
+      t(s"integrals #$i")(
+        integ.write.format("noop").mode("overwrite").save())
+    // is the decimal sum the cost? same shape with plain double sums
+    val dbl = joined.where(col("tth_bin") >= 0)
+      .groupBy(col("frame_no"), col("tth_bin"))
+      .agg(sum(when(!col("base_mask"), col("corr"))).as("i_base"),
+        count(when(!col("base_mask"), col("corr"))).as("n_base"),
+        sum(when(!col("base_mask") && !col("is_outlier"), col("corr")))
+          .as("i_om"))
+    t("integrals doublesum")(
+      dbl.write.format("noop").mode("overwrite").save())
+    // and the long-scaled exact variant
+    val ls = joined.where(col("tth_bin") >= 0)
+      .groupBy(col("frame_no"), col("tth_bin"))
+      .agg((sum((when(!col("base_mask"), col("corr"))
+          .cast("decimal(18,4)") * 10000).cast("long")) / lit(10000.0))
+        .as("i_base"),
+        count(when(!col("base_mask"), col("corr"))).as("n_base"))
+    t("integrals longscaled")(
+      ls.write.format("noop").mode("overwrite").save())
     spark.stop()
   }
 }

@@ -260,6 +260,10 @@ class InterpolateSpec extends SparkSpec {
     val slim = toMap(Stencil.secondDirectionalDerivGeo(
       px, w, h, graft.geometry.Geometry.scalarPixelGeo(cal), tile = 16))
     assert(slim == generic, "slim geo kernel diverges from generic")
+    // the InternalRow-level kernel is the same math behind a raw exchange
+    val raw = toMap(Stencil.secondDirectionalDerivGeoRaw(
+      px, w, h, graft.geometry.Geometry.scalarPixelGeo(cal), tile = 16))
+    assert(raw == generic, "raw geo kernel diverges from generic")
   }
 
   test("fully-isolated masked region stays NaN") {
