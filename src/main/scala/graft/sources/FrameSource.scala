@@ -157,21 +157,44 @@ object FrameSource {
         col("intensity").cast("double").as("value"))
 
   /** Encode an int-matrix as a single-band 16-bit grayscale TIFF (test
-    * fixture generator + mask sink encoder). */
+    * fixture generator + mask sink encoder). Hand-rolled baseline TIFF
+    * with ONE strip: ImageIO's writer splits the image into multiple
+    * LONG-typed strips, which is exactly the reference's CheMin
+    * multislice discriminator (GSASII_imports.py:1144-1147,1184) — our
+    * own sink output must never look like a CheMin frame. Single-strip
+    * uncompressed uint16 is readable by PIL/ImageIO/everything. */
   def encodeTiff(matrix: Array[Array[Int]]): Array[Byte] = {
     val h = matrix.length; val w = matrix(0).length
-    val img = new java.awt.image.BufferedImage(w, h,
-      java.awt.image.BufferedImage.TYPE_USHORT_GRAY)
-    val raster = img.getRaster
+    val payloadOff = 8
+    val ifdOff = payloadOff + w * h * 2
+    // (tag, type, count, value); SHORT(3) or LONG(4), all inline
+    val tags = Seq(
+      (256, 4, w), (257, 4, h), (258, 3, 16), (259, 3, 1), (262, 3, 1),
+      (273, 4, payloadOff), (277, 3, 1), (278, 4, h), (279, 4, w * h * 2))
+    val bb = java.nio.ByteBuffer.allocate(ifdOff + 2 + tags.length * 12 + 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put(0, 'I'.toByte); bb.put(1, 'I'.toByte)
+    bb.putShort(2, 42.toShort); bb.putInt(4, ifdOff)
     var y = 0
     while (y < h) {
       var x = 0
-      while (x < w) { raster.setSample(x, y, 0, matrix(y)(x) & 0xffff)
-        x += 1 }
+      while (x < w) {
+        bb.putShort(payloadOff + (y * w + x) * 2,
+          (matrix(y)(x) & 0xffff).toShort)
+        x += 1
+      }
       y += 1
     }
-    val out = new java.io.ByteArrayOutputStream()
-    ImageIO.write(img, "tiff", out)
-    out.toByteArray
+    bb.putShort(ifdOff, tags.length.toShort)
+    tags.zipWithIndex.foreach { case ((tag, typ, value), i) =>
+      val base = ifdOff + 2 + i * 12
+      bb.putShort(base, tag.toShort)
+      bb.putShort(base + 2, typ.toShort)
+      bb.putInt(base + 4, 1)
+      if (typ == 3) bb.putShort(base + 8, value.toShort)
+      else bb.putInt(base + 8, value)
+    }
+    bb.putInt(ifdOff + 2 + tags.length * 12, 0) // next-IFD terminator
+    bb.array()
   }
 }

@@ -120,7 +120,9 @@ object TiffDialects {
       }
       val nRead = math.min(count, 8) // discrimination needs first values only
       val vals = Array.tabulate(nRead)(readVal)
-      if ((tag == 273 || tag == 279) && count > 1) nStrips = count
+      // the reference's nSlice counts LONG-typed strip/byte-count entries
+      // only (GSASII_imports.py:1144-1147) — that is its CheMin gate
+      if ((tag == 273 || tag == 279) && typ == 4 && count > 1) nStrips = count
       entries += tag -> IfdEntry(tag, typ, count, vals, valOff)
       i += 1
     }
@@ -238,12 +240,41 @@ object TiffDialects {
           flipSamples(s, nx, ny, ud, lr), Some(cal)))
     }
 
+    // CheMin multislice (reference GSASII_imports.py:1184-1201: any TIFF
+    // whose strip table is multiple LONG entries): PIL reads the first
+    // slice; intensities scale x10, the image flips vertically, and the
+    // camera constants are fixed — 40 um pitch, 18 mm distance,
+    // 1.78892 A (Co Ka), beam center at (pix * nx / 2000, 0) mm. The
+    // standard-TIFF decode runs through javax.imageio here (the slice is
+    // a plain strip TIFF), where the reference needs PIL.
+    if (ifd.nStrips > 1) {
+      return scala.util.Try(javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes)))
+        .toOption.filter(_ != null).map { img =>
+          val r = img.getRaster
+          val iw = r.getWidth; val ih = r.getHeight
+          val samples = new Array[Int](iw * ih)
+          val row = new Array[Int](iw)
+          var yy = 0
+          while (yy < ih) {
+            r.getSamples(0, yy, iw, 1, 0, row)
+            var xx = 0
+            while (xx < iw) {
+              samples((ih - 1 - yy) * iw + xx) = row(xx) * 10
+              xx += 1
+            }
+            yy += 1
+          }
+          DetectorFrame("CheMin", iw, ih, (40.0, 40.0), samples,
+            Some(HeaderCal(Some(1.78892), Some(18.0),
+              Some((40.0 * iw / 2000.0, 0.0)))))
+        }
+    }
+
     // Dialect table — same discrimination order as the reference
-    // (GSASII_imports.py:1160-1362). Multislice CheMin (PIL-dependent in
-    // the reference too) returns None (documented gap).
+    // (GSASII_imports.py:1160-1362).
     val decoded: Option[(String, (Double, Double), Option[Array[Int]])] =
-      if (ifd.nStrips > 1) None
-      else if (ifd.entries.contains(272)) {
+      if (ifd.entries.contains(272)) {
         val sw = ifd.text(272, bytes)
         if (sw.contains("PILATUS"))
           Some(("Pilatus", (172.0, 172.0), readI32(bytes, 4096, npix, le)))

@@ -237,6 +237,57 @@ class TiffDialectsSpec extends AnyFunSuite {
     assert(both == expect)
   }
 
+  test("CheMin multislice: LONG multi-strip gate, first slice flipped " +
+      "and x10, fixed camera constants") {
+    // a real baseline TIFF with TWO LONG strip offsets (the reference's
+    // nSlice>1 gate): 4x4 uint16, two strips of two rows
+    val iw = 4; val ih = 4
+    val px16 = Array.tabulate(ih * iw)(i => i * 3)
+    val bb = ByteBuffer.allocate(512).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put(0, 'I'.toByte); bb.put(1, 'I'.toByte); bb.putShort(2, 42)
+    val strip1 = 8; val strip2 = 8 + iw * 2 * 2 // two rows per strip
+    for (i <- 0 until ih * iw)
+      bb.putShort(strip1 + i * 2, px16(i).toShort)
+    val ifdOff = strip1 + ih * iw * 2
+    bb.putInt(4, ifdOff)
+    val tags = Seq(
+      // (tag, type, count, value) — LONG arrays written after the IFD
+      (256, 3, 1, iw.toLong), (257, 3, 1, ih.toLong),
+      (258, 3, 1, 16L), (259, 3, 1, 1L), (262, 3, 1, 1L),
+      (273, 4, 2, -1L), // placeholder: offsets array
+      (278, 3, 1, 2L),
+      (279, 4, 2, -2L)) // placeholder: byte-counts array
+    bb.putShort(ifdOff, tags.length.toShort)
+    val arrOffsets = ifdOff + 2 + tags.length * 12 + 4
+    val arrCounts = arrOffsets + 8
+    tags.zipWithIndex.foreach { case ((tag, typ, count, v), i) =>
+      val base = ifdOff + 2 + i * 12
+      bb.putShort(base, tag.toShort); bb.putShort(base + 2, typ.toShort)
+      bb.putInt(base + 4, count)
+      v match {
+        case -1L => bb.putInt(base + 8, arrOffsets)
+        case -2L => bb.putInt(base + 8, arrCounts)
+        case x if typ == 3 => bb.putShort(base + 8, x.toShort)
+        case x => bb.putInt(base + 8, x.toInt)
+      }
+    }
+    bb.putInt(arrOffsets, strip1); bb.putInt(arrOffsets + 4, strip2)
+    bb.putInt(arrCounts, iw * 2 * 2); bb.putInt(arrCounts + 4, iw * 2 * 2)
+    val bytes = java.util.Arrays.copyOf(bb.array(), arrCounts + 8)
+
+    val f = TiffDialects.decode(bytes).getOrElse(fail("CheMin not decoded"))
+    assert(f.tifType == "CheMin")
+    assert(f.pixelSizeUm == ((40.0, 40.0)))
+    // flipud(raw) * 10 (reference GSASII_imports.py:1197)
+    val expect = (0 until ih).flatMap(y =>
+      (0 until iw).map(x => px16((ih - 1 - y) * iw + x) * 10))
+    assert(f.samples.toSeq == expect)
+    val hc = f.headerCal.get
+    assert(hc.wavelength.contains(1.78892))
+    assert(hc.distance.contains(18.0))
+    assert(hc.center.contains((40.0 * iw / 2000.0, 0.0)))
+  }
+
   test("garbage and truncated payloads return None, not an exception") {
     assert(TiffDialects.decode(Array.fill[Byte](64)(33)).isEmpty)
     // file caught mid-write: IFD (written last) missing entirely
