@@ -167,6 +167,56 @@ object Sinks extends Serializable {
       .csv(s"$outDir/$name")
   }
 
+  /** Per-frame stats CSVs in the reference stats/ tree
+    * (pipeline.py:491-492 dumps `<name>-<number>_spots_stats_df.csv` and
+    * `_spots_stats_grad.csv` per frame via pandas to_csv). One CSV per
+    * frame, pandas shape: header row with a leading empty index cell,
+    * then 0-based index + values. Executor-side like [[writeChi]];
+    * rows sort on the first data column for a deterministic file. */
+  def writeFrameCsv(df: DataFrame, outDir: String, suffix: String,
+                    dataset: String, allFrames: Seq[Int] = Nil): Unit = {
+    new java.io.File(outDir).mkdirs()
+    val cols = df.columns.filterNot(_ == "frame_no").toSeq
+    val dir = outDir; val ds = dataset; val sfx = suffix
+    df.select(col("frame_no").cast("int") +: cols.map(col): _*)
+      .repartition(col("frame_no"))
+      .sortWithinPartitions(col("frame_no") +: cols.map(col): _*)
+      .foreachPartition { (it: Iterator[Row]) =>
+        var cur = Int.MinValue
+        var sb: StringBuilder = null
+        var idx = 0
+        def flush(): Unit = if (sb != null)
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(f"$dir/$ds%s-$cur%05d$sfx%s.csv"),
+            sb.toString)
+        it.foreach { r =>
+          val f = r.getInt(0)
+          if (f != cur) {
+            flush(); cur = f; idx = 0
+            sb = new StringBuilder(
+              cols.mkString(",", ",", "\n"))
+          }
+          sb.append(idx)
+          var i = 1
+          while (i <= cols.length) {
+            sb.append(',')
+            if (!r.isNullAt(i)) sb.append(r.get(i))
+            i += 1
+          }
+          sb.append('\n')
+          idx += 1
+        }
+        flush()
+      }
+    // frames with zero stat rows still get their header-only CSV, like
+    // pandas to_csv of an empty table (a spotless frame is normal)
+    allFrames.foreach { no =>
+      val p = java.nio.file.Paths.get(f"$dir/$ds%s-$no%05d$sfx%s.csv")
+      if (!java.nio.file.Files.exists(p))
+        java.nio.file.Files.writeString(p, cols.mkString(",", ",", "\n"))
+    }
+  }
+
   /** csim text sink: "%0.9f\t%0.9f" per frame (reference
     * pipeline.py:554-557). */
   def csimBody(vsFirst: Double, vsPrev: Double): String =

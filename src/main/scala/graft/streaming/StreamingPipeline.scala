@@ -134,10 +134,22 @@ object StreamingPipeline {
           "outliermask" -> (col("base_mask") || col("is_outlier")),
           "spots" -> col("is_spot"),
           "arcs" -> col("is_arc")), dataset = ds))
-      Sinks.writeTable(out.spotStats.withColumn("dataset", tag),
+      // stats tables feed parquet + the reference's per-frame CSVs
+      // (pipeline.py:491-492) — pin each so the plan runs once
+      val spotStats = out.spotStats.localCheckpoint(true)
+      val gradStats = out.gradStats.localCheckpoint(true)
+      Sinks.writeTable(spotStats.withColumn("dataset", tag),
         tablesDir(outDir), "spot_stats", Seq("dataset"))
-      Sinks.writeTable(out.gradStats.withColumn("dataset", tag),
+      Sinks.writeTable(gradStats.withColumn("dataset", tag),
         tablesDir(outDir), "grad_stats", Seq("dataset"))
+      timed("sink_stats_csv") {
+        val frameNos = integrals.select(col("frame_no")).distinct()
+          .collect().map(_.getInt(0)).toSeq
+        Sinks.writeFrameCsv(spotStats, s"$outDir/stats",
+          "_spots_stats_df", ds, frameNos)
+        Sinks.writeFrameCsv(gradStats, s"$outDir/stats",
+          "_spots_stats_grad", ds, frameNos)
+      }
       Sinks.writeTable(out.spottiness.withColumn("dataset", tag),
         tablesDir(outDir), "spottiness", Seq("dataset"))
       // A11: similarity series vs the dataset's FIRST frame and the

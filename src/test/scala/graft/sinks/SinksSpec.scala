@@ -52,6 +52,21 @@ class SinksSpec extends SparkSpec {
     assert(!src.contains(".collect()"), "driver collect in sink path")
   }
 
+  test("writeFrameCsv: one pandas-shaped CSV per frame with the stem") {
+    import spark.implicits._
+    val df = Seq((1, 10L, 2.5), (1, 11L, 3.5), (2, 20L, 4.5))
+      .toDF("frame_no", "spot_stat_label", "medianQ")
+    val dir = java.nio.file.Files.createTempDirectory("graft_fcsv").toString
+    Sinks.writeFrameCsv(df, dir, "_spots_stats_df", "MA2")
+    val f1 = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$dir/MA2-00001_spots_stats_df.csv"))
+    assert(f1 ==
+      ",spot_stat_label,medianQ\n0,10,2.5\n1,11,3.5\n")
+    val f2 = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$dir/MA2-00002_spots_stats_df.csv"))
+    assert(f2 == ",spot_stat_label,medianQ\n0,20,4.5\n")
+  }
+
   test(".xye body matches the reference Export_xye layout") {
     val body = Sinks.xyeBody("MA2-00001.tif",
       Seq((1.00234, 7873.1575, Some(2.5)), (1.00702, 7872.0, None)))

@@ -305,6 +305,16 @@ class StreamingPipelineSpec extends SparkSpec {
       assert(parts.length == 2 &&
         parts.forall(_.matches("\\d\\.\\d{9}")), s"bad csim body in $p")
     }
+    // S13: per-frame stats CSVs under stats/ with the acquisition stem
+    // (reference pipeline.py:491-492)
+    (1 to 2).foreach { no =>
+      Seq("_spots_stats_df", "_spots_stats_grad").foreach { sfx =>
+        val p = java.nio.file.Paths.get(f"$tmpOut/stats/synth-$no%05d$sfx%s.csv")
+        assert(java.nio.file.Files.exists(p), s"missing $p")
+        val head = java.nio.file.Files.readAllLines(p).get(0)
+        assert(head.startsWith(","), s"no pandas index header in $p")
+      }
+    }
     // S11: four mask TIFFs per frame, decodable, plausible content
     (1 to 2).foreach { no =>
       Seq("base", "outliermask", "spots", "arcs").foreach { m =>
