@@ -177,13 +177,26 @@ object FramePipeline {
         w, h, Geometry.scalarPixelGeo(cal), tile = 512)
       .localCheckpoint(true)
 
+    // Narrow pinned projection of everything downstream branches read.
+    // CRITICAL plan-shape rule (measured 25x): a stage that combines the
+    // deep geometry trig with a join generates a method the JIT will not
+    // compile, so every branch would pay ~30 s instead of ~1 s per pass.
+    // Materializing the derived columns once keeps the trig stage and
+    // the join/agg stages in separate, small, compilable methods.
+    val narrow = flagged.select(col("frame_no"), col("y"), col("x"),
+        col("x_mm"), col("y_mm"), col("corr_i"), col("corr"),
+        col("base_mask"), col("is_outlier"), col("tth_bin"),
+        col("q_bin"), col("q"), col("azim"), col("azim_flipped"))
+      .localCheckpoint(true)
+
     // C1-C3: spot/arc classification of outlier clusters. Pinned: the
     // classification tail (gradient refinement joins) otherwise
     // re-executes for EVERY output branch that reads the flag columns
     // (integrals, spot stats, spottiness, pixel sink) — measured 3x the
     // work at production frame sizes. The table is outlier-pixels-only,
-    // so the checkpoint is tiny relative to the frame.
-    val flags = Classification.classify(flagged, w, h, keys, params,
+    // so the checkpoint is tiny relative to the frame. classify reads
+    // the narrow checkpoint (it needs q/azim/azim_flipped, all there).
+    val flags = Classification.classify(narrow, w, h, keys, params,
         d2Precomputed = Some(gradBoth))
       .localCheckpoint(true)
     // flag rows are outlier-cluster pixels — orders of magnitude smaller
@@ -193,7 +206,7 @@ object FramePipeline {
     val flagsSmall = flags.count() <= 1000000L
     val flagsSel = flags.select(col("frame_no"), col("y"), col("x"),
       col("label"), col("is_spot"), col("is_arc"))
-    val px = flagged.join(
+    val px = narrow.join(
         if (flagsSmall) broadcast(flagsSel) else flagsSel,
         Seq("frame_no", "y", "x"), "left")
       .withColumn("is_spot", coalesce(col("is_spot"), lit(false)))

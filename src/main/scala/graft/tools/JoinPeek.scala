@@ -25,6 +25,16 @@ object JoinPeek {
       .findAllIn(plan).toSeq.groupBy(identity).view.mapValues(_.size).toMap)
     println(plan.linesIterator.filter(l =>
       l.contains("Join") || l.contains("Exchange")).mkString("\n"))
+    println("WSCG spans: " + "WholeStageCodegen \\(\\d+\\)".r
+      .findAllIn(plan).toSeq.distinct.size)
+    val cg = out.integrals.queryExecution.debug
+    // per-subtree codegen: surface any fallback to interpreted mode
+    org.apache.spark.sql.execution.debug.codegenStringSeq(
+      out.integrals.queryExecution.executedPlan).zipWithIndex.foreach {
+      case ((subtree, code, _), i) =>
+        println(s"--- subtree $i: ${subtree.linesIterator.next()} " +
+          s"codeLen=${code.length}")
+    }
     spark.stop()
   }
 }

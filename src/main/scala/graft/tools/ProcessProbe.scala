@@ -64,48 +64,44 @@ object ProcessProbe {
         .percentileExact(col("grad2_r"), 0.1).as("g_thresh"))
       .write.format("noop").mode("overwrite").save())
 
-    t("scan+agg only")(flagged.groupBy(col("frame_no"), col("tth_bin"))
-      .agg(sum(col("corr")).as("s"))
-      .write.format("noop").mode("overwrite").save())
+    val narrow = t("narrow ckpt")(flagged.select(col("frame_no"),
+        col("y"), col("x"), col("x_mm"), col("y_mm"), col("corr_i"),
+        col("corr"), col("base_mask"), col("is_outlier"), col("tth_bin"),
+        col("q_bin"), col("q"), col("azim"), col("azim_flipped"))
+      .localCheckpoint(true))
 
-    val flags = t("classify")(Classification.classify(flagged, w, h,
-      Seq("frame_no"), d2Precomputed = Some(gradBoth))
+    // mirror of classify's stages for stage-level attribution
+    val keys = Seq("frame_no")
+    val outlierPx = narrow.where(col("is_outlier"))
+      .select(col("frame_no"), col("y"), col("x"))
+    val closed = t("cls:closing")(graft.stencil.Morphology
+      .closing(outlierPx, 1, keys, w, h).localCheckpoint(true))
+    val labeled0 = t("cls:ccl")(graft.stencil.CCL
+      .labelAuto(closed, w, h, keys).localCheckpoint(true))
+    val labeled = t("cls:labeljoin")(narrow.select(col("frame_no"),
+        col("y"), col("x"), col("q"), col("azim"), col("azim_flipped"))
+      .join(broadcast(labeled0), Seq("frame_no", "y", "x"))
+      .localCheckpoint(true))
+    val shaped = t("cls:shape")(Classification.shapeClassify(labeled, keys)
+      .localCheckpoint(true))
+    val labeledFull = labeled.join(broadcast(shaped),
+      Seq("frame_no", "label"))
+    val flags = t("cls:gradRefine")(Classification.gradientRefine(narrow,
+        labeledFull, w, h, keys, d2Precomputed = Some(gradBoth))
       .localCheckpoint(true))
     println(s"[pprobe] flag rows = ${flags.count()}")
 
-    val joined = flagged.join(broadcast(flags.select(col("frame_no"),
-        col("y"), col("x"), col("label"), col("is_spot"),
-        col("is_arc"))),
+    val joined = narrow.join(broadcast(flags.select(col("frame_no"),
+        col("y"), col("x"), col("is_spot"), col("is_arc"))),
       Seq("frame_no", "y", "x"), "left")
     val integ = graft.ops.Histogram.integrate(
       joined.where(col("tth_bin") >= 0), col("tth_bin"), col("corr"),
       Seq("base" -> !col("base_mask"),
         "om" -> (!col("base_mask") && !col("is_outlier"))),
       keys = Seq(col("frame_no")))
-    println("[pprobe] integ joins: " +
-      "SortMergeJoin|BroadcastHashJoin".r.findAllIn(
-        integ.queryExecution.executedPlan.toString).toSeq)
     for (i <- 1 to 2)
       t(s"integrals #$i")(
         integ.write.format("noop").mode("overwrite").save())
-    // is the decimal sum the cost? same shape with plain double sums
-    val dbl = joined.where(col("tth_bin") >= 0)
-      .groupBy(col("frame_no"), col("tth_bin"))
-      .agg(sum(when(!col("base_mask"), col("corr"))).as("i_base"),
-        count(when(!col("base_mask"), col("corr"))).as("n_base"),
-        sum(when(!col("base_mask") && !col("is_outlier"), col("corr")))
-          .as("i_om"))
-    t("integrals doublesum")(
-      dbl.write.format("noop").mode("overwrite").save())
-    // and the long-scaled exact variant
-    val ls = joined.where(col("tth_bin") >= 0)
-      .groupBy(col("frame_no"), col("tth_bin"))
-      .agg((sum((when(!col("base_mask"), col("corr"))
-          .cast("decimal(18,4)") * 10000).cast("long")) / lit(10000.0))
-        .as("i_base"),
-        count(when(!col("base_mask"), col("corr"))).as("n_base"))
-    t("integrals longscaled")(
-      ls.write.format("noop").mode("overwrite").save())
     spark.stop()
   }
 }
