@@ -18,8 +18,11 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // raw-hash aux tables for the minhash/simhash/LSH oracles (DuckDB has
-    // no xxhash64; the aggregation/banding logic is verified over these)
-    queries.OracleQueries.writeOracleAux(spark, sfDir)
+    // no xxhash64; the aggregation/banding logic is verified over these).
+    // The dir derives from outDir so concurrent Verify runs cannot clobber
+    // each other and a failed run cannot leave stale tables behind.
+    val auxDir = new java.io.File(outDir, "oracle_aux").getAbsolutePath
+    queries.OracleQueries.writeOracleAux(spark, sfDir, auxDir)
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
@@ -39,7 +42,7 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val json = queries.OracleQueries.oracleSqlFor(auxDir)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

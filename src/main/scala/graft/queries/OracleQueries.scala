@@ -58,9 +58,19 @@ object OracleQueries {
   // the oracle SQL re-derives everything downstream from that table —
   // hashes identical by construction, logic checked in both engines.
 
-  /** Fixed aux-table location baked into the oracle SQL (the driver runs
-    * DuckDB on the same host right after Verify). */
-  val AuxDir = "/tmp/graft_oracle_aux"
+  /** Placeholder interpolated into the oracle SQL below; [[oracleSqlFor]]
+    * substitutes the real aux directory at dump time. A fixed /tmp path
+    * would let concurrent Verify runs clobber each other's tables, and a
+    * partially failed run would leave stale parquet the DuckDB compare
+    * silently reads as current — so Verify derives the dir from its own
+    * outDir instead (the driver runs DuckDB on the same host right after).
+    */
+  val AuxToken = "__GRAFT_AUX_DIR__"
+  private def AuxDir = AuxToken
+
+  /** Default aux dir for direct [[oracleSql]] consumers (the contract
+    * map); Verify passes its outDir-derived location instead. */
+  val DefaultAuxDir = "/tmp/graft_oracle_aux"
 
   /** Parameters shared by the dedup queries and their oracles. */
   private val MinhashK = 32
@@ -70,7 +80,9 @@ object OracleQueries {
 
   /** Write the raw-hash aux tables for the current scale factor. Called by
     * Verify before the query dump; NOT part of any benched query. */
-  def writeOracleAux(s: SparkSession, dir: String): Unit = {
+  def writeOracleAux(s: SparkSession, dir: String,
+                     auxDir: String = DefaultAuxDir): Unit = {
+    val AuxDir = auxDir // shadow the token for the writes below
     val docs = t(s, dir, "documents")
     // minhash: one row per (doc, shingle occurrence, hash family) with the
     // family hash fh = xxhash64(xxhash64(shingle), seed) — exactly the
@@ -1137,6 +1149,10 @@ object OracleQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap
 
-  val oracleSql: Map[String, String] =
-    all.flatMap(q => q.sql.map(q.name -> _)).toMap
+  /** Oracle SQL with the aux-table placeholder resolved to `auxDir`. */
+  def oracleSqlFor(auxDir: String): Map[String, String] =
+    all.flatMap(q =>
+      q.sql.map(q.name -> _.replace(AuxToken, auxDir))).toMap
+
+  val oracleSql: Map[String, String] = oracleSqlFor(DefaultAuxDir)
 }

@@ -171,16 +171,24 @@ object Sinks extends Serializable {
     * (pipeline.py:491-492 dumps `<name>-<number>_spots_stats_df.csv` and
     * `_spots_stats_grad.csv` per frame via pandas to_csv). One CSV per
     * frame, pandas shape: header row with a leading empty index cell,
-    * then 0-based index + values. Executor-side like [[writeChi]];
-    * rows sort on the first data column for a deterministic file. */
+    * then 0-based index + values. Executor-side like [[writeChi]].
+    *
+    * `orderCols` fixes the row order (and therefore the 0-based index
+    * column) inside each frame's file. The reference's pandas `to_csv`
+    * preserves the stats dataframe's groupby order — its group key,
+    * ascending — so callers pass that key (label / Qbin) to match the
+    * reference files byte-wise; the default sorts on every data column,
+    * which is deterministic but can index rows differently. */
   def writeFrameCsv(df: DataFrame, outDir: String, suffix: String,
-                    dataset: String, allFrames: Seq[Int] = Nil): Unit = {
+                    dataset: String, allFrames: Seq[Int] = Nil,
+                    orderCols: Seq[String] = Nil): Unit = {
     new java.io.File(outDir).mkdirs()
     val cols = df.columns.filterNot(_ == "frame_no").toSeq
+    val ord = if (orderCols.nonEmpty) orderCols else cols
     val dir = outDir; val ds = dataset; val sfx = suffix
     df.select(col("frame_no").cast("int") +: cols.map(col): _*)
       .repartition(col("frame_no"))
-      .sortWithinPartitions(col("frame_no") +: cols.map(col): _*)
+      .sortWithinPartitions(col("frame_no") +: ord.map(col): _*)
       .foreachPartition { (it: Iterator[Row]) =>
         var cur = Int.MinValue
         var sb: StringBuilder = null

@@ -184,9 +184,13 @@ object TiffDialects {
     val pixX = i32(772); val pixY = i32(776) // nanometers
     val pix = if (pixX > 0 && pixY > 0) (pixX / 1000.0, pixY / 1000.0)
               else (73.242, 73.242) // degenerate header: plate default
-    // wavelength: optics wins over source when positive; femtometers -> A
+    // wavelength: optics wins over source when positive; femtometers -> A.
+    // Offsets per the published marCCD frame_header struct: the source
+    // block at +896 is ten INT32 fields (source_type..polarization_z,
+    // ending at 936), then the 16-byte reserve_source, so the optics
+    // block starts at 952 and optics_wavelength is its fourth field, 964.
     val srcWl = i32(908) * 1e-5
-    val optWl = i32(940) * 1e-5
+    val optWl = i32(964) * 1e-5
     val wl = if (optWl > 0) optWl else srcWl
     // distance: mean of start/end (fields are 1000*mm); a zero end frame
     // falls back to the static xtal_to_detector

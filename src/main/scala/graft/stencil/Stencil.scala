@@ -19,6 +19,24 @@ import org.apache.spark.sql.functions._
   */
 object Stencil {
 
+  /** The packed tile key is `frame_no << 24 | ty << 12 | tx`: 12 bits per
+    * tile axis and 39 bits of frame number (the sign bit must stay clear
+    * for the arithmetic-shift decode). Violations would silently corrupt
+    * keys — cross-frame/tile collisions producing wrong gradients — so
+    * both bounds fail loudly instead. */
+  private val MaxPackedFrame = 1L << 39
+
+  private def requirePackable(width: Int, height: Int, tile: Int): Unit =
+    require(height <= tile * 4096 && width <= tile * 4096,
+      s"packed tile key holds 12 bits per tile axis: image ${width}x" +
+        s"$height exceeds $tile*4096 tiles per side; raise `tile`")
+
+  private def checkFrameNo(f: Long): Long =
+    if (f < 0 || f >= MaxPackedFrame)
+      throw new IllegalArgumentException(
+        s"frame_no $f outside the packed-tile-key range [0, 2^39)")
+    else f
+
   /** Run `kernel` over dense (tile+2*halo)^2 arrays assembled per tile.
     * `kernel(buf, w, h)` returns the transformed buffer (same shape,
     * row-major, y-major). Missing pixels are `fill`. Emits
@@ -203,7 +221,7 @@ object Stencil {
     import spark.implicits._
     val halo = 2
     val side = tile + 2 * halo
-    val tilesX = (width + tile - 1) / tile
+    requirePackable(width, height, tile)
 
     val typed = px.select(col("frame_no").cast("long"), col("y").cast("int"),
       col("x").cast("int"), col("v").cast("double"),
@@ -213,7 +231,8 @@ object Stencil {
       .as[(Long, Int, Int, Double, Double, Double, Double, Double, Int)]
 
     val w = width; val h = height
-    typed.flatMap { case (f, y, x, v, ry, rx, py, pxh, qb) =>
+    typed.flatMap { case (f0, y, x, v, ry, rx, py, pxh, qb) =>
+      val f = checkFrameNo(f0)
       val tys = ((y - halo) / tile) to ((y + halo) / tile)
       val txs = ((x - halo) / tile) to ((x + halo) / tile)
       for {
@@ -294,13 +313,15 @@ object Stencil {
     import spark.implicits._
     val halo = 2
     val side = tile + 2 * halo
+    requirePackable(width, height, tile)
 
     val typed = px.select(col("frame_no").cast("long"), col("y").cast("int"),
       col("x").cast("int"), col("v").cast("double"))
       .as[(Long, Int, Int, Double)]
 
     val w = width; val h = height
-    typed.flatMap { case (f, y, x, v) =>
+    typed.flatMap { case (f0, y, x, v) =>
+      val f = checkFrameNo(f0)
       val tys = ((y - halo) / tile) to ((y + halo) / tile)
       val txs = ((x - halo) / tile) to ((x + halo) / tile)
       for {
@@ -399,9 +420,16 @@ object Stencil {
     val halo = 2
     val side = tile + 2 * halo
     val w = width; val h = height
+    requirePackable(width, height, tile)
 
     val y = col("y").cast("int"); val x = col("x").cast("int")
-    val f = col("frame_no").cast("long")
+    // out-of-range frames fail loudly inside codegen instead of silently
+    // colliding in the packed key
+    val f = when(col("frame_no").cast("long").between(0, MaxPackedFrame - 1),
+        col("frame_no").cast("long"))
+      .otherwise(raise_error(concat(
+        lit("frame_no outside the packed-tile-key range [0, 2^39): "),
+        col("frame_no").cast("string"))))
     // tile coordinates, truncated toward zero exactly like the scala
     // kernel's Int division (y is never below 0, so -2/tile -> 0 both
     // ways)

@@ -145,10 +145,13 @@ object StreamingPipeline {
       timed("sink_stats_csv") {
         val frameNos = integrals.select(col("frame_no")).distinct()
           .collect().map(_.getInt(0)).toSeq
+        // row order = the reference's pandas groupby key, so the 0-based
+        // index column matches the reference CSVs
         Sinks.writeFrameCsv(spotStats, s"$outDir/stats",
-          "_spots_stats_df", ds, frameNos)
+          "_spots_stats_df", ds, frameNos,
+          orderCols = Seq("spot_stat_label"))
         Sinks.writeFrameCsv(gradStats, s"$outDir/stats",
-          "_spots_stats_grad", ds, frameNos)
+          "_spots_stats_grad", ds, frameNos, orderCols = Seq("Qbin"))
       }
       Sinks.writeTable(out.spottiness.withColumn("dataset", tag),
         tablesDir(outDir), "spottiness", Seq("dataset"))

@@ -199,7 +199,7 @@ class TiffDialectsSpec extends AnyFunSuite {
       772 -> 79000,    // pixelsize_x: nm
       776 -> 79000,    // pixelsize_y
       908 -> 41300,    // source_wavelength: femtometers
-      940 -> 0))       // optics_wavelength unset -> source wins
+      964 -> 0))       // optics_wavelength unset -> source wins
     val f = TiffDialects.decode(bytes).get
     assert(f.tifType == "MAR CCD")
     assert(f.pixelSizeUm == ((79.0, 79.0)))
@@ -216,9 +216,10 @@ class TiffDialectsSpec extends AnyFunSuite {
     assert(cal.center == hc.center.get)
     assert(cal.pixelSize == ((79.0, 79.0)))
     assert(cal.imageSize == ((ny, nx)))
-    // optics wavelength, when positive, wins over source
+    // optics wavelength, when positive, wins over source; a stale value
+    // at 940 (inside reserve_source in the published struct) is ignored
     val f2 = TiffDialects.decode(withMarHeader(raw.clone(),
-      Seq(908 -> 41300, 940 -> 70900))).get
+      Seq(908 -> 41300, 940 -> 12345, 964 -> 70900))).get
     assert(math.abs(f2.headerCal.get.wavelength.get - 0.709) < 1e-12)
     // zero end-distance falls back to the static xtal_to_detector
     val f3 = TiffDialects.decode(withMarHeader(raw.clone(),
