@@ -398,23 +398,31 @@ object Stencil {
 
   /** InternalRow-level variant of [[secondDirectionalDerivGeo]] — same
     * output bit-for-bit (spec-asserted), minus the typed-Dataset object
-    * boundary that dominates the tile exchange at 33M rows/batch:
+    * boundary AND the per-pixel shuffle row that dominated the tile
+    * exchange at 33M rows/batch:
     *
-    *  - tile-key duplication is EXPRESSED IN COLUMNS (explode of an
-    *    array_compact'd candidate-key array) so the emission runs in
-    *    whole-stage codegen with no per-row Scala objects;
-    *  - the exchange is a plain hash repartition of UnsafeRows;
-    *  - the kernel reads fields straight off InternalRows (zero
-    *    allocation) via queryExecution.toRdd, buffers tiles per
-    *    partition, and emits InternalRows back through the graftshim —
-    *    no groupByKey sort, no encoder round-trip.
+    *  - pixels are run-collected into LINE SEGMENTS before the exchange —
+    *    one (tile key, y, x0, values[]) row per contiguous x-run clipped
+    *    to each overlapping tile window, so the shuffle moves ~tile-width
+    *    times fewer rows (and encoder/serializer invocations) than the
+    *    per-pixel form. Out-of-order input degrades gracefully to shorter
+    *    runs; correctness never depends on the scan order.
+    *  - the exchange is a plain hash repartition of UnsafeRows, SORTED
+    *    within partitions on the tile key so the kernel streams exactly
+    *    ONE tile buffer at a time — per-task memory is one tile
+    *    regardless of how many frames a batch carries (the former
+    *    LongMap-of-all-tiles risked executor OOM on 10k-frame backfills).
+    *  - the kernel reads fields straight off InternalRows via
+    *    queryExecution.toRdd and emits UnsafeRows back through the
+    *    graftshim — no groupByKey, no encoder round-trip.
     */
   def secondDirectionalDerivGeoRaw(px: DataFrame, width: Int, height: Int,
                                    geo: (Int, Int) =>
                                      (Double, Double, Double, Double, Int),
                                    tile: Int = 512): DataFrame = {
     import org.apache.spark.sql.catalyst.InternalRow
-    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow,
+      UnsafeArrayData, UnsafeProjection}
     import org.apache.spark.sql.types._
     val spark = px.sparkSession
     val halo = 2
@@ -422,7 +430,6 @@ object Stencil {
     val w = width; val h = height
     requirePackable(width, height, tile)
 
-    val y = col("y").cast("int"); val x = col("x").cast("int")
     // out-of-range frames fail loudly inside codegen instead of silently
     // colliding in the packed key
     val f = when(col("frame_no").cast("long").between(0, MaxPackedFrame - 1),
@@ -430,106 +437,200 @@ object Stencil {
       .otherwise(raise_error(concat(
         lit("frame_no outside the packed-tile-key range [0, 2^39): "),
         col("frame_no").cast("string"))))
-    // tile coordinates, truncated toward zero exactly like the scala
-    // kernel's Int division (y is never below 0, so -2/tile -> 0 both
-    // ways)
-    val tyLo = ((y - halo) / tile).cast("int")
-    val tyHi = ((y + halo) / tile).cast("int")
-    val txLo = ((x - halo) / tile).cast("int")
-    val txHi = ((x + halo) / tile).cast("int")
-    def key(ty: org.apache.spark.sql.Column, tx: org.apache.spark.sql.Column) =
-      shiftleft(f, 24).bitwiseOR(shiftleft(ty.cast("long"), 12))
-        .bitwiseOR(tx.cast("long"))
-    def inFrame(ty: org.apache.spark.sql.Column,
-                tx: org.apache.spark.sql.Column) =
-      ty >= 0 && ty * tile < h && tx >= 0 && tx * tile < w
-    val cands = array(
-      when(inFrame(tyLo, txLo), key(tyLo, txLo)),
-      when(tyHi =!= tyLo && inFrame(tyHi, txLo), key(tyHi, txLo)),
-      when(txHi =!= txLo && inFrame(tyLo, txHi), key(tyLo, txHi)),
-      when(tyHi =!= tyLo && txHi =!= txLo && inFrame(tyHi, txHi),
-        key(tyHi, txHi)))
-    val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val dup = px.select(explode(array_compact(cands)).as("bk"),
-        y.as("y"), x.as("x"), col("v").cast("double").as("v"))
-      .repartition(parts, col("bk"))
+    val slim = px.select(f.as("f"), col("y").cast("int").as("y"),
+      col("x").cast("int").as("x"), col("v").cast("double").as("v"))
 
-    final class TileBuf {
-      val vb = new Array[Double](side * side)
-    }
-    val outRdd = dup.queryExecution.toRdd.mapPartitions { it =>
-      // emit compact UnsafeRows: boxed GenericInternalRows kept alive by
-      // the downstream localCheckpoint are ~6 objects/row — GC collapse
-      // at 66M rows/batch
-      val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
-        .create(Array[org.apache.spark.sql.types.DataType](LongType,
-          IntegerType, IntegerType, DoubleType, DoubleType, IntegerType))
-      val tiles = new scala.collection.mutable.LongMap[TileBuf]
-      it.foreach { r =>
-        val bk = r.getLong(0)
-        val ty = ((bk >> 12) & 0xfff).toInt; val tx = (bk & 0xfff).toInt
-        val buf = tiles.getOrElseUpdate(bk, new TileBuf)
-        val ly = r.getInt(1) - (ty * tile - halo)
-        val lx = r.getInt(2) - (tx * tile - halo)
-        if (ly >= 0 && ly < side && lx >= 0 && lx < side)
-          buf.vb(ly * side + lx) = r.getDouble(3)
+    // ---- stage 1: run-collect pixels into per-tile row segments --------
+    val segSchema = StructType(Seq(
+      StructField("bk", LongType, nullable = false),
+      StructField("y", IntegerType, nullable = false),
+      StructField("x0", IntegerType, nullable = false),
+      StructField("vs", ArrayType(DoubleType, containsNull = false),
+        nullable = false)))
+    val segRdd = slim.queryExecution.toRdd.mapPartitions { it =>
+      new Iterator[InternalRow] {
+        private val proj = UnsafeProjection.create(Array[DataType](LongType,
+          IntegerType, IntegerType, ArrayType(DoubleType, false)))
+        private val holder = new GenericInternalRow(4)
+        private val pending =
+          scala.collection.mutable.Queue.empty[InternalRow]
+        private var runF = 0L; private var runY = 0; private var runX0 = 0
+        private var runLen = 0
+        private val runBuf = new Array[Double](w)
+        private def flushRun(): Unit = if (runLen > 0) {
+          val x1 = runX0 + runLen - 1
+          // tile coordinates truncate toward zero exactly like the typed
+          // kernel's Int division (y/x are never below 0, so -2/tile -> 0
+          // both ways)
+          var ty = (runY - halo) / tile
+          val tyHi = (runY + halo) / tile
+          while (ty <= tyHi) {
+            if (ty >= 0 && ty * tile < h) {
+              var tx = (runX0 - halo) / tile
+              val txHi = (x1 + halo) / tile
+              while (tx <= txHi) {
+                if (tx >= 0 && tx * tile < w) {
+                  val wx0 = tx * tile - halo
+                  val wx1 = tx * tile + tile + halo - 1
+                  val cx0 = math.max(runX0, wx0)
+                  val cx1 = math.min(x1, wx1)
+                  if (cx0 <= cx1) {
+                    holder.update(0,
+                      (runF << 24) | (ty.toLong << 12) | tx.toLong)
+                    holder.update(1, runY)
+                    holder.update(2, cx0)
+                    holder.update(3, UnsafeArrayData.fromPrimitiveArray(
+                      java.util.Arrays.copyOfRange(runBuf,
+                        cx0 - runX0, cx1 - runX0 + 1)))
+                    pending.enqueue(proj(holder).copy())
+                  }
+                }
+                tx += 1
+              }
+            }
+            ty += 1
+          }
+          runLen = 0
+        }
+        private def fill(): Unit = {
+          while (pending.isEmpty && it.hasNext) {
+            val r = it.next()
+            val rf = r.getLong(0); val ry = r.getInt(1)
+            val rx = r.getInt(2); val rv = r.getDouble(3)
+            if (runLen > 0 && rf == runF && ry == runY &&
+                rx == runX0 + runLen && runLen < w) {
+              runBuf(runLen) = rv; runLen += 1
+            } else {
+              flushRun()
+              runF = rf; runY = ry; runX0 = rx
+              runBuf(0) = rv; runLen = 1
+            }
+          }
+          if (pending.isEmpty) flushRun()
+        }
+        def hasNext: Boolean = { fill(); pending.nonEmpty }
+        def next(): InternalRow = { fill(); pending.dequeue() }
       }
-      tiles.iterator.flatMap { case (bk, buf) =>
-        val f = bk >> 24
-        val ty = ((bk >> 12) & 0xfff).toInt; val tx = (bk & 0xfff).toInt
-        val n = side * side
-        val vb = buf.vb
-        val ryb = new Array[Double](n); val rxb = new Array[Double](n)
-        val pyb = new Array[Double](n); val pxb = new Array[Double](n)
-        val y0 = ty * tile - halo; val x0 = tx * tile - halo
-        var ly = 0
-        while (ly < side) {
-          val gy = y0 + ly
-          if (gy >= 0 && gy < h) {
-            var lx = 0
-            while (lx < side) {
+    }
+    val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val segs = org.apache.spark.sql.graftshim.Internals
+      .internalCreateDataFrame(spark, segRdd, segSchema)
+      .repartition(parts, col("bk"))
+      .sortWithinPartitions("bk")
+
+    // ---- stage 2: stream one sorted tile at a time through the kernel --
+    val outRdd = segs.queryExecution.toRdd.mapPartitions { it =>
+      new Iterator[InternalRow] {
+        private val proj = UnsafeProjection.create(Array[DataType](LongType,
+          IntegerType, IntegerType, DoubleType, DoubleType, IntegerType))
+        private val outTypes = Array[DataType](LongType, IntegerType,
+          IntegerType, DoubleType, DoubleType, IntegerType)
+        private val outRow = new org.apache.spark.sql.catalyst.expressions
+          .SpecificInternalRow(outTypes)
+        private val n = side * side
+        private val vb = new Array[Double](n)
+        private var curBk = Long.MinValue
+        private var haveTile = false
+        private var outIt: Iterator[InternalRow] = Iterator.empty
+
+        private def scatter(r: InternalRow): Unit = {
+          val bk = r.getLong(0)
+          val ty = ((bk >> 12) & 0xfff).toInt; val tx = (bk & 0xfff).toInt
+          val ly = r.getInt(1) - (ty * tile - halo)
+          val lx0 = r.getInt(2) - (tx * tile - halo)
+          val vs = r.getArray(3)
+          val m = vs.numElements()
+          var k = 0
+          while (k < m) {
+            vb(ly * side + lx0 + k) = vs.getDouble(k)
+            k += 1
+          }
+        }
+
+        /** Run the stencil over the CURRENT vb, then clear it for the next
+          * tile. The returned iterator reads only the freshly allocated
+          * derivative/hat planes, never vb, so draining it lazily while
+          * the next tile accumulates is safe. */
+        private def emitTile(bk: Long): Iterator[InternalRow] = {
+          val fNo = bk >> 24
+          val ty = ((bk >> 12) & 0xfff).toInt; val tx = (bk & 0xfff).toInt
+          val y0 = ty * tile - halo; val x0 = tx * tile - halo
+          val ryb = new Array[Double](n); val rxb = new Array[Double](n)
+          val pyb = new Array[Double](n); val pxb = new Array[Double](n)
+          val qbb = new Array[Int](n)
+          var ly = 0
+          while (ly < side) {
+            val gy = y0 + ly
+            if (gy >= 0 && gy < h) {
+              var lx = 0
+              while (lx < side) {
+                val gx = x0 + lx
+                if (gx >= 0 && gx < w) {
+                  val g = geo(gy, gx)
+                  val i = ly * side + lx
+                  ryb(i) = g._1; rxb(i) = g._2; pyb(i) = g._3; pxb(i) = g._4
+                  qbb(i) = g._5
+                }
+                lx += 1
+              }
+            }
+            ly += 1
+          }
+          val d1r = new Array[Double](n); val d1a = new Array[Double](n)
+          ly = 1
+          while (ly < side - 1) {
+            val gy = y0 + ly
+            var lx = 1
+            while (lx < side - 1) {
               val gx = x0 + lx
-              if (gx >= 0 && gx < w) {
-                val g = geo(gy, gx)
+              if (gy >= 0 && gy < h && gx >= 0 && gx < w) {
                 val i = ly * side + lx
-                ryb(i) = g._1; rxb(i) = g._2; pyb(i) = g._3; pxb(i) = g._4
+                val ddy = 0.5 * (vb(i + side) - vb(i - side))
+                val ddx = 0.5 * (vb(i + 1) - vb(i - 1))
+                d1r(i) = ddy * ryb(i) + ddx * rxb(i)
+                d1a(i) = ddy * pyb(i) + ddx * pxb(i)
               }
               lx += 1
             }
+            ly += 1
           }
-          ly += 1
-        }
-        val d1r = new Array[Double](n); val d1a = new Array[Double](n)
-        ly = 1
-        while (ly < side - 1) {
-          val gy = y0 + ly
-          var lx = 1
-          while (lx < side - 1) {
-            val gx = x0 + lx
-            if (gy >= 0 && gy < h && gx >= 0 && gx < w) {
-              val i = ly * side + lx
-              val ddy = 0.5 * (vb(i + side) - vb(i - side))
-              val ddx = 0.5 * (vb(i + 1) - vb(i - 1))
-              d1r(i) = ddy * ryb(i) + ddx * rxb(i)
-              d1a(i) = ddy * pyb(i) + ddx * pxb(i)
+          java.util.Arrays.fill(vb, 0.0)
+          val yMax = math.min(tile, h - ty * tile)
+          val xMax = math.min(tile, w - tx * tile)
+          (halo until halo + yMax).iterator.flatMap { oy =>
+            (halo until halo + xMax).iterator.map { ox =>
+              val i = oy * side + ox
+              val d2r = 0.5 * (d1r(i + side) - d1r(i - side)) * ryb(i) +
+                0.5 * (d1r(i + 1) - d1r(i - 1)) * rxb(i)
+              val d2a = 0.5 * (d1a(i + side) - d1a(i - side)) * pyb(i) +
+                0.5 * (d1a(i + 1) - d1a(i - 1)) * pxb(i)
+              outRow.setLong(0, fNo)
+              outRow.setInt(1, y0 + oy); outRow.setInt(2, x0 + ox)
+              outRow.setDouble(3, d2r); outRow.setDouble(4, d2a)
+              outRow.setInt(5, qbb(i))
+              proj(outRow).copy(): InternalRow
             }
-            lx += 1
-          }
-          ly += 1
-        }
-        val yMax = math.min(tile, h - ty * tile)
-        val xMax = math.min(tile, w - tx * tile)
-        (halo until halo + yMax).iterator.flatMap { oy =>
-          (halo until halo + xMax).iterator.map { ox =>
-            val i = oy * side + ox
-            val d2r = 0.5 * (d1r(i + side) - d1r(i - side)) * ryb(i) +
-              0.5 * (d1r(i + 1) - d1r(i - 1)) * rxb(i)
-            val d2a = 0.5 * (d1a(i + side) - d1a(i - side)) * pyb(i) +
-              0.5 * (d1a(i + 1) - d1a(i - 1)) * pxb(i)
-            proj(new GenericInternalRow(Array[Any](f, y0 + oy, x0 + ox,
-              d2r, d2a, geo(y0 + oy, x0 + ox)._5))).copy(): InternalRow
           }
         }
+
+        private def fill(): Unit = {
+          while (!outIt.hasNext && it.hasNext) {
+            val r = it.next()
+            val bk = r.getLong(0)
+            if (!haveTile) { curBk = bk; haveTile = true }
+            else if (bk != curBk) {
+              outIt = emitTile(curBk)
+              curBk = bk
+            }
+            scatter(r)
+          }
+          if (!outIt.hasNext && !it.hasNext && haveTile) {
+            outIt = emitTile(curBk)
+            haveTile = false
+          }
+        }
+        def hasNext: Boolean = { fill(); outIt.hasNext }
+        def next(): InternalRow = { fill(); outIt.next() }
       }
     }
     val schema = StructType(Seq(
