@@ -271,8 +271,10 @@ object Geometry {
   def buildCached(spark: SparkSession, cal: Calibration,
                   cacheDir: String): DataFrame = {
     val path = s"$cacheDir/geometry_${contentKey(cal)}"
-    val fs = new java.io.File(path.stripPrefix("file:"))
-    if (!fs.exists()) build(spark, cal).write.mode("ignore").parquet(path)
+    // Hadoop-resolved existence check (graft.core.Fs): cacheDir may be a
+    // local dir, hdfs:// or s3a:// — same URI semantics as the write below
+    if (!graft.core.Fs.exists(path, graft.core.Fs.conf(spark)))
+      build(spark, cal).write.mode("ignore").parquet(path)
     spark.read.parquet(path)
   }
 

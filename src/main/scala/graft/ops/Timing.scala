@@ -28,13 +28,15 @@ object Timing {
             rows: Seq[(String, Double)]): Unit = {
     import spark.implicits._
     if (rows.nonEmpty)
-      rows.map { case (s, t) => (dataset, s, t) }
+      // single-slice at the SOURCE (not a coalesce on the plan): the rows
+      // are a driver-local handful of stage timings, so one task writes
+      // one file instead of scattering ~5 rows across defaultParallelism
+      // empty files. Revisit only if the table ever grows per-stage x
+      // per-frame rows.
+      spark.createDataset(spark.sparkContext.parallelize(
+          rows.map { case (s, t) => (dataset, s, t) }, numSlices = 1))
         .toDF("dataset", "stage", "seconds")
-        // one task: the source is a driver-local handful of stage rows, so
-        // there is no upstream parallelism to collapse — without this the
-        // write scatters ~5 rows across defaultParallelism empty files.
-        // Revisit only if the table ever grows per-stage x per-frame rows.
-        .coalesce(1).write.mode("append").parquet(s"$outDir/timing")
+        .write.mode("append").parquet(s"$outDir/timing")
   }
 
   /** Mean +/- std (and count) per stage — the reference's stop-button

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.ops.RobustStats
-import graft.stencil.{CCL, Morphology, Stencil}
+import graft.stencil.{CCL, Stencil}
 
 /** The spot/texture classification pipeline (reference
   * `current_splitting_method` classification.py:829-912) — the centerpiece
@@ -229,10 +229,10 @@ object Classification {
                d2Precomputed: Option[DataFrame] = None): DataFrame = {
     val outlierPx = framePx.where(col("is_outlier"))
       .select(keys.map(col) ++ Seq(col("y"), col("x")): _*)
-    val closed = Morphology.closing(outlierPx, 1, keys, width, height)
-    // density-gated: a pathological mask (e.g. threshold selecting half
-    // the frame) escalates to the tile-local dense path automatically
-    val labeled0 = CCL.labelAuto(closed, width, height, keys)
+    // fused closing + CCL: one shuffle serves both (CCL.closeAndLabel);
+    // density-gated so a pathological mask (e.g. threshold selecting half
+    // the frame) still escalates to relational closing + tile-local CCL
+    val labeled0 = CCL.closeAndLabel(outlierPx, 1, width, height, keys)
       .localCheckpoint(true)
     // closing can add pixels outside the original geometry join; re-join
     // to recover geometry columns for cluster stats. The labeled side is

@@ -290,8 +290,12 @@ object FramePipeline {
       .join(broadcast(thresholds), "frame_no")
       .select(col("frame_no"), col("y"), col("x"),
         (col("corr") / col("h_depth")).as("v"))
+    // truncation observability: tiles where the geodesic-dilation cap cut
+    // reconstruction short show up under this named accumulator in the UI
+    val trunc = processedPx.sparkSession.sparkContext
+      .longAccumulator("graft.hMaxima.truncatedTiles")
     val maxima = graft.stencil.Stencil.hMaxima(normalized, w, h, h = 1.0,
-      tile = tile)
+      tile = tile, truncated = Some(trunc))
     maxima.join(processedPx.select(col("frame_no"), col("y"), col("x"),
         col("q_bin"), col("is_spot")), Seq("frame_no", "y", "x"))
       .groupBy(col("frame_no"), col("q_bin"))

@@ -50,12 +50,15 @@ object Sinks extends Serializable {
     * EXECUTOR-SIDE: the table is hash-partitioned on frame_no and each
     * task writes its frames' files directly — the driver never sees
     * integral rows, so a 10k-frame backfill batch writes with full
-    * cluster parallelism. (Requires a shared filesystem across
-    * executors, same as the reference's output directory.) */
+    * cluster parallelism. Paths resolve through the Hadoop filesystem
+    * ([[graft.core.Fs]]), so `outDir` may be a shared posix dir (the
+    * reference's NFS posture), `hdfs://` or `s3a://` alike. */
   def writeChi(integrals: DataFrame, outDir: String, variant: String,
                dense: Option[(Int, Double, Double)] = None,
                dataset: String = "frame"): Unit = {
-    new java.io.File(outDir).mkdirs()
+    import graft.core.Fs
+    Fs.mkdirs(outDir, Fs.conf(integrals.sparkSession))
+    val hc = Fs.onExecutors(integrals.sparkSession)
     val dir = outDir; val vName = variant; val denseOpt = dense
     val ds = dataset
     integrals
@@ -76,9 +79,8 @@ object Sinks extends Serializable {
                 present.getOrElse(b, 0.0)))
             case None => buf.toSeq.map(t => (t._2, t._3))
           }
-          java.nio.file.Files.writeString(
-            java.nio.file.Paths.get(f"$dir/$ds-$cur%05d_$vName.chi"),
-            chiBody(f"$ds-$cur%05d.tif", series))
+          graft.core.Fs.writeString(f"$dir/$ds-$cur%05d_$vName.chi",
+            chiBody(f"$ds-$cur%05d.tif", series), hc.value)
         }
         it.foreach { r =>
           val f = r.getInt(0)
@@ -101,7 +103,9 @@ object Sinks extends Serializable {
                      masks: Seq[(String, org.apache.spark.sql.Column)],
                      dataset: String = "frame")
       : Unit = {
-    new java.io.File(outDir).mkdirs()
+    import graft.core.Fs
+    Fs.mkdirs(outDir, Fs.conf(pixels.sparkSession))
+    val hc = Fs.onExecutors(pixels.sparkSession)
     val names = masks.map(_._1)
     val dir = outDir; val w = width; val h = height
     val ds = dataset
@@ -116,9 +120,8 @@ object Sinks extends Serializable {
         var mats: Array[Array[Array[Int]]] = null
         def flush(): Unit = if (mats != null) {
           names.zipWithIndex.foreach { case (n, i) =>
-            java.nio.file.Files.write(
-              java.nio.file.Paths.get(f"$dir/$ds-$cur%05d_$n.tif"),
-              graft.sources.FrameSource.encodeTiff(mats(i)))
+            graft.core.Fs.write(f"$dir/$ds-$cur%05d_$n.tif",
+              graft.sources.FrameSource.encodeTiff(mats(i)), hc.value)
           }
         }
         it.foreach { r =>
@@ -182,7 +185,9 @@ object Sinks extends Serializable {
   def writeFrameCsv(df: DataFrame, outDir: String, suffix: String,
                     dataset: String, allFrames: Seq[Int] = Nil,
                     orderCols: Seq[String] = Nil): Unit = {
-    new java.io.File(outDir).mkdirs()
+    import graft.core.Fs
+    Fs.mkdirs(outDir, Fs.conf(df.sparkSession))
+    val hc = Fs.onExecutors(df.sparkSession)
     val cols = df.columns.filterNot(_ == "frame_no").toSeq
     val ord = if (orderCols.nonEmpty) orderCols else cols
     val dir = outDir; val ds = dataset; val sfx = suffix
@@ -194,9 +199,8 @@ object Sinks extends Serializable {
         var sb: StringBuilder = null
         var idx = 0
         def flush(): Unit = if (sb != null)
-          java.nio.file.Files.writeString(
-            java.nio.file.Paths.get(f"$dir/$ds%s-$cur%05d$sfx%s.csv"),
-            sb.toString)
+          graft.core.Fs.writeString(f"$dir/$ds%s-$cur%05d$sfx%s.csv",
+            sb.toString, hc.value)
         it.foreach { r =>
           val f = r.getInt(0)
           if (f != cur) {
@@ -219,9 +223,9 @@ object Sinks extends Serializable {
     // frames with zero stat rows still get their header-only CSV, like
     // pandas to_csv of an empty table (a spotless frame is normal)
     allFrames.foreach { no =>
-      val p = java.nio.file.Paths.get(f"$dir/$ds%s-$no%05d$sfx%s.csv")
-      if (!java.nio.file.Files.exists(p))
-        java.nio.file.Files.writeString(p, cols.mkString(",", ",", "\n"))
+      val p = f"$dir/$ds%s-$no%05d$sfx%s.csv"
+      if (!Fs.exists(p, hc.value))
+        Fs.writeString(p, cols.mkString(",", ",", "\n"), hc.value)
     }
   }
 
@@ -237,17 +241,18 @@ object Sinks extends Serializable {
     * like [[writeChi]] — one tiny file per row, written by the task that
     * holds it. */
   def writeCsimTxt(series: DataFrame, outDir: String): Unit = {
-    new java.io.File(outDir).mkdirs()
+    import graft.core.Fs
+    Fs.mkdirs(outDir, Fs.conf(series.sparkSession))
+    val hc = Fs.onExecutors(series.sparkSession)
     val dir = outDir
     series
       .select(col("dataset"), col("frame_no").cast("int"),
         col("csim_first"), col("csim_prev"))
       .foreachPartition { (it: Iterator[Row]) =>
         it.foreach { r =>
-          java.nio.file.Files.writeString(
-            java.nio.file.Paths.get(
-              f"$dir/${r.getString(0)}%s-${r.getInt(1)}%05d_csim.txt"),
-            csimBody(r.getDouble(2), r.getDouble(3)) + "\n")
+          Fs.writeString(
+            f"$dir/${r.getString(0)}%s-${r.getInt(1)}%05d_csim.txt",
+            csimBody(r.getDouble(2), r.getDouble(3)) + "\n", hc.value)
         }
       }
   }

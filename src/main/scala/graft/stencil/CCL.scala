@@ -68,7 +68,173 @@ object CCL {
       labelDense(pinned, width, height, keys,
         eightConnected = eightConnected, maxBroadcastRows = maxBroadcastRows)
     else
-      label(pinned, width, keys, eightConnected, maxBroadcastRows)
+      // one-shuffle local path (the gate guarantees a frame fits a task);
+      // [[label]]'s edge-join form remains as the spec oracle
+      localCloseLabel(pinned, 0, width, height, keys, eightConnected)
+  }
+
+  /** Fused closing (M2) + connected-component labeling (M1) for sparse
+    * masks — the classify chain's opening moves in ONE shuffle.
+    *
+    * The relational chain (`Morphology.closing` then [[labelAuto]]) costs
+    * a dilate-distinct, an erode-groupBy, four edge self-joins, a
+    * mapGroups exchange and a label join-back — seven-plus small Spark
+    * jobs per batch whose FIXED latency dominates the classify stage at
+    * production frame sizes (SCALE_r03 profile). But the sparse gate
+    * already guarantees a frame's active pixels fit one task, so the
+    * entire composition is a per-frame local computation: ONE
+    * `groupByKey(frame)` exchange of the active rows, then hash-set
+    * closing and union-find in memory, emitting labeled pixels directly
+    * (no join-back — the group holds every node).
+    *
+    * Semantics are identical to the chain (spec-asserted):
+    * out-of-frame counts inactive for the closing (scipy border_value=0
+    * convention, as in Morphology), labels are the component's min pixel
+    * id. `r = 0` skips the closing — [[labelAuto]] routes its sparse path
+    * here. Frames above `densePixelsPerFrame` active pixels fall back to
+    * the relational closing + [[labelDense]] (per-task memory on the
+    * sparse path is the dilated set, ≤ (2r+1)² × gate ≈ 4.5M entries
+    * worst-case at the default gate — bounded, but worth routing around
+    * for genuinely dense masks). */
+  def closeAndLabel(active: DataFrame, r: Int, width: Int, height: Int,
+                    keys: Seq[String] = Nil, eightConnected: Boolean = true,
+                    densePixelsPerFrame: Long = DensePixelsPerFrame,
+                    maxBroadcastRows: Long = MaxBroadcastMappingRows)
+      : DataFrame = {
+    val spark = active.sparkSession
+    import spark.implicits._
+    require(keys.size <= 1, "CCL supports at most one numeric frame key")
+    val pinned = active.localCheckpoint(true)
+    val fkey0 = keys.headOption.map(col).getOrElse(lit(0))
+    val maxRow = pinned.groupBy(fkey0.as("_f")).count()
+      .agg(max(col("count"))).head()
+    val maxPerFrame = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+    if (maxPerFrame > densePixelsPerFrame) {
+      val closed = if (r == 0) pinned
+        else Morphology.closing(pinned, r, keys, width, height)
+      labelDense(closed, width, height, keys,
+        eightConnected = eightConnected, maxBroadcastRows = maxBroadcastRows)
+    } else localCloseLabel(pinned, r, width, height, keys, eightConnected)
+  }
+
+  /** Sparse-path body of [[closeAndLabel]] (input already pinned and
+    * density-gated by the caller). */
+  private def localCloseLabel(pinned: DataFrame, r: Int, width: Int,
+                              height: Int, keys: Seq[String],
+                              eightConnected: Boolean): DataFrame = {
+    val spark = pinned.sparkSession
+    import spark.implicits._
+    val fkey = keys.headOption.map(k => col(k).cast("long"))
+      .getOrElse(lit(0L))
+    val keyType = keys.headOption.map(k => pinned.schema(k).dataType)
+    val w = width; val h = height; val rr = r; val eight = eightConnected
+    val labeled = pinned
+      .select(fkey.as("_f"), col("y").cast("int"), col("x").cast("int"))
+      .as[(Long, Int, Int)]
+      .groupByKey(_._1)
+      .flatMapGroups { (f, it) =>
+        val pids = it.map(t => t._2.toLong * w + t._3).toArray
+        closeLabelFrame(pids, w, h, rr, eight).map { case (p, root) =>
+          (f, (p / w).toInt, (p % w).toInt, root)
+        }
+      }
+      .toDF("_f", "y", "x", "label")
+    keyType match {
+      case Some(dt) => labeled.select(
+        col("_f").cast(dt).as(keys.head), col("y"), col("x"), col("label"))
+      case None => labeled.select(col("y"), col("x"), col("label"))
+    }
+  }
+
+  /** Per-frame local kernel of [[closeAndLabel]]: binary closing of
+    * radius `r` (0 = none) then min-root union-find, over pixel ids
+    * (pid = y * width + x). Returns (pid, label) for the CLOSED set. */
+  private def closeLabelFrame(pids: Array[Long], width: Int, height: Int,
+                              r: Int, eightConnected: Boolean)
+      : Iterator[(Long, Long)] = {
+    import scala.collection.mutable.LongMap
+    val closed: Array[Long] =
+      if (r == 0) pids
+      else {
+        // dilation: every in-frame position within r of an active pixel
+        val dil = new LongMap[Boolean](
+          math.max(pids.length * (2 * r + 1), 64))
+        var i = 0
+        while (i < pids.length) {
+          val p = pids(i)
+          val y = (p / width).toInt; val x = (p % width).toInt
+          var dy = -r
+          while (dy <= r) {
+            val ny = y + dy
+            if (ny >= 0 && ny < height) {
+              var dx = -r
+              while (dx <= r) {
+                val nx = x + dx
+                if (nx >= 0 && nx < width) dil(ny.toLong * width + nx) = true
+                dx += 1
+              }
+            }
+            dy += 1
+          }
+          i += 1
+        }
+        // erosion of the dilated set: a position survives iff its whole
+        // (2r+1)^2 neighbourhood is in-frame AND dilated (out-of-frame
+        // counts inactive — Morphology.closing / scipy border_value=0)
+        val out = Array.newBuilder[Long]
+        dil.foreachKey { p =>
+          val y = (p / width).toInt; val x = (p % width).toInt
+          var ok = true
+          var dy = -r
+          while (ok && dy <= r) {
+            val ny = y + dy
+            if (ny < 0 || ny >= height) ok = false
+            else {
+              var dx = -r
+              while (ok && dx <= r) {
+                val nx = x + dx
+                if (nx < 0 || nx >= width ||
+                    !dil.contains(ny.toLong * width + nx)) ok = false
+                dx += 1
+              }
+            }
+            dy += 1
+          }
+          if (ok) out += p
+        }
+        out.result()
+      }
+    // min-root union-find over the closed set (labels = component's min
+    // pixel id, exactly like [[label]]/[[labelDense]])
+    val set = new LongMap[Boolean](math.max(closed.length * 2, 64))
+    closed.foreach(p => set(p) = true)
+    val parent = LongMap.empty[Long]
+    def find(x0: Long): Long = {
+      var root = x0
+      while (parent.getOrElse(root, root) != root) root = parent(root)
+      var c = x0
+      while (parent.getOrElse(c, c) != c) {
+        val nxt = parent(c); parent(c) = root; c = nxt
+      }
+      root
+    }
+    def union(u: Long, v: Long): Unit = {
+      val (ru, rv) = (find(u), find(v))
+      if (ru != rv) { if (ru < rv) parent(rv) = ru else parent(ru) = rv }
+    }
+    val offs = if (eightConnected) Array((0, 1), (1, -1), (1, 0), (1, 1))
+               else Array((0, 1), (1, 0))
+    closed.foreach { p =>
+      val y = (p / width).toInt; val x = (p % width).toInt
+      offs.foreach { case (dy, dx) =>
+        val ny = y + dy; val nx = x + dx
+        if (ny >= 0 && ny < height && nx >= 0 && nx < width) {
+          val q = ny.toLong * width + nx
+          if (set.contains(q)) union(p, q)
+        }
+      }
+    }
+    closed.iterator.map(p => (p, find(p)))
   }
 
   def label(active: DataFrame, width: Int, keys: Seq[String] = Nil,

@@ -706,9 +706,25 @@ object Stencil {
     * "sea level" exceeds h (reference spottiness.py:64-84). Computed by
     * tile-local morphological reconstruction of (image - h) under image,
     * with a generous halo; maxima whose plateau extends beyond
-    * tile + halo are approximated (documented halo bound — SURVEY §7.4). */
+    * tile + halo are approximated (documented halo bound — SURVEY §7.4).
+    *
+    * TWO documented approximation bounds, both observable:
+    *  - halo: reconstruction cannot see influence from beyond
+    *    tile + halo pixels away (structure wider than the halo may be
+    *    over-reported as maxima);
+    *  - iteration cap: the geodesic dilation runs at most
+    *    10 * max(side, side) raster sweeps per tile (worst case ~10 s of
+    *    CPU on a pathological serpentine plateau) — if the cap trips,
+    *    reconstruction is left PARTIAL for that tile, which can only
+    *    over-report maxima (the marker is a lower bound of the true
+    *    reconstruction, monotonically approached from below).
+    * `truncated`, when supplied, counts the tiles whose cap tripped
+    * (visible in the Spark UI as a named accumulator; zero on every
+    * non-adversarial frame we have measured). */
   def hMaxima(px: DataFrame, width: Int, height: Int, h: Double,
-              tile: Int = 256, halo: Int = 16): DataFrame = {
+              tile: Int = 256, halo: Int = 16,
+              truncated: Option[org.apache.spark.util.LongAccumulator] =
+                None): DataFrame = {
     val out = mapTiles(px, width, height, tile, halo,
       fill = Double.NegativeInfinity) { (buf, w, ht) =>
       val marker = buf.map(v => if (v.isNegInfinity) v else v - h)
@@ -745,6 +761,8 @@ object Stencil {
         }
         guard += 1
       }
+      // `changed` still true here means the cap cut reconstruction short
+      if (changed) truncated.foreach(_.add(1L))
       // h-maxima mask: image - reconstruction >= h (within tolerance)
       buf.indices.map { i =>
         if (!buf(i).isNegInfinity && buf(i) - marker(i) >= h - 1e-9) 1.0

@@ -33,13 +33,15 @@ object StreamingPipeline {
             maxFilesPerTrigger: Int = 32,
             predef: Seq[graft.core.MaskShape] = Nil,
             corrections: graft.ops.Corrections.Frames =
-              graft.ops.Corrections.Frames()): StreamingQuery = {
+              graft.ops.Corrections.Frames(),
+            referenceBinShift: Boolean = false): StreamingQuery = {
     val frames = FrameSource.stream(spark, inDir,
       maxFilesPerTrigger = maxFilesPerTrigger)
     val writer = frames.writeStream
       .option("checkpointLocation", s"$outDir/_checkpoint")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        processBatch(batch, outDir, cal, geometry, predef, corrections)
+        processBatch(batch, outDir, cal, geometry, predef, corrections,
+          referenceBinShift)
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow())
      else writer.trigger(Trigger.ProcessingTime("1 second")))
@@ -52,12 +54,14 @@ object StreamingPipeline {
                    geometry: DataFrame,
                    predef: Seq[graft.core.MaskShape] = Nil,
                    corrections: graft.ops.Corrections.Frames =
-                     graft.ops.Corrections.Frames()): Unit = {
+                     graft.ops.Corrections.Frames(),
+                   referenceBinShift: Boolean = false): Unit = {
     if (batch.isEmpty) return
     val datasets = batch.select(col("dataset")).distinct()
       .collect().map(_.getString(0))
     datasets.foreach(ds =>
-      processDataset(batch, ds, outDir, cal, geometry, predef, corrections))
+      processDataset(batch, ds, outDir, cal, geometry, predef, corrections,
+        referenceBinShift))
   }
 
   /** Canonical parquet tables live under `outDir/tables/<name>`; the
@@ -72,7 +76,8 @@ object StreamingPipeline {
   private def processDataset(batch: DataFrame, ds: String, outDir: String,
                              cal: Calibration, geometry: DataFrame,
                              predef: Seq[graft.core.MaskShape],
-                             corrections: graft.ops.Corrections.Frames)
+                             corrections: graft.ops.Corrections.Frames,
+                             referenceBinShift: Boolean = false)
       : Unit = {
       // A14: per-stage wall times for this batch, appended to the timing
       // table at the end (reference pipeline_queue.py:1010-1014)
@@ -96,13 +101,17 @@ object StreamingPipeline {
       // this batch instead of running the pipeline on an empty frame set;
       // the reference simply never processes a frame it cannot read.
       if (px.isEmpty) return
+      // referenceBinShift: opt-in label-compatible .chi binning for users
+      // pointing the reference UI at this output (FramePipeline binning
+      // note at the integrate stage)
       val out = FramePipeline.process(px, geometry, cal, predef = predef,
-        corrections = corrections)
+        corrections = corrections, referenceBinShift = referenceBinShift)
       val tag = lit(ds).as("dataset")
       // S14: the q-bin-edges dimension table, once per dataset
       // (reference writes <dataset>_qbinedges once, pipeline.py:493-497)
-      if (!new java.io.File(
-          s"${tablesDir(outDir)}/q_bin_edges/dataset=$ds").exists())
+      if (!graft.core.Fs.exists(
+          s"${tablesDir(outDir)}/q_bin_edges/dataset=$ds",
+          graft.core.Fs.conf(batch.sparkSession)))
         Sinks.writeQBinEdges(batch.sparkSession, cal, tablesDir(outDir), ds)
       // pixels feed two sinks (mask TIFFs + csim) and integrals feed two
       // (.chi + parquet): pin each once so the full per-frame plan does
@@ -179,7 +188,7 @@ object StreamingPipeline {
     // state schema: (dataset, frame_no, y, x, v) for the retained frames
     // (dataset-first and latest); read fully materialized so the
     // overwrite below cannot race the read
-    val state = if (new java.io.File(statePath).exists())
+    val state = if (graft.core.Fs.exists(statePath, graft.core.Fs.conf(spark)))
       Some(spark.read.parquet(statePath).localCheckpoint(true))
     else None
     val batchVecs = vecs.localCheckpoint(true)

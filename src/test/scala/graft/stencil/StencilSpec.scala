@@ -89,6 +89,73 @@ class CCLSpec extends SparkSpec {
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert(out == Map(1 -> 1L, 2 -> 1L))
   }
+
+  /** (y, x) -> label maps of the fused and chained closing+CCL forms. */
+  private def fusedVsChained(pts: Seq[(Int, Int, Int)], w: Int, h: Int,
+                             dense: Boolean = false)
+      : (Map[(Int, Int, Int), Long], Map[(Int, Int, Int), Long]) = {
+    val df = pts.toDF("frame_no", "y", "x")
+    val fused = CCL.closeAndLabel(df, 1, w, h, Seq("frame_no"),
+        densePixelsPerFrame = if (dense) 0L else CCL.DensePixelsPerFrame)
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getLong(3))
+      .toMap
+    val chained = CCL.label(
+        Morphology.closing(df, 1, Seq("frame_no"), w, h),
+        w, Seq("frame_no"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getLong(3))
+      .toMap
+    (fused, chained)
+  }
+
+  test("closeAndLabel equals closing->label on random sparse masks " +
+      "(pixels, labels, borders, multi-frame)") {
+    val rnd = new scala.util.Random(11)
+    // two frames, clustered blobs + scattered noise + border pixels
+    val pts = ((1 to 150).map(_ => (1, rnd.nextInt(40), rnd.nextInt(40))) ++
+      (1 to 150).map(_ => (2, rnd.nextInt(40), rnd.nextInt(40))) ++
+      // a dense blob with holes (closing actually fills something)
+      (for { y <- 10 to 20; x <- 10 to 20
+             if (y + x) % 7 != 0 } yield (1, y, x)) ++
+      // border-hugging pixels exercise the out-of-frame-inactive rule
+      Seq((1, 0, 0), (1, 0, 1), (1, 1, 0), (2, 39, 39), (2, 39, 38)))
+      .distinct
+    val (fused, chained) = fusedVsChained(pts, 40, 40)
+    assert(fused == chained)
+  }
+
+  test("closeAndLabel dense escalation (forced) agrees with the sparse " +
+      "fused path") {
+    val rnd = new scala.util.Random(13)
+    val pts = ((1 to 200).map(_ => (1, rnd.nextInt(30), rnd.nextInt(30))) ++
+      (for { y <- 5 to 12; x <- 18 to 25 } yield (1, y, x))).distinct
+    val (viaDense, _) = fusedVsChained(pts, 30, 30, dense = true)
+    val (viaSparse, chained) = fusedVsChained(pts, 30, 30)
+    assert(viaDense == viaSparse)
+    assert(viaSparse == chained)
+  }
+
+  test("closeAndLabel sparse path plans exactly ONE exchange (the fused " +
+      "closing+CCL shuffle)") {
+    val df = Seq((1, 2, 3), (1, 2, 4), (1, 9, 9)).toDF("frame_no", "y", "x")
+    val out = CCL.closeAndLabel(df, 1, 16, 16, Seq("frame_no"))
+    val exchanges = "Exchange".r
+      .findAllIn(out.queryExecution.executedPlan.toString).length
+    // the chained closing->CCL form planned 7+ (dilate-distinct,
+    // erode-groupBy, 4 edge joins, mapGroups, join-back)
+    assert(exchanges <= 1, s"fused closeAndLabel plans $exchanges exchanges")
+  }
+
+  test("closeAndLabel r=0 labels without closing (labelAuto sparse path)") {
+    val pts = Seq((1, 1, 1), (1, 1, 2), (1, 5, 5))
+    val out = CCL.closeAndLabel(pts.toDF("frame_no", "y", "x"), 0, 16, 16,
+        Seq("frame_no"))
+      .collect()
+      .map(r => (r.getInt(1), r.getInt(2)) -> r.getLong(3)).toMap
+    // no pixels added, labels = min pixel id
+    assert(out == Map((1, 1) -> 17L, (1, 2) -> 17L, (5, 5) -> 85L))
+  }
 }
 
 class StencilOpSpec extends SparkSpec {
@@ -135,6 +202,55 @@ class StencilOpSpec extends SparkSpec {
       .collect().map(r => (r.getInt(1), r.getInt(2))).toSet
     assert(peaks.contains((8, 8)) && peaks.contains((20, 25)))
     assert(!peaks.contains((15, 3)))
+  }
+
+  test("hMaxima iteration-cap truncation is counted; convergent tiles " +
+      "count zero") {
+    // Pathological serpentine plateau: a width-1 snake over every other
+    // column (separator columns empty = -inf fill), columns joined
+    // alternately at bottom/top, values RISING along the path with a
+    // TOTAL rise smaller than h — so no intermediate pixel dominates and
+    // the reconstruction level (vmax - h) must propagate from the single
+    // global peak back along the ENTIRE path. The in-place raster sweep
+    // advances only ~1 row per sweep through the path-reversed "down"
+    // columns (~(cols/2)*n sequential slow steps ≈ 1024 for n=64),
+    // beyond the 10*side = 640 cap — the guard trips.
+    val n = 64
+    def snake(): Seq[(Long, Int, Int, Double)] = {
+      var i = 0
+      val cells = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Int, Int, Double)]
+      for (c <- 0 until n / 2) {
+        val x = 2 * c
+        val ys = if (c % 2 == 0) 0 until n else (n - 1) to 0 by -1
+        for (y <- ys) { cells += ((1L, y, x, 1000.0 + 0.001 * i)); i += 1 }
+        // connector to the next snake column at the current end
+        if (x + 1 < n) {
+          val yEnd = if (c % 2 == 0) n - 1 else 0
+          cells += ((1L, yEnd, x + 1, 1000.0 + 0.001 * i)); i += 1
+        }
+      }
+      cells.toSeq
+    }
+    val px = snake().toDF("frame_no", "y", "x", "v")
+    val sc = spark.sparkContext
+    val trunc = sc.longAccumulator("test.hMaxima.trunc")
+    // one tile covers the image (halo 0): guard = 10 * 64 = 640 sweeps,
+    // needed ~ 16 reversed columns * 64 rows ≈ 1024 — the cap trips and
+    // the run still completes with the documented partial reconstruction
+    val out = Stencil.hMaxima(px, n, n, h = 10.0, tile = n, halo = 0,
+      truncated = Some(trunc))
+    out.count() // force execution
+    assert(trunc.value >= 1L,
+      s"expected the serpentine plateau to trip the cap, got ${trunc.value}")
+
+    // a well-behaved frame (the planted-peaks image) must not count
+    val img = for { y <- 0 until 32; x <- 0 until 32 }
+      yield (1L, y, x, if ((y, x) == (8, 8)) 100.0 else 10.0)
+    val ok = sc.longAccumulator("test.hMaxima.ok")
+    Stencil.hMaxima(img.toDF("frame_no", "y", "x", "v"), 32, 32, h = 5.0,
+      tile = 16, halo = 8, truncated = Some(ok)).count()
+    assert(ok.value == 0L)
   }
 }
 

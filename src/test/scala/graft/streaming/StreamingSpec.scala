@@ -90,6 +90,36 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(split(3)._2 < 1.0 - 1e-12)
   }
 
+  test("referenceBinShift threads through start(): .chi labels shift one " +
+      "bin (reference drop-[1:] compatibility)") {
+    val cal = SyntheticFrame.testCalibration(96)
+    val geo = Geometry.build(spark, cal).localCheckpoint(true)
+    val tmpIn = java.nio.file.Files.createTempDirectory("graft_inS").toString
+    writeFrames(cal, tmpIn, 1 to 1)
+
+    def run(shift: Boolean): Map[Int, Double] = {
+      val out = java.nio.file.Files.createTempDirectory("graft_outS").toString
+      val q = StreamingPipeline.start(spark, tmpIn, out, cal, geo,
+        availableNow = true, referenceBinShift = shift)
+      q.awaitTermination(300000)
+      spark.read.parquet(s"$out/tables/integrals")
+        .where(org.apache.spark.sql.functions.col("frame_no") === 1)
+        .collect()
+        .map(r => r.getAs[Int]("tth_bin") -> r.getAs[Double]("i_base")).toMap
+    }
+
+    val plain = run(shift = false)
+    val shifted = run(shift = true)
+    // the shifted table's bin k carries what the self-consistent binning
+    // calls bin k+1 (the reference's [1:] label shift)
+    val common = shifted.keySet.intersect(plain.keySet.map(_ - 1))
+    assert(common.nonEmpty)
+    common.foreach { b =>
+      assert(math.abs(shifted(b) - plain(b + 1)) < 1e-9,
+        s"bin $b: shifted=${shifted(b)} plain(b+1)=${plain(b + 1)}")
+    }
+  }
+
   test("undecodable file is quarantined; good frames still process") {
     val cal = SyntheticFrame.testCalibration(96)
     val geo = Geometry.build(spark, cal).localCheckpoint(true)
