@@ -61,17 +61,24 @@ object FuseBench {
     require(a == b, s"fused/chained disagree: ${a.size} vs ${b.size} rows")
     println(s"FUSE_BENCH outputs identical (${a.size} labeled px)")
 
-    def time(tag: String)(run: () => Unit): Unit = {
-      (1 to iters).foreach { i =>
-        val t0 = System.nanoTime()
-        run()
-        println(f"FUSE_BENCH $tag%-8s iter$i ${(System.nanoTime() - t0) / 1e9}%7.2f s")
-      }
+    // INTERLEAVED pairs: the sandbox host's throughput swings far more
+    // than the effect under test, so only the within-pair ratio is
+    // meaningful — each (chained, fused) pair runs back-to-back under
+    // the same host state.
+    def once(run: () => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      run().write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
     }
-    time("chained")(() => chained().write.format("noop")
-      .mode("overwrite").save())
-    time("fused")(() => fused().write.format("noop")
-      .mode("overwrite").save())
+    val ratios = (1 to iters).map { i =>
+      val c = once(() => chained())
+      val f = once(() => fused())
+      println(f"FUSE_BENCH pair$i chained $c%7.2f s  fused $f%7.2f s  " +
+        f"ratio ${c / f}%5.2f x")
+      c / f
+    }
+    val gm = math.exp(ratios.map(math.log).sum / ratios.size)
+    println(f"FUSE_BENCH geomean speedup ${gm}%5.2f x over $iters pairs")
     spark.stop()
   }
 }
