@@ -257,6 +257,50 @@ object Sinks extends Serializable {
       }
   }
 
+  /** Per-calibration geometry map TIFFs — the reference's `maps/` tree
+    * (cache_creation.py:66-84 saves float32 TIFFs of the five pixel maps;
+    * the UI globs `_2thetamap.tif` under `maps/` for cursor readouts,
+    * mainUI/main_image.py:239). Input is the [[graft.geometry.Geometry]]
+    * table; each map densifies on an executor and writes one
+    * single-strip float32 TIFF named `<stem>_<map>.tif`. Written once
+    * per calibration — the maps are a function of geometry only. The
+    * reference's `_predef`/`_flatfield` files are copies of user inputs,
+    * not derived maps, so they are not re-emitted here.
+    *
+    * One exchange keyed on the map name: per-task memory is one float
+    * frame (~33 MB at 2880²) per map that hashes to the task. */
+  def writeMapTiffs(geometry: DataFrame, width: Int, height: Int,
+                    outDir: String, stem: String): Unit = {
+    import graft.core.Fs
+    Fs.mkdirs(outDir, Fs.conf(geometry.sparkSession))
+    val hc = Fs.onExecutors(geometry.sparkSession)
+    val dir = outDir; val st = stem; val w = width; val h = height
+    val maps = Seq("2thetamap" -> "tth", "azmmap" -> "azim",
+      "pixelsampledistmap" -> "dist_sq", "polscalemap" -> "pol",
+      "qmap" -> "q")
+    geometry.select(col("y").cast("int"), col("x").cast("int"),
+        explode(array(maps.map { case (n, c) =>
+          struct(lit(n).as("m"), col(c).cast("float").as("v")) }: _*))
+          .as("e"))
+      .select(col("e.m").as("m"), col("y"), col("x"), col("e.v").as("v"))
+      .repartition(col("m"))
+      .foreachPartition { (it: Iterator[Row]) =>
+        // a task may receive several maps (hash partitioning): bucket rows
+        // into per-map matrices locally
+        val mats = scala.collection.mutable.Map
+          .empty[String, Array[Array[Float]]]
+        it.foreach { r =>
+          val mat = mats.getOrElseUpdate(r.getString(0),
+            Array.ofDim[Float](h, w))
+          mat(r.getInt(1))(r.getInt(2)) = r.getFloat(3)
+        }
+        mats.foreach { case (nm, mat) =>
+          Fs.write(s"$dir/${st}_$nm.tif",
+            graft.sources.FrameSource.encodeTiffFloat(mat), hc.value)
+        }
+      }
+  }
+
   /** Q-bin-edges dimension table, once per dataset (reference S14:
     * `<dataset>_qbinedges.npy`, pipeline.py:493-497). */
   def writeQBinEdges(spark: org.apache.spark.sql.SparkSession,

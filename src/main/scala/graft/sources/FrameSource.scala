@@ -197,4 +197,77 @@ object FrameSource {
     bb.putInt(ifdOff + 2 + tags.length * 12, 0) // next-IFD terminator
     bb.array()
   }
+
+  /** Encode a float-matrix as a single-band float32 TIFF — the format of
+    * the reference's per-calibration geometry map files
+    * (`maps/<imctrl>_{2thetamap,azmmap,pixelsampledistmap,polscalemap,
+    * qmap}.tif`, PIL Image.fromarray of a float32 array,
+    * cache_creation.py:66-84). Single strip, SampleFormat=IEEEFP(3),
+    * BitsPerSample=32 — readable by PIL/tifffile exactly like the
+    * reference's own output. */
+  def encodeTiffFloat(matrix: Array[Array[Float]]): Array[Byte] = {
+    val h = matrix.length; val w = matrix(0).length
+    val payloadOff = 8
+    val ifdOff = payloadOff + w * h * 4
+    val tags = Seq(
+      (256, 4, w), (257, 4, h), (258, 3, 32), (259, 3, 1), (262, 3, 1),
+      (273, 4, payloadOff), (277, 3, 1), (278, 4, h), (279, 4, w * h * 4),
+      (339, 3, 3)) // SampleFormat = IEEE float
+    val bb = java.nio.ByteBuffer.allocate(ifdOff + 2 + tags.length * 12 + 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put(0, 'I'.toByte); bb.put(1, 'I'.toByte)
+    bb.putShort(2, 42.toShort); bb.putInt(4, ifdOff)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        bb.putFloat(payloadOff + (y * w + x) * 4, matrix(y)(x))
+        x += 1
+      }
+      y += 1
+    }
+    bb.putShort(ifdOff, tags.length.toShort)
+    tags.zipWithIndex.foreach { case ((tag, typ, value), i) =>
+      val base = ifdOff + 2 + i * 12
+      bb.putShort(base, tag.toShort)
+      bb.putShort(base + 2, typ.toShort)
+      bb.putInt(base + 4, 1)
+      if (typ == 3) bb.putShort(base + 8, value.toShort)
+      else bb.putInt(base + 8, value)
+    }
+    bb.putInt(ifdOff + 2 + tags.length * 12, 0)
+    bb.array()
+  }
+
+  /** Decode a single-strip float32 TIFF (the inverse of
+    * [[encodeTiffFloat]]; also reads the reference's own map files) into
+    * a row-major float matrix. Minimal baseline-IFD walk — enough for
+    * the map-file layout both engines write; NOT a general TIFF reader
+    * ([[TiffDialects]] is that). */
+  def decodeTiffFloat(bytes: Array[Byte]): Array[Array[Float]] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    require(bb.get(0) == 'I' && bb.get(1) == 'I' && bb.getShort(2) == 42,
+      "not a little-endian TIFF")
+    val ifdOff = bb.getInt(4)
+    val n = bb.getShort(ifdOff).toInt
+    var (w, h, strip, bits, fmt) = (0, 0, 0, 0, 1)
+    (0 until n).foreach { i =>
+      val base = ifdOff + 2 + i * 12
+      val tag = bb.getShort(base).toInt
+      val typ = bb.getShort(base + 2).toInt
+      val v = if (typ == 3) bb.getShort(base + 8).toInt else bb.getInt(base + 8)
+      tag match {
+        case 256 => w = v
+        case 257 => h = v
+        case 258 => bits = v
+        case 273 => strip = v
+        case 339 => fmt = v
+        case _ =>
+      }
+    }
+    require(bits == 32 && fmt == 3,
+      s"expected float32 TIFF, got bits=$bits sampleFormat=$fmt")
+    Array.tabulate(h, w)((y, x) => bb.getFloat(strip + (y * w + x) * 4))
+  }
 }

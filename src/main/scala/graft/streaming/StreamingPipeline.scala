@@ -113,6 +113,14 @@ object StreamingPipeline {
           s"${tablesDir(outDir)}/q_bin_edges/dataset=$ds",
           graft.core.Fs.conf(batch.sparkSession)))
         Sinks.writeQBinEdges(batch.sparkSession, cal, tablesDir(outDir), ds)
+      // per-calibration geometry map TIFFs under outDir/maps (reference
+      // cache_creation.py:66-84 writes them once; the UI globs
+      // maps/*_2thetamap.tif). Keyed on the dataset stem.
+      val (imgHM, imgWM) = cal.imageSize
+      if (!graft.core.Fs.exists(s"$outDir/maps/${ds}_2thetamap.tif",
+          graft.core.Fs.conf(batch.sparkSession)))
+        timed("sink_maps_cache")(Sinks.writeMapTiffs(geometry, imgWM, imgHM,
+          s"$outDir/maps", ds))
       // pixels feed two sinks (mask TIFFs + csim) and integrals feed two
       // (.chi + parquet): pin each once so the full per-frame plan does
       // not re-execute per sink
@@ -144,13 +152,19 @@ object StreamingPipeline {
           "spots" -> col("is_spot"),
           "arcs" -> col("is_arc")), dataset = ds))
       // stats tables feed parquet + the reference's per-frame CSVs
-      // (pipeline.py:491-492) — pin each so the plan runs once
-      val spotStats = out.spotStats.localCheckpoint(true)
-      val gradStats = out.gradStats.localCheckpoint(true)
-      Sinks.writeTable(spotStats.withColumn("dataset", tag),
-        tablesDir(outDir), "spot_stats", Seq("dataset"))
-      Sinks.writeTable(gradStats.withColumn("dataset", tag),
-        tablesDir(outDir), "grad_stats", Seq("dataset"))
+      // (pipeline.py:491-492) — pin each so the plan runs once. The
+      // checkpoint is where the stats plans actually execute, so time it
+      // (A14 stage parity: "Save stats" in the reference's printout).
+      val (spotStats, gradStats) = timed("stats") {
+        (out.spotStats.localCheckpoint(true),
+          out.gradStats.localCheckpoint(true))
+      }
+      timed("sink_stats_tables") {
+        Sinks.writeTable(spotStats.withColumn("dataset", tag),
+          tablesDir(outDir), "spot_stats", Seq("dataset"))
+        Sinks.writeTable(gradStats.withColumn("dataset", tag),
+          tablesDir(outDir), "grad_stats", Seq("dataset"))
+      }
       timed("sink_stats_csv") {
         val frameNos = integrals.select(col("frame_no")).distinct()
           .collect().map(_.getInt(0)).toSeq
@@ -162,8 +176,9 @@ object StreamingPipeline {
         Sinks.writeFrameCsv(gradStats, s"$outDir/stats",
           "_spots_stats_grad", ds, frameNos, orderCols = Seq("Qbin"))
       }
-      Sinks.writeTable(out.spottiness.withColumn("dataset", tag),
-        tablesDir(outDir), "spottiness", Seq("dataset"))
+      timed("spottiness")(
+        Sinks.writeTable(out.spottiness.withColumn("dataset", tag),
+          tablesDir(outDir), "spottiness", Seq("dataset")))
       // A11: similarity series vs the dataset's FIRST frame and the
       // immediately PREVIOUS frame, ACROSS micro-batches (reference
       // pipeline.py:506-557). Cross-batch state = a tiny parquet table per

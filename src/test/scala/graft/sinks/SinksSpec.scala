@@ -130,6 +130,44 @@ class SinksSpec extends SparkSpec {
   }
 }
 
+class MapTiffSpec extends graft.SparkSpec {
+
+  test("float32 TIFF encode/decode round-trips bit-exactly") {
+    val m = Array.tabulate(5, 7)((y, x) => (y * 7 + x) * 1.25f - 3f)
+    val back = graft.sources.FrameSource.decodeTiffFloat(
+      graft.sources.FrameSource.encodeTiffFloat(m))
+    assert(back.length == 5 && back(0).length == 7)
+    assert(back.flatten.toSeq == m.flatten.toSeq)
+  }
+
+  test("writeMapTiffs emits the five reference map files matching the " +
+      "geometry table") {
+    val cal = graft.core.SyntheticFrame.testCalibration(16)
+    val geo = graft.geometry.Geometry.build(spark, cal)
+    val dir = java.nio.file.Files.createTempDirectory("graft_maps").toString
+    Sinks.writeMapTiffs(geo, 16, 16, dir, "MA2")
+    val expect = Map(
+      "2thetamap" -> "tth", "azmmap" -> "azim",
+      "pixelsampledistmap" -> "dist_sq", "polscalemap" -> "pol",
+      "qmap" -> "q")
+    expect.foreach { case (nm, colName) =>
+      val f = new java.io.File(s"$dir/MA2_$nm.tif")
+      assert(f.exists(), s"missing $nm")
+      val mat = graft.sources.FrameSource.decodeTiffFloat(
+        java.nio.file.Files.readAllBytes(f.toPath))
+      val table = geo.select(
+          org.apache.spark.sql.functions.col("y"),
+          org.apache.spark.sql.functions.col("x"),
+          org.apache.spark.sql.functions.col(colName).cast("float"))
+        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getFloat(2))
+        .toMap
+      table.foreach { case ((y, x), v) =>
+        assert(mat(y)(x) == v, s"$nm($y,$x): ${mat(y)(x)} != $v")
+      }
+    }
+  }
+}
+
 class TimingSpec extends graft.SparkSpec {
 
   test("A14 timing table: write + mean/std summary per stage") {
