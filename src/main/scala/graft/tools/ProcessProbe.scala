@@ -74,10 +74,15 @@ object ProcessProbe {
     val keys = Seq("frame_no")
     val outlierPx = narrow.where(col("is_outlier"))
       .select(col("frame_no"), col("y"), col("x"))
+    // chained form first (the r4 shape, kept for in-run A/B attribution)
     val closed = t("cls:closing")(graft.stencil.Morphology
       .closing(outlierPx, 1, keys, w, h).localCheckpoint(true))
-    val labeled0 = t("cls:ccl")(graft.stencil.CCL
-      .labelAuto(closed, w, h, keys).localCheckpoint(true))
+    t("cls:ccl-chained")(graft.stencil.CCL
+      .labelAuto(closed, w, h, keys).write.format("noop")
+      .mode("overwrite").save())
+    // fused form (what classify actually runs since r5)
+    val labeled0 = t("cls:fused-close+ccl")(graft.stencil.CCL
+      .closeAndLabel(outlierPx, 1, w, h, keys).localCheckpoint(true))
     val labeled = t("cls:labeljoin")(narrow.select(col("frame_no"),
         col("y"), col("x"), col("q"), col("azim"), col("azim_flipped"))
       .join(broadcast(labeled0), Seq("frame_no", "y", "x"))
