@@ -50,10 +50,12 @@ object CCL {
   val DensePixelsPerFrame: Long = 500000L
 
   /** Density-gated dispatch: counts the busiest frame's active pixels
-    * (one pass over the pinned input) and routes to [[label]] for sparse
-    * masks or [[labelDense]] when any frame exceeds
-    * `densePixelsPerFrame`. Labels are identical on both paths (the
-    * component's min pixel id), so callers never see which ran. */
+    * (one pass over the pinned input) and routes sparse masks to the
+    * one-shuffle per-frame local path (shared with [[closeAndLabel]],
+    * r = 0) or to [[labelDense]] when any frame exceeds
+    * `densePixelsPerFrame`. Labels are identical on all paths (the
+    * component's min pixel id), so callers never see which ran;
+    * [[label]]'s edge-join form survives as the spec oracle. */
   def labelAuto(active: DataFrame, width: Int, height: Int,
                 keys: Seq[String] = Nil, eightConnected: Boolean = true,
                 densePixelsPerFrame: Long = DensePixelsPerFrame,
