@@ -38,7 +38,21 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Host-noise calibration: a fixed-cost, engine-independent probe
+    // (pure codegen sum over a constant range — no I/O, no shuffle read,
+    // CPU+memory-bandwidth bound) timed the same two-iteration way. The
+    // sandbox host's memory bandwidth swings 10-50x between rounds
+    // (SCALE_r05/r06); total/calibration is comparable across rounds
+    // where raw totals are not.
+    def calOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(500000000L).selectExpr("sum(id * 2 + 1) as s")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    calOnce()
+    val calibration = calOnce()
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"calibration_sec":$calibration,"total_over_calibration":${total / calibration},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -138,9 +138,42 @@ object Geometry {
     * row (the tile exchange is encoder-bound, so shrinking the row from
     * nine fields to four roughly halves its cost). Every arithmetic step
     * matches the Column expressions' evaluation order, so values are
-    * bit-identical — asserted in GeometrySpec. */
+    * bit-identical — asserted in GeometrySpec. Delegates to
+    * [[scalarPixelGeoFull]] so the mirror lives in exactly one place. */
   def scalarPixelGeo(cal: Calibration)
       : (Int, Int) => (Double, Double, Double, Double, Int) = {
+    val full = scalarPixelGeoFull(cal)
+    (y: Int, x: Int) => {
+      val g = full(y, x)
+      (g.rhatY, g.rhatX, g.phatY, g.phatX, g.qBin)
+    }
+  }
+
+  /** The per-pixel geometry values a fused stencil kernel re-derives
+    * in-task instead of shipping through (or joining after) the tile
+    * exchange — the [[attach]] columns the pipeline's pinned narrow
+    * projection carries, minus the correction factors (pol/dist_sq stay
+    * upstream: the corrected value itself crosses the exchange). */
+  final case class PixelGeo(
+      rhatY: Double, rhatX: Double, phatY: Double, phatX: Double,
+      qBin: Int, xMm: Double, yMm: Double, tthBin: Int, q: Double,
+      azim: Double, azimFlipped: Double)
+
+  /** Scalar mirror of pmod(a, n) for doubles — the exact arithmetic of
+    * Catalyst's Pmod (a % n, re-modded up by n when negative), so mirrored
+    * azimuth values stay bit-identical to the Column form. */
+  private def pmodD(a: Double, n: Double): Double = {
+    val r = a % n
+    if (r < 0) (r + n) % n else r
+  }
+
+  /** Full scalar mirror of [[attach]]: (y, x) => [[PixelGeo]], every
+    * arithmetic step in the Column expressions' evaluation order so each
+    * field is bit-identical to the geometry table's (asserted in
+    * GeometrySpec). Used by the fused narrow+gradient tile kernel
+    * (Stencil.secondDirectionalDerivNarrowRaw) to emit the pipeline's
+    * pinned projection straight from the stencil pass. */
+  def scalarPixelGeoFull(cal: Calibration): (Int, Int) => PixelGeo = {
     val (pxX, pxY) = (cal.pixelSize._1 / 1000.0, cal.pixelSize._2 / 1000.0)
     val (cx, cy) = cal.center
     val distEff = cal.distance / math.cos(math.toRadians(cal.tilt))
@@ -155,6 +188,9 @@ object Geometry {
     val qLo = qEdges.head
     val qStep = (qEdges.last - qEdges.head) / cal.outChannels
     val nChan = cal.outChannels
+    val azmthOff = cal.azmthOff
+    val (tthLo, _) = cal.ioTth
+    val tthStep = cal.tthStep
 
     (y: Int, x: Int) => {
       val dx = (x + 0.5) * pxX - cx
@@ -165,13 +201,19 @@ object Geometry {
       val dzp = detDepth * (1.0 - math.cos(math.toRadians(tth0))) * distK
       val tth = math.toDegrees(
         math.atan2(math.sqrt(xyZ), distEff - dz + dzp))
+      val azim = pmodD(
+        math.toDegrees(math.atan2(dy, dx)) + azmthOff + 720.0, 360.0)
       val q = qMul * math.sin(math.toRadians(tth) / 2)
-      val rawBin = math.floor((q - qLo) / qStep).toInt
-      val qBin = if (rawBin >= 0 && rawBin < nChan) rawBin else -1
+      val rawQ = math.floor((q - qLo) / qStep).toInt
+      val qBin = if (rawQ >= 0 && rawQ < nChan) rawQ else -1
+      val rawT = math.floor((tth - tthLo) / tthStep).toInt
+      val tthBin = if (rawT >= 0 && rawT < nChan) rawT else -1
       val rNorm = math.sqrt(dx * dx + dy * dy)
       val ry = if (rNorm > 0) dy / rNorm else 0.0
       val rx = if (rNorm > 0) dx / rNorm else 0.0
-      (ry, rx, -rx, ry, qBin)
+      PixelGeo(ry, rx, -rx, ry, qBin,
+        (x + 0.5) * pxX, (y + 0.5) * pxY, tthBin, q, azim,
+        pmodD(azim + 180.0, 360.0))
     }
   }
 

@@ -23,13 +23,30 @@ import graft.ops.{Corrections, Histogram, RobustStats}
   */
 object FramePipeline {
 
-  /** All sink tables of one processing pass. */
+  /** All sink tables of one processing pass. `gradStats` (A8) and
+    * `spottiness` (A9) are projections of `qbinStats` — a consumer that
+    * needs both (the streaming driver) should materialize `qbinStats`
+    * ONCE and project via [[gradStatsOf]]/[[spottinessOf]] instead of
+    * executing each branch separately. */
   final case class FrameOutputs(
       pixels: DataFrame,     // per-pixel flags (debug/mask sinks)
       integrals: DataFrame,  // (frame_no, tth_bin, tth, i_/n_ x 4 variants)
       spotStats: DataFrame,  // A7 per-spot stats
+      qbinStats: DataFrame,  // A8+A9 shared one-pass per-(frame, q_bin) aggs
       gradStats: DataFrame,  // A8 per-Q-bin gradient stats
       spottiness: DataFrame) // A9 per-Q-bin masked fraction + spot count
+
+  /** A8 view of the shared per-Q-bin aggregate (see [[FrameOutputs]]). */
+  def gradStatsOf(qbinStats: DataFrame): DataFrame =
+    qbinStats.select(col("frame_no").cast("long").as("frame_no"),
+      col("q_bin").as("Qbin"), col("mean"), col("std"),
+      col("_mm.med").as("median"),
+      (col("_mm.mad") * RobustStats.MadToSigma).as("mad"))
+
+  /** A9 view of the shared per-Q-bin aggregate (see [[FrameOutputs]]). */
+  def spottinessOf(qbinStats: DataFrame): DataFrame =
+    qbinStats.select(col("frame_no"), col("q_bin"), col("pct_masked"),
+      col("n_spots"))
 
   /** Corrected intensity: flat-field (unity here), polarization divide,
     * solid-angle dist^1.5 multiply (reference pipeline.py:63-71,
@@ -149,45 +166,64 @@ object FramePipeline {
     // integrals, grad stats, spottiness) re-reads this table; without a
     // persist the scan+join+ring-stats lineage would re-execute per
     // branch. On the inline path the checkpoint holds ONLY the seven
-    // columns that cannot be recomputed from (y, x) — geometry columns
-    // are re-attached after (sub-µs of codegen trig per pixel), which
-    // cuts the per-batch checkpoint footprint ~2.5x at production frame
-    // sizes (the former full-width checkpoint was the batch's memory
-    // ceiling). The join path keeps the materialized geometry columns —
+    // columns that cannot be recomputed from (y, x); the fused stencil
+    // pass below re-derives the geometry columns in-kernel and emits the
+    // narrow projection AND both gradients from its single exchange, so
+    // the batch carries exactly TWO full-frame materializations (core +
+    // fused) where the chained form carried three (core, gradients,
+    // narrow — the third was a 33M-row job of its own, SCALE_r05's named
+    // lever). The join path keeps the materialized geometry columns —
     // recomputing them there would mean re-running the join.
-    val flagged = if (inlineGeometry) {
+    //
+    // Plan-shape rule (measured 25x, SCALE_r03, PlanInvariantsSpec): the
+    // deep geometry trig must never share a codegen stage with the
+    // downstream joins. On the fused path the trig runs as plain JVM code
+    // inside the tile kernel and downstream stages read the fused
+    // CHECKPOINT, so the rule holds with one materialization fewer.
+    val (narrow, gradBoth) = if (inlineGeometry) {
       val core = flaggedI.select(col("frame_no"), col("y"), col("x"),
           col("corr_i"), col("corr"), col("base_mask"), col("is_outlier"))
         .localCheckpoint(true)
-      Geometry.attach(core, cal)
-    } else flaggedI
-      .drop("pol", "dist_sq", "in_tth_range", "in_azim_range", "azim_band")
-      .localCheckpoint(true)
-
-    // Both second directional derivatives (radial for classification,
-    // azimuthal for the A8 gradient stats) in ONE fused tile pass with
-    // q_bin carried through — where the chained form cost four full-frame
-    // tile shuffles per batch plus a join-back. Only (key, y, x, corr)
-    // crosses the exchange; the hats and q_bin are recomputed in-kernel
-    // from the scalar geometry mirror. Materialized once; both consumers
-    // read the checkpoint.
-    val gradBoth = graft.stencil.Stencil.secondDirectionalDerivGeoRaw(
-        flagged.select(col("frame_no"), col("y"), col("x"),
-          col("corr").as("v")),
-        w, h, Geometry.scalarPixelGeo(cal), tile = 512)
-      .localCheckpoint(true)
-
-    // Narrow pinned projection of everything downstream branches read.
-    // CRITICAL plan-shape rule (measured 25x): a stage that combines the
-    // deep geometry trig with a join generates a method the JIT will not
-    // compile, so every branch would pay ~30 s instead of ~1 s per pass.
-    // Materializing the derived columns once keeps the trig stage and
-    // the join/agg stages in separate, small, compilable methods.
-    val narrow = flagged.select(col("frame_no"), col("y"), col("x"),
-        col("x_mm"), col("y_mm"), col("corr_i"), col("corr"),
-        col("base_mask"), col("is_outlier"), col("tth_bin"),
-        col("q_bin"), col("q"), col("azim"), col("azim_flipped"))
-      .localCheckpoint(true)
+      val fused = graft.stencil.Stencil.secondDirectionalDerivNarrowRaw(
+          core, w, h, Geometry.scalarPixelGeoFull(cal), tile = 512)
+        .localCheckpoint(true)
+      // the kernel's packed key widens frame_no to long; restore the
+      // input's type so downstream output schemas are unchanged
+      val fno = pixels.schema("frame_no").dataType
+      // narrow keeps grad2_a: the shared A8+A9 aggregate below reads it
+      // off the same checkpoint — zero extra materialization
+      (fused.drop("grad2_r")
+         .withColumn("frame_no", col("frame_no").cast(fno)),
+       fused.select(col("frame_no"), col("y"), col("x"),
+         col("grad2_r"), col("grad2_a"), col("q_bin")))
+    } else {
+      val flagged = flaggedI
+        .drop("pol", "dist_sq", "in_tth_range", "in_azim_range", "azim_band")
+        .localCheckpoint(true)
+      // Both second directional derivatives (radial for classification,
+      // azimuthal for the A8 gradient stats) in ONE fused tile pass with
+      // q_bin carried through. Only (key, y, x, corr) crosses the
+      // exchange; hats and q_bin are recomputed in-kernel from the
+      // scalar geometry mirror.
+      val gb = graft.stencil.Stencil.secondDirectionalDerivGeoRaw(
+          flagged.select(col("frame_no"), col("y"), col("x"),
+            col("corr").as("v")),
+          w, h, Geometry.scalarPixelGeo(cal), tile = 512)
+        .localCheckpoint(true)
+      val nr = flagged.select(col("frame_no"), col("y"), col("x"),
+          col("x_mm"), col("y_mm"), col("corr_i"), col("corr"),
+          col("base_mask"), col("is_outlier"), col("tth_bin"),
+          col("q_bin"), col("q"), col("azim"), col("azim_flipped"))
+        .localCheckpoint(true)
+      // the shared A8+A9 aggregate reads grad2_a alongside the narrow
+      // columns; on this (non-default, spec-pinned) path that takes an
+      // explicit 1:1 join of the two checkpoints — the fused path gets
+      // the column for free
+      val fno = pixels.schema("frame_no").dataType
+      (nr.join(gb.select(col("frame_no").cast(fno).as("frame_no"),
+          col("y"), col("x"), col("grad2_a")), Seq("frame_no", "y", "x")),
+       gb)
+    }
 
     // C1-C3: spot/arc classification of outlier clusters. Pinned: the
     // classification tail (gradient refinement joins) otherwise
@@ -248,30 +284,27 @@ object FramePipeline {
         avg(col("corr_i")).as("intensity_mean"),
         max(when(col("is_arc"), 1).otherwise(0)).as("on_arc"))
 
-    // A8: per-Q-bin stats of the 2nd azimuthal gradient (reference
-    // spottiness_azim_grad spottiness.py:49-61): mean/std/median/MAD.
+    // A8 (reference spottiness_azim_grad spottiness.py:49-61) and A9
+    // (spottiness.py:16-27) share ONE aggregation pass — the A2 trick
+    // applied to the stats families: per-(frame, q_bin) spottiness
+    // fraction + distinct spot count, gradient moments, and the exact
+    // one-pass median/MAD (MedianMadAgg, interpolation-identical to the
+    // builtin percentile) all ride a single scan + shuffle of the pixel
+    // table, where the chained form ran three separate jobs over it per
+    // batch (gradient moments, two-stage MAD + join, spottiness).
     // q_bin rode through the tile shuffle, so no join-back is needed.
-    val gradPx = gradBoth.select(col("frame_no"), col("y"), col("x"),
-      col("q_bin"), col("grad2_a").as("grad2"))
-    val gradMm = RobustStats.medianMad(
-      gradPx.select(col("frame_no"), col("q_bin"), col("grad2").as("g")),
-      Seq("frame_no", "q_bin"), "g")
-    val gradMoments = gradPx.groupBy(col("frame_no"), col("q_bin"))
-      .agg(avg(col("grad2")).as("mean"), stddev(col("grad2")).as("std"))
-    val gradStats = gradMoments.join(gradMm, Seq("frame_no", "q_bin"))
-      .select(col("frame_no"), col("q_bin").as("Qbin"), col("mean"),
-        col("std"), col("med").as("median"),
-        (col("mad") * RobustStats.MadToSigma).as("mad"))
-
-    // A9: spottiness per Q band (reference spottiness.py:16-27)
-    val spottiness = px.groupBy(col("frame_no"), col("q_bin"))
+    val qbinStats = px.groupBy(col("frame_no"), col("q_bin"))
       .agg(
         (count(when(col("is_outlier") || col("is_spot") || col("is_arc"),
           1)).cast("double") / count(lit(1))).as("pct_masked"),
         countDistinct(when(col("is_spot"), col("label")))
-          .as("n_spots"))
+          .as("n_spots"),
+        avg(col("grad2_a")).as("mean"),
+        stddev(col("grad2_a")).as("std"),
+        graft.ops.MedianMadAgg.medMad(col("grad2_a")).as("_mm"))
 
-    FrameOutputs(px, integrals, spotStats, gradStats, spottiness)
+    FrameOutputs(px.drop("grad2_a"), integrals, spotStats, qbinStats,
+      gradStatsOf(qbinStats), spottinessOf(qbinStats))
   }
 
   /** A10 — h-maxima counts per Q bin (reference h_maxima_calc

@@ -51,11 +51,14 @@ object FrameSource {
   /** Mtime debounce (reference S4, pipeline_queue.py:740) for BATCH
     * scans: drop files modified within the last `seconds`. Safe in batch
     * because the next run re-lists the directory and picks the file up.
-    * Deliberately NOT applied to the streaming source: a file-stream
-    * source marks a file processed the first time it is LISTED, so a
-    * row-level mtime filter would drop a young file's rows permanently
-    * rather than defer them. Streaming partial-file protection is the
-    * decode quarantine in [[toPixels]] plus the atomic-rename writer
+    * Deliberately NOT applied as a row filter to the streaming source: a
+    * file-stream source marks a file processed the first time it is
+    * LISTED, so a row-level mtime filter would drop a young file's rows
+    * permanently rather than defer them. The streaming equivalent is the
+    * WAIT-based `debounceSeconds` option of `StreamingPipeline.start`
+    * (hold the micro-batch until its youngest file reaches the debounce
+    * age — same quiescence guarantee, no data loss), on top of the decode
+    * quarantine in [[toPixels]] plus the atomic-rename writer
     * convention. */
   def debounceFilter(df: DataFrame, seconds: Int): DataFrame =
     df.where(col("modificationTime") <
@@ -252,22 +255,34 @@ object FrameSource {
     val ifdOff = bb.getInt(4)
     val n = bb.getShort(ifdOff).toInt
     var (w, h, strip, bits, fmt) = (0, 0, 0, 0, 1)
+    var rowsPerStrip = Int.MaxValue
     (0 until n).foreach { i =>
       val base = ifdOff + 2 + i * 12
       val tag = bb.getShort(base).toInt
       val typ = bb.getShort(base + 2).toInt
+      val cnt = bb.getInt(base + 4)
       val v = if (typ == 3) bb.getShort(base + 8).toInt else bb.getInt(base + 8)
+      // a multi-strip file (count > 1) stores a POINTER to an offsets
+      // array in tags 273/279 — reading it as the strip offset would pass
+      // the format checks and return garbage pixels; modern PIL writes
+      // multi-strip (RowsPerStrip ~64KB) for large maps, so fail loudly
+      if (tag == 273 || tag == 279)
+        require(cnt == 1, s"multi-strip TIFF (tag $tag count $cnt): only " +
+          "single-strip float32 maps are supported here")
       tag match {
         case 256 => w = v
         case 257 => h = v
         case 258 => bits = v
         case 273 => strip = v
+        case 278 => rowsPerStrip = v
         case 339 => fmt = v
         case _ =>
       }
     }
     require(bits == 32 && fmt == 3,
       s"expected float32 TIFF, got bits=$bits sampleFormat=$fmt")
+    require(rowsPerStrip >= h,
+      s"multi-strip TIFF (RowsPerStrip=$rowsPerStrip < height $h)")
     Array.tabulate(h, w)((y, x) => bb.getFloat(strip + (y * w + x) * 4))
   }
 }

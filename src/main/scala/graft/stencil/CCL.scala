@@ -60,20 +60,11 @@ object CCL {
                 keys: Seq[String] = Nil, eightConnected: Boolean = true,
                 densePixelsPerFrame: Long = DensePixelsPerFrame,
                 maxBroadcastRows: Long = MaxBroadcastMappingRows)
-      : DataFrame = {
-    val pinned = active.localCheckpoint(true)
-    val fkey = keys.headOption.map(col).getOrElse(lit(0))
-    val maxRow = pinned.groupBy(fkey.as("_f")).count()
-      .agg(max(col("count"))).head()
-    val maxPerFrame = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
-    if (maxPerFrame > densePixelsPerFrame)
-      labelDense(pinned, width, height, keys,
-        eightConnected = eightConnected, maxBroadcastRows = maxBroadcastRows)
-    else
-      // one-shuffle local path (the gate guarantees a frame fits a task);
-      // [[label]]'s edge-join form remains as the spec oracle
-      localCloseLabel(pinned, 0, width, height, keys, eightConnected)
-  }
+      : DataFrame =
+    // labeling IS closeAndLabel with the closing skipped — one shared
+    // density-gate preamble (pin, busiest-frame count, route)
+    closeAndLabel(active, 0, width, height, keys, eightConnected,
+      densePixelsPerFrame, maxBroadcastRows)
 
   /** Fused closing (M2) + connected-component labeling (M1) for sparse
     * masks — the classify chain's opening moves in ONE shuffle.
@@ -112,10 +103,19 @@ object CCL {
       .agg(max(col("count"))).head()
     val maxPerFrame = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
     if (maxPerFrame > densePixelsPerFrame) {
-      val closed = if (r == 0) pinned
-        else Morphology.closing(pinned, r, keys, width, height)
-      labelDense(closed, width, height, keys,
-        eightConnected = eightConnected, maxBroadcastRows = maxBroadcastRows)
+      // r == 0: `pinned` is already materialized — tell labelDense not to
+      // re-pin the identical row set (one redundant 500k+-row
+      // materialization otherwise). With a closing in between the result
+      // is a new lazy relational plan with four consumers inside
+      // labelDense, so there the pin stays.
+      if (r == 0)
+        labelDense(pinned, width, height, keys,
+          eightConnected = eightConnected,
+          maxBroadcastRows = maxBroadcastRows, inputPinned = true)
+      else
+        labelDense(Morphology.closing(pinned, r, keys, width, height),
+          width, height, keys, eightConnected = eightConnected,
+          maxBroadcastRows = maxBroadcastRows)
     } else localCloseLabel(pinned, r, width, height, keys, eightConnected)
   }
 
@@ -129,6 +129,16 @@ object CCL {
     val fkey = keys.headOption.map(k => col(k).cast("long"))
       .getOrElse(lit(0L))
     val keyType = keys.headOption.map(k => pinned.schema(k).dataType)
+    // the group key round-trips through long — a fractional key (1.7)
+    // would come back truncated in the OUTPUT rows, silently merging
+    // frames; fail fast instead ([[label]]/[[labelDense]] preserve the
+    // original values, so they keep accepting any long-castable key)
+    keyType.foreach { dt =>
+      import org.apache.spark.sql.types._
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+        s"closeAndLabel/labelAuto sparse path requires an integral frame " +
+          s"key; got ${keys.head}: ${dt.simpleString}")
+    }
     val w = width; val h = height; val rr = r; val eight = eightConnected
     val labeled = pinned
       .select(fkey.as("_f"), col("y").cast("int"), col("x").cast("int"))
@@ -319,7 +329,8 @@ object CCL {
   def labelDense(active: DataFrame, width: Int, height: Int,
                  keys: Seq[String] = Nil, tile: Int = 256,
                  eightConnected: Boolean = true,
-                 maxBroadcastRows: Long = MaxBroadcastMappingRows)
+                 maxBroadcastRows: Long = MaxBroadcastMappingRows,
+                 inputPinned: Boolean = false)
       : DataFrame = {
     val spark = active.sparkSession
     import spark.implicits._
@@ -329,8 +340,12 @@ object CCL {
     val pid = col("y").cast("long") * width + col("x")
     val fkey = keys.headOption.map(k => col(k).cast("long"))
       .getOrElse(lit(0L))
-    val nodes = active.select(kcols ++ Seq(col("y"), col("x"),
-      fkey.as("_f"), pid.as("id")): _*).localCheckpoint(true)
+    // `nodes` feeds four consumers (local union-find, both edge sides, the
+    // final join) — pin unless the caller already materialized `active`,
+    // in which case the re-projection over the checkpoint is free
+    val nodes0 = active.select(kcols ++ Seq(col("y"), col("x"),
+      fkey.as("_f"), pid.as("id")): _*)
+    val nodes = if (inputPinned) nodes0 else nodes0.localCheckpoint(true)
 
     val offs = if (eightConnected) Seq((0, 1), (1, -1), (1, 0), (1, 1))
                else Seq((0, 1), (1, 0))

@@ -644,6 +644,298 @@ object Stencil {
       .internalCreateDataFrame(spark, outRdd, schema)
   }
 
+  /** Fused narrow-projection + second-directional-derivative pass — the
+    * [[secondDirectionalDerivGeoRaw]] exchange and the pipeline's pinned
+    * narrow projection emitted from ONE kernel, so the downstream stages
+    * (classification, integrals, stats) read a single checkpoint instead
+    * of two full-frame materializations per batch (the former separate
+    * `narrow` pin was a 33M-row × 14-column job of its own at production
+    * frame size — SCALE_r05's named next lever).
+    *
+    * Same segment exchange as the Raw form, with the per-pixel payload
+    * (corr_i and the two mask flags, packed to a byte) riding each run
+    * alongside the corrected values: ~9 B/px over the former ~20 B/px
+    * rows, still one shuffle, still one streamed tile in memory per task.
+    * All geometry columns are re-derived in-kernel from the full scalar
+    * mirror ([[graft.geometry.Geometry.scalarPixelGeoFull]], bit-identical
+    * to the `attach` columns), so nothing else crosses the wire.
+    *
+    * Input (dense per frame): (frame_no, y, x, corr_i, corr, base_mask,
+    * is_outlier). Output: (frame_no, y, x, x_mm, y_mm, corr_i, corr,
+    * base_mask, is_outlier, tth_bin, q_bin, q, azim, azim_flipped,
+    * grad2_r, grad2_a) for every in-frame pixel — the narrow projection's
+    * exact columns plus both gradients. Pixels absent from the input
+    * surface as zero-filled rows (the pipeline always feeds whole frames).
+    */
+  def secondDirectionalDerivNarrowRaw(px: DataFrame, width: Int,
+                                      height: Int,
+                                      geo: (Int, Int) =>
+                                        graft.geometry.Geometry.PixelGeo,
+                                      tile: Int = 512): DataFrame = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow,
+      UnsafeArrayData, UnsafeProjection}
+    import org.apache.spark.sql.types._
+    val spark = px.sparkSession
+    val halo = 2
+    val side = tile + 2 * halo
+    val w = width; val h = height
+    requirePackable(width, height, tile)
+
+    val f = when(col("frame_no").cast("long").between(0, MaxPackedFrame - 1),
+        col("frame_no").cast("long"))
+      .otherwise(raise_error(concat(
+        lit("frame_no outside the packed-tile-key range [0, 2^39): "),
+        col("frame_no").cast("string"))))
+    val flagsByte = (when(col("base_mask"), 1).otherwise(0) +
+      when(col("is_outlier"), 2).otherwise(0)).cast("tinyint")
+    val slim = px.select(f.as("f"), col("y").cast("int").as("y"),
+      col("x").cast("int").as("x"), col("corr").cast("double").as("v"),
+      col("corr_i").cast("double").as("ci"), flagsByte.as("fl"))
+
+    // ---- stage 1: run-collect into per-tile segments, payload riding ---
+    val segSchema = StructType(Seq(
+      StructField("bk", LongType, nullable = false),
+      StructField("y", IntegerType, nullable = false),
+      StructField("x0", IntegerType, nullable = false),
+      StructField("vs", ArrayType(DoubleType, containsNull = false),
+        nullable = false),
+      StructField("cis", ArrayType(DoubleType, containsNull = false),
+        nullable = false),
+      StructField("fls", ArrayType(ByteType, containsNull = false),
+        nullable = false)))
+    val segRdd = slim.queryExecution.toRdd.mapPartitions { it =>
+      new Iterator[InternalRow] {
+        private val proj = UnsafeProjection.create(Array[DataType](LongType,
+          IntegerType, IntegerType, ArrayType(DoubleType, false),
+          ArrayType(DoubleType, false), ArrayType(ByteType, false)))
+        private val holder = new GenericInternalRow(6)
+        private val pending =
+          scala.collection.mutable.Queue.empty[InternalRow]
+        private var runF = 0L; private var runY = 0; private var runX0 = 0
+        private var runLen = 0
+        private val runV = new Array[Double](w)
+        private val runCi = new Array[Double](w)
+        private val runFl = new Array[Byte](w)
+        private def flushRun(): Unit = if (runLen > 0) {
+          val x1 = runX0 + runLen - 1
+          var ty = (runY - halo) / tile
+          val tyHi = (runY + halo) / tile
+          while (ty <= tyHi) {
+            if (ty >= 0 && ty * tile < h) {
+              var tx = (runX0 - halo) / tile
+              val txHi = (x1 + halo) / tile
+              while (tx <= txHi) {
+                if (tx >= 0 && tx * tile < w) {
+                  val wx0 = tx * tile - halo
+                  val wx1 = tx * tile + tile + halo - 1
+                  val cx0 = math.max(runX0, wx0)
+                  val cx1 = math.min(x1, wx1)
+                  if (cx0 <= cx1) {
+                    holder.update(0,
+                      (runF << 24) | (ty.toLong << 12) | tx.toLong)
+                    holder.update(1, runY)
+                    holder.update(2, cx0)
+                    holder.update(3, UnsafeArrayData.fromPrimitiveArray(
+                      java.util.Arrays.copyOfRange(runV,
+                        cx0 - runX0, cx1 - runX0 + 1)))
+                    holder.update(4, UnsafeArrayData.fromPrimitiveArray(
+                      java.util.Arrays.copyOfRange(runCi,
+                        cx0 - runX0, cx1 - runX0 + 1)))
+                    holder.update(5, UnsafeArrayData.fromPrimitiveArray(
+                      java.util.Arrays.copyOfRange(runFl,
+                        cx0 - runX0, cx1 - runX0 + 1)))
+                    pending.enqueue(proj(holder).copy())
+                  }
+                }
+                tx += 1
+              }
+            }
+            ty += 1
+          }
+          runLen = 0
+        }
+        private def fill(): Unit = {
+          while (pending.isEmpty && it.hasNext) {
+            val r = it.next()
+            val rf = r.getLong(0); val ry = r.getInt(1)
+            val rx = r.getInt(2)
+            if (runLen > 0 && rf == runF && ry == runY &&
+                rx == runX0 + runLen && runLen < w) {
+              runV(runLen) = r.getDouble(3); runCi(runLen) = r.getDouble(4)
+              runFl(runLen) = r.getByte(5); runLen += 1
+            } else {
+              flushRun()
+              runF = rf; runY = ry; runX0 = rx
+              runV(0) = r.getDouble(3); runCi(0) = r.getDouble(4)
+              runFl(0) = r.getByte(5); runLen = 1
+            }
+          }
+          if (pending.isEmpty) flushRun()
+        }
+        def hasNext: Boolean = { fill(); pending.nonEmpty }
+        def next(): InternalRow = { fill(); pending.dequeue() }
+      }
+    }
+    val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val segs = org.apache.spark.sql.graftshim.Internals
+      .internalCreateDataFrame(spark, segRdd, segSchema)
+      .repartition(parts, col("bk"))
+      .sortWithinPartitions("bk")
+
+    // ---- stage 2: stream one sorted tile at a time through the kernel --
+    val outTypes = Array[DataType](LongType, IntegerType, IntegerType,
+      DoubleType, DoubleType, DoubleType, DoubleType, BooleanType,
+      BooleanType, IntegerType, IntegerType, DoubleType, DoubleType,
+      DoubleType, DoubleType, DoubleType)
+    val outRdd = segs.queryExecution.toRdd.mapPartitions { it =>
+      new Iterator[InternalRow] {
+        private val proj = UnsafeProjection.create(outTypes)
+        private val outRow = new org.apache.spark.sql.catalyst.expressions
+          .SpecificInternalRow(outTypes)
+        private val n = side * side
+        private val vb = new Array[Double](n)
+        private val cib = new Array[Double](n)
+        private val flb = new Array[Byte](n)
+        private var curBk = Long.MinValue
+        private var haveTile = false
+        private var outIt: Iterator[InternalRow] = Iterator.empty
+
+        private def scatter(r: InternalRow): Unit = {
+          val bk = r.getLong(0)
+          val ty = ((bk >> 12) & 0xfff).toInt; val tx = (bk & 0xfff).toInt
+          val ly = r.getInt(1) - (ty * tile - halo)
+          val lx0 = r.getInt(2) - (tx * tile - halo)
+          val vs = r.getArray(3); val cis = r.getArray(4)
+          val fls = r.getArray(5)
+          val m = vs.numElements()
+          var k = 0
+          while (k < m) {
+            val i = ly * side + lx0 + k
+            vb(i) = vs.getDouble(k); cib(i) = cis.getDouble(k)
+            flb(i) = fls.getByte(k)
+            k += 1
+          }
+        }
+
+        /** Stencil over the CURRENT planes, then clear them for the next
+          * tile. The value/payload planes are CLONED into the returned
+          * iterator (unlike the grad-only Raw form, the output reads them
+          * back), so lazily draining it while the next tile accumulates
+          * stays safe. */
+        private def emitTile(bk: Long): Iterator[InternalRow] = {
+          val fNo = bk >> 24
+          val ty = ((bk >> 12) & 0xfff).toInt; val tx = (bk & 0xfff).toInt
+          val y0 = ty * tile - halo; val x0 = tx * tile - halo
+          val vT = vb.clone(); val ciT = cib.clone(); val flT = flb.clone()
+          java.util.Arrays.fill(vb, 0.0)
+          java.util.Arrays.fill(cib, 0.0)
+          java.util.Arrays.fill(flb, 0.toByte)
+          val ryb = new Array[Double](n); val rxb = new Array[Double](n)
+          val pyb = new Array[Double](n); val pxb = new Array[Double](n)
+          var ly = 0
+          while (ly < side) {
+            val gy = y0 + ly
+            if (gy >= 0 && gy < h) {
+              var lx = 0
+              while (lx < side) {
+                val gx = x0 + lx
+                if (gx >= 0 && gx < w) {
+                  val g = geo(gy, gx)
+                  val i = ly * side + lx
+                  ryb(i) = g.rhatY; rxb(i) = g.rhatX
+                  pyb(i) = g.phatY; pxb(i) = g.phatX
+                }
+                lx += 1
+              }
+            }
+            ly += 1
+          }
+          val d1r = new Array[Double](n); val d1a = new Array[Double](n)
+          ly = 1
+          while (ly < side - 1) {
+            val gy = y0 + ly
+            var lx = 1
+            while (lx < side - 1) {
+              val gx = x0 + lx
+              if (gy >= 0 && gy < h && gx >= 0 && gx < w) {
+                val i = ly * side + lx
+                val ddy = 0.5 * (vT(i + side) - vT(i - side))
+                val ddx = 0.5 * (vT(i + 1) - vT(i - 1))
+                d1r(i) = ddy * ryb(i) + ddx * rxb(i)
+                d1a(i) = ddy * pyb(i) + ddx * pxb(i)
+              }
+              lx += 1
+            }
+            ly += 1
+          }
+          val yMax = math.min(tile, h - ty * tile)
+          val xMax = math.min(tile, w - tx * tile)
+          (halo until halo + yMax).iterator.flatMap { oy =>
+            (halo until halo + xMax).iterator.map { ox =>
+              val i = oy * side + ox
+              val gy = y0 + oy; val gx = x0 + ox
+              val g = geo(gy, gx)
+              val d2r = 0.5 * (d1r(i + side) - d1r(i - side)) * ryb(i) +
+                0.5 * (d1r(i + 1) - d1r(i - 1)) * rxb(i)
+              val d2a = 0.5 * (d1a(i + side) - d1a(i - side)) * pyb(i) +
+                0.5 * (d1a(i + 1) - d1a(i - 1)) * pxb(i)
+              outRow.setLong(0, fNo)
+              outRow.setInt(1, gy); outRow.setInt(2, gx)
+              outRow.setDouble(3, g.xMm); outRow.setDouble(4, g.yMm)
+              outRow.setDouble(5, ciT(i)); outRow.setDouble(6, vT(i))
+              outRow.setBoolean(7, (flT(i) & 1) != 0)
+              outRow.setBoolean(8, (flT(i) & 2) != 0)
+              outRow.setInt(9, g.tthBin); outRow.setInt(10, g.qBin)
+              outRow.setDouble(11, g.q); outRow.setDouble(12, g.azim)
+              outRow.setDouble(13, g.azimFlipped)
+              outRow.setDouble(14, d2r); outRow.setDouble(15, d2a)
+              proj(outRow).copy(): InternalRow
+            }
+          }
+        }
+
+        private def fill(): Unit = {
+          while (!outIt.hasNext && it.hasNext) {
+            val r = it.next()
+            val bk = r.getLong(0)
+            if (!haveTile) { curBk = bk; haveTile = true }
+            else if (bk != curBk) {
+              outIt = emitTile(curBk)
+              curBk = bk
+            }
+            scatter(r)
+          }
+          if (!outIt.hasNext && !it.hasNext && haveTile) {
+            outIt = emitTile(curBk)
+            haveTile = false
+          }
+        }
+        def hasNext: Boolean = { fill(); outIt.hasNext }
+        def next(): InternalRow = { fill(); outIt.next() }
+      }
+    }
+    val schema = StructType(Seq(
+      StructField("frame_no", LongType, nullable = false),
+      StructField("y", IntegerType, nullable = false),
+      StructField("x", IntegerType, nullable = false),
+      StructField("x_mm", DoubleType, nullable = false),
+      StructField("y_mm", DoubleType, nullable = false),
+      StructField("corr_i", DoubleType, nullable = false),
+      StructField("corr", DoubleType, nullable = false),
+      StructField("base_mask", BooleanType, nullable = false),
+      StructField("is_outlier", BooleanType, nullable = false),
+      StructField("tth_bin", IntegerType, nullable = false),
+      StructField("q_bin", IntegerType, nullable = false),
+      StructField("q", DoubleType, nullable = false),
+      StructField("azim", DoubleType, nullable = false),
+      StructField("azim_flipped", DoubleType, nullable = false),
+      StructField("grad2_r", DoubleType, nullable = false),
+      StructField("grad2_a", DoubleType, nullable = false)))
+    org.apache.spark.sql.graftshim.Internals
+      .internalCreateDataFrame(spark, outRdd, schema)
+  }
+
   /** M6 — NaN interpolation (reference classification.py:466-468 via
     * astropy interpolate_replace_nans with Gaussian2DKernel(x_stddev=1)):
     * masked pixels (NaN in `v`) are replaced by the Gaussian-weighted
@@ -720,7 +1012,12 @@ object Stencil {
     *    reconstruction, monotonically approached from below).
     * `truncated`, when supplied, counts the tiles whose cap tripped
     * (visible in the Spark UI as a named accumulator; zero on every
-    * non-adversarial frame we have measured). */
+    * non-adversarial frame we have measured). The count is APPROXIMATE
+    * with at-least-once semantics: it increments inside a transformation,
+    * so speculative/retried tasks and re-execution of an unpinned plan
+    * over-count, and FramePipeline registers a fresh accumulator per
+    * process() call — read it as per-execution observability ("did the
+    * cap trip, roughly how often"), never as an exact cumulative metric. */
   def hMaxima(px: DataFrame, width: Int, height: Int, h: Double,
               tile: Int = 256, halo: Int = 16,
               truncated: Option[org.apache.spark.util.LongAccumulator] =

@@ -26,7 +26,19 @@ object StreamingPipeline {
 
   /** Start the live pipeline over a detector directory. Pause/resume =
     * stop/start with the same checkpoint (reference pause button,
-    * pipeline_queue.py:944-1062). */
+    * pipeline_queue.py:944-1062).
+    *
+    * `debounceSeconds` is the streaming form of the reference's mtime
+    * debounce (S4, pipeline_queue.py:740): the micro-batch is HELD until
+    * its youngest file is at least that old, then processed — a file
+    * caught mid-write gets its final bytes (binaryFile reads content at
+    * task execution, after the wait). A row-level drop like the batch
+    * `FrameSource.debounceFilter` would lose young files permanently
+    * here (the source marks files processed at listing), so the wait is
+    * the only loss-free streaming semantics. With checkpointed
+    * transactional sinks plus the decode quarantine it is strictly
+    * optional — the reference needs its debounce only because its sinks
+    * are not transactional. */
   def start(spark: SparkSession, inDir: String, outDir: String,
             cal: Calibration, geometry: DataFrame,
             availableNow: Boolean = false,
@@ -34,19 +46,26 @@ object StreamingPipeline {
             predef: Seq[graft.core.MaskShape] = Nil,
             corrections: graft.ops.Corrections.Frames =
               graft.ops.Corrections.Frames(),
-            referenceBinShift: Boolean = false): StreamingQuery = {
+            referenceBinShift: Boolean = false,
+            debounceSeconds: Option[Int] = None): StreamingQuery = {
     val frames = FrameSource.stream(spark, inDir,
       maxFilesPerTrigger = maxFilesPerTrigger)
     val writer = frames.writeStream
       .option("checkpointLocation", s"$outDir/_checkpoint")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         processBatch(batch, outDir, cal, geometry, predef, corrections,
-          referenceBinShift)
+          referenceBinShift, debounceSeconds)
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow())
      else writer.trigger(Trigger.ProcessingTime("1 second")))
       .start()
   }
+
+  /** Milliseconds a batch whose youngest file has `newestMtimeMs` must
+    * still wait to honor an S4 debounce of `seconds` (0 = old enough). */
+  private[streaming] def debounceWaitMs(newestMtimeMs: Long, seconds: Int,
+                                        nowMs: Long): Long =
+    math.max(0L, newestMtimeMs + seconds * 1000L - nowMs)
 
   /** One micro-batch: decode → per-frame plan → sinks. Datasets are
     * processed separately (frame_no is only unique within a dataset). */
@@ -55,8 +74,17 @@ object StreamingPipeline {
                    predef: Seq[graft.core.MaskShape] = Nil,
                    corrections: graft.ops.Corrections.Frames =
                      graft.ops.Corrections.Frames(),
-                   referenceBinShift: Boolean = false): Unit = {
+                   referenceBinShift: Boolean = false,
+                   debounceSeconds: Option[Int] = None): Unit = {
     if (batch.isEmpty) return
+    debounceSeconds.foreach { secs =>
+      val newest = batch.agg(max(col("modificationTime"))).head()
+      if (!newest.isNullAt(0)) {
+        val wait = debounceWaitMs(newest.getTimestamp(0).getTime, secs,
+          System.currentTimeMillis())
+        if (wait > 0) Thread.sleep(wait)
+      }
+    }
     val datasets = batch.select(col("dataset")).distinct()
       .collect().map(_.getString(0))
     datasets.foreach(ds =>
@@ -155,10 +183,15 @@ object StreamingPipeline {
       // (pipeline.py:491-492) — pin each so the plan runs once. The
       // checkpoint is where the stats plans actually execute, so time it
       // (A14 stage parity: "Save stats" in the reference's printout).
-      val (spotStats, gradStats) = timed("stats") {
+      // A8 and A9 are projections of the SHARED per-(frame, q_bin)
+      // aggregate (FrameOutputs.qbinStats): materializing that one table
+      // runs the pixel scan once where checkpointing gradStats and
+      // spottiness separately re-ran it per family.
+      val (spotStats, qbinStats) = timed("stats") {
         (out.spotStats.localCheckpoint(true),
-          out.gradStats.localCheckpoint(true))
+          out.qbinStats.localCheckpoint(true))
       }
+      val gradStats = FramePipeline.gradStatsOf(qbinStats)
       timed("sink_stats_tables") {
         Sinks.writeTable(spotStats.withColumn("dataset", tag),
           tablesDir(outDir), "spot_stats", Seq("dataset"))
@@ -177,7 +210,8 @@ object StreamingPipeline {
           "_spots_stats_grad", ds, frameNos, orderCols = Seq("Qbin"))
       }
       timed("spottiness")(
-        Sinks.writeTable(out.spottiness.withColumn("dataset", tag),
+        Sinks.writeTable(FramePipeline.spottinessOf(qbinStats)
+          .withColumn("dataset", tag),
           tablesDir(outDir), "spottiness", Seq("dataset")))
       // A11: similarity series vs the dataset's FIRST frame and the
       // immediately PREVIOUS frame, ACROSS micro-batches (reference

@@ -25,6 +25,27 @@ class GeometrySpec extends SparkSpec {
     }
   }
 
+  test("scalarPixelGeoFull mirrors ALL narrow-projection attach columns " +
+      "bit-exactly (x_mm/y_mm/tth_bin/q/azim/azim_flipped)") {
+    val f = Geometry.scalarPixelGeoFull(cal)
+    val cols = geo.select(col("y"), col("x"), col("x_mm"), col("y_mm"),
+        col("tth_bin"), col("q"), col("azim"), col("azim_flipped"),
+        col("rhat_y"), col("rhat_x"), col("phat_y"), col("phat_x"),
+        col("q_bin"))
+      .collect()
+    assert(cols.length == 64 * 64)
+    cols.foreach { r =>
+      val g = f(r.getInt(0), r.getInt(1))
+      assert(g.xMm == r.getDouble(2) && g.yMm == r.getDouble(3) &&
+        g.tthBin == r.getInt(4) && g.q == r.getDouble(5) &&
+        g.azim == r.getDouble(6) && g.azimFlipped == r.getDouble(7) &&
+        g.rhatY == r.getDouble(8) && g.rhatX == r.getDouble(9) &&
+        g.phatY == r.getDouble(10) && g.phatX == r.getDouble(11) &&
+        g.qBin == r.getInt(12),
+        s"full scalar geo diverges at (${r.getInt(0)}, ${r.getInt(1)})")
+    }
+  }
+
   test("2-theta is ~0 at the beam center and grows with radius") {
     val cx = (cal.center._1 / (cal.pixelSize._1 / 1000.0) - 0.5).round.toInt
     val cy = (cal.center._2 / (cal.pixelSize._2 / 1000.0) - 0.5).round.toInt

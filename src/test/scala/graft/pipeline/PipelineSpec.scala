@@ -114,6 +114,73 @@ class FramePipelineSpec2 extends SparkSpec {
   }
 }
 
+class QbinStatsConsolidationSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.ops.RobustStats
+
+  test("consolidated A8+A9 pass equals the chained per-family formulas " +
+      "bit-exactly (moments, 2-stage MAD, spottiness)") {
+    // random pixel table with the exact columns the shared aggregate
+    // reads; even AND odd group sizes so the median interpolation paths
+    // (one-pass MedianMadAgg vs builtin two-stage median) both exercise
+    val rnd = new scala.util.Random(7)
+    val rows = for (f <- 1 to 2; i <- 0 until 5000) yield {
+      val spot = rnd.nextDouble() < 0.05
+      (f, rnd.nextInt(9) - 1, rnd.nextGaussian() * 50,
+        rnd.nextDouble() < 0.1, spot, rnd.nextDouble() < 0.03,
+        if (spot) rnd.nextInt(7).toLong else 0L)
+    }
+    val px = rows.toDF("frame_no", "q_bin", "grad2_a", "is_outlier",
+      "is_spot", "is_arc", "label").localCheckpoint(true)
+
+    // consolidated single pass (the process() expressions verbatim)
+    val qbin = px.groupBy(col("frame_no"), col("q_bin"))
+      .agg(
+        (count(when(col("is_outlier") || col("is_spot") || col("is_arc"),
+          1)).cast("double") / count(lit(1))).as("pct_masked"),
+        countDistinct(when(col("is_spot"), col("label"))).as("n_spots"),
+        avg(col("grad2_a")).as("mean"),
+        stddev(col("grad2_a")).as("std"),
+        graft.ops.MedianMadAgg.medMad(col("grad2_a")).as("_mm"))
+    val a8 = FramePipeline.gradStatsOf(qbin).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+
+    // the chained pre-consolidation formulas
+    val mm = RobustStats.medianMad(
+      px.select(col("frame_no"), col("q_bin"), col("grad2_a").as("g")),
+      Seq("frame_no", "q_bin"), "g")
+    val moments = px.groupBy(col("frame_no"), col("q_bin"))
+      .agg(avg(col("grad2_a")).as("mean"), stddev(col("grad2_a")).as("std"))
+    val chained = moments.join(mm, Seq("frame_no", "q_bin"))
+      .select(col("frame_no").cast("long"), col("q_bin"), col("mean"),
+        col("std"), col("med"),
+        (col("mad") * RobustStats.MadToSigma).as("mad"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    assert(a8.keySet == chained.keySet)
+    chained.foreach { case (k, v) =>
+      assert(a8(k) == v, s"A8 diverges at $k: ${a8(k)} vs $v")
+    }
+
+    val a9 = FramePipeline.spottinessOf(qbin).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        (r.getDouble(2), r.getLong(3))).toMap
+    val spottyChained = px.groupBy(col("frame_no"), col("q_bin"))
+      .agg(
+        (count(when(col("is_outlier") || col("is_spot") || col("is_arc"),
+          1)).cast("double") / count(lit(1))).as("pct_masked"),
+        countDistinct(when(col("is_spot"), col("label"))).as("n_spots"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        (r.getDouble(2), r.getLong(3))).toMap
+    assert(a9 == spottyChained, "A9 diverges from the chained form")
+  }
+}
+
 class MultiFrameSpec extends SparkSpec {
 
   test("two frames process through ONE keyed plan with separated outputs") {

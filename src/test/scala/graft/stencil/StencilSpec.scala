@@ -382,6 +382,56 @@ class InterpolateSpec extends SparkSpec {
     assert(raw == generic, "raw geo kernel diverges from generic")
   }
 
+  test("fused narrow+gradient kernel equals the grad-only Raw kernel AND " +
+      "the attach-based narrow projection, payload carried bit-exactly") {
+    val cal = graft.core.SyntheticFrame.testCalibration(64)
+    val (h, w) = cal.imageSize
+    val rnd = new scala.util.Random(11)
+    // dense frames with non-trivial payload: corr != corr_i, scattered
+    // mask/outlier flags (including runs broken mid-row to exercise the
+    // run-collector's payload splitting)
+    val rows = for (f <- 1 to 2; y <- 0 until h; x <- 0 until w) yield {
+      val ci = rnd.nextDouble() * 100
+      (f, y, x, ci, ci * (0.5 + rnd.nextDouble()),
+        rnd.nextDouble() < 0.07, rnd.nextDouble() < 0.11)
+    }
+    val core = rows.toDF("frame_no", "y", "x", "corr_i", "corr",
+      "base_mask", "is_outlier")
+    val fused = Stencil.secondDirectionalDerivNarrowRaw(core, w, h,
+      graft.geometry.Geometry.scalarPixelGeoFull(cal), tile = 16)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)) -> r).toMap
+
+    // gradients + q_bin: bit-equal to the established Raw kernel
+    val raw = Stencil.secondDirectionalDerivGeoRaw(
+        core.select($"frame_no", $"y", $"x", $"corr".as("v")), w, h,
+        graft.geometry.Geometry.scalarPixelGeo(cal), tile = 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)) ->
+        (r.getDouble(3), r.getDouble(4), r.getInt(5))).toMap
+    assert(fused.keySet == raw.keySet)
+    raw.foreach { case (k, (g2r, g2a, qb)) =>
+      val fr = fused(k)
+      assert(fr.getDouble(14) == g2r && fr.getDouble(15) == g2a &&
+        fr.getInt(10) == qb, s"fused gradients diverge at $k")
+    }
+
+    // payload + geometry columns: bit-equal to the relational narrow
+    // projection (Geometry.attach over the same core table)
+    val narrow = graft.geometry.Geometry.attach(core, cal)
+      .select($"frame_no", $"y", $"x", $"x_mm", $"y_mm", $"corr_i",
+        $"corr", $"base_mask", $"is_outlier", $"tth_bin", $"q_bin", $"q",
+        $"azim", $"azim_flipped")
+      .collect()
+      .map(r => (r.getInt(0).toLong, r.getInt(1), r.getInt(2)) -> r).toMap
+    assert(fused.keySet == narrow.keySet)
+    narrow.foreach { case (k, nr) =>
+      val fr = fused(k)
+      assert((3 until 14).forall(i => fr.get(i) == nr.get(i)),
+        s"fused narrow columns diverge at $k: " +
+          s"${(3 until 14).map(i => s"${fr.get(i)}|${nr.get(i)}")}")
+    }
+  }
+
   test("fully-isolated masked region stays NaN") {
     val n = 24
     val masked = (for (y <- 0 until n; x <- 0 until n

@@ -27,6 +27,36 @@ class FrameSourceSpec extends SparkSpec {
     assert(kept.toSeq == Seq("b.tif"))
   }
 
+  test("decodeTiffFloat rejects multi-strip TIFFs loudly instead of " +
+      "returning garbage pixels") {
+    val m = Array.tabulate(8, 8)((y, x) => (y * 8 + x).toFloat)
+    val bytes = FrameSource.encodeTiffFloat(m)
+    // round-trip still fine single-strip
+    assert(FrameSource.decodeTiffFloat(bytes)(3)(5) == 29.0f)
+    // patch StripOffsets (tag 273, index 5 in the encoder's tag order)
+    // to count=2 — the shape PIL writes for large maps, where the value
+    // field becomes a pointer to an offsets ARRAY
+    val bb = java.nio.ByteBuffer.wrap(bytes.clone())
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val ifdOff = bb.getInt(4)
+    val base273 = ifdOff + 2 + 5 * 12
+    assert(bb.getShort(base273) == 273)
+    bb.putInt(base273 + 4, 2)
+    val ex = intercept[IllegalArgumentException](
+      FrameSource.decodeTiffFloat(bb.array()))
+    assert(ex.getMessage.contains("multi-strip"))
+    // RowsPerStrip < height (tag 278, index 7) is the other multi-strip
+    // shape — also rejected
+    val bb2 = java.nio.ByteBuffer.wrap(bytes.clone())
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val base278 = ifdOff + 2 + 7 * 12
+    assert(bb2.getShort(base278) == 278)
+    bb2.putInt(base278 + 8, 4) // 4 rows per strip, height 8
+    val ex2 = intercept[IllegalArgumentException](
+      FrameSource.decodeTiffFloat(bb2.array()))
+    assert(ex2.getMessage.contains("multi-strip"))
+  }
+
   test("frame identity regex parses dataset and number") {
     import spark.implicits._
     val df = Seq("/data/MA2-00001.tif", "/data/run_b_00042.tif",
@@ -273,6 +303,33 @@ class StreamingPipelineSpec extends SparkSpec {
       }
       assert(n >= 2, s"live trigger produced $n csim rows")
     } finally q.stop()
+  }
+
+  test("streaming S4 debounce: a too-fresh file's batch is HELD until " +
+      "the debounce age, then processed completely") {
+    // wait math is exact and clock-injectable
+    assert(StreamingPipeline.debounceWaitMs(10000L, 2, 10500L) == 1500L)
+    assert(StreamingPipeline.debounceWaitMs(10000L, 2, 12000L) == 0L)
+    assert(StreamingPipeline.debounceWaitMs(10000L, 2, 50000L) == 0L)
+
+    val cal = SyntheticFrame.testCalibration(96)
+    val geo = Geometry.build(spark, cal).localCheckpoint(true)
+    val tmpIn = java.nio.file.Files.createTempDirectory("graft_in6").toString
+    val tmpOut = java.nio.file.Files.createTempDirectory("graft_out6").toString
+    writeFrames(cal, tmpIn, 1 to 1)
+    // freshen mtime to "now": the only batch must then finish no earlier
+    // than mtime + debounce
+    val f = new java.io.File(s"$tmpIn/synth-00001.tif")
+    val mtime = System.currentTimeMillis()
+    assert(f.setLastModified(mtime))
+    val q = StreamingPipeline.start(spark, tmpIn, tmpOut, cal, geo,
+      availableNow = true, debounceSeconds = Some(3))
+    q.awaitTermination(240000)
+    val done = System.currentTimeMillis()
+    val rows = spark.read.parquet(s"$tmpOut/tables/csim").count()
+    assert(rows == 1, s"debounced batch lost rows: $rows")
+    assert(done >= mtime + 3000,
+      s"batch completed ${done - mtime} ms after mtime — debounce not held")
   }
 
   test("end-to-end: tiff files -> streaming backfill -> parquet sinks") {
