@@ -167,6 +167,23 @@ object Geometry {
     if (r < 0) (r + n) % n else r
   }
 
+  /** Hat-field-only scalar mirror: (y, x) => (rhat_y, rhat_x), with
+    * phat = (-rhat_x, rhat_y) by construction. Pure arithmetic — no
+    * transcendentals — so tile kernels can fill their hat planes at a
+    * fraction of the full-geometry cost and reserve
+    * [[scalarPixelGeoFull]] for the interior pixels they actually emit.
+    * Bit-identical to the attach columns (same expression order). */
+  def scalarPixelHats(cal: Calibration): (Int, Int) => (Double, Double) = {
+    val (pxX, pxY) = (cal.pixelSize._1 / 1000.0, cal.pixelSize._2 / 1000.0)
+    val (cx, cy) = cal.center
+    (y: Int, x: Int) => {
+      val dx = (x + 0.5) * pxX - cx
+      val dy = (y + 0.5) * pxY - cy
+      val rNorm = math.sqrt(dx * dx + dy * dy)
+      if (rNorm > 0) (dy / rNorm, dx / rNorm) else (0.0, 0.0)
+    }
+  }
+
   /** Full scalar mirror of [[attach]]: (y, x) => [[PixelGeo]], every
     * arithmetic step in the Column expressions' evaluation order so each
     * field is bit-identical to the geometry table's (asserted in

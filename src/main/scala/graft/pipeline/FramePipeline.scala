@@ -40,13 +40,50 @@ object FramePipeline {
   def gradStatsOf(qbinStats: DataFrame): DataFrame =
     qbinStats.select(col("frame_no").cast("long").as("frame_no"),
       col("q_bin").as("Qbin"), col("mean"), col("std"),
-      col("_mm.med").as("median"),
-      (col("_mm.mad") * RobustStats.MadToSigma).as("mad"))
+      col("med").as("median"),
+      (col("mad") * RobustStats.MadToSigma).as("mad"))
 
   /** A9 view of the shared per-Q-bin aggregate (see [[FrameOutputs]]). */
   def spottinessOf(qbinStats: DataFrame): DataFrame =
     qbinStats.select(col("frame_no"), col("q_bin"), col("pct_masked"),
       col("n_spots"))
+
+  /** The shared A8+A9 per-(frame, q_bin) aggregate over a pixel table
+    * carrying (frame_no, q_bin, grad2_a, is_outlier, is_spot, is_arc,
+    * label). The chained form ran FOUR heavy jobs over the table per
+    * batch (gradient moments; two-stage MAD = two more scans plus a
+    * join-back; spottiness with a distinct-agg expand). This runs TWO,
+    * each in its best execution mode, plus one negligible filtered pass:
+    *
+    *  - moments + spottiness fraction in one whole-stage-codegen
+    *    HashAggregate (no distinct, no imperative agg — mixing either in
+    *    would downgrade every aggregate to the interpreted object path:
+    *    a one-pass-everything variant measured SLOWER than chained,
+    *    NarrowFuseBench r6);
+    *  - exact median/MAD via the one-pass buffering aggregator on the
+    *    narrow (frame, q_bin, grad2) projection — ObjectHashAggregate,
+    *    one scan where the two-stage form took two plus a join;
+    *  - distinct spot count over the (tiny) spot-pixel subset.
+    *
+    * The three outputs are per-bin-sized; they broadcast-join. */
+  private[graft] def qbinAggregate(px: DataFrame): DataFrame = {
+    val main = px.groupBy(col("frame_no"), col("q_bin"))
+      .agg(
+        (count(when(col("is_outlier") || col("is_spot") || col("is_arc"),
+          1)).cast("double") / count(lit(1))).as("pct_masked"),
+        avg(col("grad2_a")).as("mean"),
+        stddev(col("grad2_a")).as("std"))
+    val mm = RobustStats.medianMadOnePass(
+      px.select(col("frame_no"), col("q_bin"), col("grad2_a").as("g")),
+      Seq("frame_no", "q_bin"), "g")
+      .select(col("frame_no"), col("q_bin"), col("med"), col("mad"))
+    val spotCounts = px.where(col("is_spot"))
+      .groupBy(col("frame_no"), col("q_bin"))
+      .agg(countDistinct(col("label")).as("_ns"))
+    main.join(broadcast(mm), Seq("frame_no", "q_bin"))
+      .join(broadcast(spotCounts), Seq("frame_no", "q_bin"), "left")
+      .withColumn("n_spots", coalesce(col("_ns"), lit(0L))).drop("_ns")
+  }
 
   /** Corrected intensity: flat-field (unity here), polarization divide,
     * solid-angle dist^1.5 multiply (reference pipeline.py:63-71,
@@ -185,7 +222,8 @@ object FramePipeline {
           col("corr_i"), col("corr"), col("base_mask"), col("is_outlier"))
         .localCheckpoint(true)
       val fused = graft.stencil.Stencil.secondDirectionalDerivNarrowRaw(
-          core, w, h, Geometry.scalarPixelGeoFull(cal), tile = 512)
+          core, w, h, Geometry.scalarPixelGeoFull(cal),
+          Geometry.scalarPixelHats(cal), tile = 512)
         .localCheckpoint(true)
       // the kernel's packed key widens frame_no to long; restore the
       // input's type so downstream output schemas are unchanged
@@ -285,23 +323,10 @@ object FramePipeline {
         max(when(col("is_arc"), 1).otherwise(0)).as("on_arc"))
 
     // A8 (reference spottiness_azim_grad spottiness.py:49-61) and A9
-    // (spottiness.py:16-27) share ONE aggregation pass — the A2 trick
-    // applied to the stats families: per-(frame, q_bin) spottiness
-    // fraction + distinct spot count, gradient moments, and the exact
-    // one-pass median/MAD (MedianMadAgg, interpolation-identical to the
-    // builtin percentile) all ride a single scan + shuffle of the pixel
-    // table, where the chained form ran three separate jobs over it per
-    // batch (gradient moments, two-stage MAD + join, spottiness).
-    // q_bin rode through the tile shuffle, so no join-back is needed.
-    val qbinStats = px.groupBy(col("frame_no"), col("q_bin"))
-      .agg(
-        (count(when(col("is_outlier") || col("is_spot") || col("is_arc"),
-          1)).cast("double") / count(lit(1))).as("pct_masked"),
-        countDistinct(when(col("is_spot"), col("label")))
-          .as("n_spots"),
-        avg(col("grad2_a")).as("mean"),
-        stddev(col("grad2_a")).as("std"),
-        graft.ops.MedianMadAgg.medMad(col("grad2_a")).as("_mm"))
+    // (spottiness.py:16-27) share ONE aggregation pass over the pixel
+    // table — the A2 trick applied to the stats families ([[qbinAggregate]];
+    // q_bin rode through the tile shuffle, so no join-back is needed).
+    val qbinStats = qbinAggregate(px)
 
     FrameOutputs(px.drop("grad2_a"), integrals, spotStats, qbinStats,
       gradStatsOf(qbinStats), spottinessOf(qbinStats))

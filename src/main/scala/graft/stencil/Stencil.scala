@@ -671,6 +671,7 @@ object Stencil {
                                       height: Int,
                                       geo: (Int, Int) =>
                                         graft.geometry.Geometry.PixelGeo,
+                                      hats: (Int, Int) => (Double, Double),
                                       tile: Int = 512): DataFrame = {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow,
@@ -831,6 +832,9 @@ object Stencil {
           java.util.Arrays.fill(vb, 0.0)
           java.util.Arrays.fill(cib, 0.0)
           java.util.Arrays.fill(flb, 0.toByte)
+          // hat planes from the transcendental-free mirror — the full geo
+          // closure runs only once per EMITTED pixel below, not per plane
+          // slot (the former full-closure fill was ~2x the kernel's trig)
           val ryb = new Array[Double](n); val rxb = new Array[Double](n)
           val pyb = new Array[Double](n); val pxb = new Array[Double](n)
           var ly = 0
@@ -841,10 +845,10 @@ object Stencil {
               while (lx < side) {
                 val gx = x0 + lx
                 if (gx >= 0 && gx < w) {
-                  val g = geo(gy, gx)
+                  val hat = hats(gy, gx)
                   val i = ly * side + lx
-                  ryb(i) = g.rhatY; rxb(i) = g.rhatX
-                  pyb(i) = g.phatY; pxb(i) = g.phatX
+                  ryb(i) = hat._1; rxb(i) = hat._2
+                  pyb(i) = -hat._2; pxb(i) = hat._1
                 }
                 lx += 1
               }

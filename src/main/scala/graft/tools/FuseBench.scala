@@ -23,6 +23,9 @@ object FuseBench {
       .appName("graft-fuse-bench")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
+      // survive multi-minute GC stalls on the throttled sandbox host
+      .config("spark.executor.heartbeatInterval", "60s")
+      .config("spark.network.timeout", "1200s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._

@@ -18,7 +18,11 @@ object ProcessProbe {
     val size = if (args.length > 1) args(1).toInt else 2880
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")
+      // survive multi-minute GC stalls on the throttled sandbox host
+      .config("spark.executor.heartbeatInterval", "60s")
+      .config("spark.network.timeout", "1200s")
+      .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     def t[A](name: String)(f: => A): A = {

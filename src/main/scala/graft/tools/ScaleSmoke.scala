@@ -33,6 +33,11 @@ object ScaleSmoke {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the sandbox host's GC pauses reach many minutes under throttled
+      // memory bandwidth (SCALE_r05/r06); stock timeouts kill the in-JVM
+      // executor mid-measurement ("unable to send heartbeats 60 times")
+      .config("spark.executor.heartbeatInterval", "60s")
+      .config("spark.network.timeout", "1200s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 

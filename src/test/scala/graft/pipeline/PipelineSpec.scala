@@ -133,15 +133,8 @@ class QbinStatsConsolidationSpec extends SparkSpec {
     val px = rows.toDF("frame_no", "q_bin", "grad2_a", "is_outlier",
       "is_spot", "is_arc", "label").localCheckpoint(true)
 
-    // consolidated single pass (the process() expressions verbatim)
-    val qbin = px.groupBy(col("frame_no"), col("q_bin"))
-      .agg(
-        (count(when(col("is_outlier") || col("is_spot") || col("is_arc"),
-          1)).cast("double") / count(lit(1))).as("pct_masked"),
-        countDistinct(when(col("is_spot"), col("label"))).as("n_spots"),
-        avg(col("grad2_a")).as("mean"),
-        stddev(col("grad2_a")).as("std"),
-        graft.ops.MedianMadAgg.medMad(col("grad2_a")).as("_mm"))
+    // the consolidated pass process() actually runs
+    val qbin = FramePipeline.qbinAggregate(px)
     val a8 = FramePipeline.gradStatsOf(qbin).collect()
       .map(r => (r.getLong(0), r.getInt(1)) ->
         (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))

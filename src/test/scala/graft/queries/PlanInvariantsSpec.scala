@@ -55,4 +55,34 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
       "ring-stats join-back no longer broadcasts — fact side would shuffle")
   }
+
+  test("process() branches all read the ONE fused checkpoint: pixel " +
+      "flags, integrals and the shared A8+A9 aggregate scan the same " +
+      "RDDs (no separate narrow/gradient materialization survives)") {
+    import graft.core.SyntheticFrame
+    val cal = SyntheticFrame.testCalibration(96)
+    val geo = graft.geometry.Geometry.build(spark, cal)
+      .localCheckpoint(true)
+    val frame = SyntheticFrame.frame(spark, cal, frameNo = 1,
+      nHotPer10k = 2, spots = Seq((30, 40, 20000.0, 2.0)))
+    val out = graft.pipeline.FramePipeline.process(frame, geo, cal)
+    def leafRdds(df: org.apache.spark.sql.DataFrame): Set[Int] =
+      df.queryExecution.optimizedPlan.collectLeaves().collect {
+        case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.id
+      }.toSet
+    val pixelLeaves = leafRdds(out.pixels)
+    assert(pixelLeaves.nonEmpty)
+    // A8 and A9 are projections of the SAME shared aggregate...
+    assert(leafRdds(out.gradStats) == leafRdds(out.spottiness),
+      "A8/A9 no longer share one aggregation pass")
+    // ...and every branch reads the fused checkpoint + the flags
+    // checkpoint — a third full-frame RDD here means the separate narrow
+    // materialization crept back in
+    assert(leafRdds(out.qbinStats) == pixelLeaves,
+      "stats branch reads different RDDs than the pixel branch")
+    assert(leafRdds(out.integrals) == pixelLeaves,
+      "integrals read different RDDs than the pixel branch")
+    assert(pixelLeaves.size == 2,
+      s"expected exactly {fused, flags} checkpoints, got $pixelLeaves")
+  }
 }
