@@ -105,12 +105,13 @@ object Classification {
     val labHint = if (labeledPinned.count() <= 1000000L)
       broadcast(labeledPinned) else labeledPinned
     val withG = d2.join(labHint, keys :+ "y" :+ "x").localCheckpoint(true)
-    // gather-and-sort exact percentile: the builtin percentile agg's
-    // value-count map costs ~10x more on full-frame groups
-    val globalThresh = d2.groupBy(kcols: _*)
-      .agg(graft.ops.PercentileAgg
-        .percentileExact(col("grad2_r"), p.globalPercentile)
-        .as("g_thresh"))
+    // distributed rank-selection percentile: the gather-and-sort
+    // aggregator ran its final sort in ONE task per frame — the measured
+    // hot critical-path stage at production frame size (SCALE_r06.md);
+    // this form keeps every stage at data-partition parallelism
+    val globalThresh = graft.ops.PercentileAgg.percentileSelect(
+      d2.select(kcols :+ col("grad2_r"): _*), keys, "grad2_r",
+      p.globalPercentile, outCol = "g_thresh")
     val central = withG.where(
       abs(col("q") - col("median_q")) < p.centralBandQ)
     val onArc = central.groupBy(kcols :+ col("label"): _*)

@@ -341,9 +341,12 @@ object FramePipeline {
   def hMaximaStats(processedPx: DataFrame, cal: Calibration,
                    tile: Int = 256): DataFrame = {
     val (h, w) = cal.imageSize
-    val thresholds = processedPx.groupBy(col("frame_no"))
-      .agg((graft.ops.PercentileAgg.percentileExact(col("corr"), 0.999)
-        * 0.05).as("h_depth"))
+    // distributed rank selection, not gather-sort: one frame's P99.9
+    // otherwise sorts 8.3 M values in a single task (SCALE_r06.md)
+    val thresholds = graft.ops.PercentileAgg.percentileSelect(
+        processedPx.select(col("frame_no"), col("corr")),
+        Seq("frame_no"), "corr", 0.999, outCol = "_p999")
+      .select(col("frame_no"), (col("_p999") * 0.05).as("h_depth"))
     val normalized = processedPx
       .join(broadcast(thresholds), "frame_no")
       .select(col("frame_no"), col("y"), col("x"),

@@ -349,10 +349,14 @@ object OracleQueries {
         val li = t(s, dir, "lineitem")
         // two scans, not rollup: rollup duplicates every row into the
         // grand-total group, whose single-task exact-percentile buffer
-        // becomes the bottleneck (measured 1.7x slower at sf0.1)
-        val global = li.agg(
-          PercentileAgg.percentileExact(col("l_extendedprice"), 0.1)
-            .as("g10_raw"))
+        // becomes the bottleneck (measured 1.7x slower at sf0.1).
+        // The global leg runs the distributed rank-selection form (the
+        // production classify-threshold path) so DuckDB gates it; the
+        // grouped leg keeps the gather-sort aggregator — both
+        // percentile implementations stay oracle-checked.
+        val global = PercentileAgg.percentileSelect(
+          li.select(col("l_extendedprice")), Nil, "l_extendedprice", 0.1,
+          outCol = "g10_raw")
         li.groupBy(col("l_returnflag"))
           .agg(PercentileAgg
             .percentileExact(col("l_extendedprice"), 0.2).as("p20_raw"))

@@ -97,6 +97,14 @@ object Sinks extends Serializable {
     * column is true. Same executor-side shape as [[writeChi]]: partition
     * on frame_no, each task densifies and encodes its own frames —
     * per-task memory is one frame's matrices, independent of batch size.
+    *
+    * Only SET pixels cross the exchange: the matrices start zeroed, so
+    * rows where every mask is false carry no information — filtering
+    * them map-side cuts the shuffle and the per-frame row iteration from
+    * frame size to mask population (measured 8.3 M → ~10-100 k rows per
+    * frame for spot/arc masks; was ~50 s/frame of boxed-Row iteration at
+    * 2880², SCALE_r06.md). A per-frame sentinel row (y = -1, skipped by
+    * the fill loop) keeps all-zero masks producing their files.
     */
   def writeMaskTiffs(pixels: DataFrame, width: Int, height: Int,
                      outDir: String,
@@ -109,10 +117,18 @@ object Sinks extends Serializable {
     val names = masks.map(_._1)
     val dir = outDir; val w = width; val h = height
     val ds = dataset
-    pixels
-      .select(Seq(col("frame_no").cast("int"), col("y").cast("int"),
-        col("x").cast("int")) ++
+    val anySet = masks
+      .map { case (_, c) => coalesce(c.cast("boolean"), lit(false)) }
+      .reduce(_ || _)
+    val set = pixels.where(anySet)
+      .select(Seq(col("frame_no").cast("int").as("frame_no"),
+        col("y").cast("int"), col("x").cast("int")) ++
         masks.map { case (n, c) => c.cast("boolean").as(s"m_$n") }: _*)
+    val sentinels = pixels
+      .select(col("frame_no").cast("int").as("frame_no")).distinct()
+      .select(Seq(col("frame_no"), lit(-1).as("y"), lit(-1).as("x")) ++
+        names.map(n => lit(false).as(s"m_$n")): _*)
+    set.unionByName(sentinels)
       .repartition(col("frame_no"))
       .sortWithinPartitions(col("frame_no"))
       .foreachPartition { (it: Iterator[Row]) =>
@@ -131,10 +147,12 @@ object Sinks extends Serializable {
             mats = Array.fill(names.length)(Array.ofDim[Int](h, w))
           }
           val y = r.getInt(1); val x = r.getInt(2)
-          var i = 0
-          while (i < names.length) {
-            if (!r.isNullAt(3 + i) && r.getBoolean(3 + i)) mats(i)(y)(x) = 1
-            i += 1
+          if (y >= 0) {
+            var i = 0
+            while (i < names.length) {
+              if (!r.isNullAt(3 + i) && r.getBoolean(3 + i)) mats(i)(y)(x) = 1
+              i += 1
+            }
           }
         }
         flush()

@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The distributed rank-selection percentile must be bit-identical to the
+  * gather-and-sort aggregator (which itself matches Spark's builtin
+  * `percentile` and DuckDB `quantile_cont` — a5 oracle) on NaN-free data:
+  * random values, heavy ties (the gradient field's zero spike), all-equal
+  * groups, 1/2-element groups, negative ranges, and p at both ends. */
+class PercentileSelectSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(20260813)
+
+  private def check(values: Seq[(String, Double)], p: Double,
+                    clue: String): Unit = {
+    val df = values.toDF("k", "v")
+    val agg = df.groupBy("k")
+      .agg(PercentileAgg.percentileExact(col("v"), p).as("e"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val sel = PercentileAgg.percentileSelect(df, Seq("k"), "v", p)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(sel.keySet == agg.keySet, clue)
+    agg.foreach { case (k, e) =>
+      assert(java.lang.Double.compare(sel(k), e) == 0,
+        s"$clue k=$k select=${sel(k)} agg=$e")
+    }
+  }
+
+  test("percentileSelect == percentileExact on random multi-group data") {
+    for (p <- Seq(0.001, 0.1, 0.5, 0.999)) {
+      val data = for {
+        k <- Seq("a", "b", "c")
+        _ <- 1 to 500
+      } yield (k, rnd.nextDouble() * 2000 - 1000)
+      check(data, p, s"random p=$p")
+    }
+  }
+
+  test("percentileSelect handles heavy ties (zero-spike gradient shape)") {
+    // 80% exact zeros + two tails: the rank usually lands inside the
+    // zero bucket, the degenerate case for naive bucket gathering
+    val data = (1 to 4000).map(i => ("f", 0.0)) ++
+      (1 to 500).map(i => ("f", -rnd.nextDouble() * 10)) ++
+      (1 to 500).map(i => ("f", rnd.nextDouble() * 10))
+    for (p <- Seq(0.05, 0.1, 0.5, 0.9)) check(data, p, s"ties p=$p")
+  }
+
+  test("percentileSelect edge groups: all-equal, single, pair, p ends") {
+    val data = Seq.fill(100)(("eq", 42.5)) ++
+      Seq(("one", 7.0)) ++ Seq(("two", 1.0), ("two", 2.0))
+    for (p <- Seq(0.0, 0.1, 0.5, 1.0)) check(data, p, s"edge p=$p")
+  }
+
+  test("percentileSelect skips nulls like the aggregator") {
+    val df = Seq(("a", Some(1.0)), ("a", None), ("a", Some(3.0)),
+      ("a", Some(2.0)), ("b", None)).toDF("k", "v")
+    val sel = PercentileAgg.percentileSelect(df, Seq("k"), "v", 0.5)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // group b is all-null: aggregator yields NaN, select yields no row —
+    // documented: callers join on keys, where both behave alike
+    assert(sel == Map("a" -> 2.0))
+  }
+
+  test("percentileSelect global (no keys) matches the aggregator") {
+    val data = (1 to 3000).map(_ => rnd.nextDouble() * 100 - 50)
+    val df = data.toDF("v")
+    val e = df.agg(PercentileAgg.percentileExact(col("v"), 0.1))
+      .collect()(0).getDouble(0)
+    val s = PercentileAgg.percentileSelect(df, Nil, "v", 0.1)
+      .collect()(0).getDouble(0)
+    assert(java.lang.Double.compare(s, e) == 0)
+  }
+
+  test("percentileSelect matches builtin percentile (independent oracle)") {
+    val data = (1 to 2000).map(i => ("g", rnd.nextDouble() * 1e6))
+    val df = data.toDF("k", "v")
+    val builtin = df.groupBy("k")
+      .agg(percentile(col("v"), lit(0.1)).as("b"))
+      .collect()(0).getDouble(1)
+    val s = PercentileAgg.percentileSelect(df, Seq("k"), "v", 0.1)
+      .collect()(0).getDouble(1)
+    assert(math.abs(s - builtin) <= math.ulp(builtin) * 4)
+  }
+}

@@ -128,6 +128,32 @@ class SinksSpec extends SparkSpec {
     assert(edges.length == 51)
     assert(edges.sliding(2).forall(p => p(1) > p(0)))
   }
+
+  test("mask TIFF sink: set-pixel filter keeps all-zero masks and " +
+    "null flags writing correct files") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_mz").toString
+    // frame 1: one spot pixel, arcs all-false; frame 2: NOTHING set
+    // (must still write both files, all-zero); null flag = false
+    val px = Seq(
+      (1, 0, 1, Some(true), Some(false)),
+      (1, 1, 0, Some(false), None),
+      (2, 0, 0, Some(false), Some(false)),
+      (2, 1, 1, None, None)).toDF("frame_no", "y", "x", "s", "a")
+    Sinks.writeMaskTiffs(px, 2, 2, dir,
+      Seq("spots" -> org.apache.spark.sql.functions.col("s"),
+        "arcs" -> org.apache.spark.sql.functions.col("a")), dataset = "Z")
+    def px00(name: String): Map[(Int, Int), Int] =
+      graft.sources.FrameSource.decodeTiff(
+        java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(s"$dir/$name"))).toSeq
+        .map { case (y, x, v) => (y, x) -> v }.toMap
+    val f1s = px00("Z-00001_spots.tif")
+    assert(f1s((0, 1)) == 1 && f1s((1, 0)) == 0 && f1s((0, 0)) == 0)
+    assert(px00("Z-00001_arcs.tif").values.forall(_ == 0))
+    assert(px00("Z-00002_spots.tif").values.forall(_ == 0))
+    assert(px00("Z-00002_arcs.tif").values.forall(_ == 0))
+  }
 }
 
 class MapTiffSpec extends graft.SparkSpec {
