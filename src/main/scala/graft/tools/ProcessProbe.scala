@@ -25,10 +25,16 @@ object ProcessProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    def gcMs: Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
+    }
     def t[A](name: String)(f: => A): A = {
-      val t0 = System.nanoTime()
+      val t0 = System.nanoTime(); val g0 = gcMs
       val r = f
-      println(f"[pprobe] $name%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      println(f"[pprobe] $name%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s" +
+        f"  (gc ${(gcMs - g0) / 1000.0}%6.1f s)")
       r
     }
 
@@ -63,9 +69,23 @@ object ProcessProbe {
       graft.stencil.Stencil.secondDirectionalDerivGeoRaw(slimIn, w, h, sg,
         tile = 512).localCheckpoint(true))
 
-    t("globalThresh")(gradBoth.groupBy(col("frame_no"))
+    // the production kernel since r6: narrow projection + both gradients
+    // from ONE exchange (this is what process() actually checkpoints)
+    t("fused narrow+ckpt")(
+      graft.stencil.Stencil.secondDirectionalDerivNarrowRaw(core, w, h,
+        Geometry.scalarPixelGeoFull(cal), Geometry.scalarPixelHats(cal),
+        tile = 512).localCheckpoint(true))
+
+    // both percentile forms: gather-and-sort (serial per frame — crawls
+    // 50x under host memory-bus throttle) vs distributed rank selection
+    // (the production path since r6)
+    t("globalThresh gather")(gradBoth.groupBy(col("frame_no"))
       .agg(graft.ops.PercentileAgg
         .percentileExact(col("grad2_r"), 0.1).as("g_thresh"))
+      .write.format("noop").mode("overwrite").save())
+    t("globalThresh select")(graft.ops.PercentileAgg
+      .percentileSelect(gradBoth.select(col("frame_no"), col("grad2_r")),
+        Seq("frame_no"), "grad2_r", 0.1, outCol = "g_thresh")
       .write.format("noop").mode("overwrite").save())
 
     val narrow = t("narrow ckpt")(flagged.select(col("frame_no"),

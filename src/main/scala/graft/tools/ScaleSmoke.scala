@@ -41,10 +41,20 @@ object ScaleSmoke {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // per-stage GC time rides along so every log self-adjudicates host
+    // health (this box throttles its memory bus for minutes at a time —
+    // SCALE_r06.md; a stage wall with ~0 GC and low CPU is throttle, a
+    // stage wall dominated by GC is heap pressure, neither is the engine)
+    def gcMs: Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
+    }
     def timed[T](stage: String)(f: => T): T = {
-      val t0 = System.nanoTime()
+      val t0 = System.nanoTime(); val g0 = gcMs
       val r = f
-      println(f"SCALE_SMOKE $stage%-16s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      println(f"SCALE_SMOKE $stage%-16s ${(System.nanoTime() - t0) / 1e9}%8.2f s" +
+        f"  (gc ${(gcMs - g0) / 1000.0}%6.1f s)")
       r
     }
 
