@@ -98,75 +98,161 @@ object PercentileAgg {
     * is the pipeline's regime — the aggregator remains the choice for
     * NaN-bearing or many-small-group data).
     *
-    * Returns one row per group: (keys..., `outCol`). Groups whose values
-    * are all null produce NO row (the aggregator yields NaN instead);
-    * every caller joins the result back on the keys, where a NaN
-    * threshold and an absent one behave alike.
+    * Outlier robustness: a single extreme value (a hot pixel's gradient)
+    * squeezes the bulk of a min/max-ranged histogram into one bucket.
+    * When the rank-holding bucket's population exceeds `maxGather`, the
+    * search RECURSES into that single bucket (span shrinks ÷buckets per
+    * level), per group, until the distinct-value pass is bounded; when
+    * the two ranks land in DIFFERENT buckets, their order statistics are
+    * simply max(lower bucket) / min(upper bucket) — plain codegen
+    * aggregates, no gather at all. Physical data resolves in 1-2 levels;
+    * `maxLevels` caps adversarial nestings, falling back to the
+    * distinct-value pass (heavy ties collapse there, so only data
+    * engineered with distinct values nested across 8+ magnitude scales
+    * could make that final pass large).
+    *
+    * This function is EAGER: it materializes per-level target-bucket
+    * tables (tiny: ≤2 rows per group) to route each group down its
+    * cheapest path. Returns one row per group: (keys..., `outCol`).
+    * Groups whose values are all null produce NO row (the aggregator
+    * yields NaN instead); every caller joins the result back on the
+    * keys, where a NaN threshold and an absent one behave alike.
     */
   def percentileSelect(df: DataFrame, keys: Seq[String], valueCol: String,
                        p: Double, outCol: String = "pct",
-                       buckets: Int = 65536): DataFrame = {
+                       buckets: Int = 65536,
+                       maxGather: Long = 1L << 18): DataFrame = {
     require(p >= 0.0 && p <= 1.0, s"percentile p out of [0,1]: $p")
     // global (no keys): run under a constant key so every internal join
     // is a broadcast HASH join — a crossJoin would plan a nested-loop,
     // which the plan invariants (rightly) forbid in query paths
     if (keys.isEmpty)
       return percentileSelect(df.withColumn("_pk", lit(1)), Seq("_pk"),
-        valueCol, p, outCol, buckets).drop("_pk")
+        valueCol, p, outCol, buckets, maxGather).drop("_pk")
     val kcols = keys.map(col)
-    val v = col(valueCol)
-    def joinK(a: DataFrame, b: DataFrame): DataFrame = a.join(b, keys)
-
-    val mm = df.groupBy(kcols: _*)
-      .agg(min(v).as("_mn"), max(v).as("_mx"), count(v).as("_n"))
-      .where(col("_n") > 0)
+    val vdf = df.where(col(valueCol).isNotNull)
+      .select(kcols :+ col(valueCol).as("_v"): _*)
+    val ranks = vdf.groupBy(kcols: _*).agg(count(lit(1)).as("_n"))
       .withColumn("_pos", (col("_n") - 1).cast("double") * lit(p))
       .withColumn("_frac", col("_pos") - floor(col("_pos")))
       .withColumn("_klo", floor(col("_pos")).cast("long") + 1)
       .withColumn("_khi", least(col("_klo") + 1, col("_n")))
+      .select(kcols :+ col("_klo") :+ col("_khi") :+ col("_frac"): _*)
+      .localCheckpoint(true)
+    selectLevel(vdf, ranks, keys, outCol, buckets, maxGather, level = 0)
+  }
 
+  private def selectLevel(vdf: DataFrame, ranks: DataFrame,
+                          keys: Seq[String], outCol: String, buckets: Int,
+                          maxGather: Long, level: Int,
+                          maxLevels: Int = 8): DataFrame = {
+    val kcols = keys.map(col)
+    val fracOf = ranks.select(kcols :+ col("_frac"): _*)
+    def interp(lohi: DataFrame): DataFrame =
+      lohi.join(broadcast(fracOf), keys).select(kcols :+
+        (col("_vlo") * (lit(1.0) - col("_frac")) +
+          col("_vhi") * col("_frac")).as(outCol): _*)
+
+    val mm = vdf.groupBy(kcols: _*)
+      .agg(min(col("_v")).as("_mn"), max(col("_v")).as("_mx"))
     // monotone bucketing: v <= mx ⇒ (v-mn) <= (mx-mn) in FP, so the
     // ratio never exceeds 1 and the clamp only catches v == mx
     val bucketOf = when(col("_mx") <= col("_mn"), lit(0L)).otherwise(
-      least(floor((v - col("_mn")) / (col("_mx") - col("_mn")) * buckets)
-        .cast("long"), lit((buckets - 1).toLong)))
-    val bucketed = joinK(df.where(v.isNotNull), broadcast(mm))
-      .withColumn("_b", bucketOf)
+      least(floor((col("_v") - col("_mn")) /
+          (col("_mx") - col("_mn")) * buckets).cast("long"),
+        lit((buckets - 1).toLong)))
+    val bucketed = vdf.join(broadcast(mm), keys).withColumn("_b", bucketOf)
 
     val hist = bucketed.groupBy(kcols :+ col("_b"): _*)
       .agg(count(lit(1)).as("_c"))
     val wb = Window.partitionBy(kcols: _*).orderBy(col("_b"))
-    val targets = joinK(
-        hist.withColumn("_cumEnd", sum(col("_c")).over(wb))
-          .withColumn("_cumStart", col("_cumEnd") - col("_c")),
-        broadcast(mm.select(kcols :+ col("_klo") :+ col("_khi"): _*)))
-      .where((col("_klo") > col("_cumStart") &&
-              col("_klo") <= col("_cumEnd")) ||
-             (col("_khi") > col("_cumStart") &&
-              col("_khi") <= col("_cumEnd")))
-      .select(kcols :+ col("_b") :+ col("_cumStart"): _*)
+    // per group: the 1-2 occupied buckets holding ranks klo/khi — tiny,
+    // materialized to route each group down its cheapest path
+    val targets = hist.withColumn("_cumEnd", sum(col("_c")).over(wb))
+      .withColumn("_cumStart", col("_cumEnd") - col("_c"))
+      .join(broadcast(ranks.select(kcols :+ col("_klo") :+
+        col("_khi"): _*)), keys)
+      .withColumn("_isLo", col("_klo") > col("_cumStart") &&
+        col("_klo") <= col("_cumEnd"))
+      .withColumn("_isHi", col("_khi") > col("_cumStart") &&
+        col("_khi") <= col("_cumEnd"))
+      .where(col("_isLo") || col("_isHi"))
+      .select(kcols :+ col("_b") :+ col("_c") :+ col("_cumStart") :+
+        col("_isLo") :+ col("_isHi"): _*)
+      .localCheckpoint(true)
 
-    val perValue = bucketed
-      .select(kcols :+ col("_b") :+ v.as("_v"): _*)
-      .join(broadcast(targets), keys :+ "_b")
-      .groupBy(kcols :+ col("_b") :+ col("_cumStart") :+ col("_v"): _*)
-      .agg(count(lit(1)).as("_vc"))
-    val wv = Window.partitionBy(kcols :+ col("_b"): _*).orderBy(col("_v"))
-    val ranked = joinK(
-      perValue.withColumn("_vEnd", col("_cumStart") + sum(col("_vc")).over(wv)),
-      broadcast(mm.select(kcols :+ col("_klo") :+ col("_khi") :+
-        col("_frac"): _*)))
-    val vlo = ranked.where(col("_klo") > col("_vEnd") - col("_vc") &&
-        col("_klo") <= col("_vEnd"))
-      .select(kcols :+ col("_v").as("_vlo"): _*)
-    val vhi = ranked.where(col("_khi") > col("_vEnd") - col("_vc") &&
-        col("_khi") <= col("_vEnd"))
-      .select(kcols :+ col("_v").as("_vhi") :+ col("_frac"): _*)
-    // one row per group on both sides; the broadcast hint also keeps the
-    // constant-key global path on a (1-row) broadcast nested loop instead
-    // of a cartesian product after constant folding erases the condition
-    joinK(vlo, broadcast(vhi)).select(kcols :+
-      (col("_vlo") * (lit(1.0) - col("_frac")) +
-        col("_vhi") * col("_frac")).as(outCol): _*)
+    val splitCase = targets
+      .withColumn("_split", !(col("_isLo") && col("_isHi")))
+    val bigCase = col("_isLo") && col("_isHi") &&
+      col("_c") > maxGather && lit(level < maxLevels)
+    val routes = splitCase.groupBy()
+      .agg(sum(when(col("_split"), 1).otherwise(0)).as("nSplit"),
+        sum(when(bigCase, 1).otherwise(0)).as("nBig"),
+        sum(when(!col("_split") && !bigCase, 1).otherwise(0)).as("nSmall"))
+      .collect()(0)
+    def cnt(i: Int): Long =
+      if (routes.isNullAt(i)) 0L else routes.getLong(i)
+    val (nSplit, nBig, nSmall) = (cnt(0), cnt(1), cnt(2))
+
+    val parts = Seq.newBuilder[DataFrame]
+    if (nSplit > 0) {
+      // ranks in different buckets ⇒ the bucket boundary falls exactly
+      // between them: vlo = max(lower bucket), vhi = min(upper bucket) —
+      // codegen aggregates, bucket population irrelevant
+      val sel = splitCase.where(col("_split"))
+        .select(kcols :+ col("_b") :+ col("_isLo") :+ col("_isHi"): _*)
+      parts += interp(bucketed.join(broadcast(sel), keys :+ "_b")
+        .groupBy(kcols: _*)
+        .agg(max(when(col("_isLo"), col("_v"))).as("_vlo"),
+          min(when(col("_isHi"), col("_v"))).as("_vhi")))
+    }
+    if (nSmall > 0) {
+      // both ranks in one bounded bucket: count per DISTINCT value (ties
+      // collapse), rank by cumulative count within the bucket
+      val sel = splitCase.where(!col("_split") && !bigCase)
+        .select(kcols :+ col("_b") :+ col("_cumStart"): _*)
+      val perValue = bucketed.join(broadcast(sel), keys :+ "_b")
+        .groupBy(kcols :+ col("_b") :+ col("_cumStart") :+ col("_v"): _*)
+        .agg(count(lit(1)).as("_vc"))
+      val wv = Window.partitionBy(kcols :+ col("_b"): _*).orderBy(col("_v"))
+      val ranked = perValue
+        .withColumn("_vEnd", col("_cumStart") + sum(col("_vc")).over(wv))
+        .join(broadcast(ranks.select(kcols :+ col("_klo") :+
+          col("_khi"): _*)), keys)
+      val vlo = ranked.where(col("_klo") > col("_vEnd") - col("_vc") &&
+          col("_klo") <= col("_vEnd"))
+        .select(kcols :+ col("_v").as("_vlo"): _*)
+      val vhi = ranked.where(col("_khi") > col("_vEnd") - col("_vc") &&
+          col("_khi") <= col("_vEnd"))
+        .select(kcols :+ col("_v").as("_vhi"): _*)
+      // one row per group each side; the broadcast hint keeps the
+      // constant-key global path on a 1-row broadcast nested loop
+      // instead of a cartesian product after constant folding erases
+      // the join condition
+      parts += interp(vlo.join(broadcast(vhi), keys))
+    }
+    if (nBig > 0) {
+      // over-populated rank bucket (outlier-squeezed histogram): recurse
+      // into just that bucket — span shrinks ÷buckets per level
+      val sel = splitCase.where(bigCase)
+        .select(kcols :+ col("_b") :+ col("_cumStart"): _*)
+      val sub = bucketed.join(broadcast(sel), keys :+ "_b")
+      val nextVdf = sub.select(kcols :+ col("_v"): _*)
+        .localCheckpoint(true)
+      val nextRanks = ranks
+        .join(broadcast(sub.groupBy(kcols: _*)
+          .agg(first(col("_cumStart")).as("_off"))), keys)
+        .select(kcols :+ (col("_klo") - col("_off")).as("_klo") :+
+          (col("_khi") - col("_off")).as("_khi") :+ col("_frac"): _*)
+        .localCheckpoint(true)
+      parts += selectLevel(nextVdf, nextRanks, keys, outCol, buckets,
+        maxGather, level + 1, maxLevels)
+    }
+    val built = parts.result()
+    if (built.isEmpty)
+      // no groups at all (empty input): keep the output schema
+      interp(vdf.groupBy(kcols: _*).agg(min(col("_v")).as("_vlo"),
+        max(col("_v")).as("_vhi")))
+    else built.reduce(_ unionByName _)
   }
 }
