@@ -87,9 +87,26 @@ object StreamingPipeline {
     }
     val datasets = batch.select(col("dataset")).distinct()
       .collect().map(_.getString(0))
-    datasets.foreach(ds =>
-      processDataset(batch, ds, outDir, cal, geometry, predef, corrections,
-        referenceBinShift))
+    // Bounded executor storage across an unbounded stream: every
+    // localCheckpoint this batch pins (decode, the process() interiors,
+    // stats tables, csim state) is dead once its sinks committed. The
+    // ContextCleaner would reclaim them eventually, but only after a
+    // driver GC notices the weak references — under a large driver heap
+    // that lag spans many batches of pinned full-frame blocks and shows
+    // up as storage-eviction pressure. Releasing everything the batch
+    // pinned (and nothing that predates it — the per-calibration
+    // geometry checkpoint survives) keeps the steady-state footprint at
+    // exactly one batch.
+    val sc = batch.sparkSession.sparkContext
+    val preexisting = sc.getPersistentRDDs.keySet
+    try
+      datasets.foreach(ds =>
+        processDataset(batch, ds, outDir, cal, geometry, predef,
+          corrections, referenceBinShift))
+    finally
+      sc.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (!preexisting.contains(id)) rdd.unpersist(blocking = false)
+      }
   }
 
   /** Canonical parquet tables live under `outDir/tables/<name>`; the

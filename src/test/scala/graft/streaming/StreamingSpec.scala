@@ -120,6 +120,31 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(split(3)._2 < 1.0 - 1e-12)
   }
 
+  test("a micro-batch unpersists every RDD it pinned (bounded executor " +
+      "storage across an unbounded stream); pre-batch pins survive") {
+    val cal = SyntheticFrame.testCalibration(96)
+    val geo = Geometry.build(spark, cal).localCheckpoint(true)
+    geo.count() // materialize the pre-batch pin the batch must NOT touch
+    val tmpIn = java.nio.file.Files.createTempDirectory("graft_inup").toString
+    writeFrames(cal, tmpIn, 1 to 3)
+    val out = java.nio.file.Files.createTempDirectory("graft_outup").toString
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val q = StreamingPipeline.start(spark, tmpIn, out, cal, geo,
+      availableNow = true, maxFilesPerTrigger = 2) // 2 batches
+    q.awaitTermination(300000)
+    // unpersistRDD drops the registry entry synchronously (only block
+    // deletion is async), so this is deterministic
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert((after -- before).isEmpty,
+      s"batch leaked pinned RDDs: ${(after -- before).toSeq.sorted}")
+    assert(before.subsetOf(after), "batch released a pre-batch pin")
+    // and the run actually processed frames (the release didn't starve
+    // the sinks): csim rows exist for all three frames
+    val csim = spark.read.parquet(s"$out/tables/csim")
+      .select(col("frame_no")).collect().map(_.getInt(0)).toSet
+    assert(csim == Set(1, 2, 3))
+  }
+
   test("referenceBinShift threads through start(): .chi labels shift one " +
       "bin (reference drop-[1:] compatibility)") {
     val cal = SyntheticFrame.testCalibration(96)
