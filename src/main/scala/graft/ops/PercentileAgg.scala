@@ -1,8 +1,9 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, Row}
 import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 /** Exact interpolated percentile as a gather-and-sort Aggregator.
   *
@@ -111,9 +112,10 @@ object PercentileAgg {
     * engineered with distinct values nested across 8+ magnitude scales
     * could make that final pass large).
     *
-    * This function is EAGER: it materializes per-level target-bucket
-    * tables (tiny: ≤2 rows per group) to route each group down its
-    * cheapest path. Returns one row per group: (keys..., `outCol`).
+    * This function is EAGER: it collects the per-level target-bucket
+    * rows (tiny: ≤2 per group, already broadcast-bounded) to route each
+    * group down its cheapest path — one driver round-trip per level.
+    * Returns one row per group: (keys..., `outCol`).
     * Groups whose values are all null produce NO row (the aggregator
     * yields NaN instead); every caller joins the result back on the
     * keys, where a NaN threshold and an absent one behave alike.
@@ -166,9 +168,14 @@ object PercentileAgg {
     val hist = bucketed.groupBy(kcols :+ col("_b"): _*)
       .agg(count(lit(1)).as("_c"))
     val wb = Window.partitionBy(kcols: _*).orderBy(col("_b"))
-    // per group: the 1-2 occupied buckets holding ranks klo/khi — tiny,
-    // materialized to route each group down its cheapest path
-    val targets = hist.withColumn("_cumEnd", sum(col("_c")).over(wb))
+    // per group: the 1-2 occupied buckets holding ranks klo/khi — ≤2
+    // rows per group, the same driver-size bound the broadcast hints
+    // below already rely on, so ONE collect both materializes and routes
+    // them (the earlier checkpoint + counting-aggregate form paid two
+    // scheduler round-trips for the same information); the route tables
+    // feed back as LocalRelations, which broadcast without a shuffle or
+    // an extra job
+    val tdf = hist.withColumn("_cumEnd", sum(col("_c")).over(wb))
       .withColumn("_cumStart", col("_cumEnd") - col("_c"))
       .join(broadcast(ranks.select(kcols :+ col("_klo") :+
         col("_khi"): _*)), keys)
@@ -179,38 +186,38 @@ object PercentileAgg {
       .where(col("_isLo") || col("_isHi"))
       .select(kcols :+ col("_b") :+ col("_c") :+ col("_cumStart") :+
         col("_isLo") :+ col("_isHi"): _*)
-      .localCheckpoint(true)
-
-    val splitCase = targets
-      .withColumn("_split", !(col("_isLo") && col("_isHi")))
-    val bigCase = col("_isLo") && col("_isHi") &&
-      col("_c") > maxGather && lit(level < maxLevels)
-    val routes = splitCase.groupBy()
-      .agg(sum(when(col("_split"), 1).otherwise(0)).as("nSplit"),
-        sum(when(bigCase, 1).otherwise(0)).as("nBig"),
-        sum(when(!col("_split") && !bigCase, 1).otherwise(0)).as("nSmall"))
-      .collect()(0)
-    def cnt(i: Int): Long =
-      if (routes.isNullAt(i)) 0L else routes.getLong(i)
-    val (nSplit, nBig, nSmall) = (cnt(0), cnt(1), cnt(2))
+    val tschema = tdf.schema
+    val targetRows = tdf.collect()
+    val nk = keys.size
+    def rLo(r: Row) = r.getBoolean(nk + 3)
+    def rHi(r: Row) = r.getBoolean(nk + 4)
+    val (splitRows, oneBucketRows) =
+      targetRows.partition(r => !(rLo(r) && rHi(r)))
+    val (bigRows, smallRows) = oneBucketRows.partition(r =>
+      r.getLong(nk + 1) > maxGather && level < maxLevels)
+    def proj(rows: Array[Row], idxs: Seq[Int]): DataFrame = {
+      import scala.jdk.CollectionConverters._
+      vdf.sparkSession.createDataFrame(
+        rows.map(r => Row.fromSeq(idxs.map(r.get))).toSeq.asJava,
+        StructType(idxs.map(tschema.fields(_))))
+    }
+    val keyIdx = 0 until nk
 
     val parts = Seq.newBuilder[DataFrame]
-    if (nSplit > 0) {
+    if (splitRows.nonEmpty) {
       // ranks in different buckets ⇒ the bucket boundary falls exactly
       // between them: vlo = max(lower bucket), vhi = min(upper bucket) —
       // codegen aggregates, bucket population irrelevant
-      val sel = splitCase.where(col("_split"))
-        .select(kcols :+ col("_b") :+ col("_isLo") :+ col("_isHi"): _*)
+      val sel = proj(splitRows, keyIdx :+ nk :+ (nk + 3) :+ (nk + 4))
       parts += interp(bucketed.join(broadcast(sel), keys :+ "_b")
         .groupBy(kcols: _*)
         .agg(max(when(col("_isLo"), col("_v"))).as("_vlo"),
           min(when(col("_isHi"), col("_v"))).as("_vhi")))
     }
-    if (nSmall > 0) {
+    if (smallRows.nonEmpty) {
       // both ranks in one bounded bucket: count per DISTINCT value (ties
       // collapse), rank by cumulative count within the bucket
-      val sel = splitCase.where(!col("_split") && !bigCase)
-        .select(kcols :+ col("_b") :+ col("_cumStart"): _*)
+      val sel = proj(smallRows, keyIdx :+ nk :+ (nk + 2))
       val perValue = bucketed.join(broadcast(sel), keys :+ "_b")
         .groupBy(kcols :+ col("_b") :+ col("_cumStart") :+ col("_v"): _*)
         .agg(count(lit(1)).as("_vc"))
@@ -231,11 +238,10 @@ object PercentileAgg {
       // the join condition
       parts += interp(vlo.join(broadcast(vhi), keys))
     }
-    if (nBig > 0) {
+    if (bigRows.nonEmpty) {
       // over-populated rank bucket (outlier-squeezed histogram): recurse
       // into just that bucket — span shrinks ÷buckets per level
-      val sel = splitCase.where(bigCase)
-        .select(kcols :+ col("_b") :+ col("_cumStart"): _*)
+      val sel = proj(bigRows, keyIdx :+ nk :+ (nk + 2))
       val sub = bucketed.join(broadcast(sel), keys :+ "_b")
       val nextVdf = sub.select(kcols :+ col("_v"): _*)
         .localCheckpoint(true)

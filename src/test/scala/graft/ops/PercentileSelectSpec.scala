@@ -15,12 +15,13 @@ class PercentileSelectSpec extends SparkSpec {
   private val rnd = new scala.util.Random(20260813)
 
   private def check(values: Seq[(String, Double)], p: Double,
-                    clue: String): Unit = {
+                    clue: String, maxGather: Long = 1L << 18): Unit = {
     val df = values.toDF("k", "v")
     val agg = df.groupBy("k")
       .agg(PercentileAgg.percentileExact(col("v"), p).as("e"))
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
-    val sel = PercentileAgg.percentileSelect(df, Seq("k"), "v", p)
+    val sel = PercentileAgg.percentileSelect(df, Seq("k"), "v", p,
+        maxGather = maxGather)
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(sel.keySet == agg.keySet, clue)
     agg.foreach { case (k, e) =>
@@ -52,6 +53,30 @@ class PercentileSelectSpec extends SparkSpec {
     val data = Seq.fill(100)(("eq", 42.5)) ++
       Seq(("one", 7.0)) ++ Seq(("two", 1.0), ("two", 2.0))
     for (p <- Seq(0.0, 0.1, 0.5, 1.0)) check(data, p, s"edge p=$p")
+  }
+
+  test("recursive refinement: an outlier-squeezed histogram recurses " +
+      "into the crowded bucket (tiny maxGather forces every level)") {
+    // one extreme value squeezes all 2000 others into bucket 0 of the
+    // min/max-ranged histogram; maxGather=8 forces the big-bucket
+    // recursion at every level whose rank bucket holds > 8 values,
+    // bottoming out either in a split or a <=8-value gather
+    val data = (1 to 2000).map(_ => ("o", rnd.nextDouble())) :+
+      ("o", 1e12)
+    for (p <- Seq(0.001, 0.1, 0.5, 0.999))
+      check(data, p, s"outlier p=$p", maxGather = 8)
+  }
+
+  test("recursive refinement: groups routing three different ways in " +
+      "one call (split / small-gather / recurse) agree with the oracle") {
+    // "sp": ranks straddle a bucket boundary (2 values far apart, p=0.5
+    //   interpolates between them -> split route)
+    // "sm": all values equal -> single bucket, bounded -> small route
+    // "bg": outlier + dense cluster -> over-populated bucket -> recurse
+    val data = Seq(("sp", 0.0), ("sp", 1000.0)) ++
+      Seq.fill(20)(("sm", 5.0)) ++
+      ((1 to 200).map(_ => ("bg", rnd.nextDouble())) :+ ("bg", 1e9))
+    check(data, 0.5, "mixed routes", maxGather = 8)
   }
 
   test("percentileSelect skips nulls like the aggregator") {
