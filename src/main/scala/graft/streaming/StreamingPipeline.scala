@@ -149,8 +149,14 @@ object StreamingPipeline {
       // referenceBinShift: opt-in label-compatible .chi binning for users
       // pointing the reference UI at this output (FramePipeline binning
       // note at the integrate stage)
-      val out = FramePipeline.process(px, geometry, cal, predef = predef,
-        corrections = corrections, referenceBinShift = referenceBinShift)
+      // EAGER inside (core/fused/flags checkpoints + the flag-count
+      // gate): the bulk of per-batch wall lands here, so time it — the
+      // r5-noted "untimed cost between timed stages" was exactly this
+      // call (A14 parity: the reference's corrections/outlier/closing/
+      // classification stage block, pipeline_queue.py:1010-1014)
+      val out = timed("frame_plan")(
+        FramePipeline.process(px, geometry, cal, predef = predef,
+          corrections = corrections, referenceBinShift = referenceBinShift))
       val tag = lit(ds).as("dataset")
       // S14: the q-bin-edges dimension table, once per dataset
       // (reference writes <dataset>_qbinedges once, pipeline.py:493-497)
