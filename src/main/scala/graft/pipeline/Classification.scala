@@ -227,7 +227,8 @@ object Classification {
     * `is_outlier` flag. */
   def classify(framePx: DataFrame, width: Int, height: Int,
                keys: Seq[String], p: Params = Params(),
-               d2Precomputed: Option[DataFrame] = None): DataFrame = {
+               d2Precomputed: Option[DataFrame] = None,
+               cal: Option[graft.core.Calibration] = None): DataFrame = {
     val outlierPx = framePx.where(col("is_outlier"))
       .select(keys.map(col) ++ Seq(col("y"), col("x")): _*)
     // fused closing + CCL: one shuffle serves both (CCL.closeAndLabel);
@@ -235,17 +236,29 @@ object Classification {
     // the frame) still escalates to relational closing + tile-local CCL
     val labeled0 = CCL.closeAndLabel(outlierPx, 1, width, height, keys)
       .localCheckpoint(true)
-    // closing can add pixels outside the original geometry join; re-join
-    // to recover geometry columns for cluster stats. The labeled side is
-    // cluster pixels — broadcast it (count-gated) so the full frame table
-    // never shuffles here.
-    val lab0 = if (labeled0.count() <= 1000000L) broadcast(labeled0)
-               else labeled0
-    val labeled = framePx.select(keys.map(col) ++
-        Seq(col("y"), col("x"), col("q"), col("azim"),
-          col("azim_flipped")): _*)
-      .join(lab0, keys :+ "y" :+ "x")
-      .localCheckpoint(true) // reused by shape stats + refinement
+    // closing can add pixels outside the original outlier set; the
+    // cluster stats need q/azim/azim_flipped for every CLOSED pixel.
+    // With a calibration in hand those are a closed-form function of
+    // (y, x) (Geometry.attach — bit-identical to both the geometry
+    // table and the fused kernel's scalar mirror, and closing clips to
+    // frame bounds so membership matches the join), computed directly
+    // on the TINY cluster table; the join form re-scanned the 33M-row
+    // frame to decorate ~1e3 rows (~4 s/batch warm, WarmProbe) and is
+    // kept for callers without a calibration.
+    val labeled = (cal match {
+      case Some(c) =>
+        graft.geometry.Geometry.attach(labeled0, c)
+          .select(keys.map(col) ++ Seq(col("y"), col("x"), col("q"),
+            col("azim"), col("azim_flipped"), col("label")): _*)
+      case None =>
+        // count-gated broadcast: the full frame table never shuffles
+        val lab0 = if (labeled0.count() <= 1000000L) broadcast(labeled0)
+                   else labeled0
+        framePx.select(keys.map(col) ++
+            Seq(col("y"), col("x"), col("q"), col("azim"),
+              col("azim_flipped")): _*)
+          .join(lab0, keys :+ "y" :+ "x")
+    }).localCheckpoint(true) // reused by shape stats + refinement
     val shaped = shapeClassify(labeled, keys, p)
     val labeledFull = labeled.join(broadcast(shaped), keys :+ "label")
     gradientRefine(framePx, labeledFull, width, height, keys, p,

@@ -269,9 +269,11 @@ object FramePipeline {
     // (integrals, spot stats, spottiness, pixel sink) — measured 3x the
     // work at production frame sizes. The table is outlier-pixels-only,
     // so the checkpoint is tiny relative to the frame. classify reads
-    // the narrow checkpoint (it needs q/azim/azim_flipped, all there).
+    // the narrow checkpoint (it needs q/azim/azim_flipped, all there);
+    // passing cal lets it derive cluster geometry closed-form instead of
+    // re-scanning that checkpoint for the label join.
     val flags = Classification.classify(narrow, w, h, keys, params,
-        d2Precomputed = Some(gradBoth))
+        d2Precomputed = Some(gradBoth), cal = Some(cal))
       .localCheckpoint(true)
     // flag rows are outlier-cluster pixels — orders of magnitude smaller
     // than the frame. Without the hint Catalyst plans a sort-merge that

@@ -71,7 +71,8 @@ object WarmProbe {
         col("grad2_r"), col("grad2_a"), col("q_bin"))
       val flags = t(s"classify+ckpt")(
         Classification.classify(narrow, w, h, Seq("frame_no"),
-            Classification.Params(), d2Precomputed = Some(gradBoth))
+            Classification.Params(), d2Precomputed = Some(gradBoth),
+            cal = Some(cal))
           .localCheckpoint(true))
       t(s"flag count")(flags.count())
       // classify sub-stage mirror (same shapes as Classification.classify)
@@ -84,6 +85,10 @@ object WarmProbe {
       val labeled = t(s"  cls:labeljoin")(narrow.select(col("frame_no"),
           col("y"), col("x"), col("q"), col("azim"), col("azim_flipped"))
         .join(broadcast(labeled0), Seq("frame_no", "y", "x"))
+        .localCheckpoint(true))
+      t(s"  cls:labelattach")(Geometry.attach(labeled0, cal)
+        .select(col("frame_no"), col("y"), col("x"), col("q"),
+          col("azim"), col("azim_flipped"), col("label"))
         .localCheckpoint(true))
       val shaped = t(s"  cls:shape")(Classification
         .shapeClassify(labeled, keys).localCheckpoint(true))

@@ -78,6 +78,28 @@ class FramePipelineSpec2 extends SparkSpec {
     assert(pInline == pJoin, "pixel flags differ between inline and join")
   }
 
+  test("classify with closed-form cluster geometry (cal passed) equals " +
+      "the full-frame label join bit-exactly") {
+    val cal = SyntheticFrame.testCalibration(128)
+    val geo = Geometry.build(spark, cal).cache()
+    val frame = SyntheticFrame.frame(spark, cal, frameNo = 1,
+      nHotPer10k = 4,
+      spots = Seq((40, 50, 20000.0, 2.0)),
+      arcs = Seq((8.0, 30.0, 150.0, 8000.0))).localCheckpoint(true)
+    val narrow = Geometry.attach(
+      FramePipeline.flagOutliersInline(frame, cal)
+        .select(col("frame_no"), col("y"), col("x"), col("corr_i"),
+          col("corr"), col("base_mask"), col("is_outlier")), cal)
+    def flagsOf(withCal: Boolean) =
+      Classification.classify(narrow, 128, 128, Seq("frame_no"),
+          cal = if (withCal) Some(cal) else None)
+        .collect().map(_.toSeq).toSet
+    val a = flagsOf(withCal = true)
+    val b = flagsOf(withCal = false)
+    assert(a.nonEmpty, "classify produced no flag rows")
+    assert(a == b, "closed-form cluster geometry diverged from the join")
+  }
+
   test("full pipeline: planted spots detected, integrals mask correctly") {
     val cal = SyntheticFrame.testCalibration(192)
     val geo = Geometry.build(spark, cal).cache()
