@@ -134,16 +134,27 @@ object PercentileAgg {
     val kcols = keys.map(col)
     val vdf = df.where(col(valueCol).isNotNull)
       .select(kcols :+ col(valueCol).as("_v"): _*)
-    val ranks = vdf.groupBy(kcols: _*).agg(count(lit(1)).as("_n"))
+    // ranks AND min/max in ONE aggregation pass: they were separate
+    // (count here, min/max lazily inside the level), but the lazy form
+    // re-executed its full-table scan in every downstream job that
+    // broadcast it — fusing them into this checkpoint drops two of the
+    // ~five scans a level-0 call made
+    val ranks = vdf.groupBy(kcols: _*)
+      .agg(count(lit(1)).as("_n"), min(col("_v")).as("_mn"),
+        max(col("_v")).as("_mx"))
       .withColumn("_pos", (col("_n") - 1).cast("double") * lit(p))
       .withColumn("_frac", col("_pos") - floor(col("_pos")))
       .withColumn("_klo", floor(col("_pos")).cast("long") + 1)
       .withColumn("_khi", least(col("_klo") + 1, col("_n")))
-      .select(kcols :+ col("_klo") :+ col("_khi") :+ col("_frac"): _*)
+      .select(kcols :+ col("_klo") :+ col("_khi") :+ col("_frac") :+
+        col("_mn") :+ col("_mx"): _*)
       .localCheckpoint(true)
     selectLevel(vdf, ranks, keys, outCol, buckets, maxGather, level = 0)
   }
 
+  /** `ranks` carries one row per group: (_klo, _khi, _frac) plus the
+    * group's value range (_mn, _mx) — already materialized, so no level
+    * re-scans its table for bounds. */
   private def selectLevel(vdf: DataFrame, ranks: DataFrame,
                           keys: Seq[String], outCol: String, buckets: Int,
                           maxGather: Long, level: Int,
@@ -155,8 +166,7 @@ object PercentileAgg {
         (col("_vlo") * (lit(1.0) - col("_frac")) +
           col("_vhi") * col("_frac")).as(outCol): _*)
 
-    val mm = vdf.groupBy(kcols: _*)
-      .agg(min(col("_v")).as("_mn"), max(col("_v")).as("_mx"))
+    val mm = ranks.select(kcols :+ col("_mn") :+ col("_mx"): _*)
     // monotone bucketing: v <= mx ⇒ (v-mn) <= (mx-mn) in FP, so the
     // ratio never exceeds 1 and the clamp only catches v == mx
     val bucketOf = when(col("_mx") <= col("_mn"), lit(0L)).otherwise(
@@ -240,16 +250,21 @@ object PercentileAgg {
     }
     if (bigRows.nonEmpty) {
       // over-populated rank bucket (outlier-squeezed histogram): recurse
-      // into just that bucket — span shrinks ÷buckets per level
+      // into just that bucket — span shrinks ÷buckets per level. The
+      // sub-bucket's own min/max ride the rank table so the next level
+      // never re-scans for bounds.
       val sel = proj(bigRows, keyIdx :+ nk :+ (nk + 2))
       val sub = bucketed.join(broadcast(sel), keys :+ "_b")
-      val nextVdf = sub.select(kcols :+ col("_v"): _*)
+        .select(kcols :+ col("_v") :+ col("_cumStart"): _*)
         .localCheckpoint(true)
+      val nextVdf = sub.select(kcols :+ col("_v"): _*)
       val nextRanks = ranks
         .join(broadcast(sub.groupBy(kcols: _*)
-          .agg(first(col("_cumStart")).as("_off"))), keys)
+          .agg(first(col("_cumStart")).as("_off"),
+            min(col("_v")).as("_smn"), max(col("_v")).as("_smx"))), keys)
         .select(kcols :+ (col("_klo") - col("_off")).as("_klo") :+
-          (col("_khi") - col("_off")).as("_khi") :+ col("_frac"): _*)
+          (col("_khi") - col("_off")).as("_khi") :+ col("_frac") :+
+          col("_smn").as("_mn") :+ col("_smx").as("_mx"): _*)
         .localCheckpoint(true)
       parts += selectLevel(nextVdf, nextRanks, keys, outCol, buckets,
         maxGather, level + 1, maxLevels)
