@@ -53,6 +53,17 @@ object RobustStats {
       .select(keys.map(col) ++ Seq(col("mm.med").as("med"),
         col("mm.n").as("n"), col("mm.mad").as("mad")): _*)
 
+  /** Sort-based variant of [[medianMadOnePass]] — same output, computed
+    * by Tungsten sortWithinPartitions + a streaming raw-row kernel
+    * instead of a value-buffering ObjectHashAggregate (see
+    * [[SortedMedianMad]] for the full design note). Preferred when group
+    * count is large enough to spread over the shuffle partitions (Q-bin
+    * stats: ~10k groups); the Aggregator remains better for a handful of
+    * frame-sized groups where partition-parallelism would be lost. */
+  def medianMadSorted(df: DataFrame, keys: Seq[String],
+                      value: String): DataFrame =
+    SortedMedianMad.medianMad(df, keys, value)
+
   /** Flag rows whose value is further than `esdMul * MadToSigma * MAD` from
     * the group median; groups with fewer than `minCount` rows are never
     * flagged (reference: sources/fmask.c:237 skips rings with < 10 px,

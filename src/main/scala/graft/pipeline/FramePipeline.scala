@@ -66,16 +66,24 @@ object FramePipeline {
     *  - distinct spot count over the (tiny) spot-pixel subset.
     *
     * The three outputs are per-bin-sized; they broadcast-join. */
-  private[graft] def qbinAggregate(px: DataFrame): DataFrame = {
+  private[graft] def qbinAggregate(px: DataFrame,
+                                   medianForm: String = "agg"): DataFrame = {
     val main = px.groupBy(col("frame_no"), col("q_bin"))
       .agg(
         (count(when(col("is_outlier") || col("is_spot") || col("is_arc"),
           1)).cast("double") / count(lit(1))).as("pct_masked"),
         avg(col("grad2_a")).as("mean"),
         stddev(col("grad2_a")).as("std"))
-    val mm = RobustStats.medianMadOnePass(
-      px.select(col("frame_no"), col("q_bin"), col("grad2_a").as("g")),
-      Seq("frame_no", "q_bin"), "g")
+    // "sorted" (default) = Tungsten-sort streaming kernel; "agg" = the
+    // value-buffering ObjectHashAggregate. Same results bit-for-bit
+    // (QbinStatsConsolidationSpec); the sorted form avoids kryo-ing 33M
+    // doubles through the shuffle — measured A/B in QbinBench.
+    val mmIn = px.select(col("frame_no"), col("q_bin"),
+      col("grad2_a").as("g"))
+    val mm = (if (medianForm == "agg")
+        RobustStats.medianMadOnePass(mmIn, Seq("frame_no", "q_bin"), "g")
+      else
+        RobustStats.medianMadSorted(mmIn, Seq("frame_no", "q_bin"), "g"))
       .select(col("frame_no"), col("q_bin"), col("med"), col("mad"))
     val spotCounts = px.where(col("is_spot"))
       .groupBy(col("frame_no"), col("q_bin"))

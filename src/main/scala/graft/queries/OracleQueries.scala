@@ -30,6 +30,17 @@ object OracleQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** `ts` as epoch-nanos BIGINT whatever the parquet writer produced:
+    * the driver's generator has emitted both timestamp[ns] (which Spark
+    * reads as LongType under nanosAsLong) and timestamp[us] (read as
+    * TIMESTAMP_NTZ). The naive->instant cast uses the session zone (UTC
+    * in Verify/tests), matching DuckDB's zone-free date_trunc/epoch_ns
+    * on the same naive values. */
+  private def tsNs(df: DataFrame): Column = df.schema("ts").dataType match {
+    case org.apache.spark.sql.types.LongType => col("ts")
+    case _ => unix_micros(col("ts").cast("timestamp")) * lit(1000L)
+  }
+
   /** Exact order-independent sum of a double column via decimal. */
   private def dsum(c: Column): Column =
     sum(c.cast("decimal(18,4)")).cast("double")
@@ -1052,9 +1063,10 @@ object OracleQueries {
     // wall-clock hour.
     Q("events_hourly",
       (s, dir) => {
-        val hourSec = expr("ts DIV 3600000000000") * 3600
-        t(s, dir, "events")
-          .groupBy(
+        val ev = t(s, dir, "events")
+          .withColumn("_ts_ns", tsNs(t(s, dir, "events")))
+        val hourSec = expr("_ts_ns DIV 3600000000000") * 3600
+        ev.groupBy(
             date_format(timestamp_seconds(hourSec), "yyyy-MM-dd HH:mm")
               .as("hour"),
             col("event_type"))
@@ -1073,8 +1085,9 @@ object OracleQueries {
     // oracle spells the same matrix with conditional aggregation.
     Q("w5_contour_pivot",
       (s, dir) => {
-        val bucket = concat(lit("h"), expr("ts DIV 3600000000000") % 6)
-        t(s, dir, "events")
+        val ev = t(s, dir, "events")
+        val bucket = concat(lit("h"), expr("_ts_ns DIV 3600000000000") % 6)
+        ev.withColumn("_ts_ns", tsNs(ev))
           .where(col("user_id") < 200)
           .withColumn("b", bucket)
           .groupBy(col("user_id"))
