@@ -16,17 +16,25 @@ import org.apache.spark.sql.functions.udaf
   * so buffers stay small; for unbounded groups prefer the two-stage form.
   *
   * Median semantics match Spark's exact `median` (linear interpolation at
-  * even counts).
+  * even counts, null values SKIPPED — `n` counts the non-null values the
+  * median was computed over).
   */
 object MedianMadAgg {
 
   final case class Result(med: Double, mad: Double, n: Long)
 
-  private class Agg extends Aggregator[Double, Array[Double], Result] {
+  private class Agg
+      extends Aggregator[java.lang.Double, Array[Double], Result] {
     // growable buffer as a plain array; slot 0 holds the logical size
     def zero: Array[Double] = Array(0.0)
 
-    def reduce(buf: Array[Double], v: Double): Array[Double] = {
+    // boxed input + null skip: a primitive-Double encoder silently
+    // coerces null to 0.0 AND counts it — a divergence from the builtin
+    // `median` caught by QbinMedianFormSpec the first time a nullable
+    // column reached this aggregator
+    def reduce(buf: Array[Double], boxed: java.lang.Double): Array[Double] = {
+      if (boxed == null) return buf
+      val v = boxed.doubleValue()
       val n = buf(0).toInt
       val out = if (n + 1 >= buf.length) {
         val grown = new Array[Double](math.max(4, buf.length * 2))

@@ -127,9 +127,21 @@ object PercentileAgg {
     require(p >= 0.0 && p <= 1.0, s"percentile p out of [0,1]: $p")
     // global (no keys): run under a constant key so every internal join
     // is a broadcast HASH join — a crossJoin would plan a nested-loop,
-    // which the plan invariants (rightly) forbid in query paths
+    // which the plan invariants (rightly) forbid in query paths.
+    //
+    // The key must be NON-FOLDABLE: a plain lit(1) is constant-folded
+    // out of the cumulative window's partition spec, so WindowExec logs
+    // "No Partition Defined … moving all data to a single partition" on
+    // every global call. A single partition is the DESIGN there, not an
+    // accident — the windowed relation is the occupied-bucket histogram,
+    // ≤ `buckets` (65,536) rows per group by construction — but the
+    // warning reads like a scale bug. spark_partition_id() is
+    // nondeterministic, hence never folded; ×0 makes it the constant 1
+    // on every row while keeping the partition key visible to the
+    // planner.
     if (keys.isEmpty)
-      return percentileSelect(df.withColumn("_pk", lit(1)), Seq("_pk"),
+      return percentileSelect(
+        df.withColumn("_pk", spark_partition_id() * 0 + 1), Seq("_pk"),
         valueCol, p, outCol, buckets, maxGather).drop("_pk")
     val kcols = keys.map(col)
     val vdf = df.where(col(valueCol).isNotNull)

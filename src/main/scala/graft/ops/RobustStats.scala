@@ -24,10 +24,14 @@ object RobustStats {
     * (reference: sources/fmask.c:242-249). */
   val MadToSigma = 1.4826
 
-  /** Per-group (median, count). One shuffle on `keys`. */
+  /** Per-group (median, count). One shuffle on `keys`. `n` counts the
+    * NON-NULL values the median was computed over (nulls are skipped by
+    * the builtin `median`), matching [[MedianMadAgg]] — on the
+    * pipeline's never-null intensity columns the two readings are
+    * identical. */
   def groupMedian(df: DataFrame, keys: Seq[String], value: String): DataFrame =
     df.groupBy(keys.map(col): _*)
-      .agg(median(col(value)).as("med"), count(lit(1)).as("n"))
+      .agg(median(col(value)).as("med"), count(col(value)).as("n"))
 
   /** Per-group (median, MAD, count). Two grouped stages, with the small
     * stage-1 aggregate broadcast back onto the fact table (reference
@@ -52,17 +56,6 @@ object RobustStats {
       .agg(MedianMadAgg.medMad(col(value)).as("mm"))
       .select(keys.map(col) ++ Seq(col("mm.med").as("med"),
         col("mm.n").as("n"), col("mm.mad").as("mad")): _*)
-
-  /** Sort-based variant of [[medianMadOnePass]] — same output, computed
-    * by Tungsten sortWithinPartitions + a streaming raw-row kernel
-    * instead of a value-buffering ObjectHashAggregate (see
-    * [[SortedMedianMad]] for the full design note). Preferred when group
-    * count is large enough to spread over the shuffle partitions (Q-bin
-    * stats: ~10k groups); the Aggregator remains better for a handful of
-    * frame-sized groups where partition-parallelism would be lost. */
-  def medianMadSorted(df: DataFrame, keys: Seq[String],
-                      value: String): DataFrame =
-    SortedMedianMad.medianMad(df, keys, value)
 
   /** Flag rows whose value is further than `esdMul * MadToSigma * MAD` from
     * the group median; groups with fewer than `minCount` rows are never

@@ -81,12 +81,38 @@ object Classification {
     * second radial derivative decides on_arc per cluster; spots are cut
     * out of arcs near the azimuthal-gradient clusters' median azimuth
     * within 5*Qwidth (the modulo_range wedge, classification.py:40-43).
-    */
+    *
+    * Scheduler-latency posture: every per-CLUSTER table here (the global
+    * threshold, the on_arc verdicts, the wedge-cut stats) is
+    * collect-routed — materialized once to the driver and re-fed as a
+    * LocalRelation — the same routing percentileSelect applies to its
+    * bucket tables. A plain broadcast of these tables re-executed their
+    * whole lineage once per consuming join (globalThresh and onArc each
+    * had two consumers), and each broadcast exchange is its own job:
+    * at 1000 executors those scheduler round-trips are per-batch
+    * latency, not CPU. The rows are cluster-scale (≤ a few hundred per
+    * frame) — the identical driver-size bound the broadcast hints
+    * already relied on. When no arc candidate survives the on_arc test
+    * (the common frame), the whole wedge stage — azimuthal-gradient CCL
+    * included — is skipped outright.
+    *
+    * `labeledSmall = true` (the classify attach path) asserts `labeled`
+    * is cluster-sized by construction, skipping the pin + count gate
+    * that guards the join strategy for unknown callers. */
   def gradientRefine(allPx: DataFrame, labeled: DataFrame, width: Int,
                      height: Int, keys: Seq[String],
                      p: Params = Params(),
-                     d2Precomputed: Option[DataFrame] = None): DataFrame = {
+                     d2Precomputed: Option[DataFrame] = None,
+                     labeledSmall: Boolean = false): DataFrame = {
     val kcols = keys.map(col)
+    val spark = labeled.sparkSession
+
+    // collect-route: pin a tiny per-cluster table as a LocalRelation so
+    // downstream broadcasts are free of lineage re-execution
+    def localized(df: DataFrame): DataFrame = {
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(df.collect().toSeq.asJava, df.schema)
+    }
 
     // ---- 2nd directional (radial) derivative over the dense frame -----
     // (or the caller's pre-materialized field — FramePipeline.process
@@ -100,73 +126,113 @@ object Classification {
 
     // ---- A5: per-cluster central-band percentile vs global threshold --
     // d2 is the full frame; the labeled cluster side broadcasts so the
-    // frame never shuffles (count-gated like every cluster join here)
-    val labeledPinned = labeled.localCheckpoint(true)
-    val labHint = if (labeledPinned.count() <= 1000000L)
-      broadcast(labeledPinned) else labeledPinned
+    // frame never shuffles (count-gated like every cluster join here —
+    // skipped when the caller vouches the table is cluster-sized)
+    val labHint = if (labeledSmall) broadcast(labeled) else {
+      val labeledPinned = labeled.localCheckpoint(true)
+      if (labeledPinned.count() <= 1000000L)
+        broadcast(labeledPinned) else labeledPinned
+    }
     val withG = d2.join(labHint, keys :+ "y" :+ "x").localCheckpoint(true)
     // distributed rank-selection percentile: the gather-and-sort
     // aggregator ran its final sort in ONE task per frame — the measured
     // hot critical-path stage at production frame size (SCALE_r06.md);
-    // this form keeps every stage at data-partition parallelism
-    val globalThresh = graft.ops.PercentileAgg.percentileSelect(
+    // this form keeps every stage at data-partition parallelism.
+    // Collect-routed: ≤ 1 row per frame.
+    val globalThresh = localized(graft.ops.PercentileAgg.percentileSelect(
       d2.select(kcols :+ col("grad2_r"): _*), keys, "grad2_r",
-      p.globalPercentile, outCol = "g_thresh")
+      p.globalPercentile, outCol = "g_thresh"))
     val central = withG.where(
       abs(col("q") - col("median_q")) < p.centralBandQ)
-    val onArc = central.groupBy(kcols :+ col("label"): _*)
-      .agg(percentile(col("grad2_r"), lit(p.gradPercentile)).as("c_pct"))
+    // _arc2 rides along purely to route the wedge stage below: it marks
+    // whether ANY classifier==2 pixel contributed to the cluster's
+    // central band — no arc candidates ⇒ no cuts, skip the stage
+    val onArcFull = central.groupBy(kcols :+ col("label"): _*)
+      .agg(percentile(col("grad2_r"), lit(p.gradPercentile)).as("c_pct"),
+        max(when(col("classifier") === 2, 1).otherwise(0)).as("_arc2"))
       .join(broadcast(globalThresh), keys)
       .withColumn("on_arc", col("c_pct") < col("g_thresh"))
-      .select(kcols ++ Seq(col("label"), col("on_arc")): _*)
+      .select(kcols ++ Seq(col("label"), col("on_arc"), col("_arc2")): _*)
+    val onArcRows = onArcFull.collect() // one round-trip serves route+join
+    val anyArcCandidate = {
+      val s = onArcFull.schema
+      val ai = s.fieldIndex("on_arc"); val ci = s.fieldIndex("_arc2")
+      onArcRows.exists(r => !r.isNullAt(ai) && r.getBoolean(ai) &&
+        r.getInt(ci) == 1)
+    }
+    val onArc = {
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(onArcRows.toSeq.asJava, onArcFull.schema)
+        .drop("_arc2")
+    }
 
     // ---- wedge cuts: azimuthal-gradient clusters inside arcs ----------
     // Strong 2nd-azim-gradient pixels within arc clusters mark spots
     // sitting on arcs; cut a wedge of width 5*Qwidth around each such
-    // cluster's median azimuth.
-    val arcPx = withG.join(broadcast(onArc), keys :+ "label")
-      .where(col("classifier") === 2 && col("on_arc"))
-    val gradMaskPx = arcPx
-      .join(broadcast(globalThresh), keys)
-      .where(col("grad2_r") < col("g_thresh"))
-      .select(kcols ++ Seq(col("y"), col("x")): _*)
-    val gradClusters = CCL.labelAuto(gradMaskPx, width, height, keys)
-      .withColumnRenamed("label", "cut_label")
-    val cutStats = gradClusters.join(
-        arcPx.select(kcols ++ Seq(col("y"), col("x"), col("azim"),
-          col("dq")): _*), keys :+ "y" :+ "x")
-      .groupBy(kcols :+ col("cut_label"): _*)
-      .agg(percentile(col("azim"), lit(0.5)).as("cut_azim"),
-        // off-mask cuts default to the reference's 0.1 Qwidth
-        // (classification.py:243-275, :573)
-        coalesce(first(col("dq"), ignoreNulls = true), lit(0.1))
-          .as("cut_qw"))
+    // cluster's median azimuth. The whole stage (one CCL pass included)
+    // runs ONLY when some cluster passed classifier==2 AND on_arc.
+    val cutLocal: Option[DataFrame] = if (!anyArcCandidate) None else {
+      val arcPx = withG.join(broadcast(onArc), keys :+ "label")
+        .where(col("classifier") === 2 && col("on_arc"))
+      val gradMaskPx = arcPx
+        .join(broadcast(globalThresh), keys)
+        .where(col("grad2_r") < col("g_thresh"))
+        .select(kcols ++ Seq(col("y"), col("x")): _*)
+      val gradClusters = CCL.labelAuto(gradMaskPx, width, height, keys)
+        .withColumnRenamed("label", "cut_label")
+      val cutStats = gradClusters.join(
+          arcPx.select(kcols ++ Seq(col("y"), col("x"), col("azim"),
+            col("dq")): _*), keys :+ "y" :+ "x")
+        .groupBy(kcols :+ col("cut_label"): _*)
+        .agg(percentile(col("azim"), lit(0.5)).as("cut_azim"),
+          // off-mask cuts default to the reference's 0.1 Qwidth
+          // (classification.py:243-275, :573)
+          coalesce(first(col("dq"), ignoreNulls = true), lit(0.1))
+            .as("cut_qw"))
+      val rows = cutStats.collect()
+      if (rows.isEmpty) None
+      else {
+        import scala.jdk.CollectionConverters._
+        Some(spark.createDataFrame(rows.toSeq.asJava, cutStats.schema))
+      }
+    }
 
-    // wedge membership for every arc pixel vs every cut of its frame:
-    // cuts per frame are few -> broadcast; wrap-aware modulo distance.
-    val cuts = cutStats.select(keys.map(k => col(k).as(s"_c_$k")) ++
-      Seq(col("cut_azim"), col("cut_qw")): _*)
-    val keyCond = keys.map(k => col(k) === col(s"_c_$k"))
-      .foldLeft(lit(true))(_ && _)
-    val wedgeW = greatest(
-      col("cut_qw") * p.wedgeQWidthMul * 30.0, lit(1.0)) // deg half-width
-    val inCut = withG.join(broadcast(cuts), keyCond, "left")
-      .withColumn("azdist",
-        pmod(col("azim") - col("cut_azim"), lit(360.0)))
-      .withColumn("hit", col("cut_azim").isNotNull &&
-        (col("azdist") < wedgeW || col("azdist") > lit(360.0) - wedgeW))
-      .groupBy(kcols ++ Seq(col("y"), col("x"), col("label"),
-        col("classifier")): _*)
-      .agg(max(when(col("hit"), 1).otherwise(0)).as("in_cut"))
+    cutLocal match {
+      case None =>
+      // no cuts anywhere in the batch: in_cut ≡ 0, so the flags are a
+      // pure projection of withG ⋈ onArc — no wedge join, no groupBy
+      withG.join(broadcast(onArc), keys :+ "label", "left")
+        .select(kcols ++ Seq(col("y"), col("x"), col("label"),
+          (col("classifier") === 1).as("is_spot"),
+          (col("classifier") === 2 &&
+            coalesce(col("on_arc"), lit(false))).as("is_arc")): _*)
+      case Some(cutStats) =>
+      // wedge membership for every arc pixel vs every cut of its frame:
+      // cuts per frame are few -> broadcast; wrap-aware modulo distance.
+      val cuts = cutStats.select(keys.map(k => col(k).as(s"_c_$k")) ++
+        Seq(col("cut_azim"), col("cut_qw")): _*)
+      val keyCond = keys.map(k => col(k) === col(s"_c_$k"))
+        .foldLeft(lit(true))(_ && _)
+      val wedgeW = greatest(
+        col("cut_qw") * p.wedgeQWidthMul * 30.0, lit(1.0)) // deg half-width
+      val inCut = withG.join(broadcast(cuts), keyCond, "left")
+        .withColumn("azdist",
+          pmod(col("azim") - col("cut_azim"), lit(360.0)))
+        .withColumn("hit", col("cut_azim").isNotNull &&
+          (col("azdist") < wedgeW || col("azdist") > lit(360.0) - wedgeW))
+        .groupBy(kcols ++ Seq(col("y"), col("x"), col("label"),
+          col("classifier")): _*)
+        .agg(max(when(col("hit"), 1).otherwise(0)).as("in_cut"))
 
-    // ---- final flags (reference classification.py:587-597) ------------
-    inCut.join(broadcast(onArc), keys :+ "label", "left")
-      .select(kcols ++ Seq(col("y"), col("x"), col("label"),
-        (col("classifier") === 1 ||
-          (col("classifier") === 2 && col("in_cut") === 1))
-          .as("is_spot"),
-        (col("classifier") === 2 && coalesce(col("on_arc"), lit(false)) &&
-          col("in_cut") === 0).as("is_arc")): _*)
+      // ---- final flags (reference classification.py:587-597) ----------
+      inCut.join(broadcast(onArc), keys :+ "label", "left")
+        .select(kcols ++ Seq(col("y"), col("x"), col("label"),
+          (col("classifier") === 1 ||
+            (col("classifier") === 2 && col("in_cut") === 1))
+            .as("is_spot"),
+          (col("classifier") === 2 && coalesce(col("on_arc"), lit(false)) &&
+            col("in_cut") === 0).as("is_arc")): _*)
+    }
   }
 
   /** Sequential reference implementation of the shape classifier — a
@@ -261,7 +327,10 @@ object Classification {
     }).localCheckpoint(true) // reused by shape stats + refinement
     val shaped = shapeClassify(labeled, keys, p)
     val labeledFull = labeled.join(broadcast(shaped), keys :+ "label")
+    // attach path: labeled is the closed-cluster table decorated
+    // closed-form — cluster-sized by construction, so gradientRefine can
+    // skip its pin + count gate (two scheduler round-trips per batch)
     gradientRefine(framePx, labeledFull, width, height, keys, p,
-      d2Precomputed)
+      d2Precomputed, labeledSmall = cal.isDefined)
   }
 }

@@ -66,24 +66,26 @@ object FramePipeline {
     *  - distinct spot count over the (tiny) spot-pixel subset.
     *
     * The three outputs are per-bin-sized; they broadcast-join. */
-  private[graft] def qbinAggregate(px: DataFrame,
-                                   medianForm: String = "agg"): DataFrame = {
+  private[graft] def qbinAggregate(px: DataFrame): DataFrame = {
     val main = px.groupBy(col("frame_no"), col("q_bin"))
       .agg(
         (count(when(col("is_outlier") || col("is_spot") || col("is_arc"),
           1)).cast("double") / count(lit(1))).as("pct_masked"),
         avg(col("grad2_a")).as("mean"),
         stddev(col("grad2_a")).as("std"))
-    // "sorted" (default) = Tungsten-sort streaming kernel; "agg" = the
-    // value-buffering ObjectHashAggregate. Same results bit-for-bit
-    // (QbinStatsConsolidationSpec); the sorted form avoids kryo-ing 33M
-    // doubles through the shuffle — measured A/B in QbinBench.
+    // Median/MAD form DECIDED BY MEASUREMENT (QbinBench r7, dd-probed
+    // windows, 4×2880² = 33 M rows / 2k groups, 7 interleaved pairs over
+    // two runs): the value-buffering ObjectHashAggregate beat the
+    // Tungsten-sort streaming kernel in EVERY pair — geomean 0.29–0.46×
+    // (agg 5.8–17.5 s vs sorted 16.9–46.8 s). The kryo-shuffle cost the
+    // sort form was built to avoid is smaller than the full-table
+    // repartition+sort it pays instead, so the sorted kernel
+    // (SortedMedianMad, 159 LoC) was DELETED rather than left as a
+    // third unwired median implementation — see SCALE_r07.md; resurrect
+    // from git history only with a measurement that says otherwise.
     val mmIn = px.select(col("frame_no"), col("q_bin"),
       col("grad2_a").as("g"))
-    val mm = (if (medianForm == "agg")
-        RobustStats.medianMadOnePass(mmIn, Seq("frame_no", "q_bin"), "g")
-      else
-        RobustStats.medianMadSorted(mmIn, Seq("frame_no", "q_bin"), "g"))
+    val mm = RobustStats.medianMadOnePass(mmIn, Seq("frame_no", "q_bin"), "g")
       .select(col("frame_no"), col("q_bin"), col("med"), col("mad"))
     val spotCounts = px.where(col("is_spot"))
       .groupBy(col("frame_no"), col("q_bin"))

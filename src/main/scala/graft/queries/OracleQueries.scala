@@ -33,12 +33,17 @@ object OracleQueries {
   /** `ts` as epoch-nanos BIGINT whatever the parquet writer produced:
     * the driver's generator has emitted both timestamp[ns] (which Spark
     * reads as LongType under nanosAsLong) and timestamp[us] (read as
-    * TIMESTAMP_NTZ). The naive->instant cast uses the session zone (UTC
-    * in Verify/tests), matching DuckDB's zone-free date_trunc/epoch_ns
-    * on the same naive values. */
+    * TIMESTAMP_NTZ). The NTZ branch measures microseconds from the naive
+    * epoch with `timestampdiff` over NTZ operands — zone-FREE, so it
+    * matches DuckDB's naive date_trunc/epoch_ns whatever
+    * spark.sql.session.timeZone is set to (the earlier cast-through-
+    * session-zone form was only correct under UTC). */
   private def tsNs(df: DataFrame): Column = df.schema("ts").dataType match {
     case org.apache.spark.sql.types.LongType => col("ts")
-    case _ => unix_micros(col("ts").cast("timestamp")) * lit(1000L)
+    case org.apache.spark.sql.types.TimestampNTZType =>
+      expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)") *
+        lit(1000L)
+    case _ => unix_micros(col("ts")) * lit(1000L)
   }
 
   /** Exact order-independent sum of a double column via decimal. */
@@ -1063,8 +1068,8 @@ object OracleQueries {
     // wall-clock hour.
     Q("events_hourly",
       (s, dir) => {
-        val ev = t(s, dir, "events")
-          .withColumn("_ts_ns", tsNs(t(s, dir, "events")))
+        val ev0 = t(s, dir, "events")
+        val ev = ev0.withColumn("_ts_ns", tsNs(ev0))
         val hourSec = expr("_ts_ns DIV 3600000000000") * 3600
         ev.groupBy(
             date_format(timestamp_seconds(hourSec), "yyyy-MM-dd HH:mm")
