@@ -52,7 +52,41 @@ object Bench {
     }
     calOnce()
     val calibration = calOnce()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"calibration_sec":$calibration,"total_over_calibration":${total / calibration},"sf":"$sfDir"}""")
+    // Memory-STREAMING calibration leg: the codegen-sum probe above is
+    // CPU-bound and proved blind to the host's dominant noise source —
+    // the minutes-period memory-bus throttle that inflated a GC-clean
+    // run 3.4x (SCALE_r06.md "The quiet-box absolute"). This leg streams
+    // a 64 MiB per-task long array (1 write + 6 read passes) on every
+    // core simultaneously — aggregate traffic far beyond LLC, so its
+    // wall time tracks DRAM bandwidth. Report both legs: cal ≈ flat +
+    // mem inflated ⇒ bus throttle; both inflated ⇒ CPU contention.
+    def memOnce(): Double = {
+      val n = spark.sparkContext.defaultParallelism
+      val t0 = System.nanoTime()
+      val s = spark.sparkContext.parallelize(1 to n, n).map { _ =>
+        val len = 8 << 20 // 8M longs = 64 MiB per task
+        val a = new Array[Long](len)
+        var i = 0
+        while (i < len) { a(i) = i.toLong; i += 1 }
+        var acc = 0L
+        var pass = 0
+        while (pass < 6) {
+          i = 0
+          while (i < len) { acc += a(i); i += 1 }
+          pass += 1
+        }
+        acc
+      }.reduce(_ + _)
+      if (s == 42L) System.err.println("") // keep the sum observable
+      (System.nanoTime() - t0) / 1e9
+    }
+    memOnce()
+    val calMem = memOnce()
+    // aggregate traffic in GB (7 passes x 64 MiB x tasks) over wall time
+    val memGBps =
+      7.0 * 64 * 1024 * 1024 * spark.sparkContext.defaultParallelism /
+        calMem / 1e9
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"calibration_sec":$calibration,"calibration_mem_sec":$calMem,"calibration_mem_gbps":$memGBps,"total_over_calibration":${total / calibration},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
