@@ -795,9 +795,29 @@ object Stencil {
         private val outRow = new org.apache.spark.sql.catalyst.expressions
           .SpecificInternalRow(outTypes)
         private val n = side * side
-        private val vb = new Array[Double](n)
-        private val cib = new Array[Double](n)
-        private val flb = new Array[Byte](n)
+        // PING-PONG accumulation planes: emitTile hands the CURRENT set
+        // to its (lazily drained) output iterator and scattering for the
+        // next tile continues into the other set — the former
+        // clone-per-tile allocated three fresh planes (~4.5 MB) per tile
+        // and left the old ones to the collector; the ~6 s of GC in this
+        // stage's 10 s warm cost was the round-6 lever. Two fixed sets
+        // per task replace clone+fill with swap+fill.
+        private var vb = new Array[Double](n)
+        private var cib = new Array[Double](n)
+        private var flb = new Array[Byte](n)
+        private var vbAlt = new Array[Double](n)
+        private var cibAlt = new Array[Double](n)
+        private var flbAlt = new Array[Byte](n)
+        // work planes, allocated once per task. d1r/d1a are zero-filled
+        // per tile (out-of-frame slots must read 0.0 in the second
+        // stencil pass); the hat planes need NO clearing — only in-frame
+        // slots are ever read, and those are rewritten every tile.
+        private val ryb = new Array[Double](n)
+        private val rxb = new Array[Double](n)
+        private val pyb = new Array[Double](n)
+        private val pxb = new Array[Double](n)
+        private val d1r = new Array[Double](n)
+        private val d1a = new Array[Double](n)
         private var curBk = Long.MinValue
         private var haveTile = false
         private var outIt: Iterator[InternalRow] = Iterator.empty
@@ -819,24 +839,27 @@ object Stencil {
           }
         }
 
-        /** Stencil over the CURRENT planes, then clear them for the next
-          * tile. The value/payload planes are CLONED into the returned
-          * iterator (unlike the grad-only Raw form, the output reads them
-          * back), so lazily draining it while the next tile accumulates
-          * stays safe. */
+        /** Stencil over the CURRENT planes, swapping the ping-pong sets
+          * so the next tile accumulates into cleared planes while the
+          * returned iterator lazily reads this tile's. Safe because
+          * fill() fully drains the previous iterator before the next
+          * emitTile, and at most one scatter targets the swapped-in set
+          * while the iterator is live. */
         private def emitTile(bk: Long): Iterator[InternalRow] = {
           val fNo = bk >> 24
           val ty = ((bk >> 12) & 0xfff).toInt; val tx = (bk & 0xfff).toInt
           val y0 = ty * tile - halo; val x0 = tx * tile - halo
-          val vT = vb.clone(); val ciT = cib.clone(); val flT = flb.clone()
+          val vT = vb; val ciT = cib; val flT = flb
+          vb = vbAlt; cib = cibAlt; flb = flbAlt
+          vbAlt = vT; cibAlt = ciT; flbAlt = flT
           java.util.Arrays.fill(vb, 0.0)
           java.util.Arrays.fill(cib, 0.0)
           java.util.Arrays.fill(flb, 0.toByte)
+          java.util.Arrays.fill(d1r, 0.0)
+          java.util.Arrays.fill(d1a, 0.0)
           // hat planes from the transcendental-free mirror — the full geo
           // closure runs only once per EMITTED pixel below, not per plane
           // slot (the former full-closure fill was ~2x the kernel's trig)
-          val ryb = new Array[Double](n); val rxb = new Array[Double](n)
-          val pyb = new Array[Double](n); val pxb = new Array[Double](n)
           var ly = 0
           while (ly < side) {
             val gy = y0 + ly
@@ -855,7 +878,6 @@ object Stencil {
             }
             ly += 1
           }
-          val d1r = new Array[Double](n); val d1a = new Array[Double](n)
           ly = 1
           while (ly < side - 1) {
             val gy = y0 + ly
@@ -894,7 +916,13 @@ object Stencil {
               outRow.setDouble(11, g.q); outRow.setDouble(12, g.azim)
               outRow.setDouble(13, g.azimFlipped)
               outRow.setDouble(14, d2r); outRow.setDouble(15, d2a)
-              proj(outRow).copy(): InternalRow
+              // NO per-row copy: Spark's iterator contract makes the
+              // consumer copy when it buffers (Dataset.localCheckpoint
+              // maps _.copy() itself; collect/shuffle/sort serialize or
+              // copy per row) — the former defensive copy was ~40 MB of
+              // garbage per tile, the single largest allocation source
+              // in the batch hot path (round-6 GC lever).
+              proj(outRow): InternalRow
             }
           }
         }

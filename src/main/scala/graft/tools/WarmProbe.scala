@@ -35,11 +35,21 @@ object WarmProbe {
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
         .asScala.map(_.getCollectionTime).sum
     }
+    // per-stage Spark JOB count: scheduler round-trips are the latency
+    // story at 1000 executors (a stage that is cheap on local[32] but
+    // fires 15 jobs pays 15 driver barriers on a real cluster)
+    val jobCount = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobCount.incrementAndGet()
+      })
     def t[A](name: String)(f: => A): A = {
-      val t0 = System.nanoTime(); val g0 = gcMs
+      val t0 = System.nanoTime(); val g0 = gcMs; val j0 = jobCount.get()
       val r = f
       println(f"[warm] $name%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s" +
-        f"  (gc ${(gcMs - g0) / 1000.0}%6.1f s)")
+        f"  (gc ${(gcMs - g0) / 1000.0}%6.1f s, jobs ${jobCount.get() - j0}%3d)")
       r
     }
 
