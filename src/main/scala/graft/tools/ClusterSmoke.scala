@@ -58,9 +58,15 @@ object ClusterSmoke {
       .config("spark.ui.enabled", "false")
       .config("spark.executor.heartbeatInterval", "60s")
       .config("spark.network.timeout", "1200s")
+    // NOTE: launching real executors needs SPARK_HOME=/opt/spark and
+    // SPARK_SCALA_VERSION=2.13 in the environment (the launcher's
+    // build-directory scan fails on this distribution layout otherwise),
+    // and executor memory is NOT taken from the local-cluster worker
+    // size — set it explicitly or executors get the 1 GiB default.
     val spark = (if (execs <= 0) b else b
         .config("spark.executor.extraClassPath", classesDir)
-        .config("spark.executor.extraJavaOptions", addOpens))
+        .config("spark.executor.extraJavaOptions", addOpens)
+        .config("spark.executor.memory", s"${memMb - 1024}m"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -25,7 +25,11 @@ object StreamSmoke {
     val nFrames = if (args.length > 0) args(0).toInt else 100
     val size = if (args.length > 1) args(1).toInt else 512
     val maxFiles = if (args.length > 2) args(2).toInt else 32
-    val spark = SparkSession.builder().master("local[32]")
+    // GRAFT_MASTER overrides for multi-executor validation, e.g.
+    // "local-cluster[2,12,28672]" (needs SPARK_HOME and
+    // SPARK_SCALA_VERSION=2.13 in the env — see ClusterSmoke)
+    val master = sys.env.getOrElse("GRAFT_MASTER", "local[32]")
+    val b = SparkSession.builder().master(master)
       .appName("graft-stream-smoke")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -33,7 +37,22 @@ object StreamSmoke {
       // survive multi-minute GC stalls on the throttled sandbox host
       .config("spark.executor.heartbeatInterval", "60s")
       .config("spark.network.timeout", "1200s")
-      .getOrCreate()
+    val spark = (if (!master.startsWith("local-cluster")) b else {
+      val addOpens = Seq(
+        "java.base/java.lang", "java.base/java.lang.invoke",
+        "java.base/java.lang.reflect", "java.base/java.io",
+        "java.base/java.net", "java.base/java.nio",
+        "java.base/java.util", "java.base/java.util.concurrent",
+        "java.base/java.util.concurrent.atomic",
+        "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+        "java.base/sun.security.action", "java.base/sun.util.calendar")
+        .map(p => s"--add-opens $p=ALL-UNNAMED").mkString(" ")
+      b.config("spark.executor.extraClassPath",
+          getClass.getProtectionDomain.getCodeSource.getLocation.getPath)
+        .config("spark.executor.extraJavaOptions", addOpens)
+        .config("spark.executor.memory",
+          sys.env.getOrElse("GRAFT_EXEC_MEM", "24576m"))
+    }).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     val cal = SyntheticFrame.testCalibration(size)
