@@ -157,4 +157,69 @@ object Dedup {
     val uni = size(array_union(a, b)).cast("double")
     when(uni > 0, inter / uni).otherwise(lit(0.0))
   }
+
+  /** Near-duplicate GROUPS: connected components over a candidate-pair
+    * graph (the step after [[minhashCandidates]] / a cosine threshold —
+    * dedup keeps one document per component, not per pair). Distributed
+    * min-label propagation: every node starts as its own label and each
+    * iteration takes the min label over its neighborhood —
+    *
+    *   labels(i+1) = min(labels(i), min over neighbors of labels(i))
+    *
+    * Each iteration is one shuffle join (edges ⋈ labels) plus one
+    * grouped min — both hash-partitioned on the node id, no driver-side
+    * graph state, so the pattern holds at 100 TB edge lists. Converges
+    * in O(component diameter) iterations; near-dup components are
+    * shallow (a dup cluster is near-clique, diameter ≲ 3-4), so the
+    * bound is small in practice. `maxIter` guards adversarial chains —
+    * the call FAILS rather than returning a partial clustering (for
+    * genuinely deep graphs use star-contraction variants; not this
+    * workload). The per-iteration convergence check is one count job —
+    * bounded by the iteration count, same latency class as the
+    * percentileSelect routing collects.
+    *
+    * `nodes` (single id column) adds isolated nodes so singletons
+    * surface with their own id as `group_id`; otherwise only nodes with
+    * an edge appear. Returns (id, group_id = min node id reachable).
+    */
+  def connectedGroups(pairs: DataFrame, a: String, b: String,
+                      nodes: Option[DataFrame] = None,
+                      maxIter: Int = 25): DataFrame = {
+    val half = pairs.select(col(a).cast("long").as("u"),
+      col(b).cast("long").as("v"))
+    val edges = half.unionByName(half.select(col("v").as("u"),
+        col("u").as("v")))
+      .where(col("u") =!= col("v")).distinct().localCheckpoint(true)
+    val ids = nodes match {
+      case Some(n) =>
+        n.select(col(n.columns.head).cast("long").as("id")).distinct()
+      case None => edges.select(col("u").as("id")).distinct()
+    }
+    var labels = ids.withColumn("group_id", col("id")).localCheckpoint(true)
+    var i = 0
+    var converged = false
+    while (!converged && i < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("v"), col("group_id").as("_nl")),
+          "v")
+        .groupBy(col("u")).agg(min(col("_nl")).as("_nmin"))
+        .withColumnRenamed("u", "id")
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("group_id"), coalesce(col("_nmin"), col("group_id")))
+            .as("group_id"))
+        .localCheckpoint(true)
+      val changed = next
+        .join(labels.withColumnRenamed("group_id", "_old"), "id")
+        .where(col("group_id") =!= col("_old")).count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    require(converged,
+      s"connectedGroups did not converge in $maxIter iterations — " +
+        "component diameter exceeds the near-dup regime this operator " +
+        "targets; raise maxIter or use a star-contraction variant")
+    labels
+  }
 }

@@ -577,6 +577,46 @@ object OracleQueries {
           ROUND(dot/(SQRT(na)*SQRT(nb)), 6) AS cos
         FROM sc ORDER BY cos DESC, id_a, id_b LIMIT 20""")),
 
+    // ====== near-dup GROUPS: connected components over the pair graph ====
+    // The step a dedup pipeline actually needs after candidate pairs:
+    // keep ONE doc per component, not per pair. Spark side runs the
+    // distributed min-label propagation (Dedup.connectedGroups — one
+    // shuffle join per iteration, O(component diameter) iterations); the
+    // oracle spells the same fixpoint as a DuckDB recursive CTE
+    // (transitive closure → min reachable id). Edges: cosine ≥ 0.30 on
+    // the bounded candidate set; singletons keep their own id.
+    Q("dedup_groups",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings").where(col("vec_id") < 200)
+          .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
+        val a = e.select(col("vec_id").as("id_a"), col("v").as("va"))
+        val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"))
+        val pairs = a.join(b, col("id_a") < col("id_b"))
+          .where(round(VectorOps.cosine(col("va"), col("vb")), 6) >= 0.30)
+          .select(col("id_a"), col("id_b"))
+        graft.ops.Dedup.connectedGroups(pairs, "id_a", "id_b",
+            nodes = Some(e.select(col("vec_id").as("id"))))
+          .orderBy(col("id"))
+      },
+      Some("""WITH RECURSIVE e AS (SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings WHERE vec_id < 200),
+        p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.v AS va,
+            b.v AS vb FROM e a JOIN e b ON a.vec_id < b.vec_id),
+        u AS (SELECT id_a, id_b, UNNEST(va) AS x, UNNEST(vb) AS y FROM p),
+        sc AS (SELECT id_a, id_b, SUM(x*y) AS dot, SUM(x*x) AS na,
+            SUM(y*y) AS nb FROM u GROUP BY id_a, id_b),
+        ed0 AS (SELECT id_a, id_b FROM sc
+            WHERE ROUND(dot/(SQRT(na)*SQRT(nb)), 6) >= 0.30),
+        edges AS (SELECT id_a AS s, id_b AS d FROM ed0
+          UNION ALL SELECT id_b, id_a FROM ed0),
+        reach(id, r) AS (
+          SELECT vec_id, vec_id FROM e
+          UNION
+          SELECT re.id, ed.d FROM reach re JOIN edges ed ON ed.s = re.r)
+        SELECT id, MIN(r) AS group_id FROM reach GROUP BY id
+        ORDER BY id""")),
+
     // ====== IVF-style pruned ANN: search only the query's cell ============
     // The scale path for similarity search: vectors are pre-assigned to
     // cells (here the label column = the coarse quantizer) and each query

@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** [[Dedup.connectedGroups]] — distributed min-label-propagation
+  * connected components over a candidate-pair graph. Oracle: hand-walked
+  * components, including a long chain (forces multiple propagation
+  * iterations: min labels travel one hop per iteration) and singleton
+  * isolation via the `nodes` parameter.
+  */
+class DedupGroupsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def groupsOf(pairs: Seq[(Long, Long)],
+                       nodes: Option[Seq[Long]] = None): Map[Long, Long] = {
+    val p = pairs.toDF("a", "b")
+    val n = nodes.map(_.toDF("id"))
+    Dedup.connectedGroups(p, "a", "b", n).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("two components plus a bridge-free pair") {
+    // {1,2,3} via 1-2, 2-3; {5,6}; duplicate + reversed edges collapse
+    val g = groupsOf(Seq((1L, 2L), (2L, 3L), (3L, 2L), (5L, 6L), (5L, 6L)))
+    assert(g == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
+  }
+
+  test("nodes parameter surfaces singletons with their own id") {
+    val g = groupsOf(Seq((2L, 4L)), nodes = Some(Seq(1L, 2L, 3L, 4L)))
+    assert(g == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 2L))
+  }
+
+  test("long chain converges to the min end-label (multi-iteration)") {
+    // 10-9-8-...-1-0: min label 0 must travel 10 hops
+    val chain = (0L until 10L).map(i => (i, i + 1))
+    val g = groupsOf(chain)
+    assert(g == (0L to 10L).map(_ -> 0L).toMap)
+  }
+
+  test("star and clique components") {
+    val star = Seq((100L, 101L), (100L, 102L), (100L, 103L))
+    val clique = for {
+      i <- 200L to 203L; j <- (i + 1) to 203L
+    } yield (i, j)
+    val g = groupsOf(star ++ clique)
+    assert((101L to 103L).forall(g(_) == 100L) && g(100L) == 100L)
+    assert((200L to 203L).forall(g(_) == 200L))
+  }
+
+  test("non-convergence within maxIter fails loudly") {
+    val chain = (0L until 10L).map(i => (i, i + 1))
+    val e = intercept[IllegalArgumentException] {
+      Dedup.connectedGroups(chain.toDF("a", "b"), "a", "b", maxIter = 3)
+        .collect()
+    }
+    assert(e.getMessage.contains("converge"))
+  }
+}
