@@ -51,6 +51,25 @@ object Dedup {
           slice(sig, b * rowsPerBand + 1, rowsPerBand)), lit(b)).as("key"))
     }: _*)
 
+  /** Word n-gram shingles as POSITIONAL rows (id, pos, shingle) — pos is
+    * the 0-based index of the shingle's LAST word, so consecutive
+    * shingles have consecutive pos. The shared base of [[shingleRows]]
+    * and [[winnowFingerprints]] (which needs document order). */
+  def shingleRowsPos(df: DataFrame, idCol: String, textCol: String,
+                     n: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = df.select(col(idCol).as("id"),
+      posexplode(split(lower(col(textCol)), "\\s+")).as(Seq("pos", "w")))
+    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val lags = (n - 1) to 1 by -1
+    val parts = lags.map(i => lag(col("w"), i).over(w)) :+ col("w")
+    words.select(col("id"), col("pos"),
+        concat_ws(" ", parts: _*).as("shingle"),
+        lags.map(i => lag(col("w"), i).over(w).isNotNull)
+          .reduce(_ && _).as("_full"))
+      .where(col("_full")).drop("_full")
+  }
+
   /** Distinct word n-gram shingles as ROWS (id, shingle) — the scale path
     * for signature computation. posexplode + window-lag concatenation is
     * fully codegen'd; the array-lambda form ([[shingles]]) is interpreted
@@ -58,18 +77,34 @@ object Dedup {
     * slower at corpus scale. One shuffle on the doc id. */
   def shingleRows(df: DataFrame, idCol: String, textCol: String,
                   n: Int = 3, distinct: Boolean = true): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val words = df.select(col(idCol).as("id"),
-      posexplode(split(lower(col(textCol)), "\\s+")).as(Seq("pos", "w")))
-    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
-    val lags = (n - 1) to 1 by -1
-    val parts = lags.map(i => lag(col("w"), i).over(w)) :+ col("w")
-    val rows = words.select(col("id"),
-        concat_ws(" ", parts: _*).as("shingle"),
-        lags.map(i => lag(col("w"), i).over(w).isNotNull)
-          .reduce(_ && _).as("_full"))
-      .where(col("_full")).drop("_full")
+    val rows = shingleRowsPos(df, idCol, textCol, n).drop("pos")
     if (distinct) rows.distinct() else rows
+  }
+
+  /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
+    * MOSS scheme): hash every word n-gram, slide a `window`-shingle
+    * window over the document, keep the MIN hash of each full window,
+    * dedup — a position-robust fingerprint set whose size adapts to
+    * document length (guarantee: any shared run of window+n-1 words
+    * produces at least one shared fingerprint). Returns (id, fp) rows.
+    *
+    * All window-function + codegen: one shuffle on the doc id (the same
+    * shuffle the shingle window already needs), a sliding min/count
+    * frame, and a distinct. Documents shorter than n+window-1 words
+    * yield no fingerprints. 64-bit hashes make min-ties negligible, so
+    * the distinct-min simplification of the published rightmost-tie
+    * rule is exact in practice. */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+                         n: Int = 3, window: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = shingleRowsPos(df, idCol, textCol, n)
+      .select(col("id"), col("pos"), xxhash64(col("shingle")).as("h"))
+    val frame = Window.partitionBy(col("id")).orderBy(col("pos"))
+      .rowsBetween(0, window - 1)
+    sh.select(col("id"), min(col("h")).over(frame).as("fp"),
+        count(col("h")).over(frame).as("_wc"))
+      .where(col("_wc") === window)
+      .select(col("id"), col("fp")).distinct()
   }
 
   /** MinHash signatures via shingle rows → groupBy: the signature is k

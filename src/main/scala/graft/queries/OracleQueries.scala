@@ -120,6 +120,11 @@ object OracleQueries {
     sDocs.select(col("doc_id"),
         TextMetrics.fingerprint(col("text")).as("fingerprint"))
       .write.mode("overwrite").parquet(s"$AuxDir/doc_fp")
+    // winnowing: POSITIONAL shingle hashes (id, pos, h) — the oracle
+    // re-derives the sliding-window min fingerprints from document order
+    Dedup.shingleRowsPos(sDocs, "doc_id", "text", 3)
+      .select(col("id"), col("pos"), xxhash64(col("shingle")).as("h"))
+      .write.mode("overwrite").parquet(s"$AuxDir/winnow_hashes")
     // LSH hyperplanes: the deterministic sin-table the LshBucket
     // expression tabulates, written from the SAME Math.sin so the oracle
     // is independent of DuckDB's libm
@@ -949,6 +954,40 @@ object OracleQueries {
             AS avg_the_ratio,
           MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
         FROM d GROUP BY lang ORDER BY lang""")),
+
+    // ========= text analysis: winnowing document fingerprints =============
+    // The MOSS scheme: min shingle-hash per sliding window, deduped — a
+    // position-robust fingerprint set (any shared window+n-1-word run
+    // shares a fingerprint). Spark runs Dedup.winnowFingerprints (window
+    // min over positional shingle hashes, one doc-id shuffle); the oracle
+    // re-derives the same frame min over the pre-materialized positional
+    // hash table, so the hash primitive is shared and the window/dedup
+    // logic is checked cross-engine. Summarized per doc (count + xor)
+    // to keep the compared table small while pinning every fingerprint.
+    Q("text_winnow",
+      (s, dir) => {
+        val fp = graft.ops.Dedup.winnowFingerprints(
+          t(s, dir, "documents").where(col("doc_id") < 100),
+          "doc_id", "text", n = 3, window = 4)
+        // bit_xor, not sum: a 64-bit-hash sum overflows a long (ANSI
+        // refuses) and the decimal→double route hit a real engine
+        // divergence — DuckDB's HUGEINT→DOUBLE cast rounds off-by-one-ulp
+        // vs the correctly-rounded Java conversion. XOR is
+        // order-independent, exact in int64, and pins every fingerprint.
+        fp.groupBy(col("id").as("doc_id"))
+          .agg(count(lit(1)).as("n_fp"),
+            expr("bit_xor(fp)").as("fp_xor"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH wm AS (SELECT id,
+            MIN(h) OVER (PARTITION BY id ORDER BY pos
+              ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+            COUNT(h) OVER (PARTITION BY id ORDER BY pos
+              ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wc
+          FROM '$AuxDir/winnow_hashes/*.parquet'),
+        fps AS (SELECT DISTINCT id, fp FROM wm WHERE wc = 4)
+        SELECT id AS doc_id, COUNT(*) AS n_fp, BIT_XOR(fp) AS fp_xor
+        FROM fps GROUP BY id ORDER BY doc_id""")),
 
     // ========= text analysis: marker-based language id (confusion) ========
     Q("lang_id",

@@ -57,4 +57,32 @@ class DedupGroupsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("converge"))
   }
+
+  test("winnowFingerprints matches a brute-force scalar winnow") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "short doc"), // < n+window-1 words: no fingerprints
+      (3L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (4L, "the quick brown fox jumps over the lazy dog again and again"))
+    val out = Dedup.winnowFingerprints(docs.toDF("doc_id", "text"),
+        "doc_id", "text", n = 3, window = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+
+    // scalar oracle: hash shingles with the engine's own xxhash64 (the
+    // scheme under test is the WINDOWING, not the hash), then winnow
+    val hashOf: Map[(Long, Int), Long] = Dedup
+      .shingleRowsPos(docs.toDF("doc_id", "text"), "doc_id", "text", 3)
+      .select(col("id"), col("pos"), xxhash64(col("shingle")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2))
+      .toMap
+    val expected = docs.map { case (id, text) =>
+      val n = text.split("\\s+").length
+      val hs = ((3 - 1) until n).map(p => hashOf((id, p)))
+      id -> hs.sliding(4).filter(_.size == 4).map(_.min).toSet
+    }.filter(_._2.nonEmpty).toMap
+    assert(out == expected)
+    // identical docs fingerprint identically; overlap detection works
+    assert(out(1L) == out(4L))
+  }
 }
