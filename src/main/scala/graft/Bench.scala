@@ -70,7 +70,7 @@ object Bench {
         while (i < len) { a(i) = i.toLong; i += 1 }
         var acc = 0L
         var pass = 0
-        while (pass < 6) {
+        while (pass < 12) {
           i = 0
           while (i < len) { acc += a(i); i += 1 }
           pass += 1
@@ -82,9 +82,13 @@ object Bench {
     }
     memOnce()
     val calMem = memOnce()
-    // aggregate traffic in GB (7 passes x 64 MiB x tasks) over wall time
+    // GB/s from the 12 READ passes only: the init pass's true traffic
+    // (JVM zeroing + read-for-ownership on the stores) is
+    // micro-architectural and unknowable from here, so it is excluded
+    // from the accounting and amortized to ~8% noise by the pass count —
+    // the reported number slightly UNDERSTATES bandwidth, consistently
     val memGBps =
-      7.0 * 64 * 1024 * 1024 * spark.sparkContext.defaultParallelism /
+      12.0 * 64 * 1024 * 1024 * spark.sparkContext.defaultParallelism /
         calMem / 1e9
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"calibration_sec":$calibration,"calibration_mem_sec":$calMem,"calibration_mem_gbps":$memGBps,"total_over_calibration":${total / calibration},"sf":"$sfDir"}""")
     spark.stop()

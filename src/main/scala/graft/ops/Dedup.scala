@@ -220,6 +220,17 @@ object Dedup {
   def connectedGroups(pairs: DataFrame, a: String, b: String,
                       nodes: Option[DataFrame] = None,
                       maxIter: Int = 25): DataFrame = {
+    val sc = pairs.sparkSession.sparkContext
+    // track each checkpoint's block-manager pins so superseded label
+    // tables release as the loop advances — without this a deep
+    // component leaves O(iterations) full label-table copies cached
+    // for the life of the job
+    def pinned[T](before: Set[Int])(df: DataFrame): (DataFrame, Set[Int]) =
+      (df, sc.getPersistentRDDs.keySet.toSet -- before)
+    def release(ids: Set[Int]): Unit =
+      ids.foreach(id => sc.getPersistentRDDs.get(id)
+        .foreach(_.unpersist(blocking = false)))
+
     val half = pairs.select(col(a).cast("long").as("u"),
       col(b).cast("long").as("v"))
     val edges = half.unionByName(half.select(col("v").as("u"),
@@ -230,27 +241,44 @@ object Dedup {
         n.select(col(n.columns.head).cast("long").as("id")).distinct()
       case None => edges.select(col("u").as("id")).distinct()
     }
-    var labels = ids.withColumn("group_id", col("id")).localCheckpoint(true)
-    var i = 0
-    var converged = false
-    while (!converged && i < maxIter) {
+    val pre0 = sc.getPersistentRDDs.keySet.toSet
+    var (labels, labelPins) = pinned(pre0)(
+      ids.withColumn("group_id", col("id")).localCheckpoint(true))
+
+    def minStep(cur: DataFrame): DataFrame = {
       val nbrMin = edges
-        .join(labels.select(col("id").as("v"), col("group_id").as("_nl")),
+        .join(cur.select(col("id").as("v"), col("group_id").as("_nl")),
           "v")
         .groupBy(col("u")).agg(min(col("_nl")).as("_nmin"))
         .withColumnRenamed("u", "id")
-      val next = labels.join(nbrMin, Seq("id"), "left")
+      cur.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("group_id"), coalesce(col("_nmin"), col("group_id")))
             .as("group_id"))
-        .localCheckpoint(true)
-      val changed = next
-        .join(labels.withColumnRenamed("group_id", "_old"), "id")
-        .where(col("group_id") =!= col("_old")).count()
-      labels = next
-      converged = changed == 0
+    }
+    def changedVs(next: DataFrame, cur: DataFrame): Long = next
+      .join(cur.withColumnRenamed("group_id", "_old"), "id")
+      .where(col("group_id") =!= col("_old")).count()
+
+    var i = 0
+    var converged = false
+    while (!converged && i < maxIter) {
+      val before = sc.getPersistentRDDs.keySet.toSet
+      val (next, nextPins) =
+        pinned(before)(minStep(labels).localCheckpoint(true))
+      converged = changedVs(next, labels) == 0
+      release(labelPins)
+      labels = next; labelPins = nextPins
       i += 1
     }
+    if (!converged) {
+      // the loop may have REACHED the fixpoint on its final iteration
+      // without the budget for the confirming zero-change pass — run
+      // that one check (no update) before declaring failure, so
+      // maxIter bounds propagation steps, not propagation+1
+      converged = changedVs(minStep(labels), labels) == 0
+    }
+    if (!converged) release(labelPins)
     require(converged,
       s"connectedGroups did not converge in $maxIter iterations — " +
         "component diameter exceeds the near-dup regime this operator " +

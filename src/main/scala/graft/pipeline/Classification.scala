@@ -97,8 +97,14 @@ object Classification {
     * included — is skipped outright.
     *
     * `labeledSmall = true` (the classify attach path) asserts `labeled`
-    * is cluster-sized by construction, skipping the pin + count gate
-    * that guards the join strategy for unknown callers. */
+    * is already pinned (built on classify's own checkpoint), skipping
+    * the redundant re-pin; the broadcast size gate runs either way.
+    *
+    * `labeled` must carry ONE classifier value per (keys, label) — the
+    * shape [[shapeClassify]] produces (its output is per-label and
+    * joined back on the label key). The wedge-stage routing reads
+    * classifier evidence off the central-band rows, which is equivalent
+    * to the any-pixel test exactly under that invariant. */
   def gradientRefine(allPx: DataFrame, labeled: DataFrame, width: Int,
                      height: Int, keys: Seq[String],
                      p: Params = Params(),
@@ -126,13 +132,16 @@ object Classification {
 
     // ---- A5: per-cluster central-band percentile vs global threshold --
     // d2 is the full frame; the labeled cluster side broadcasts so the
-    // frame never shuffles (count-gated like every cluster join here —
-    // skipped when the caller vouches the table is cluster-sized)
-    val labHint = if (labeledSmall) broadcast(labeled) else {
-      val labeledPinned = labeled.localCheckpoint(true)
-      if (labeledPinned.count() <= 1000000L)
-        broadcast(labeledPinned) else labeledPinned
-    }
+    // frame never shuffles. labeledSmall skips the REDUNDANT re-pin (the
+    // classify attach path hands in a table built on its own checkpoint)
+    // but NOT the size gate: a pathological dense mask (a threshold
+    // selecting half the frame) makes the closed-cluster table
+    // frame-sized, and a blind broadcast there would OOM the driver
+    // where the gated form degrades to a shuffle join.
+    val labeledPinned =
+      if (labeledSmall) labeled else labeled.localCheckpoint(true)
+    val labHint = if (labeledPinned.count() <= 1000000L)
+      broadcast(labeledPinned) else labeledPinned
     val withG = d2.join(labHint, keys :+ "y" :+ "x").localCheckpoint(true)
     // distributed rank-selection percentile: the gather-and-sort
     // aggregator ran its final sort in ONE task per frame — the measured

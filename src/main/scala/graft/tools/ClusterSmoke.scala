@@ -34,19 +34,6 @@ object ClusterSmoke {
     val nFrames = if (args.length > 3) args(3).toInt else 2
     val size = if (args.length > 4) args(4).toInt else 1440
 
-    // executor JVMs need the same JDK-17 module opens the driver gets
-    // from build.sbt, and our classes on their classpath
-    val addOpens = Seq(
-      "java.base/java.lang", "java.base/java.lang.invoke",
-      "java.base/java.lang.reflect", "java.base/java.io",
-      "java.base/java.net", "java.base/java.nio",
-      "java.base/java.util", "java.base/java.util.concurrent",
-      "java.base/java.util.concurrent.atomic",
-      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
-      "java.base/sun.security.action", "java.base/sun.util.calendar")
-      .map(p => s"--add-opens $p=ALL-UNNAMED").mkString(" ")
-    val classesDir = getClass.getProtectionDomain.getCodeSource
-      .getLocation.getPath
     val master =
       if (execs <= 0) "local[32]"
       else s"local-cluster[$execs,$coresPer,$memMb]"
@@ -58,15 +45,8 @@ object ClusterSmoke {
       .config("spark.ui.enabled", "false")
       .config("spark.executor.heartbeatInterval", "60s")
       .config("spark.network.timeout", "1200s")
-    // NOTE: launching real executors needs SPARK_HOME=/opt/spark and
-    // SPARK_SCALA_VERSION=2.13 in the environment (the launcher's
-    // build-directory scan fails on this distribution layout otherwise),
-    // and executor memory is NOT taken from the local-cluster worker
-    // size — set it explicitly or executors get the 1 GiB default.
-    val spark = (if (execs <= 0) b else b
-        .config("spark.executor.extraClassPath", classesDir)
-        .config("spark.executor.extraJavaOptions", addOpens)
-        .config("spark.executor.memory", s"${memMb - 1024}m"))
+    val spark = (if (execs <= 0) b
+      else LocalClusterConf.executorConf(b, s"${memMb - 1024}m"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -37,22 +37,10 @@ object StreamSmoke {
       // survive multi-minute GC stalls on the throttled sandbox host
       .config("spark.executor.heartbeatInterval", "60s")
       .config("spark.network.timeout", "1200s")
-    val spark = (if (!master.startsWith("local-cluster")) b else {
-      val addOpens = Seq(
-        "java.base/java.lang", "java.base/java.lang.invoke",
-        "java.base/java.lang.reflect", "java.base/java.io",
-        "java.base/java.net", "java.base/java.nio",
-        "java.base/java.util", "java.base/java.util.concurrent",
-        "java.base/java.util.concurrent.atomic",
-        "java.base/sun.nio.ch", "java.base/sun.nio.cs",
-        "java.base/sun.security.action", "java.base/sun.util.calendar")
-        .map(p => s"--add-opens $p=ALL-UNNAMED").mkString(" ")
-      b.config("spark.executor.extraClassPath",
-          getClass.getProtectionDomain.getCodeSource.getLocation.getPath)
-        .config("spark.executor.extraJavaOptions", addOpens)
-        .config("spark.executor.memory",
-          sys.env.getOrElse("GRAFT_EXEC_MEM", "24576m"))
-    }).getOrCreate()
+    val spark = (if (!master.startsWith("local-cluster")) b
+      else LocalClusterConf.executorConf(b,
+        sys.env.getOrElse("GRAFT_EXEC_MEM", "24576m")))
+      .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     val cal = SyntheticFrame.testCalibration(size)

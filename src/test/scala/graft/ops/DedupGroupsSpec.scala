@@ -49,6 +49,15 @@ class DedupGroupsSpec extends SparkSpec {
     assert((200L to 203L).forall(g(_) == 200L))
   }
 
+  test("convergence landing exactly on maxIter succeeds (confirm pass)") {
+    // min label travels 1 hop/iteration: node 10 needs exactly 10
+    val chain = (0L until 10L).map(i => (i, i + 1))
+    val g = Dedup.connectedGroups(chain.toDF("a", "b"), "a", "b",
+        maxIter = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(g == (0L to 10L).map(_ -> 0L).toMap)
+  }
+
   test("non-convergence within maxIter fails loudly") {
     val chain = (0L until 10L).map(i => (i, i + 1))
     val e = intercept[IllegalArgumentException] {
