@@ -59,9 +59,11 @@ class DedupGroupsSpec extends SparkSpec {
   }
 
   test("non-convergence within maxIter fails loudly") {
-    val chain = (0L until 10L).map(i => (i, i + 1))
+    // pointer jumping doubles the horizon per iteration, so a guard
+    // test needs depth >> 2^maxIter
+    val chain = (0L until 200L).map(i => (i, i + 1))
     val e = intercept[IllegalArgumentException] {
-      Dedup.connectedGroups(chain.toDF("a", "b"), "a", "b", maxIter = 3)
+      Dedup.connectedGroups(chain.toDF("a", "b"), "a", "b", maxIter = 2)
         .collect()
     }
     assert(e.getMessage.contains("converge"))
