@@ -920,6 +920,50 @@ object OracleQueries {
         SELECT id_a, id_b, est_jaccard FROM scored
         ORDER BY id_a, id_b""")),
 
+    // ===== dedup: the CANONICAL end-to-end text pipeline ==================
+    // shingles → MinHash signatures → LSH bands → candidate pairs →
+    // agreement filter (≥ 16/32 — exact dyadic, no float boundary) →
+    // connected components → duplicate GROUPS. This is the query a
+    // training-data pipeline actually runs; every stage above the raw
+    // hash primitive is re-derived in DuckDB (signatures/bands from the
+    // aux family table, components as a recursive closure). Output: one
+    // row per document that has at least one kept near-dup edge, with
+    // its group id (= min doc_id reachable).
+    Q("dedup_minhash_groups",
+      (s, dir) => {
+        val cand = Dedup.minhashCandidates(t(s, dir, "documents"),
+            "doc_id", "text", n = 3, k = 32, bands = 8)
+          .where(col("est_jaccard") >= 0.5)
+        graft.ops.Dedup.connectedGroups(cand, "id_a", "id_b")
+          .orderBy(col("id"))
+      },
+      Some(s"""WITH RECURSIVE fam AS (SELECT id, seed, fh
+            FROM '$AuxDir/minhash_family/*.parquet'),
+          sig AS (SELECT id, seed, MIN(fh) AS m FROM fam GROUP BY id, seed),
+          sigl AS (SELECT id, list(m ORDER BY seed) AS sig
+            FROM sig GROUP BY id),
+          bands AS (SELECT id, b, sig[b*4+1:b*4+4] AS slc
+            FROM sigl CROSS JOIN range(0, 8) t(b)),
+          pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+            FROM bands a JOIN bands b
+              ON a.b = b.b AND a.slc = b.slc AND a.id < b.id),
+          kept AS (SELECT p.id_a, p.id_b
+            FROM pairs p
+            JOIN sig sa ON sa.id = p.id_a
+            JOIN sig sb ON sb.id = p.id_b AND sb.seed = sa.seed
+            GROUP BY p.id_a, p.id_b
+            HAVING SUM(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) >= 16),
+          edges AS (SELECT id_a AS src, id_b AS dst FROM kept
+            UNION ALL SELECT id_b, id_a FROM kept),
+          nodes AS (SELECT DISTINCT src AS id FROM edges),
+          reach(id, r) AS (
+            SELECT id, id FROM nodes
+            UNION
+            SELECT re.id, ed.dst FROM reach re
+              JOIN edges ed ON ed.src = re.r)
+        SELECT id, MIN(r) AS group_id FROM reach GROUP BY id
+        ORDER BY id""")),
+
     // ============== text analysis: per-language quality metrics ===========
     Q("text_quality",
       (s, dir) => {
