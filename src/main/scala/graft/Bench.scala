@@ -56,10 +56,11 @@ object Bench {
     // CPU-bound and proved blind to the host's dominant noise source —
     // the minutes-period memory-bus throttle that inflated a GC-clean
     // run 3.4x (SCALE_r06.md "The quiet-box absolute"). This leg streams
-    // a 64 MiB per-task long array (1 write + 6 read passes) on every
-    // core simultaneously — aggregate traffic far beyond LLC, so its
-    // wall time tracks DRAM bandwidth. Report both legs: cal ≈ flat +
-    // mem inflated ⇒ bus throttle; both inflated ⇒ CPU contention.
+    // a 64 MiB per-task long array (one init pass + 12 timed read
+    // passes) on every core simultaneously — aggregate traffic far
+    // beyond LLC, so its wall time tracks DRAM bandwidth. Report both
+    // legs: cal ≈ flat + mem inflated ⇒ bus throttle; both inflated ⇒
+    // CPU contention.
     def memOnce(): Double = {
       val n = spark.sparkContext.defaultParallelism
       val t0 = System.nanoTime()

@@ -208,14 +208,22 @@ object Dedup {
     * THAT node's label stays inside the component; it doubles the
     * propagation horizon per iteration, giving O(log diameter)
     * convergence where plain propagation is O(diameter) — a 1M-node
-    * chain resolves in ~20 iterations, not 1M. Each iteration is two
-    * shuffle joins plus a grouped min, all hash-partitioned on the node
-    * id, no driver-side graph state, so the pattern holds at 100 TB
-    * edge lists. `maxIter` guards pathological inputs — the call FAILS
-    * rather than returning a partial clustering. The per-iteration
-    * convergence check is one count job — bounded by the iteration
-    * count, same latency class as the percentileSelect routing
-    * collects.
+    * chain resolves in ~20 iterations, not 1M. Per-iteration cost:
+    * THREE shuffle joins (edges ⋈ labels, labels ⋈ neighbor-min, the
+    * pointer-jump self-join) plus a grouped min, and the convergence
+    * check adds one more join inside its count job — all
+    * hash-partitioned on the node id, no driver-side graph state, so
+    * the pattern holds at 100 TB edge lists. `maxIter` guards
+    * pathological inputs — the call FAILS rather than returning a
+    * partial clustering.
+    *
+    * Checkpoint hygiene: superseded label tables and the edge table are
+    * unpersisted as the loop advances (only the RETURNED labels stay
+    * pinned). The tracking diffs the context's persistent-RDD set
+    * around each checkpoint, so the call assumes NO CONCURRENT
+    * persist/checkpoint activity on the same SparkContext — true for
+    * this engine's single-threaded driver paths (Verify, Bench, the
+    * batch pipeline); do not call it from parallel driver threads.
     *
     * `nodes` (single id column) adds isolated nodes so singletons
     * surface with their own id as `group_id`; otherwise only nodes with
@@ -237,9 +245,11 @@ object Dedup {
 
     val half = pairs.select(col(a).cast("long").as("u"),
       col(b).cast("long").as("v"))
+    val preE = sc.getPersistentRDDs.keySet.toSet
     val edges = half.unionByName(half.select(col("v").as("u"),
         col("u").as("v")))
       .where(col("u") =!= col("v")).distinct().localCheckpoint(true)
+    val edgePins = sc.getPersistentRDDs.keySet.toSet -- preE
     val ids = nodes match {
       case Some(n) =>
         n.select(col(n.columns.head).cast("long").as("id")).distinct()
@@ -291,6 +301,9 @@ object Dedup {
       // maxIter bounds propagation steps, not propagation+1
       converged = changedVs(minStep(labels), labels) == 0
     }
+    // the returned labels are independently pinned; the (larger) edge
+    // table is not needed past this point
+    release(edgePins)
     if (!converged) release(labelPins)
     require(converged,
       s"connectedGroups did not converge in $maxIter iterations — " +

@@ -337,8 +337,9 @@ object Classification {
     val shaped = shapeClassify(labeled, keys, p)
     val labeledFull = labeled.join(broadcast(shaped), keys :+ "label")
     // attach path: labeled is the closed-cluster table decorated
-    // closed-form — cluster-sized by construction, so gradientRefine can
-    // skip its pin + count gate (two scheduler round-trips per batch)
+    // closed-form and already pinned above, so gradientRefine skips its
+    // redundant re-checkpoint (one scheduler round-trip per batch); the
+    // broadcast size gate still runs — see gradientRefine's doc
     gradientRefine(framePx, labeledFull, width, height, keys, p,
       d2Precomputed, labeledSmall = cal.isDefined)
   }

@@ -21,6 +21,10 @@ object MedianShuffleBench {
     val rows = if (args.length > 0) args(0).toLong else 33000000L
     val groups = if (args.length > 1) args(1).toInt else 2000
     val pairs = if (args.length > 2) args(2).toInt else 3
+    require(groups >= 4 && groups % 4 == 0,
+      s"groups must be a positive multiple of 4 (got $groups): q_bin is " +
+        "derived as (id/4) % (groups/4), so other values silently " +
+        "benchmark a different group count than printed")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")

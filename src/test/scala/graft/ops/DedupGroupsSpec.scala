@@ -50,10 +50,13 @@ class DedupGroupsSpec extends SparkSpec {
   }
 
   test("convergence landing exactly on maxIter succeeds (confirm pass)") {
-    // min label travels 1 hop/iteration: node 10 needs exactly 10
+    // with pointer jumping the 11-node chain still CHANGES labels in
+    // iterations 1-3 and would only see changed==0 at iteration 4 —
+    // maxIter=3 therefore exits the loop unconverged and must succeed
+    // via the post-loop no-update confirm pass
     val chain = (0L until 10L).map(i => (i, i + 1))
     val g = Dedup.connectedGroups(chain.toDF("a", "b"), "a", "b",
-        maxIter = 10)
+        maxIter = 3)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(g == (0L to 10L).map(_ -> 0L).toMap)
   }
