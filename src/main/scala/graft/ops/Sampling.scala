@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Deterministic sampling for corpus curation. `rand()`-based sampling
+  * is useless for a reproducible training-data pipeline (re-runs and
+  * retries see different rows, and the sample can't be re-derived for
+  * audit); everything here keys off a hash of a stable row id, so the
+  * same row is in or out of the sample on every run, every partitioning,
+  * every cluster size.
+  *
+  * Scale notes: [[stratifiedSample]] is a pure filter — no shuffle at
+  * all, fully pushdown-friendly, the form to use at 100 TB.
+  * [[smallestHashSample]] (exact-N per stratum) needs a per-stratum
+  * order, i.e. one shuffle on the stratum key; with few large strata the
+  * window partitions are skewed, so for huge data prefer a two-phase
+  * variant (per-partition top-N, then merge) — at the sizes where an
+  * exact count matters (eval splits, capped per-language quotas) N is
+  * small and the grouped top-N below is the standard shape.
+  */
+object Sampling {
+
+  /** Stable bucket in [0, buckets) from a row-id column. */
+  def hashBucket(id: Column, buckets: Int): Column =
+    pmod(xxhash64(id), lit(buckets.toLong))
+
+  /** Rate-based stratified sample: keep a row of stratum s iff
+    * `hash(id) mod buckets < rates(s) * buckets`. Unknown strata get
+    * `defaultRate`. Deterministic, no shuffle, composable with any
+    * downstream plan.
+    */
+  def stratifiedSample(df: DataFrame, stratum: Column, id: Column,
+                       rates: Map[String, Double], defaultRate: Double,
+                       buckets: Int = 1000): DataFrame = {
+    val threshold = rates.foldLeft(lit(defaultRate)) {
+      case (acc, (s, r)) => when(stratum === s, lit(r)).otherwise(acc)
+    }
+    df.where(hashBucket(id, buckets) < threshold * buckets)
+  }
+
+  /** Exact-N-per-stratum sample: the N rows with the smallest id-hash in
+    * each stratum — a uniform without-replacement draw that is stable
+    * under reruns AND under data growth (a row only leaves the sample
+    * when a smaller-hash row arrives). Adds `sample_rank` (1..N).
+    * Hash ties (astronomically unlikely with xxhash64, but determinism
+    * must not rest on luck) break on the id itself.
+    */
+  def smallestHashSample(df: DataFrame, stratum: Column, id: Column,
+                         n: Int): DataFrame = {
+    val w = Window.partitionBy(stratum).orderBy(xxhash64(id), id)
+    df.withColumn("sample_rank", row_number().over(w))
+      .where(col("sample_rank") <= n)
+  }
+}

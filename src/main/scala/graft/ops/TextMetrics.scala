@@ -59,4 +59,16 @@ object TextMetrics {
 
   /** 64-bit rolling content fingerprint (xxhash64 of the text). */
   def fingerprint(text: Column): Column = xxhash64(text)
+
+  /** Tokens as an array column: literal single-space split (the corpus
+    * is single-space separated). `split` takes a regex; a lone space is
+    * regex-inert, and the same split reproduces in SQL engines'
+    * `string_split(text, ' ')`. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Smoothed inverse document frequency, ln((N+1)/(df+1)) + 1, ROUNDED
+    * to 6 dp so downstream products are cross-engine deterministic (the
+    * one `ln` call is the only libm dependence; rounding pins it). */
+  def idf(df: Column, nDocs: Column): Column =
+    round(log((nDocs + 1).cast("double") / (df + 1)) + 1.0, 6)
 }

@@ -133,6 +133,11 @@ object OracleQueries {
         (p, j, math.sin(p * LshDim + j + 1.0))))
       .toDF("p", "j", "w")
       .coalesce(1).write.mode("overwrite").parquet(s"$AuxDir/lsh_planes")
+    // sampling: raw id hash + bucket per document, for the stratified
+    // and smallest-hash sampling oracles
+    docs.select(col("doc_id"), xxhash64(col("doc_id")).as("h"),
+        Sampling.hashBucket(col("doc_id"), 1000).as("bucket"))
+      .write.mode("overwrite").parquet(s"$AuxDir/doc_bucket")
   }
 
   // ---- the inventory -----------------------------------------------------
@@ -1288,7 +1293,177 @@ object OracleQueries {
       Some(s"""SELECT CASE WHEN user_id >= 1000 THEN 0 ELSE user_id END
             AS key, ${sqlDsum("value")} AS value_sum,
           COUNT(*) AS n
-        FROM events GROUP BY key ORDER BY key"""))
+        FROM events GROUP BY key ORDER BY key""")),
+
+    // ================ sessionization (gap-based) ==========================
+    // The event-stream curation primitive: group each user's events into
+    // sessions separated by > 2 h of silence, then roll each session up.
+    // One shuffle on user_id for BOTH window passes and (same leading
+    // key) the rollup — the minimum any per-key ordering pays.
+    Q("events_sessionize",
+      (s, dir) => {
+        val ev0 = t(s, dir, "events")
+        val ev = ev0.withColumn("_ts_ns", tsNs(ev0))
+        Sessions.sessionStats(ev, Seq("user_id"), col("_ts_ns"),
+            gapNs = 2L * 3600 * 1000000000L, valueCol = col("value"),
+            tiebreak = Seq(col("event_id")))
+          .orderBy(col("user_id"), col("session_idx"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, value,
+            CAST(epoch_ns(ts) AS BIGINT) AS t FROM events),
+          m AS (SELECT *, CASE WHEN LAG(t) OVER w IS NULL
+                OR t - LAG(t) OVER w > 7200000000000 THEN 1 ELSE 0 END
+                AS is_new
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+          sn AS (SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id
+                ORDER BY t, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                AS session_idx FROM m)
+        SELECT user_id, session_idx, COUNT(*) AS n, MIN(t) AS start_ns,
+          MAX(t) AS end_ns, MAX(t) - MIN(t) AS duration_ns,
+          CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_sum
+        FROM sn GROUP BY user_id, session_idx
+        ORDER BY user_id, session_idx""")),
+
+    // ==================== J8: backward as-of join =========================
+    // Every non-purchase event matched to the SAME user's most recent
+    // purchase at-or-before it (nulls when none) — the "latest quote per
+    // trade" shape. The engine runs the union-scan form (AsofJoin: one
+    // key exchange, no row amplification); the oracle is DuckDB's native
+    // ASOF LEFT JOIN, so the two implementations are fully independent.
+    Q("j8_asof",
+      (s, dir) => {
+        val ev0 = t(s, dir, "events")
+        val ev = ev0.withColumn("_ts_ns", tsNs(ev0))
+        val left = ev.where(col("event_type") =!= "purchase")
+          .select(col("event_id"), col("user_id"), col("_ts_ns").as("t"))
+        val right = ev.where(col("event_type") === "purchase")
+          .select(col("user_id"), col("_ts_ns").as("pt"),
+            col("event_id").as("purchase_id"),
+            col("value").as("purchase_value"))
+        AsofJoin.backward(left, right, Seq("user_id"), "t", "pt",
+            payload = Seq("purchase_id", "purchase_value"))
+          .select(col("event_id"), col("user_id"), col("purchase_id"),
+            col("purchase_value"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, event_type, value,
+            CAST(epoch_ns(ts) AS BIGINT) AS t FROM events),
+          l AS (SELECT event_id, user_id, t FROM e
+            WHERE event_type <> 'purchase'),
+          r AS (SELECT user_id AS r_user, t AS pt,
+            event_id AS purchase_id, value AS purchase_value FROM e
+            WHERE event_type = 'purchase')
+        SELECT l.event_id, l.user_id, r.purchase_id, r.purchase_value
+        FROM l ASOF LEFT JOIN r
+          ON l.user_id = r.r_user AND l.t >= r.pt
+        ORDER BY l.event_id""")),
+
+    // ============ heavy hitters: top-k terms per language =================
+    // Exact per-stratum top-k: explode tokens, two-stage count (partial
+    // map-side combine is free on the groupBy), rank inside each
+    // language. The window partitions by language (few, large) — at
+    // 100 TB the count table it ranks is |vocab x lang|, already reduced
+    // by the aggregate, so the skewed window sees vocabulary-sized not
+    // corpus-sized data.
+    Q("text_topk_terms",
+      (s, dir) => {
+        val counts = t(s, dir, "documents")
+          .select(col("lang"),
+            explode(TextMetrics.tokens(col("text"))).as("token"))
+          .groupBy(col("lang"), col("token"))
+          .agg(count(lit(1)).as("c"))
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(col("c").desc, col("token"))
+        counts.withColumn("rk", row_number().over(w))
+          .where(col("rk") <= 10)
+          .orderBy(col("lang"), col("rk"))
+      },
+      Some("""WITH toks AS (SELECT lang,
+            unnest(string_split(text, ' ')) AS token FROM documents),
+          counts AS (SELECT lang, token, COUNT(*) AS c FROM toks
+            GROUP BY lang, token)
+        SELECT lang, token, c, rk FROM (
+          SELECT lang, token, c, ROW_NUMBER() OVER (PARTITION BY lang
+              ORDER BY c DESC, token) AS rk FROM counts)
+        WHERE rk <= 10 ORDER BY lang, rk""")),
+
+    // ======================== TF-IDF scoring ==============================
+    // Per-document TF-IDF over a fixed query-term set: tf from the
+    // exploded tokens, df/N from two bounded aggregates that broadcast
+    // back onto the tf table. Determinism: the one ln() is rounded to
+    // 6 dp BEFORE the product (pinning the single libm call), products
+    // are exact doubles, and the per-doc sum routes through decimal.
+    Q("text_tfidf",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val terms = Seq("hash", "join", "scan", "customer", "batch")
+        val tf = docs
+          .select(col("doc_id"),
+            explode(TextMetrics.tokens(col("text"))).as("token"))
+          .where(col("token").isin(terms: _*))
+          .groupBy(col("doc_id"), col("token"))
+          .agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+        val n = docs.agg(count(lit(1)).as("n_docs"))
+        tf.join(broadcast(dfreq), "token")
+          .crossJoin(broadcast(n))
+          .withColumn("w",
+            col("tf") * TextMetrics.idf(col("df"), col("n_docs")))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("w").cast("decimal(18,6)")).cast("double")
+            .as("tfidf"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH toks AS (SELECT doc_id,
+            unnest(string_split(text, ' ')) AS token FROM documents),
+          tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks
+            WHERE token IN ('hash','join','scan','customer','batch')
+            GROUP BY doc_id, token),
+          dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+          n AS (SELECT COUNT(*) AS n_docs FROM documents)
+        SELECT tf.doc_id,
+          CAST(SUM(CAST(tf.tf * (ROUND(LN((n.n_docs + 1.0) / (dfreq.df + 1))
+            + 1.0, 6)) AS DECIMAL(18,6))) AS DOUBLE) AS tfidf
+        FROM tf JOIN dfreq ON tf.token = dfreq.token CROSS JOIN n
+        GROUP BY tf.doc_id ORDER BY tf.doc_id""")),
+
+    // ========== deterministic stratified sampling (rate-based) ============
+    // Reproducible curation sampling: keep a document iff
+    // xxhash64(doc_id) mod 1000 falls under its language's rate — a pure
+    // filter, no shuffle, rerun-stable. The oracle reads the
+    // pre-materialized bucket (DuckDB has no xxhash64) and re-applies
+    // the threshold logic independently.
+    Q("sample_stratified",
+      (s, dir) => {
+        Sampling.stratifiedSample(t(s, dir, "documents"), col("lang"),
+            col("doc_id"), Map("en" -> 0.1, "zh" -> 0.5),
+            defaultRate = 0.25)
+          .select(col("doc_id"), col("lang"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""SELECT d.doc_id, d.lang FROM documents d
+        JOIN '$AuxDir/doc_bucket/*.parquet' b USING (doc_id)
+        WHERE b.bucket < CASE WHEN d.lang = 'en' THEN 100
+          WHEN d.lang = 'zh' THEN 500 ELSE 250 END
+        ORDER BY d.doc_id""")),
+
+    // ========== deterministic exact-N sampling (smallest-hash) ============
+    // Exactly N docs per language: the N smallest id-hashes per stratum —
+    // a uniform without-replacement draw, stable under reruns AND data
+    // growth. The oracle re-ranks from the raw aux hashes.
+    Q("sample_topn",
+      (s, dir) => {
+        Sampling.smallestHashSample(t(s, dir, "documents"), col("lang"),
+            col("doc_id"), n = 20)
+          .select(col("lang"), col("sample_rank"), col("doc_id"))
+          .orderBy(col("lang"), col("sample_rank"))
+      },
+      Some(s"""SELECT lang, sample_rank, doc_id FROM (
+          SELECT d.lang, d.doc_id, ROW_NUMBER() OVER (PARTITION BY d.lang
+              ORDER BY b.h, d.doc_id) AS sample_rank
+          FROM documents d
+          JOIN '$AuxDir/doc_bucket/*.parquet' b USING (doc_id))
+        WHERE sample_rank <= 20 ORDER BY lang, sample_rank"""))
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

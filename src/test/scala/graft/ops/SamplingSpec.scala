@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Deterministic sampling: rerun/partitioning stability, per-stratum
+  * rates and exact-N counts, growth stability of the smallest-hash draw.
+  */
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(n: Int) = (0 until n)
+    .map(i => (i.toLong, if (i % 3 == 0) "en" else "de"))
+    .toDF("id", "lang")
+
+  test("stratified sample is a deterministic pure filter") {
+    val d = docs(3000)
+    val pick = Sampling.stratifiedSample(d, col("lang"), col("id"),
+      Map("en" -> 0.1), defaultRate = 0.5)
+    val ids1 = pick.select("id").as[Long].collect().sorted.toSeq
+    // same rows under a different partitioning
+    val ids2 = Sampling.stratifiedSample(d.repartition(7), col("lang"),
+        col("id"), Map("en" -> 0.1), defaultRate = 0.5)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(ids1 == ids2)
+    // rates land near the targets (hash uniformity, wide tolerance)
+    val en = pick.where($"lang" === "en").count().toDouble / 1000
+    val de = pick.where($"lang" === "de").count().toDouble / 2000
+    assert(en > 0.05 && en < 0.15, s"en rate $en")
+    assert(de > 0.4 && de < 0.6, s"de rate $de")
+    // membership is exactly the bucket predicate, row by row
+    val viol = d.withColumn("b", Sampling.hashBucket(col("id"), 1000))
+      .withColumn("want", when($"lang" === "en", $"b" < 100)
+        .otherwise($"b" < 500))
+      .join(pick.select($"id".as("pid")), $"id" === $"pid", "left")
+      .where($"want" =!= $"pid".isNotNull)
+    assert(viol.count() == 0)
+  }
+
+  test("smallest-hash sample: exactly N per stratum, stable under growth") {
+    val small = Sampling.smallestHashSample(docs(1000), col("lang"),
+      col("id"), n = 25)
+    val counts = small.groupBy("lang").count().as[(String, Long)]
+      .collect().toMap
+    assert(counts == Map("en" -> 25L, "de" -> 25L))
+    // ranks are 1..N with no holes
+    val ranks = small.where($"lang" === "en").select("sample_rank")
+      .as[Int].collect().sorted.toSeq
+    assert(ranks == (1 to 25))
+    // growing the table only evicts rows for smaller hashes: the id<1000
+    // subset of the grown sample equals the grown sample minus new rows,
+    // and every survivor was in the small sample
+    val grown = Sampling.smallestHashSample(docs(2000), col("lang"),
+        col("id"), n = 25)
+      .where($"id" < 1000).select("id").as[Long].collect().toSet
+    val orig = small.select("id").as[Long].collect().toSet
+    assert(grown.subsetOf(orig))
+  }
+}
