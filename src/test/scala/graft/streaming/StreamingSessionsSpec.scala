@@ -1,0 +1,121 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.ops.Sessions
+import StreamingSessions.{ClosedSession, SessionEvent}
+
+/** Streaming sessionization: gap-rule closes inside a batch, watermark
+  * timeout finalizes idle keys, cross-batch continuation merges, and the
+  * closed set equals the batch computation on the same events. */
+class StreamingSessionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Gap = 1000000000L // 1 s in ns
+  // all event times sit an hour past the epoch: the initial watermark is
+  // 0, and a row AT the watermark is dropped as late by the stateful op
+  private val T0 = 3600L * 1000000000L
+
+  /** Run a list of micro-batches through the sessionizer, then flush
+    * with far-future dummy events (key -1) so the watermark passes every
+    * real session's end + gap. */
+  private def run(batches: Seq[Seq[SessionEvent]],
+                  name: String): Seq[ClosedSession] = {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[SessionEvent]
+    val ckpt = java.nio.file.Files.createTempDirectory("sess_ck").toString
+    val q = StreamingSessions
+      // nonzero disorder allowance: with "0 seconds" an event whose time
+      // EQUALS the watermark (ties straddling a batch boundary) is
+      // dropped as late — correct engine semantics, wrong spec intent
+      .closedSessions(spark, in.toDS(), Gap, "30 seconds")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    try {
+      batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+      // two flush batches: one to advance the watermark, one to run the
+      // timeout eviction under the advanced watermark
+      val far = T0 + 1000L * Gap
+      in.addData(SessionEvent(-1L, far, 0.0)); q.processAllAvailable()
+      in.addData(SessionEvent(-1L, far + 1, 0.0)); q.processAllAvailable()
+      spark.table(name).as[ClosedSession].collect().toSeq
+        .filter(_.key >= 0).sortBy(c => (c.key, c.startNs))
+    } finally q.stop()
+  }
+
+  test("gap rule closes within a batch; watermark finalizes the last " +
+      "session") {
+    val out = run(Seq(Seq(
+      SessionEvent(1, T0, 1.0), SessionEvent(1, T0 + 500000000L, 2.0),
+      // 2.5 s later: > gap, new session
+      SessionEvent(1, T0 + 3000000000L, 4.0))), "sess_gap")
+    assert(out == Seq(
+      ClosedSession(1, T0, T0 + 500000000L, 500000000L, 2, 3.0),
+      ClosedSession(1, T0 + 3000000000L, T0 + 3000000000L, 0L, 1, 4.0)))
+  }
+
+  test("a session continues across micro-batches before closing") {
+    val out = run(Seq(
+      Seq(SessionEvent(2, T0, 1.0)),
+      Seq(SessionEvent(2, T0 + 800000000L, 2.0)), // within gap: same
+      Seq(SessionEvent(2, T0 + 5000000000L, 4.0))), "sess_xbatch")
+    assert(out == Seq(
+      ClosedSession(2, T0, T0 + 800000000L, 800000000L, 2, 3.0),
+      ClosedSession(2, T0 + 5000000000L, T0 + 5000000000L, 0L, 1, 4.0)))
+  }
+
+  test("closed sessions equal the batch sessionStats on the same events") {
+    val events = for {
+      key <- 1L to 3L
+      i <- 0 until 12
+    } yield SessionEvent(key,
+      T0 + i * 600000000L * key + (if (i >= 6) 4L * Gap else 0L), 0.25 * i)
+    // stream them in time order, three events per micro-batch
+    val out = run(events.sortBy(_.tNs).grouped(3).toSeq, "sess_parity")
+    val batch = Sessions.sessionStats(
+        events.toDF("key", "t", "v"), Seq("key"), col("t"), Gap,
+        valueCol = col("v"))
+      .select(col("key"), col("start_ns").as("startNs"),
+        col("end_ns").as("endNs"), col("duration_ns").as("durationNs"),
+        col("n"), col("value_sum").as("valueSum"))
+      .as[ClosedSession].collect().toSeq.sortBy(c => (c.key, c.startNs))
+    assert(out == batch)
+  }
+
+  test("update(): an out-of-order event inside the open session merges, " +
+      "extending both bounds") {
+    // drive the state function directly with a fake GroupState
+    val st = new FakeGroupState[StreamingSessions.OpenSession]
+    val first = StreamingSessions.update(Gap)(7L,
+      Iterator(SessionEvent(7, 1000L, 1.0)), st).toSeq
+    assert(first.isEmpty && st.getOption.exists(_.n == 1))
+    val second = StreamingSessions.update(Gap)(7L,
+      Iterator(SessionEvent(7, 400L, 2.0)), st).toSeq
+    assert(second.isEmpty)
+    val open = st.get
+    assert(open.startNs == 400L && open.endNs == 1000L && open.n == 2
+      && open.valueSum == 3.0)
+  }
+}
+
+/** Minimal GroupState for driving the update function in-process. */
+class FakeGroupState[S] extends org.apache.spark.sql.streaming.GroupState[S] {
+  private var v: Option[S] = None
+  private var removed = false
+  override def exists: Boolean = v.isDefined
+  override def get: S = v.get
+  override def getOption: Option[S] = v
+  override def update(s: S): Unit = { v = Some(s); removed = false }
+  override def remove(): Unit = { v = None; removed = true }
+  override def hasTimedOut: Boolean = false
+  override def setTimeoutDuration(d: Long): Unit = ()
+  override def setTimeoutDuration(d: String): Unit = ()
+  override def setTimeoutTimestamp(t: Long): Unit = ()
+  override def setTimeoutTimestamp(t: Long, add: String): Unit = ()
+  override def setTimeoutTimestamp(t: java.sql.Date): Unit = ()
+  override def setTimeoutTimestamp(t: java.sql.Date, add: String): Unit = ()
+  override def getCurrentWatermarkMs(): Long = 0L
+  override def getCurrentProcessingTimeMs(): Long = 0L
+}
