@@ -138,6 +138,11 @@ object OracleQueries {
     docs.select(col("doc_id"), xxhash64(col("doc_id")).as("h"),
         Sampling.hashBucket(col("doc_id"), 1000).as("bucket"))
       .write.mode("overwrite").parquet(s"$AuxDir/doc_bucket")
+    // decontamination: distinct shingle hashes for EVERY document (the
+    // simhash table above covers only doc_id < 100)
+    Dedup.shingleRows(docs, "doc_id", "text", 3)
+      .select(col("id"), xxhash64(col("shingle")).as("h")).distinct()
+      .write.mode("overwrite").parquet(s"$AuxDir/all_shingle_hashes")
   }
 
   // ---- the inventory -----------------------------------------------------
@@ -1463,7 +1468,97 @@ object OracleQueries {
               ORDER BY b.h, d.doc_id) AS sample_rank
           FROM documents d
           JOIN '$AuxDir/doc_bucket/*.parquet' b USING (doc_id))
-        WHERE sample_rank <= 20 ORDER BY lang, sample_rank"""))
+        WHERE sample_rank <= 20 ORDER BY lang, sample_rank""")),
+
+    // ============ dedup: canonical-document selection ====================
+    // The step after grouping that a curation pipeline actually ships:
+    // within each near-dup group keep ONE representative (longest text,
+    // ties to the smallest id) and record the group size. Groups are a
+    // tiny table by construction, so the doc join and the per-group
+    // window cost nothing at any corpus size.
+    Q("dedup_canonical",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val cand = Dedup.minhashCandidates(docs, "doc_id", "text",
+            n = 3, k = 32, bands = 8)
+          .where(col("est_jaccard") >= 0.5)
+        val groups = Dedup.connectedGroups(cand, "id_a", "id_b")
+        val g = groups.join(
+          docs.select(col("doc_id").as("id"), col("n_chars")), "id")
+        val w = Window.partitionBy(col("group_id"))
+          .orderBy(col("n_chars").desc, col("id"))
+        g.withColumn("rn", row_number().over(w))
+          .groupBy(col("group_id"))
+          .agg(count(lit(1)).as("n_members"),
+            max(when(col("rn") === 1, col("id"))).as("canonical_id"),
+            max(when(col("rn") === 1, col("n_chars")))
+              .as("canonical_chars"))
+          .orderBy(col("group_id"))
+      },
+      Some(s"""WITH RECURSIVE fam AS (SELECT id, seed, fh
+            FROM '$AuxDir/minhash_family/*.parquet'),
+          sig AS (SELECT id, seed, MIN(fh) AS m FROM fam GROUP BY id, seed),
+          sigl AS (SELECT id, list(m ORDER BY seed) AS sig
+            FROM sig GROUP BY id),
+          bands AS (SELECT id, b, sig[b*4+1:b*4+4] AS slc
+            FROM sigl CROSS JOIN range(0, 8) t(b)),
+          pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+            FROM bands a JOIN bands b
+              ON a.b = b.b AND a.slc = b.slc AND a.id < b.id),
+          kept AS (SELECT p.id_a, p.id_b
+            FROM pairs p
+            JOIN sig sa ON sa.id = p.id_a
+            JOIN sig sb ON sb.id = p.id_b AND sb.seed = sa.seed
+            GROUP BY p.id_a, p.id_b
+            HAVING SUM(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) >= 16),
+          edges AS (SELECT id_a AS src, id_b AS dst FROM kept
+            UNION ALL SELECT id_b, id_a FROM kept),
+          nodes AS (SELECT DISTINCT src AS id FROM edges),
+          reach(id, r) AS (
+            SELECT id, id FROM nodes
+            UNION
+            SELECT re.id, ed.dst FROM reach re
+              JOIN edges ed ON ed.src = re.r),
+          grp AS (SELECT id, MIN(r) AS group_id FROM reach GROUP BY id),
+          gd AS (SELECT g.group_id, g.id, d.n_chars,
+            ROW_NUMBER() OVER (PARTITION BY g.group_id
+              ORDER BY d.n_chars DESC, g.id) AS rn
+            FROM grp g JOIN documents d ON d.doc_id = g.id)
+        SELECT group_id, COUNT(*) AS n_members,
+          MAX(CASE WHEN rn = 1 THEN id END) AS canonical_id,
+          MAX(CASE WHEN rn = 1 THEN n_chars END) AS canonical_chars
+        FROM gd GROUP BY group_id ORDER BY group_id""")),
+
+    // ================ decontamination (eval-set overlap) ==================
+    // Benchmark leakage scan: flag corpus documents sharing >= 5 distinct
+    // word-3-gram hashes with the eval set (here: doc_id < 50 plays the
+    // benchmark). The eval side of the join is broadcast — benchmark
+    // sets are small by construction — so at 100 TB this is a map-side
+    // semi-join over the corpus shingle stream, no corpus shuffle before
+    // the per-doc count.
+    Q("decontaminate",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val evalH = Dedup.shingleRows(docs.where(col("doc_id") < 50),
+            "doc_id", "text", 3)
+          .select(xxhash64(col("shingle")).as("h")).distinct()
+        val corpusH = Dedup.shingleRows(docs.where(col("doc_id") >= 50),
+            "doc_id", "text", 3)
+          .select(col("id"), xxhash64(col("shingle")).as("h")).distinct()
+        corpusH.join(broadcast(evalH), "h")
+          .groupBy(col("id"))
+          .agg(count(lit(1)).as("n_shared"))
+          .where(col("n_shared") >= 5)
+          .select(col("id").as("doc_id"), col("n_shared"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH ev AS (SELECT DISTINCT h
+            FROM '$AuxDir/all_shingle_hashes/*.parquet' WHERE id < 50),
+          corp AS (SELECT id, h
+            FROM '$AuxDir/all_shingle_hashes/*.parquet' WHERE id >= 50)
+        SELECT c.id AS doc_id, COUNT(*) AS n_shared
+        FROM corp c JOIN ev USING (h)
+        GROUP BY c.id HAVING COUNT(*) >= 5 ORDER BY doc_id"""))
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
