@@ -28,7 +28,10 @@ import org.apache.spark.sql.expressions.Window
   * inclusive `<=` match. Right rows must be unique per (keys, time) —
   * otherwise which same-timestamp row wins is tie-broken by
   * `rightTiebreak` (largest wins; REQUIRED for determinism when
-  * duplicates are possible).
+  * duplicates are possible). Null times match nothing on either side
+  * (SQL ASOF semantics): null-time right rows are filtered out, and a
+  * null-time left row sorts before every right row and takes null
+  * payloads.
   */
 object AsofJoin {
 
@@ -44,14 +47,21 @@ object AsofJoin {
                rightTiebreak: Option[String] = None): DataFrame = {
     require(payload.nonEmpty, "as-of join needs at least one payload column")
     val leftCols = left.columns.toSeq
-    require(!leftCols.contains("_asof_t") && !leftCols.contains("_asof_side"),
-      "left side already carries _asof_* helper columns")
+    val helperCols =
+      Seq("_asof_t", "_asof_side", "_asof_tb", "_asof_payload", "_asof_hit")
+    require(leftCols.forall(!helperCols.contains(_)),
+      s"left columns ${leftCols.filter(helperCols.contains)} collide with " +
+        "the join's _asof_* helper columns")
     require(payload.forall(!leftCols.contains(_)),
       s"payload ${payload.filter(leftCols.contains)} collide with left " +
         "columns; rename on the right side first")
 
     val tb = rightTiebreak.map(col).getOrElse(lit(0L))
-    val r = right.select(
+    // a null right time can match nothing (mirrors SQL ASOF semantics:
+    // the comparison is null); without this filter a null-time row sorts
+    // nulls-FIRST and its payload would fabricate a match for every left
+    // row that truly has none
+    val r = right.where(col(rightTime).isNotNull).select(
       (keys.map(col) :+ col(rightTime).as("_asof_t") :+
         lit(0).as("_asof_side") :+ tb.as("_asof_tb") :+
         struct(payload.map(col): _*).as("_asof_payload")): _*)

@@ -252,8 +252,20 @@ object Dedup {
     val edgePins = sc.getPersistentRDDs.keySet.toSet -- preE
     val ids = nodes match {
       case Some(n) =>
-        n.select(col(n.columns.head).cast("long").as("id")).distinct()
-      case None => edges.select(col("u").as("id")).distinct()
+        val idsN =
+          n.select(col(n.columns.head).cast("long").as("id")).distinct()
+        // fail fast: an edge endpoint absent from `nodes` would be
+        // silently ignored by the label joins, splitting its component
+        // with no error (one bounded job; `edges` is checkpointed)
+        val missing = edges.select(col("u").as("id")).distinct()
+          .join(idsN, Seq("id"), "left_anti").count()
+        require(missing == 0,
+          s"$missing edge endpoint(s) not present in nodes")
+        idsN
+      // derive from the RAW pair columns, not `edges`: the self-loop
+      // filter above must not make a (x, x)-only node vanish
+      case None => half.select(col("u").as("id"))
+        .unionByName(half.select(col("v").as("id"))).distinct()
     }
     val pre0 = sc.getPersistentRDDs.keySet.toSet
     var (labels, labelPins) = pinned(pre0)(

@@ -27,17 +27,24 @@ object Sampling {
     pmod(xxhash64(id), lit(buckets.toLong))
 
   /** Rate-based stratified sample: keep a row of stratum s iff
-    * `hash(id) mod buckets < rates(s) * buckets`. Unknown strata get
-    * `defaultRate`. Deterministic, no shuffle, composable with any
-    * downstream plan.
+    * `hash(id) mod buckets < round(rates(s) * buckets)`. Unknown strata
+    * get `defaultRate`. Deterministic, no shuffle, composable with any
+    * downstream plan. The cutoff is computed as an INTEGER on the
+    * driver — comparing against the raw double product would admit one
+    * extra bucket whenever `rate * buckets` rounds a hair above the
+    * intended integer (0.07 * 100 == 7.000000000000001).
     */
   def stratifiedSample(df: DataFrame, stratum: Column, id: Column,
                        rates: Map[String, Double], defaultRate: Double,
                        buckets: Int = 1000): DataFrame = {
-    val threshold = rates.foldLeft(lit(defaultRate)) {
-      case (acc, (s, r)) => when(stratum === s, lit(r)).otherwise(acc)
+    def cutoff(r: Double): Long = {
+      require(r >= 0.0 && r <= 1.0, s"rate $r outside [0, 1]")
+      math.round(r * buckets)
     }
-    df.where(hashBucket(id, buckets) < threshold * buckets)
+    val threshold = rates.foldLeft(lit(cutoff(defaultRate))) {
+      case (acc, (s, r)) => when(stratum === s, lit(cutoff(r))).otherwise(acc)
+    }
+    df.where(hashBucket(id, buckets) < threshold)
   }
 
   /** Exact-N-per-stratum sample: the N rows with the smallest id-hash in

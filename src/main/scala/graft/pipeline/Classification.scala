@@ -96,9 +96,9 @@ object Classification {
     * (the common frame), the whole wedge stage — azimuthal-gradient CCL
     * included — is skipped outright.
     *
-    * `labeledSmall = true` (the classify attach path) asserts `labeled`
-    * is already pinned (built on classify's own checkpoint), skipping
-    * the redundant re-pin; the broadcast size gate runs either way.
+    * `labeledSmall = true` (both classify paths) asserts `labeled` is
+    * already pinned or built narrowly on a pinned table, skipping the
+    * redundant re-pin; the broadcast size gate runs either way.
     *
     * `labeled` must carry ONE classifier value per (keys, label) — the
     * shape [[shapeClassify]] produces (its output is per-label and
@@ -114,11 +114,15 @@ object Classification {
     val spark = labeled.sparkSession
 
     // collect-route: pin a tiny per-cluster table as a LocalRelation so
-    // downstream broadcasts are free of lineage re-execution
-    def localized(df: DataFrame): DataFrame = {
+    // downstream broadcasts are free of lineage re-execution; the rows
+    // come back too for call sites that also inspect them driver-side
+    def collectLocal(df: DataFrame)
+        : (Array[org.apache.spark.sql.Row], DataFrame) = {
       import scala.jdk.CollectionConverters._
-      spark.createDataFrame(df.collect().toSeq.asJava, df.schema)
+      val rows = df.collect()
+      (rows, spark.createDataFrame(rows.toSeq.asJava, df.schema))
     }
+    def localized(df: DataFrame): DataFrame = collectLocal(df)._2
 
     // ---- 2nd directional (radial) derivative over the dense frame -----
     // (or the caller's pre-materialized field — FramePipeline.process
@@ -162,18 +166,15 @@ object Classification {
       .join(broadcast(globalThresh), keys)
       .withColumn("on_arc", col("c_pct") < col("g_thresh"))
       .select(kcols ++ Seq(col("label"), col("on_arc"), col("_arc2")): _*)
-    val onArcRows = onArcFull.collect() // one round-trip serves route+join
+    // one round-trip serves route + join
+    val (onArcRows, onArcLocal) = collectLocal(onArcFull)
     val anyArcCandidate = {
       val s = onArcFull.schema
       val ai = s.fieldIndex("on_arc"); val ci = s.fieldIndex("_arc2")
       onArcRows.exists(r => !r.isNullAt(ai) && r.getBoolean(ai) &&
         r.getInt(ci) == 1)
     }
-    val onArc = {
-      import scala.jdk.CollectionConverters._
-      spark.createDataFrame(onArcRows.toSeq.asJava, onArcFull.schema)
-        .drop("_arc2")
-    }
+    val onArc = onArcLocal.drop("_arc2")
 
     // ---- wedge cuts: azimuthal-gradient clusters inside arcs ----------
     // Strong 2nd-azim-gradient pixels within arc clusters mark spots
@@ -198,12 +199,8 @@ object Classification {
           // (classification.py:243-275, :573)
           coalesce(first(col("dq"), ignoreNulls = true), lit(0.1))
             .as("cut_qw"))
-      val rows = cutStats.collect()
-      if (rows.isEmpty) None
-      else {
-        import scala.jdk.CollectionConverters._
-        Some(spark.createDataFrame(rows.toSeq.asJava, cutStats.schema))
-      }
+      val (rows, local) = collectLocal(cutStats)
+      if (rows.isEmpty) None else Some(local)
     }
 
     cutLocal match {
@@ -336,11 +333,12 @@ object Classification {
     }).localCheckpoint(true) // reused by shape stats + refinement
     val shaped = shapeClassify(labeled, keys, p)
     val labeledFull = labeled.join(broadcast(shaped), keys :+ "label")
-    // attach path: labeled is the closed-cluster table decorated
-    // closed-form and already pinned above, so gradientRefine skips its
-    // redundant re-checkpoint (one scheduler round-trip per batch); the
-    // broadcast size gate still runs — see gradientRefine's doc
+    // BOTH branches pin `labeled` above, so labeledFull recomputes as a
+    // narrow broadcast-join over a checkpointed table in either path —
+    // gradientRefine skips its redundant re-checkpoint (one scheduler
+    // round-trip per batch); the broadcast size gate still runs — see
+    // gradientRefine's doc
     gradientRefine(framePx, labeledFull, width, height, keys, p,
-      d2Precomputed, labeledSmall = cal.isDefined)
+      d2Precomputed, labeledSmall = true)
   }
 }

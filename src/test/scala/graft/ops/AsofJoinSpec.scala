@@ -66,6 +66,22 @@ class AsofJoinSpec extends SparkSpec {
     assert(out.count() == left.count())
   }
 
+  test("null right-side timestamps match nothing instead of fabricating " +
+      "a nulls-first match for every row") {
+    val r = Seq(("k1", Option.empty[Long], 999L, 9.9),
+        ("k1", Some(4L), 100L, 1.5))
+      .toDF("key", "rt", "rid", "rv")
+    val l = Seq(("k1", 2L, "before"), ("k1", 5L, "after"))
+      .toDF("key", "t", "lname")
+    val out = AsofJoin.backward(l, r, Seq("key"), "t", "rt",
+        payload = Seq("rid"))
+      .select("lname", "rid").as[(String, Option[Long])]
+      .collect().sortBy(_._1)
+    // t=2 has NO right row at-or-before it (the null-rt row must not
+    // win); t=5 matches the rt=4 row
+    assert(out.toSeq == Seq(("after", Some(100L)), ("before", None)))
+  }
+
   test("payload name collision with a left column fails fast") {
     val bad = right.withColumnRenamed("rid", "lname")
     intercept[IllegalArgumentException] {

@@ -32,6 +32,19 @@ class DedupGroupsSpec extends SparkSpec {
     assert(g == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 2L))
   }
 
+  test("a self-loop-only node still appears as its own singleton group") {
+    val g = groupsOf(Seq((42L, 42L), (1L, 2L)))
+    assert(g == Map(42L -> 42L, 1L -> 1L, 2L -> 1L))
+  }
+
+  test("edges touching ids absent from a supplied nodes set fail fast " +
+      "instead of silently splitting the component") {
+    val ex = intercept[IllegalArgumentException] {
+      groupsOf(Seq((1L, 2L), (2L, 3L)), nodes = Some(Seq(1L, 2L)))
+    }
+    assert(ex.getMessage.contains("not present in nodes"))
+  }
+
   test("long chain converges to the min end-label (multi-iteration)") {
     // 10-9-8-...-1-0: min label 0 must travel 10 hops
     val chain = (0L until 10L).map(i => (i, i + 1))

@@ -38,6 +38,17 @@ class SamplingSpec extends SparkSpec {
     assert(viol.count() == 0)
   }
 
+  test("rate cutoff is the rounded integer, not the raw float product " +
+      "(0.07 * 100 == 7.000000000000001 must keep 7 buckets, not 8)") {
+    val d = docs(4000)
+    val pick = Sampling.stratifiedSample(d, col("lang"), col("id"),
+      Map.empty, defaultRate = 0.07, buckets = 100)
+    val maxBucket = pick
+      .select(Sampling.hashBucket(col("id"), 100).as("b"))
+      .agg(max($"b")).as[Long].collect()(0)
+    assert(maxBucket <= 6, s"bucket $maxBucket admitted by 7% rate")
+  }
+
   test("smallest-hash sample: exactly N per stratum, stable under growth") {
     val small = Sampling.smallestHashSample(docs(1000), col("lang"),
       col("id"), n = 25)

@@ -17,11 +17,12 @@ class PlanInvariantsSpec extends SparkSpec {
 
   // Deliberate nested-loop users: a broadcast-queries brute-force scorer
   // (the documented small-query-set baseline; candidates never shuffle),
-  // the bounded demo pair sweeps built on it, and a5's single-row
-  // global-threshold broadcast (a scalar crossJoin, not an all-pairs).
+  // the bounded demo pair sweeps built on it, and the single-row scalar
+  // broadcasts (a5's global threshold, tfidf's corpus size N — a scalar
+  // crossJoin, not an all-pairs).
   private val nestedLoopAllowed =
     Set("sim_topk", "sim_neardup_pairs", "dedup_ngram_jaccard",
-      "a5_global_threshold")
+      "a5_global_threshold", "text_tfidf")
 
   test("no query plans a cartesian product or unexpected nested loop") {
     val names = graft.SparkEntry.queries.keys.toSeq.sorted

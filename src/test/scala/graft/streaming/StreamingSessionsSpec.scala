@@ -5,11 +5,11 @@ import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
 import graft.ops.Sessions
-import StreamingSessions.{ClosedSession, SessionEvent}
+import StreamingSessions.{ClosedSession, OpenSession, Pending, SessionEvent}
 
-/** Streaming sessionization: gap-rule closes inside a batch, watermark
-  * timeout finalizes idle keys, cross-batch continuation merges, and the
-  * closed set equals the batch computation on the same events. */
+/** Streaming sessionization: watermark-gated emission, cross-batch
+  * continuation, beyond-gap disorder (the case eager emission gets
+  * wrong), and batch parity on the same events. */
 class StreamingSessionsSpec extends SparkSpec {
   import spark.implicits._
 
@@ -21,23 +21,20 @@ class StreamingSessionsSpec extends SparkSpec {
   /** Run a list of micro-batches through the sessionizer, then flush
     * with far-future dummy events (key -1) so the watermark passes every
     * real session's end + gap. */
-  private def run(batches: Seq[Seq[SessionEvent]],
-                  name: String): Seq[ClosedSession] = {
+  private def run(batches: Seq[Seq[SessionEvent]], name: String,
+                  watermark: String = "30 seconds"): Seq[ClosedSession] = {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[SessionEvent]
     val ckpt = java.nio.file.Files.createTempDirectory("sess_ck").toString
     val q = StreamingSessions
-      // nonzero disorder allowance: with "0 seconds" an event whose time
-      // EQUALS the watermark (ties straddling a batch boundary) is
-      // dropped as late — correct engine semantics, wrong spec intent
-      .closedSessions(spark, in.toDS(), Gap, "30 seconds")
+      .closedSessions(spark, in.toDS(), Gap, watermark)
       .writeStream.format("memory").queryName(name)
       .outputMode("append").option("checkpointLocation", ckpt).start()
     try {
       batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
       // two flush batches: one to advance the watermark, one to run the
       // timeout eviction under the advanced watermark
-      val far = T0 + 1000L * Gap
+      val far = T0 + 100000L * Gap
       in.addData(SessionEvent(-1L, far, 0.0)); q.processAllAvailable()
       in.addData(SessionEvent(-1L, far + 1, 0.0)); q.processAllAvailable()
       spark.table(name).as[ClosedSession].collect().toSeq
@@ -45,8 +42,7 @@ class StreamingSessionsSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("gap rule closes within a batch; watermark finalizes the last " +
-      "session") {
+  test("gap rule splits sessions; watermark finalizes them") {
     val out = run(Seq(Seq(
       SessionEvent(1, T0, 1.0), SessionEvent(1, T0 + 500000000L, 2.0),
       // 2.5 s later: > gap, new session
@@ -64,6 +60,31 @@ class StreamingSessionsSpec extends SparkSpec {
     assert(out == Seq(
       ClosedSession(2, T0, T0 + 800000000L, 800000000L, 2, 3.0),
       ClosedSession(2, T0 + 5000000000L, T0 + 5000000000L, 0L, 1, 4.0)))
+  }
+
+  test("disorder BEYOND the open session's gap still matches batch: a " +
+      "late event between two sessions forms its own session") {
+    // eager emission gets this wrong: it closes [T0,T0] when T0+100s
+    // arrives, then absorbs the T0+50s straggler into the WRONG session
+    val out = run(Seq(
+      Seq(SessionEvent(4, T0, 1.0),
+        SessionEvent(4, T0 + 100L * Gap, 2.0)),
+      Seq(SessionEvent(4, T0 + 50L * Gap, 8.0))), // 50 s late, < 60 s wm
+      "sess_disorder", watermark = "60 seconds")
+    assert(out == Seq(
+      ClosedSession(4, T0, T0, 0L, 1, 1.0),
+      ClosedSession(4, T0 + 50L * Gap, T0 + 50L * Gap, 0L, 1, 8.0),
+      ClosedSession(4, T0 + 100L * Gap, T0 + 100L * Gap, 0L, 1, 2.0)))
+  }
+
+  test("a late event bridging two pending sessions merges them") {
+    val out = run(Seq(
+      Seq(SessionEvent(5, T0, 1.0),
+        SessionEvent(5, T0 + 2L * Gap, 2.0)), // two pending singletons
+      Seq(SessionEvent(5, T0 + Gap, 4.0))),    // bridges both
+      "sess_bridge", watermark = "60 seconds")
+    assert(out == Seq(
+      ClosedSession(5, T0, T0 + 2L * Gap, 2L * Gap, 3, 7.0)))
   }
 
   test("closed sessions equal the batch sessionStats on the same events") {
@@ -84,31 +105,38 @@ class StreamingSessionsSpec extends SparkSpec {
     assert(out == batch)
   }
 
-  test("update(): an out-of-order event inside the open session merges, " +
-      "extending both bounds") {
-    // drive the state function directly with a fake GroupState
-    val st = new FakeGroupState[StreamingSessions.OpenSession]
+  test("update(): intervals re-merge regardless of arrival order, and " +
+      "nothing emits below the watermark") {
+    val st = new FakeGroupState[Pending]
     val first = StreamingSessions.update(Gap)(7L,
-      Iterator(SessionEvent(7, 1000L, 1.0)), st).toSeq
-    assert(first.isEmpty && st.getOption.exists(_.n == 1))
+      Iterator(SessionEvent(7, T0 + 1000L, 1.0)), st).toSeq
+    assert(first.isEmpty && st.get.sessions.map(_.n) == List(1))
     val second = StreamingSessions.update(Gap)(7L,
-      Iterator(SessionEvent(7, 400L, 2.0)), st).toSeq
+      Iterator(SessionEvent(7, T0 + 400L, 2.0)), st).toSeq
     assert(second.isEmpty)
-    val open = st.get
-    assert(open.startNs == 400L && open.endNs == 1000L && open.n == 2
-      && open.valueSum == 3.0)
+    assert(st.get.sessions ==
+      List(OpenSession(T0 + 400L, T0 + 1000L, 2, 3.0)))
+  }
+
+  test("mergeAll closure: order-independent, gap-inclusive boundary") {
+    val a = OpenSession(0L, 10L, 1, 1.0)
+    val b = OpenSession(10L + Gap, 10L + Gap, 1, 2.0) // exactly gap: join
+    val c = OpenSession(5L * Gap, 6L * Gap, 2, 4.0)
+    val expected = List(
+      OpenSession(0L, 10L + Gap, 2, 3.0), c)
+    assert(StreamingSessions.mergeAll(Seq(a, b, c), Gap) == expected)
+    assert(StreamingSessions.mergeAll(Seq(c, b, a), Gap) == expected)
   }
 }
 
 /** Minimal GroupState for driving the update function in-process. */
 class FakeGroupState[S] extends org.apache.spark.sql.streaming.GroupState[S] {
   private var v: Option[S] = None
-  private var removed = false
   override def exists: Boolean = v.isDefined
   override def get: S = v.get
   override def getOption: Option[S] = v
-  override def update(s: S): Unit = { v = Some(s); removed = false }
-  override def remove(): Unit = { v = None; removed = true }
+  override def update(s: S): Unit = { v = Some(s) }
+  override def remove(): Unit = { v = None }
   override def hasTimedOut: Boolean = false
   override def setTimeoutDuration(d: Long): Unit = ()
   override def setTimeoutDuration(d: String): Unit = ()
