@@ -1558,7 +1558,40 @@ object OracleQueries {
             FROM '$AuxDir/all_shingle_hashes/*.parquet' WHERE id >= 50)
         SELECT c.id AS doc_id, COUNT(*) AS n_shared
         FROM corp c JOIN ev USING (h)
-        GROUP BY c.id HAVING COUNT(*) >= 5 ORDER BY doc_id"""))
+        GROUP BY c.id HAVING COUNT(*) >= 5 ORDER BY doc_id""")),
+
+    // ==================== J9: bucketed range join =========================
+    // Point-in-interval at scale: Spark plans a bare BETWEEN join as
+    // nested-loop/cartesian; the engine bucketizes (explode intervals to
+    // covered buckets, equi-join on bucket, re-check exactly). Intervals
+    // here deliberately OVERLAP for the larger sizes, so events multi-
+    // match — the oracle is DuckDB's native range join (IEJoin), fully
+    // independent of the bucketing.
+    Q("j9_range_join",
+      (s, dir) => {
+        val ev = t(s, dir, "events").select(col("event_id"), col("value"))
+        val iv = t(s, dir, "part").groupBy(col("p_size"))
+          .agg(count(lit(1)).as("n_parts"))
+          .withColumn("lo",
+            col("p_size") * 10.0 - col("p_size") * 0.5)
+          .withColumn("hi",
+            col("p_size") * 10.0 + col("p_size") * 0.5)
+        RangeJoin.pointInInterval(ev, "value", iv, "lo", "hi",
+            bucketWidth = 10.0)
+          .groupBy(col("p_size"))
+          .agg(first(col("n_parts")).as("n_parts"),
+            count(lit(1)).as("n_events"),
+            dsum(col("value")).as("value_sum"))
+          .orderBy(col("p_size"))
+      },
+      Some(s"""WITH iv AS (SELECT p_size, COUNT(*) AS n_parts,
+            p_size * 10.0 - p_size * 0.5 AS lo,
+            p_size * 10.0 + p_size * 0.5 AS hi
+          FROM part GROUP BY p_size)
+        SELECT iv.p_size, any_value(iv.n_parts) AS n_parts,
+          COUNT(*) AS n_events, ${sqlDsum("e.value")} AS value_sum
+        FROM events e JOIN iv ON e.value BETWEEN iv.lo AND iv.hi
+        GROUP BY iv.p_size ORDER BY iv.p_size"""))
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
