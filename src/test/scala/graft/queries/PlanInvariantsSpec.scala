@@ -51,6 +51,33 @@ class PlanInvariantsSpec extends SparkSpec {
       "two-stage (partial+final x 2) aggregation shape lost")
   }
 
+  test("events_sessionize: both window passes and the rollup share ONE " +
+      "compute exchange on the key") {
+    // exchange 1 = hash(user_id) feeding lag + running-sum windows AND
+    // the (user_id, session_idx) groupBy (subset clustering satisfies
+    // it); exchange 2 = the presentation orderBy. A third exchange
+    // means the rollup stopped riding the window partitioning.
+    val exchanges = "Exchange".r.findAllIn(plan("events_sessionize")).length
+    assert(exchanges <= 2, s"events_sessionize plans $exchanges exchanges")
+  }
+
+  test("j8_asof: the union-scan as-of join is one key exchange, no " +
+      "row amplification") {
+    val p = plan("j8_asof")
+    val exchanges = "Exchange".r.findAllIn(p).length
+    // union + window = 1 exchange, orderBy = 1
+    assert(exchanges <= 2, s"j8_asof plans $exchanges exchanges")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "as-of join regressed into an all-pairs form")
+  }
+
+  test("sample_stratified is a pure filter: zero compute shuffles") {
+    // only the presentation orderBy may exchange
+    val exchanges = "Exchange".r.findAllIn(plan("sample_stratified")).length
+    assert(exchanges <= 1, s"sample_stratified plans $exchanges exchanges")
+  }
+
   test("a1_ring_outlier broadcasts ring stats back to the fact side") {
     val p = plan("a1_ring_outlier")
     assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
