@@ -83,4 +83,53 @@ class PropertySpec extends SparkSpec {
       assert(gotParts == oracle(pts))
     }
   }
+
+  test("property: as-of join equals per-row scalar lookup on random " +
+      "keyed series") {
+    import graft.ops.AsofJoin
+    (1 to 3).foreach { _ =>
+      val keys = Seq("a", "b", "c")
+      val left = Seq.fill(60)((keys(rnd.nextInt(3)),
+        rnd.nextInt(1000).toLong, rnd.nextInt(100000).toLong))
+      // unique (key, time) right rows, per the operator's contract
+      val right = Seq.fill(40)((keys(rnd.nextInt(3)),
+          rnd.nextInt(1000).toLong, rnd.nextDouble()))
+        .groupBy(t => (t._1, t._2)).map(_._2.head).toSeq
+      val expect = left.map { case (k, t, lid) =>
+        val m = right.filter(r => r._1 == k && r._2 <= t)
+        (lid, if (m.isEmpty) None else Some(m.maxBy(_._2)._3))
+      }.toMap
+      val got = AsofJoin.backward(
+          left.toDF("k", "t", "lid"), right.toDF("k", "rt", "pv"),
+          Seq("k"), "t", "rt", payload = Seq("pv"))
+        .select("lid", "pv").collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+      assert(got == expect)
+    }
+  }
+
+  test("property: sessionize equals the scalar gap-scan on random " +
+      "event sets") {
+    import graft.ops.Sessions
+    (1 to 3).foreach { _ =>
+      val gap = 50L
+      val evs = Seq.fill(80)((rnd.nextInt(4).toLong,
+        rnd.nextInt(2000).toLong, rnd.nextInt(100000).toLong))
+        .groupBy(e => (e._1, e._2)).map(_._2.head).toSeq // unique (k, t)
+      val expect = evs.groupBy(_._1).flatMap { case (k, es) =>
+        var idx = 0L; var prev = Long.MinValue
+        es.sortBy(_._2).map { case (_, t, id) =>
+          if (prev == Long.MinValue || t - prev > gap) idx += 1
+          prev = t
+          id -> idx
+        }
+      }
+      val got = Sessions.sessionize(evs.toDF("k", "t", "id"), Seq("k"),
+          col("t"), gapNs = gap)
+        .select("id", "session_idx").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expect)
+    }
+  }
 }
