@@ -71,4 +71,26 @@ object TextMetrics {
     * one `ln` call is the only libm dependence; rounding pins it). */
   def idf(df: Column, nDocs: Column): Column =
     round(log((nDocs + 1).cast("double") / (df + 1)) + 1.0, 6)
+
+  /** Context-window chunking: split a document into token windows of
+    * `chunkTokens` words starting every `chunkTokens - overlap` words
+    * (the standard pre-training/RAG chunker). Returns an ARRAY of
+    * (start_tok, chunk_text) structs — explode it for one row per
+    * chunk. Pure codegen (sequence/transform/slice/concat_ws): no UDF,
+    * no shuffle; the whole chunker is a projection, so at 100 TB it
+    * rides the scan. A document shorter than one window yields exactly
+    * one chunk; the final partial window is kept (slice clamps at the
+    * end of the token list).
+    */
+  def chunks(text: Column, chunkTokens: Int, overlap: Int): Column = {
+    require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
+      s"need 0 <= overlap < chunkTokens, got $overlap/$chunkTokens")
+    val step = chunkTokens - overlap
+    val toks = tokens(text)
+    val starts = sequence(lit(0),
+      greatest(size(toks) - 1, lit(0)), lit(step))
+    transform(starts, s => struct(s.as("start_tok"),
+      concat_ws(" ", slice(toks, s + 1, lit(chunkTokens)))
+        .as("chunk_text")))
+  }
 }

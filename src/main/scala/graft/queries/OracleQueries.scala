@@ -1591,7 +1591,39 @@ object OracleQueries {
         SELECT iv.p_size, any_value(iv.n_parts) AS n_parts,
           COUNT(*) AS n_events, ${sqlDsum("e.value")} AS value_sum
         FROM events e JOIN iv ON e.value BETWEEN iv.lo AND iv.hi
-        GROUP BY iv.p_size ORDER BY iv.p_size"""))
+        GROUP BY iv.p_size ORDER BY iv.p_size""")),
+
+    // ================ context-window document chunking ====================
+    // The pre-training/RAG chunker: 40-token windows every 30 tokens
+    // (10-token overlap), one row per chunk with its start offset and
+    // exact text. Pure projection — no shuffle — so it rides the scan at
+    // any corpus size; the oracle re-derives the same windows from
+    // DuckDB's list slicing, hash-matching every chunk string.
+    Q("text_chunks",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").where(col("doc_id") < 100)
+        docs.select(col("doc_id"),
+            posexplode(TextMetrics.chunks(col("text"),
+              chunkTokens = 40, overlap = 10)))
+          .select(col("doc_id"), col("pos").as("chunk_idx"),
+            col("col.start_tok").as("start_tok"),
+            col("col.chunk_text").as("chunk_text"))
+          .withColumn("n_tokens",
+            TextMetrics.tokenCount(col("chunk_text")).cast("long"))
+          .orderBy(col("doc_id"), col("chunk_idx"))
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+            FROM documents WHERE doc_id < 100),
+          s AS (SELECT doc_id, toks,
+            unnest(range(0, greatest(len(toks), 1), 30)) AS start_tok
+            FROM t)
+        SELECT doc_id,
+          CAST((start_tok // 30) AS BIGINT) AS chunk_idx,
+          CAST(start_tok AS INTEGER) AS start_tok,
+          array_to_string(toks[start_tok + 1 : start_tok + 40], ' ')
+            AS chunk_text,
+          len(toks[start_tok + 1 : start_tok + 40]) AS n_tokens
+        FROM s ORDER BY doc_id, chunk_idx"""))
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -257,3 +257,30 @@ class SimHashAggSpec extends SparkSpec {
     joined.foreach(r => assert(r.getLong(1) == r.getLong(2)))
   }
 }
+
+/** Context-window chunking edges. */
+class ChunkSpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  private def chunksOf(text: String, size: Int, ov: Int) =
+    Seq(text).toDF("t")
+      .select(explode(TextMetrics.chunks(col("t"), size, ov)).as("c"))
+      .select("c.start_tok", "c.chunk_text")
+      .as[(Int, String)].collect().toSeq
+
+  test("chunks: overlap windows, clamped tail, short-doc single chunk") {
+    val words = (1 to 10).map(i => s"w$i")
+    val out = chunksOf(words.mkString(" "), size = 4, ov = 1)
+    assert(out == Seq(
+      (0, "w1 w2 w3 w4"), (3, "w4 w5 w6 w7"), (6, "w7 w8 w9 w10"),
+      (9, "w10")))                      // clamped final window
+    assert(chunksOf("one two", 40, 10) == Seq((0, "one two")))
+    assert(chunksOf("", 4, 1) == Seq((0, "")))
+  }
+
+  test("chunks: invalid overlap fails fast") {
+    intercept[IllegalArgumentException] {
+      TextMetrics.chunks(lit("x"), chunkTokens = 4, overlap = 4)
+    }
+  }
+}
