@@ -130,19 +130,18 @@ object Dedup {
         min(xxhash64(col("h"), lit(seed)))): _*).as("sig"))
   }
 
-  /** Candidate near-dup pairs via MinHash LSH banding. Returns
-    * (id_a, id_b, est_jaccard) with id_a < id_b, est_jaccard = fraction of
-    * matching signature components. */
-  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
-                        n: Int = 3, k: Int = 32, bands: Int = 8): DataFrame = {
+  /** LSH band self-join over a signatures table (id, sig): candidate
+    * pairs with their signature-agreement COUNT. Shared by the batch
+    * candidate query and the streaming admission filter — the "dedupe
+    * bare id pairs FIRST, then score each pair once" discipline (keeping
+    * the signature arrays out of the distinct shuffle) lives here, in
+    * one place. */
+  def candidatePairsFromSigs(sigs: DataFrame, k: Int,
+                             bands: Int): DataFrame = {
     val rowsPerBand = k / bands
-    val sigs = minhashSignatures(df, idCol, textCol, n, k)
-      .localCheckpoint(true) // reused for banding and for pair scoring
     val exploded = sigs
       .withColumn("bandkeys", lshBandKeys(col("sig"), bands, rowsPerBand))
       .select(col("id"), explode(col("bandkeys")).as("bk"))
-    // dedupe bare id pairs FIRST (cheap), then score each pair once —
-    // keeping the signature arrays out of the distinct shuffle
     val a = exploded.select(col("bk"), col("id").as("id_a"))
     val b = exploded.select(col("bk"), col("id").as("id_b"))
     val pairs = a.join(b, Seq("bk")).where(col("id_a") < col("id_b"))
@@ -153,8 +152,19 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         // codegen'd signature-agreement count (VectorExpressions) — the
         // zip_with/filter form was interpreted per pair
-        (VectorOps.eqCount(col("sig_a"), col("sig_b")).cast("double") / k)
-          .as("est_jaccard"))
+        VectorOps.eqCount(col("sig_a"), col("sig_b")).as("agree"))
+  }
+
+  /** Candidate near-dup pairs via MinHash LSH banding. Returns
+    * (id_a, id_b, est_jaccard) with id_a < id_b, est_jaccard = fraction of
+    * matching signature components. */
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, k: Int = 32, bands: Int = 8): DataFrame = {
+    val sigs = minhashSignatures(df, idCol, textCol, n, k)
+      .localCheckpoint(true) // reused for banding and for pair scoring
+    candidatePairsFromSigs(sigs, k, bands)
+      .select(col("id_a"), col("id_b"),
+        (col("agree").cast("double") / k).as("est_jaccard"))
   }
 
   /** SimHash: 64-bit fingerprint whose Hamming distance approximates

@@ -36,6 +36,12 @@ object RangeJoin {
     val lob = floor(col(loCol) / bucketWidth).cast("long")
     val hib = floor(col(hiCol) / bucketWidth).cast("long")
     val iv = intervals
+      // an INVERTED interval (lo > hi) matches nothing, like SQL
+      // BETWEEN — and must be dropped BEFORE the sequence: a 2-arg
+      // sequence(start, stop) defaults to step -1 when start > stop,
+      // which would both bypass the span guard (negative span) and
+      // still explode to span-many rows
+      .where(col(loCol) <= col(hiCol))
       .withColumn("_rj_bucket", explode(sequence(lob,
         // fail loudly on a pathological span BEFORE the explode
         when(hib - lob < maxBucketsPerInterval, hib).otherwise(

@@ -18,11 +18,12 @@ import graft.ops.{Dedup, VectorOps}
   * `GroupState` must NOT hold. The store therefore lives as parquet
   * band-key rows on the shared filesystem and each micro-batch runs one
   * equi-join against it (`foreachBatch`), which is the standard
-  * LSH-store deployment: band keys bucket the corpus, the join touches
-  * only colliding bands, and no all-pairs comparison ever happens. At
-  * 100 TB the store is additionally partition-pruned: rows land under
-  * `band=<b>` directories, so a batch's candidate lookup reads only the
-  * band partitions it actually probes.
+  * LSH-store deployment: the join's shuffle carries only colliding band
+  * keys and no all-pairs comparison ever happens, and the signature
+  * re-check is restricted to candidate store docs before any dedup
+  * shuffle. Each batch does pay one scan of the store's band rows —
+  * rows land under `band=<b>` directories so a production deployment
+  * can prune/bucket that scan (or keep the store as a bucketed table).
   *
   * Idempotence: each batch writes its store increment and its admitted
   * output under `batch=<id>` subdirectories with overwrite, so a
@@ -36,6 +37,13 @@ import graft.ops.{Dedup, VectorOps}
   * chain resolution. Chains (A~B, B~C, A≁C) therefore reject both B
   * and C; the batch pipeline's `connectedGroups` + canonical selection
   * is the tool when chain-precise grouping matters.
+  *
+  * Documents SHORTER than one shingle (fewer than `n` words) have no
+  * MinHash signature, so LSH cannot judge them: they are ADMITTED
+  * unconditionally (never silently dropped) and leave nothing in the
+  * store. Route short documents through exact-hash dedup
+  * ([[graft.ops.Dedup.exactGroups]]) upstream if exact short-text
+  * duplicates matter.
   */
 object StreamingDedup {
 
@@ -60,13 +68,20 @@ object StreamingDedup {
         col("bk.key").as("key"), col("sig"))
 
     val conf = Fs.conf(spark)
-    // "exists" = holds at least one batch increment (a pre-created empty
-    // directory must not make the parquet read fail schema inference)
+    // "exists" = holds at least one parquet DATA file: a batch that
+    // admitted nothing (or only signature-less short docs) leaves a
+    // fileless batch=<id> directory, and a directory-name check alone
+    // would send every later batch into an UNABLE_TO_INFER_SCHEMA crash
     val storeExists = {
+      def hasParquet(fs: org.apache.hadoop.fs.FileSystem,
+                     p: org.apache.hadoop.fs.Path): Boolean =
+        fs.listStatus(p).exists { st =>
+          if (st.isDirectory) hasParquet(fs, st.getPath)
+          else st.getPath.getName.endsWith(".parquet")
+        }
       val p = new org.apache.hadoop.fs.Path(storeDir)
       val fs = p.getFileSystem(conf)
-      fs.exists(p) &&
-        fs.listStatus(p).exists(_.getPath.getName.startsWith("batch="))
+      fs.exists(p) && hasParquet(fs, p)
     }
 
     // ---- cross-store duplicates: batch band rows ⋈ store band rows ----
@@ -82,30 +97,32 @@ object StreamingDedup {
         .select(col("id").as("sid"), col("band"), col("key"),
           col("sig").as("ssig"))
       val cand = bandRows.join(store, Seq("band", "key"))
-        .select(col("id"), col("sid")).distinct()
+        .select(col("id"), col("sid")).distinct().localCheckpoint(true)
+      // signature lookup restricted to candidate store docs FIRST, so
+      // the dedup of the 8x band duplication shuffles candidate-many
+      // rows, not the whole store (the store scan itself is per-batch
+      // cost; a production deployment buckets the store by band key)
+      val candSigs = store.select(col("sid"), col("ssig"))
+        .join(cand.select(col("sid")).distinct(), Seq("sid"), "left_semi")
+        .dropDuplicates("sid")
       cand
         .join(sigs.select(col("id"), col("sig")), "id")
-        .join(store.select(col("sid"), col("ssig")).distinct(), "sid")
+        .join(candSigs, "sid")
         .where(VectorOps.eqCount(col("sig"), col("ssig")) >= minAgree)
         .select(col("id")).distinct()
     }
 
     // ---- batch-internal duplicates: reject vs any smaller id ----------
-    val a = bandRows.select(col("band"), col("key"), col("id").as("id_a"))
-    val b = bandRows.select(col("band"), col("key"), col("id").as("id_b"))
-    val internalPairs = a.join(b, Seq("band", "key"))
-      .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b")).distinct()
-    val internalDups = internalPairs
-      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")),
-        "id_a")
-      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")),
-        "id_b")
-      .where(VectorOps.eqCount(col("sig_a"), col("sig_b")) >= minAgree)
+    val internalDups = Dedup.candidatePairsFromSigs(sigs, k, bands)
+      .where(col("agree") >= minAgree)
       .select(col("id_b").as("id")).distinct()
 
     val rejected = storeDups.unionByName(internalDups).distinct()
-    val admitted = sigs.select(col("id"))
+    // admitted derives from the BATCH ids, not the signature table: a
+    // document shorter than one shingle has no signature and must be
+    // admitted, not silently dropped
+    val admitted = batch.select(batch(idCol).cast("long").as("id"))
+      .distinct()
       .join(rejected, Seq("id"), "left_anti")
       .localCheckpoint(true)
 

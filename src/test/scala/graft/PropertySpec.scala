@@ -89,8 +89,10 @@ class PropertySpec extends SparkSpec {
     import graft.ops.AsofJoin
     (1 to 3).foreach { _ =>
       val keys = Seq("a", "b", "c")
-      val left = Seq.fill(60)((keys(rnd.nextInt(3)),
-        rnd.nextInt(1000).toLong, rnd.nextInt(100000).toLong))
+      // row ids are the fill index — UNIQUE, so the toMap comparison
+      // below cannot collapse colliding ids last-wins and flake
+      val left = Seq.tabulate(60)(i => (keys(rnd.nextInt(3)),
+        rnd.nextInt(1000).toLong, i.toLong))
       // unique (key, time) right rows, per the operator's contract
       val right = Seq.fill(40)((keys(rnd.nextInt(3)),
           rnd.nextInt(1000).toLong, rnd.nextDouble()))
@@ -114,8 +116,10 @@ class PropertySpec extends SparkSpec {
     import graft.ops.Sessions
     (1 to 3).foreach { _ =>
       val gap = 50L
-      val evs = Seq.fill(80)((rnd.nextInt(4).toLong,
-        rnd.nextInt(2000).toLong, rnd.nextInt(100000).toLong))
+      // ids are the fill index (unique — a colliding id would collapse
+      // the toMap comparison); (k, t) still deduped for determinism
+      val evs = Seq.tabulate(80)(i => (rnd.nextInt(4).toLong,
+        rnd.nextInt(2000).toLong, i.toLong))
         .groupBy(e => (e._1, e._2)).map(_._2.head).toSeq // unique (k, t)
       val expect = evs.groupBy(_._1).flatMap { case (k, es) =>
         var idx = 0L; var prev = Long.MinValue

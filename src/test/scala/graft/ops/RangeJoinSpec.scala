@@ -56,6 +56,16 @@ class RangeJoinSpec extends SparkSpec {
     assert(got == Seq("a"))
   }
 
+  test("an inverted interval (lo > hi) matches nothing and does not " +
+      "bypass the span guard via sequence's descending default step") {
+    val pts = Seq((1L, 5.0)).toDF("pid", "v")
+    val ivs = Seq((7L, 1e6, 0.0), (8L, 4.0, 6.0)).toDF("iid", "lo", "hi")
+    val got = RangeJoin.pointInInterval(pts, "v", ivs, "lo", "hi", 1.0,
+        maxBucketsPerInterval = 100)
+      .select("iid").as[Long].collect().toSeq
+    assert(got == Seq(8L)) // the million-bucket inversion yields nothing
+  }
+
   test("an interval spanning more than maxBucketsPerInterval fails " +
       "loudly instead of exploding") {
     val pts = Seq((1L, 5.0)).toDF("pid", "v")

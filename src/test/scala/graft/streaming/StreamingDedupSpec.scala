@@ -54,6 +54,26 @@ class StreamingDedupSpec extends SparkSpec {
     assert(storeIds == Set(1L, 2L, 11L))
   }
 
+  test("documents shorter than one shingle are ADMITTED, not silently " +
+      "dropped; an all-short first batch does not poison the store") {
+    val storeDir = tmp("dedup_store3"); val admittedDir = tmp("dedup_adm3")
+    // batch 0: only signature-less docs -> fileless store increment
+    val short = Seq((1L, "hello world"), (2L, "")).toDF("doc_id", "text")
+    assert(StreamingDedup.processBatch(spark, short, 0L, "doc_id",
+      "text", storeDir, admittedDir) == Seq(1L, 2L))
+    assert(spark.read.parquet(s"$admittedDir/batch=0")
+      .select("doc_id").as[Long].collect().toSet == Set(1L, 2L))
+    // batch 1 must survive the empty increment AND mix short + long
+    val mixed = Seq((10L, "tiny doc"), (11L, doc())).toDF("doc_id", "text")
+    assert(StreamingDedup.processBatch(spark, mixed, 1L, "doc_id",
+      "text", storeDir, admittedDir) == Seq(10L, 11L))
+    // batch 2: near-dup of 11 rejected, short doc still admitted
+    val next = Seq((20L, doc(3)), (21L, "another tiny"))
+      .toDF("doc_id", "text")
+    assert(StreamingDedup.processBatch(spark, next, 2L, "doc_id",
+      "text", storeDir, admittedDir) == Seq(21L))
+  }
+
   test("replaying a batch overwrites its increment instead of " +
       "double-appending (idempotent store)") {
     val storeDir = tmp("dedup_store2"); val admittedDir = tmp("dedup_adm2")
