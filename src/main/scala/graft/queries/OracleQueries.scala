@@ -676,6 +676,84 @@ object OracleQueries {
         SELECT query_id, rnk, cand_id, sim FROM rk WHERE rnk <= 3
         ORDER BY query_id, rnk""")),
 
+    // ====== IVF multi-probe: query its cell AND the next-nearest cell =====
+    // The standard recall lever over single-probe IVF: rank cells by
+    // query→centroid cosine (centroids = decimal-routed per-dim means,
+    // the vector_centroids recipe), probe the top 2, then score only
+    // those cells' members. The centroid table is tiny, so its
+    // query-cross-centroid ranking is a broadcast scalar product — the
+    // corpus side still only ever joins on the cell key.
+    Q("sim_ivf_multiprobe",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+          .select(col("vec_id"), col("label"),
+            VectorOps.toDouble(col("embedding")).as("v"))
+        val cent = e
+          .select(col("label"), posexplode(col("v")).as(Seq("i", "x")))
+          .groupBy(col("label"), col("i"))
+          .agg((sum(col("x").cast("decimal(18,9)")).cast("double") /
+            count(lit(1))).as("c"))
+          .groupBy(col("label"))
+          .agg(transform(array_sort(collect_list(struct(col("i"),
+            col("c")))), s => s.getField("c")).as("cv"))
+        val q = e.where(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("v").as("qv"))
+        val wp = Window.partitionBy(col("query_id"))
+          .orderBy(col("psim").desc, col("label"))
+        val probes = q.crossJoin(broadcast(cent))
+          .select(col("query_id"), col("label"),
+            round(VectorOps.cosine(col("qv"), col("cv")), 6).as("psim"))
+          .withColumn("p", row_number().over(wp))
+          .where(col("p") <= 2)
+          .select(col("query_id"), col("label"))
+        val scored = e
+          .join(broadcast(probes.join(q, "query_id")), "label")
+          .where(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id").as("cand_id"),
+            round(VectorOps.cosine(col("qv"), col("v")), 6).as("sim"))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("sim").desc, col("cand_id"))
+        scored.withColumn("rnk", row_number().over(w))
+          .where(col("rnk") <= 3)
+          .select(col("query_id"), col("rnk"), col("cand_id"), col("sim"))
+          .orderBy(col("query_id"), col("rnk"))
+      },
+      Some("""WITH e AS (SELECT vec_id, label,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        cent0 AS (SELECT label, i,
+            CAST(SUM(CAST(x AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS c
+          FROM (SELECT label, UNNEST(v) AS x,
+              UNNEST(range(len(v))) AS i FROM e)
+          GROUP BY label, i),
+        cent AS (SELECT label, list(c ORDER BY i) AS cv FROM cent0
+          GROUP BY label),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+        pu AS (SELECT query_id, label, UNNEST(qv) AS x, UNNEST(cv) AS y
+          FROM q CROSS JOIN cent),
+        psc AS (SELECT query_id, label, SUM(x*y) AS dot, SUM(x*x) AS na,
+            SUM(y*y) AS nb FROM pu GROUP BY query_id, label),
+        probes AS (SELECT query_id, label FROM (
+          SELECT query_id, label, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY ROUND(dot/(SQRT(na)*SQRT(nb)), 6) DESC, label) AS p
+          FROM psc) WHERE p <= 2),
+        pairs AS (SELECT p.query_id, e.vec_id AS cand_id, q.qv, e.v AS cv2
+          FROM probes p JOIN q USING (query_id)
+          JOIN e ON e.label = p.label
+          WHERE e.vec_id != p.query_id),
+        u AS (SELECT query_id, cand_id, UNNEST(qv) AS x, UNNEST(cv2) AS y
+          FROM pairs),
+        sc AS (SELECT query_id, cand_id, SUM(x*y) AS dot, SUM(x*x) AS na,
+            SUM(y*y) AS nb FROM u GROUP BY query_id, cand_id),
+        rk AS (SELECT query_id, cand_id,
+            ROUND(dot/(SQRT(na)*SQRT(nb)), 6) AS sim,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY ROUND(dot/(SQRT(na)*SQRT(nb)), 6) DESC, cand_id)
+              AS rnk
+          FROM sc)
+        SELECT query_id, rnk, cand_id, sim FROM rk WHERE rnk <= 3
+        ORDER BY query_id, rnk""")),
+
     // ==================== W1: previous-row lookup =========================
     // Reference pipeline.py:506-553 — lag + first-row-compares-to-itself.
     Q("w1_lag",

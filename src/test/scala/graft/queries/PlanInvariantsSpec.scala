@@ -22,7 +22,7 @@ class PlanInvariantsSpec extends SparkSpec {
   // crossJoin, not an all-pairs).
   private val nestedLoopAllowed =
     Set("sim_topk", "sim_neardup_pairs", "dedup_ngram_jaccard",
-      "a5_global_threshold", "text_tfidf")
+      "a5_global_threshold", "text_tfidf", "sim_ivf_multiprobe")
 
   test("no query plans a cartesian product or unexpected nested loop") {
     val names = graft.SparkEntry.queries.keys.toSeq.sorted
