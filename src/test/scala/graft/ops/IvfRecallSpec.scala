@@ -74,5 +74,31 @@ class IvfRecallSpec extends SparkSpec {
       .where(col("vec_id") =!= col("query_id")).count()
     assert(ivfPairs < queries.count() * bruteCount / 4,
       "cell pruning should cut the scored pairs by >4x")
+
+    // multi-probe (2 cells, the sim_ivf_multiprobe shape): strictly
+    // more candidates, so recall can only improve — and it must still
+    // prune (2 of 8 cells). Cells rank by query->centroid cosine.
+    val centRows = centers.zipWithIndex
+      .map { case (c, i) => (i, c) }.toSeq.toDF("cell", "centroid")
+    val wp = Window.partitionBy(col("query_id"))
+      .orderBy(col("psim").desc, col("cell"))
+    val probes = queries.select(col("query_id"), col("qv"))
+      .crossJoin(broadcast(centRows))
+      .select(col("query_id"), col("cell"), col("qv"),
+        VectorOps.cosine(col("qv"), col("centroid")).as("psim"))
+      .withColumn("p", row_number().over(wp)).where(col("p") <= 2)
+      .select(col("query_id"), col("cell"), col("qv"))
+    val multi = top5(vecs.join(probes, Seq("cell"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("cand_id"),
+        VectorOps.cosine(col("qv"), col("v")).as("sim")))
+    val recall2 = (multi & brute).size.toDouble / brute.size
+    info(f"IVF 2-probe recall@5 = $recall2%.3f")
+    assert(recall2 >= recall,
+      f"2-probe recall $recall2%.3f fell below single-probe $recall%.3f")
+    val multiPairs = vecs.join(probes, Seq("cell"))
+      .where(col("vec_id") =!= col("query_id")).count()
+    assert(multiPairs < queries.count() * bruteCount / 2,
+      "2-of-8-cell probing should still cut the scored pairs by >2x")
   }
 }
