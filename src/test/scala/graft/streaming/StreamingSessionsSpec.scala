@@ -105,6 +105,37 @@ class StreamingSessionsSpec extends SparkSpec {
     assert(out == batch)
   }
 
+  test("pending state survives a query restart from the checkpoint: a " +
+      "session spanning the stop/start boundary emits once, merged") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[SessionEvent]
+    val ckpt = java.nio.file.Files.createTempDirectory("sess_rs").toString
+    // parquet sink: the memory sink refuses checkpoint recovery
+    val outDir = java.nio.file.Files.createTempDirectory("sess_rso").toString
+    def startQuery() = StreamingSessions
+      .closedSessions(spark, in.toDS(), Gap, "30 seconds")
+      .writeStream.format("parquet").option("path", outDir)
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    val q1 = startQuery()
+    in.addData(SessionEvent(9, T0, 1.0))
+    q1.processAllAvailable()
+    q1.stop()
+    // restart against the SAME checkpoint: the open session must come
+    // back from the state store, absorb the next event, and finalize
+    val q2 = startQuery()
+    try {
+      in.addData(SessionEvent(9, T0 + 800000000L, 2.0))
+      q2.processAllAvailable()
+      val far = T0 + 100000L * Gap
+      in.addData(SessionEvent(-1L, far, 0.0)); q2.processAllAvailable()
+      in.addData(SessionEvent(-1L, far + 1, 0.0)); q2.processAllAvailable()
+      val out = spark.read.parquet(outDir).as[ClosedSession].collect()
+        .toSeq.filter(_.key >= 0)
+      assert(out == Seq(
+        ClosedSession(9, T0, T0 + 800000000L, 800000000L, 2, 3.0)))
+    } finally q2.stop()
+  }
+
   test("update(): intervals re-merge regardless of arrival order, and " +
       "nothing emits below the watermark") {
     val st = new FakeGroupState[Pending]
