@@ -74,6 +74,34 @@ class StreamingDedupSpec extends SparkSpec {
       "text", storeDir, admittedDir) == Seq(21L))
   }
 
+  test("query restart from the checkpoint keeps the store consistent " +
+      "and admission decisions stable") {
+    implicit val ctx = spark.sqlContext
+    val storeDir = tmp("dedup_store4"); val admittedDir = tmp("dedup_adm4")
+    val ckpt = tmp("dedup_ck4")
+    val in = MemoryStream[(Long, String)]
+    def startQuery() = StreamingDedup.start(spark,
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      storeDir, admittedDir, ckpt)
+    val q1 = startQuery()
+    in.addData((1L, doc()), (2L, distinctDoc))
+    q1.processAllAvailable()
+    q1.stop()
+    val q2 = startQuery()
+    try {
+      // batch 1 after restart: near-dup of stored 1 rejected, new admits
+      in.addData((10L, doc(5)), (11L, "wholly new words about geometry " +
+        "caches and executor side sinks unlike anything stored before"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(spark.read.parquet(s"$admittedDir/batch=0")
+      .select("doc_id").as[Long].collect().toSet == Set(1L, 2L))
+    assert(spark.read.parquet(s"$admittedDir/batch=1")
+      .select("doc_id").as[Long].collect().toSet == Set(11L))
+    assert(spark.read.parquet(storeDir)
+      .select("id").as[Long].collect().toSet == Set(1L, 2L, 11L))
+  }
+
   test("replaying a batch overwrites its increment instead of " +
       "double-appending (idempotent store)") {
     val storeDir = tmp("dedup_store2"); val admittedDir = tmp("dedup_adm2")
