@@ -84,9 +84,10 @@ class StreamingDedupSpec extends SparkSpec {
       in.toDF().toDF("doc_id", "text"), "doc_id", "text",
       storeDir, admittedDir, ckpt)
     val q1 = startQuery()
-    in.addData((1L, doc()), (2L, distinctDoc))
-    q1.processAllAvailable()
-    q1.stop()
+    try {
+      in.addData((1L, doc()), (2L, distinctDoc))
+      q1.processAllAvailable()
+    } finally q1.stop()
     val q2 = startQuery()
     try {
       // batch 1 after restart: near-dup of stored 1 rejected, new admits

@@ -117,9 +117,10 @@ class StreamingSessionsSpec extends SparkSpec {
       .writeStream.format("parquet").option("path", outDir)
       .outputMode("append").option("checkpointLocation", ckpt).start()
     val q1 = startQuery()
-    in.addData(SessionEvent(9, T0, 1.0))
-    q1.processAllAvailable()
-    q1.stop()
+    try {
+      in.addData(SessionEvent(9, T0, 1.0))
+      q1.processAllAvailable()
+    } finally q1.stop()
     // restart against the SAME checkpoint: the open session must come
     // back from the state store, absorb the next event, and finalize
     val q2 = startQuery()
