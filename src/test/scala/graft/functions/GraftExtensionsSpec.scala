@@ -1,0 +1,65 @@
+package graft.functions
+
+import graft.SparkSpec
+
+/** The SQL surface of the native expressions: registration, evaluation
+  * parity with the Column API, literal-argument validation, and codegen
+  * (the registered functions are the same Expression classes the
+  * DataFrame path uses, so parity here proves one kernel serves both).
+  */
+class GraftExtensionsSpec extends SparkSpec {
+
+  GraftExtensions.register(spark)
+
+  private def one[T](sql: String): T =
+    spark.sql(sql).collect()(0).get(0).asInstanceOf[T]
+
+  test("graft_dot / graft_cosine evaluate from SQL") {
+    assert(one[Double](
+      "SELECT graft_dot(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d))")
+      == 32.0)
+    assert(math.abs(one[Double](
+      "SELECT graft_cosine(array(1.0d, 0.0d), array(1.0d, 0.0d))")
+      - 1.0) < 1e-12)
+    assert(math.abs(one[Double](
+      "SELECT graft_cosine(array(1.0d, 0.0d), array(0.0d, 1.0d))"))
+      < 1e-12)
+  }
+
+  test("graft_sig_agree counts equal signature positions") {
+    assert(one[Int](
+      "SELECT graft_sig_agree(array(1L, 2L, 3L), array(1L, 9L, 3L))") == 2)
+  }
+
+  test("graft_lsh_bucket equals the Column-API expression") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val vecs = Seq.tabulate(20)(i =>
+      (i.toLong, Array.tabulate(8)(j => math.sin(i * 8 + j).toDouble)))
+      .toDF("id", "v")
+    vecs.createOrReplaceTempView("lsh_vecs")
+    val viaSql = spark.sql(
+        "SELECT id, graft_lsh_bucket(v, 8, 6) AS b FROM lsh_vecs")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaCol = vecs.select(col("id"),
+        graft.ops.VectorOps.lshBuckets(col("v"), dim = 8, nPlanes = 6)
+          .as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaSql == viaCol)
+  }
+
+  test("non-literal dim/planes fail fast with a clear message") {
+    val ex = intercept[Exception](
+      spark.sql("SELECT graft_lsh_bucket(array(1.0d), id, 4) " +
+        "FROM range(1)").collect())
+    assert(ex.getMessage.contains("INTEGER literal") ||
+      Option(ex.getCause).exists(_.getMessage.contains("INTEGER literal")))
+  }
+
+  test("wrong input types are rejected by the expression type check") {
+    val ex = intercept[Exception](
+      spark.sql("SELECT graft_dot(array('a'), array('b'))").collect())
+    assert(ex.getMessage.contains("array<double>") ||
+      ex.getMessage.toLowerCase.contains("datatype_mismatch"))
+  }
+}
