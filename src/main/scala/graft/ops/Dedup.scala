@@ -122,6 +122,24 @@ object Dedup {
     * estimator. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, k: Int = 32): DataFrame = {
+    // row-local expression: the whole signature computes inside the
+    // projection — ZERO shuffles (the relational form below pays two).
+    // Bit-equality between the two forms is spec-pinned
+    // (MinhashEquivalenceSpec); sub-shingle docs yield null -> filtered,
+    // matching the relational form's absent row.
+    import org.apache.spark.sql.graftshim.Internals.{column => toCol, expression => toExpr}
+    df.select(col(idCol).as("id"),
+        toCol(graft.functions.MinhashSig(toExpr(col(textCol)), n, k))
+          .as("sig"))
+      .where(col("sig").isNotNull)
+  }
+
+  /** The original explode → per-doc-window shingle builder → groupBy
+    * form of [[minhashSignatures]] — two exchanges of the corpus shingle
+    * rows. Kept as the independent oracle for the expression form. */
+  def minhashSignaturesRelational(df: DataFrame, idCol: String,
+                                  textCol: String, n: Int = 3,
+                                  k: Int = 32): DataFrame = {
     // min() is duplicate-insensitive: skip the distinct shuffle entirely
     shingleRows(df, idCol, textCol, n, distinct = false)
       .select(col("id"), xxhash64(col("shingle")).as("h"))
