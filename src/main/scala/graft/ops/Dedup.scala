@@ -96,6 +96,23 @@ object Dedup {
     * rule is exact in practice. */
   def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
                          n: Int = 3, window: Int = 4): DataFrame = {
+    // row-local expression: the whole fingerprint SET computes inside
+    // the projection (zero shuffles; a null array for no-full-window
+    // docs explodes to zero rows, matching the relational absent doc).
+    // Set-equality vs the relational form is spec-pinned.
+    import org.apache.spark.sql.graftshim.Internals.{column => toCol, expression => toExpr}
+    df.select(col(idCol).as("id"),
+        explode(toCol(graft.functions.WinnowSig(toExpr(col(textCol)),
+          n, window))).as("fp"))
+  }
+
+  /** The original positional-explode + sliding-window-min + distinct
+    * form of [[winnowFingerprints]] — one exchange of the corpus
+    * shingle rows. Kept as the independent oracle for the expression
+    * form. */
+  def winnowFingerprintsRelational(df: DataFrame, idCol: String,
+                                   textCol: String, n: Int = 3,
+                                   window: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sh = shingleRowsPos(df, idCol, textCol, n)
       .select(col("id"), col("pos"), xxhash64(col("shingle")).as("h"))
@@ -208,6 +225,20 @@ object Dedup {
     * merge. */
   def simhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3): DataFrame = {
+    // row-local expression (zero shuffles); vote semantics identical to
+    // SimHashAgg, spec-pinned against the relational form below
+    import org.apache.spark.sql.graftshim.Internals.{column => toCol, expression => toExpr}
+    df.select(col(idCol).as("id"),
+        toCol(graft.functions.SimhashSig(toExpr(col(textCol)), n))
+          .as("simhash"))
+      .where(col("simhash").isNotNull)
+  }
+
+  /** The original explode + SimHashAgg-groupBy form of
+    * [[simhashSignatures]] — kept as the independent oracle for the
+    * expression form (and as the reference user of [[SimHashAgg]]). */
+  def simhashSignaturesRelational(df: DataFrame, idCol: String,
+                                  textCol: String, n: Int = 3): DataFrame = {
     val sh = shingleRows(df, idCol, textCol, n)
       .select(col("id"), xxhash64(col("shingle")).as("h"))
     sh.groupBy(col("id"))
