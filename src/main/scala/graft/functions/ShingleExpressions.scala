@@ -72,6 +72,33 @@ object ShingleExpressions {
   }
 }
 
+/** Distinct shingle hashes of a document as an array — the row-local
+  * replacement for `shingleRows(distinct = true)` + `xxhash64` wherever
+  * a consumer only needs the hash set (decontamination scans, overlap
+  * joins): explode the array instead of paying the per-document window
+  * shuffle the relational shingle builder needs. First-occurrence
+  * order; null when the document has fewer than `n` words (explodes to
+  * zero rows). */
+case class DistinctShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "distinct_shingle_hashes"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string column")
+
+  override def nullSafeEval(t: Any): Any = {
+    val hs = ShingleExpressions
+      .distinctShingleHashes(t.asInstanceOf[UTF8String], n)
+    if (hs == null) null else new GenericArrayData(hs)
+  }
+
+  override protected def withNewChildInternal(
+      c: Expression): DistinctShingleHashes = copy(child = c)
+}
+
 /** SimHash fingerprint of a document as one row-local expression —
   * replaces explode(distinct shingles) + the SimHashAgg groupBy (an
   * exchange of the corpus shingle-row table) with a pure projection.

@@ -1616,13 +1616,18 @@ object OracleQueries {
     // the per-doc count.
     Q("decontaminate",
       (s, dir) => {
+        import org.apache.spark.sql.graftshim.Internals.{column => toCol, expression => toExpr}
+        def hashRows(d: org.apache.spark.sql.DataFrame) =
+          // row-local distinct shingle-hash ARRAY exploded — no
+          // per-document window shuffle (bit-compatible with the
+          // relational builder; ShingleExpressionsSpec + this oracle)
+          d.select(col("doc_id").as("id"), explode(toCol(
+            graft.functions.DistinctShingleHashes(toExpr(col("text")), 3)))
+            .as("h"))
         val docs = t(s, dir, "documents")
-        val evalH = Dedup.shingleRows(docs.where(col("doc_id") < 50),
-            "doc_id", "text", 3)
-          .select(xxhash64(col("shingle")).as("h")).distinct()
-        val corpusH = Dedup.shingleRows(docs.where(col("doc_id") >= 50),
-            "doc_id", "text", 3)
-          .select(col("id"), xxhash64(col("shingle")).as("h")).distinct()
+        val evalH = hashRows(docs.where(col("doc_id") < 50))
+          .select(col("h")).distinct()
+        val corpusH = hashRows(docs.where(col("doc_id") >= 50))
         corpusH.join(broadcast(evalH), "h")
           .groupBy(col("id"))
           .agg(count(lit(1)).as("n_shared"))

@@ -48,6 +48,22 @@ class ShingleExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("DistinctShingleHashes == relational shingleRows+xxhash64 sets") {
+    import org.apache.spark.sql.graftshim.Internals.{column => toCol, expression => toExpr}
+    def sets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.as[(Long, Long)].collect().toSeq
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    for (d <- Seq(docs.toDF("doc_id", "text"),
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))) {
+      val fast = sets(d.select(col("doc_id").as("id"), explode(toCol(
+        graft.functions.DistinctShingleHashes(toExpr(col("text")), 3)))
+        .as("h")))
+      val slow = sets(Dedup.shingleRows(d, "doc_id", "text", 3)
+        .select(col("id"), xxhash64(col("shingle")).as("h")).distinct())
+      assert(fast == slow && fast.nonEmpty)
+    }
+  }
+
   test("sub-shingle and no-full-window docs are absent from both forms") {
     val d = docs.toDF("doc_id", "text")
     val sim = Dedup.simhashSignatures(d, "doc_id", "text")
