@@ -72,6 +72,58 @@ object TextMetrics {
   def idf(df: Column, nDocs: Column): Column =
     round(log((nDocs + 1).cast("double") / (df + 1)) + 1.0, 6)
 
+  /** Repetition-based quality features (the Gopher/C4 family of filters):
+    * fraction of repeated tokens, fraction of repeated n-grams, and the
+    * corpus share of the single most frequent token — the signals that
+    * catch boilerplate and degenerate generations in a pre-training
+    * corpus. ENTIRELY row-local (array expressions over the token list):
+    * zero shuffles, the whole filter rides the scan at 100 TB. The
+    * most-frequent-token count is a quadratic-in-tokens array scan per
+    * row — bounded by document length, not data size — which beats an
+    * explode + per-doc groupBy (a corpus-token-row shuffle) at any scale.
+    * Ratios are rounded to 6 dp (cross-engine float rule). */
+  def repetitionFeatures(text: Column, n: Int = 3): Column = {
+    val toks = tokens(text)
+    val nToks = size(toks)
+    val distinctToks = size(array_distinct(toks))
+    val grams = filter(
+      transform(toks, (_, i) =>
+        when(i + n <= nToks, concat_ws(" ", slice(toks, i + 1, lit(n))))),
+      _.isNotNull)
+    val nGrams = size(grams)
+    val topCount = array_max(transform(array_distinct(toks), t =>
+      size(filter(toks, x => x === t))))
+    struct(
+      round(lit(1.0) - distinctToks.cast("double") / nToks, 6)
+        .as("dup_token_frac"),
+      round(when(nGrams > 0,
+          lit(1.0) - size(array_distinct(grams)).cast("double") / nGrams)
+        .otherwise(lit(0.0)), 6).as("dup_ngram_frac"),
+      round(topCount.cast("double") / nToks, 6).as("top_token_frac"))
+  }
+
+  /** Regex for email-shaped tokens — kept to a subset valid with IDENTICAL
+    * semantics in Java regex and RE2 (no backrefs, no lookaround), so an
+    * external-engine oracle can replay the redaction. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Phone-shaped tokens: +D…D-DDD-DDDD with optional country digits. */
+  val PhoneRe = "\\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
+
+  /** PII scrub: replace email- and phone-shaped spans with typed
+    * placeholder tags. Pure projection (regexp_replace is codegen'd) —
+    * the canonical per-row curation pass. */
+  def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"),
+      PhoneRe, "<PHONE>")
+
+  /** Count of email-/phone-shaped spans in `text` (pre-redaction audit
+    * metric). */
+  def piiCounts(text: Column): Column =
+    struct(
+      regexp_count(text, lit(EmailRe)).as("n_emails"),
+      regexp_count(text, lit(PhoneRe)).as("n_phones"))
+
   /** Context-window chunking: split a document into token windows of
     * `chunkTokens` words starting every `chunkTokens - overlap` words
     * (the standard pre-training/RAG chunker). Returns an ARRAY of

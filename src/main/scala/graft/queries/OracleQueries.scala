@@ -94,6 +94,11 @@ object OracleQueries {
   private val LshPlanes = 10
   private val LshDim = 64
 
+  /** Parameters shared by the sketch queries and their oracles. */
+  private val CmsDepth = 4
+  private val CmsWidth = 1024
+  private val HllP = 8 // m = 256 registers, saturated rank 65-p = 57
+
   /** Write the raw-hash aux tables for the current scale factor. Called by
     * Verify before the query dump; NOT part of any benched query. */
   def writeOracleAux(s: SparkSession, dir: String,
@@ -143,6 +148,23 @@ object OracleQueries {
     Dedup.shingleRows(docs, "doc_id", "text", 3)
       .select(col("id"), xxhash64(col("shingle")).as("h")).distinct()
       .write.mode("overwrite").parquet(s"$AuxDir/all_shingle_hashes")
+    // count-min sketch: the (depth-row, bucket) coordinates of every
+    // distinct event user — the oracle rebuilds the whole sketch from
+    // the raw events joined through this table, then probes it
+    val ev = t(s, dir, "events")
+    ev.select(col("user_id")).distinct()
+      .select(col("user_id"),
+        explode(Sketches.cmsBuckets(col("user_id"), CmsDepth, CmsWidth))
+          .as("rb"))
+      .select(col("user_id"), col("rb.row").as("rw"),
+        col("rb.bucket").as("bkt"))
+      .write.mode("overwrite").parquet(s"$AuxDir/cms_buckets")
+    // hyperloglog: the raw 64-bit key hash per (event_type, user) — the
+    // oracle re-derives bucket, rank, registers, AND the estimate from
+    // these with its own integer arithmetic
+    ev.select(col("event_type"), col("user_id")).distinct()
+      .select(col("event_type"), xxhash64(col("user_id")).as("h"))
+      .write.mode("overwrite").parquet(s"$AuxDir/hll_hashes")
   }
 
   // ---- the inventory -----------------------------------------------------
@@ -1706,7 +1728,212 @@ object OracleQueries {
           array_to_string(toks[start_tok + 1 : start_tok + 40], ' ')
             AS chunk_text,
           len(toks[start_tok + 1 : start_tok + 40]) AS n_tokens
-        FROM s ORDER BY doc_id, chunk_idx"""))
+        FROM s ORDER BY doc_id, chunk_idx""")),
+
+    // ================ J10: Bloom-filter runtime join prune ================
+    // The runtime-filter pattern Spark's own row-level filtering uses: the
+    // small side's keys build an m-bit Bloom filter (bounded agg — at most
+    // m/64 rows reach the driver whatever the key count), the bitset is
+    // injected into the big side's scan as a LITERAL predicate (zero
+    // joins, zero shuffles to prune), and the exact join afterwards
+    // removes the false positives — so the result is IDENTICAL to the
+    // plain join, which is the oracle. At 100 TB the prune drops ~90% of
+    // orders before they ever enter the join exchange.
+    Q("j10_bloom_join",
+      (s, dir) => {
+        val rich = t(s, dir, "customer").where(col("c_acctbal") > 9000)
+          .select(col("c_custkey"), col("c_mktsegment"))
+        val o = t(s, dir, "orders")
+          .select(col("o_custkey"), col("o_totalprice"))
+        Sketches.prunedJoin(o, rich, "o_custkey", "c_custkey")
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_orders"),
+            dsum(col("o_totalprice")).as("total_price"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some(s"""SELECT c.c_mktsegment, COUNT(*) AS n_orders,
+          ${sqlDsum("o.o_totalprice")} AS total_price
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_acctbal > 9000
+        GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""")),
+
+    // ==================== Count-Min sketch heavy hitters ==================
+    // Deterministic CMS (depth 4 × width 1024, xxhash64-seeded rows) over
+    // event user ids, probed for the first 50 users, with the exact count
+    // alongside (the CMS bound est >= exact is part of what the oracle
+    // hash-checks). The sketch build is ONE aggregation whose key space is
+    // bounded by depth×width — map-side combine collapses every partition
+    // to <= 4096 rows before the shuffle, the property that makes the
+    // sketch viable at any corpus size. The oracle rebuilds the identical
+    // sketch in DuckDB from the raw events joined through the
+    // pre-materialized bucket-coordinate aux table, then probes it with
+    // the same min-over-rows rule.
+    Q("sketch_cms_heavy",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val sketch = Sketches.cmsSketch(ev, col("user_id"),
+          CmsDepth, CmsWidth)
+        val keys = ev.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_exact"))
+          .where(col("user_id") < 50)
+        Sketches.cmsEstimate(sketch, keys.select(col("user_id")),
+            "user_id", CmsDepth, CmsWidth)
+          .join(keys, "user_id")
+          .select(col("user_id"), col("cms_est"), col("n_exact"))
+          .orderBy(col("user_id"))
+      },
+      Some(s"""WITH ub AS (SELECT user_id, rw, bkt
+            FROM '$AuxDir/cms_buckets/*.parquet'),
+          uc AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1),
+          sk AS (SELECT b.rw, b.bkt, CAST(SUM(uc.n) AS BIGINT) AS cnt
+            FROM uc JOIN ub b USING (user_id) GROUP BY 1, 2)
+        SELECT u.user_id, MIN(sk.cnt) AS cms_est,
+          any_value(u.n) AS n_exact
+        FROM uc u JOIN ub b USING (user_id)
+          JOIN sk ON sk.rw = b.rw AND sk.bkt = b.bkt
+        WHERE u.user_id < 50
+        GROUP BY u.user_id ORDER BY u.user_id""")),
+
+    // ==================== HyperLogLog distinct estimate ===================
+    // Per event type: HLL-estimated distinct users (p=8, 256 registers)
+    // next to the exact count. The register table is ONE bounded
+    // aggregation — |groups| × 256 rows max, map-side max — and is itself
+    // the mergeable sketch. The oracle re-derives bucket, rank (lowest
+    // set bit via log2 of the exact power-of-two isolate), registers, and
+    // the full estimator (split-sum harmonic + linear-counting branch)
+    // from the raw xxhash64 values in the aux table with its own integer
+    // arithmetic — every step cross-checked, not just the max.
+    Q("sketch_hll_distinct",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val regs = Sketches.hllRegisters(ev, col("user_id"), HllP,
+          Seq(col("event_type")))
+        val exact = ev.groupBy(col("event_type"))
+          .agg(countDistinct(col("user_id")).as("n_exact"))
+        Sketches.hllEstimate(regs, HllP, Seq(col("event_type")))
+          .join(exact, "event_type")
+          .select(col("event_type"), col("hll_est"), col("n_exact"))
+          .orderBy(col("event_type"))
+      },
+      Some(s"""WITH hx AS (SELECT DISTINCT event_type, h
+            FROM '$AuxDir/hll_hashes/*.parquet'),
+          br AS (SELECT event_type,
+            ((h % 256) + 256) % 256 AS bucket,
+            CAST((CASE WHEN h < 0
+                THEN CAST(h AS HUGEINT) + 18446744073709551616
+                ELSE CAST(h AS HUGEINT) END) // 256 AS BIGINT) AS rest
+            FROM hx),
+          r AS (SELECT event_type, bucket,
+            CASE WHEN rest = 0 THEN 57
+              ELSE CAST(round(log2(rest & (-rest))) AS INTEGER) + 1
+            END AS rnk FROM br),
+          regs AS (SELECT event_type, bucket, MAX(rnk) AS register
+            FROM r GROUP BY 1, 2),
+          ag AS (SELECT event_type,
+            CAST(SUM(CASE WHEN 57 - register >= 12
+              THEN (1::BIGINT << (57 - register - 12)) ELSE 0 END)
+              AS BIGINT) AS sum_high,
+            CAST(SUM(CASE WHEN 57 - register < 12
+              THEN (1::BIGINT << (57 - register)) ELSE 0 END)
+              AS BIGINT) AS sum_low,
+            COUNT(*) AS occupied FROM regs GROUP BY 1),
+          e AS (SELECT event_type, occupied,
+            (CAST(sum_high + (256 - occupied) * (1::BIGINT << 45)
+                AS DOUBLE) * 4096.0 + CAST(sum_low AS DOUBLE))
+              / 144115188075855872.0 AS harmonic FROM ag),
+          est AS (SELECT event_type, occupied,
+            (((0.7213 / (1.0 + 1.079 / 256.0)) * 256.0) * 256.0)
+              / harmonic AS raw FROM e),
+          ex AS (SELECT event_type, COUNT(DISTINCT user_id) AS n_exact
+            FROM events GROUP BY 1)
+        SELECT est.event_type,
+          round(CASE WHEN (256 - occupied) > 0 AND raw <= 640.0
+            THEN 256.0 * ln(256.0 / CAST(256 - occupied AS DOUBLE))
+            ELSE raw END, 6) AS hll_est,
+          ex.n_exact
+        FROM est JOIN ex USING (event_type)
+        ORDER BY event_type""")),
+
+    // ================ repetition-based quality features ===================
+    // The Gopher/C4 repetition filters: repeated-token fraction, repeated
+    // 3-gram fraction, most-frequent-token share — all row-local array
+    // expressions (ZERO shuffles; the filter rides the scan at 100 TB).
+    // The oracle replays the same token/n-gram/count arithmetic through
+    // DuckDB's list lambdas.
+    Q("text_repetition",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        docs.select(col("doc_id"),
+            TextMetrics.repetitionFeatures(col("text")).as("f"))
+          .select(col("doc_id"), col("f.dup_token_frac"),
+            col("f.dup_ngram_frac"), col("f.top_token_frac"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+            FROM documents),
+          g AS (SELECT doc_id, toks,
+            list_transform(range(0, greatest(len(toks) - 2, 0)),
+              i -> array_to_string(toks[i + 1 : i + 3], ' ')) AS grams
+            FROM t)
+        SELECT doc_id,
+          round(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE)
+            / len(toks), 6) AS dup_token_frac,
+          round(CASE WHEN len(grams) > 0
+            THEN 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+              / len(grams)
+            ELSE 0.0 END, 6) AS dup_ngram_frac,
+          round(CAST(list_max(list_transform(list_distinct(toks),
+              u -> len(list_filter(toks, x -> x = u)))) AS DOUBLE)
+            / len(toks), 6) AS top_token_frac
+        FROM g ORDER BY doc_id""")),
+
+    // ======================== PII redaction ===============================
+    // The per-row scrub pass every released corpus needs: email- and
+    // phone-shaped spans replaced by typed tags, with pre-redaction audit
+    // counts. The synthetic corpus carries no PII, so the query first
+    // INJECTS deterministic spans (one email + one phone per doc, a
+    // second email on even ids) with identical concat arithmetic in both
+    // engines, then redacts; the patterns are restricted to the
+    // Java-regex ∩ RE2 subset so the oracle replays them exactly. The
+    // md5 of the redacted text is the hash-checked witness.
+    Q("text_redact",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val injected = concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com or +1-555-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+          when(pmod(col("doc_id"), lit(2)) === 0,
+            concat(lit(" cc backup"), col("doc_id").cast("string"),
+              lit("@mail.example.org"))).otherwise(lit("")))
+        docs.select(col("doc_id"), injected.as("pii_text"))
+          .select(col("doc_id"),
+            md5(TextMetrics.redactPii(col("pii_text"))).as("redacted_md5"),
+            TextMetrics.piiCounts(col("pii_text")).as("c"))
+          .select(col("doc_id"), col("redacted_md5"),
+            col("c.n_emails").cast("long").as("n_emails"),
+            col("c.n_phones").cast("long").as("n_phones"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH p AS (SELECT doc_id,
+            text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or +1-555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              || CASE WHEN doc_id % 2 = 0
+                THEN ' cc backup' || CAST(doc_id AS VARCHAR)
+                  || '@mail.example.org' ELSE '' END AS pii_text
+            FROM documents)
+        SELECT doc_id,
+          md5(regexp_replace(regexp_replace(pii_text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>',
+            'g'), '\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'))
+            AS redacted_md5,
+          len(regexp_extract_all(pii_text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+            AS n_emails,
+          len(regexp_extract_all(pii_text,
+            '\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}')) AS n_phones
+        FROM p ORDER BY doc_id"""))
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Row-local curation passes: repetition-quality features and PII
+  * redaction — edge cases against scalar reference implementations. */
+class TextCurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rep(texts: String*): Seq[(Double, Double, Double)] =
+    texts.toDF("text")
+      .select(TextMetrics.repetitionFeatures(col("text")).as("f"))
+      .select("f.dup_token_frac", "f.dup_ngram_frac", "f.top_token_frac")
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2)))
+      .toSeq
+
+  test("repetition: all-distinct, all-same, and mixed documents") {
+    val Seq(distinct, same, mixed) = rep(
+      "a b c d e", "x x x x", "a b a b c")
+    assert(distinct == (0.0, 0.0, 0.2)) // 5 distinct, 3 distinct grams, top 1/5
+    // "x x x x": 1 distinct of 4; grams "x x x" x2 -> 1 distinct of 2
+    assert(same == (0.75, 0.5, 1.0))
+    // "a b a b c": 3 distinct of 5; grams aba,bab,abc distinct -> 0
+    assert(mixed == (0.4, 0.0, 0.4))
+  }
+
+  test("repetition: degenerate lengths (1 and 2 tokens) yield 0 ngram frac") {
+    val Seq(one, two) = rep("solo", "two words")
+    assert(one == (0.0, 0.0, 1.0))
+    assert(two == (0.0, 0.0, 0.5))
+  }
+
+  test("repetition: matches a scalar reference on random word soup") {
+    val rnd = new scala.util.Random(42)
+    val vocab = Seq("the", "data", "spark", "row", "scan")
+    val docs = (0 until 30).map(_ =>
+      (0 until (3 + rnd.nextInt(40))).map(_ =>
+        vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    val got = rep(docs: _*)
+    docs.zip(got).foreach { case (doc, (dupTok, dupGram, topTok)) =>
+      val toks = doc.split(" ").toSeq
+      val grams = toks.sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSeq
+      def r6(x: Double) = BigDecimal(x)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(dupTok == r6(1.0 - toks.distinct.size.toDouble / toks.size))
+      assert(dupGram == r6(
+        if (grams.nonEmpty) 1.0 - grams.distinct.size.toDouble / grams.size
+        else 0.0))
+      assert(topTok == r6(
+        toks.groupBy(identity).values.map(_.size).max.toDouble / toks.size))
+    }
+  }
+
+  test("redact: emails and phones replaced, counts match") {
+    val rows = Seq(
+      "write to alice.smith+tag@sub.example.co.uk for details",
+      "call +1-555-0100 or +44-201-9999 now",
+      "no pii here at all",
+      "two mails a@b.io and c.d@e-corp.com plus +1-555-1234")
+      .toDF("text")
+      .select(TextMetrics.redactPii(col("text")).as("red"),
+        TextMetrics.piiCounts(col("text")).as("c"))
+      .select("red", "c.n_emails", "c.n_phones")
+      .collect()
+    assert(rows(0).getString(0) == "write to <EMAIL> for details")
+    assert(rows(0).getInt(1) == 1 && rows(0).getInt(2) == 0)
+    assert(rows(1).getString(0) == "call <PHONE> or <PHONE> now")
+    assert(rows(1).getInt(1) == 0 && rows(1).getInt(2) == 2)
+    assert(rows(2).getString(0) == "no pii here at all")
+    assert(rows(2).getInt(1) == 0 && rows(2).getInt(2) == 0)
+    assert(rows(3).getString(0) ==
+      "two mails <EMAIL> and <EMAIL> plus <PHONE>")
+    assert(rows(3).getInt(1) == 2 && rows(3).getInt(2) == 1)
+  }
+
+  test("redact: pure projection — the plan has no exchange") {
+    val df = Seq("a@b.io").toDF("text")
+      .select(TextMetrics.redactPii(col("text")))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
+  }
+}
