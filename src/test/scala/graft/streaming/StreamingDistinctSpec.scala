@@ -1,0 +1,95 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.ops.Sketches
+import StreamingDistinct.{Estimate, Observation}
+
+/** Streaming HLL distinct: bit-parity with the batch sketch over the
+  * union of micro-batches, cross-batch register accumulation, bounded
+  * state, and replay/duplication invariance. */
+class StreamingDistinctSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Run micro-batches through the estimator; return the LAST emission
+    * per key. */
+  private def run(batches: Seq[Seq[Observation]],
+                  name: String): Map[String, Estimate] = {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Observation]
+    val ckpt = java.nio.file.Files.createTempDirectory("dist_ck").toString
+    val q = StreamingDistinct.estimates(spark, in.toDS())
+      .writeStream.format("memory").queryName(name)
+      .outputMode("update").option("checkpointLocation", ckpt).start()
+    try {
+      batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+      // memory sink in update mode appends each emission; the LAST row
+      // per key is its latest state
+      spark.table(name).withColumn("_i", monotonically_increasing_id())
+        .orderBy(col("_i")).as[(String, Double, Int, Long)]
+        .collect().map { case (k, e, o, _) => k -> Estimate(k, e, o) }
+        .toMap
+    } finally q.stop()
+  }
+
+  private def batchEstimate(values: Seq[Long]): Double = {
+    val regs = Sketches.hllRegisters(values.toDF("k"), col("k"), 8)
+    Sketches.hllEstimate(regs, 8).collect()(0).getDouble(0)
+  }
+
+  test("streaming estimate over batches == batch estimate over the union") {
+    val b1 = (0L until 700L).map(i => Observation("a", i * 31))
+    val b2 = (500L until 1500L).map(i => Observation("a", i * 31))
+    val got = run(Seq(b1, b2), "dist_parity")("a")
+    val want = batchEstimate(((0L until 700L) ++ (500L until 1500L))
+      .map(_ * 31).distinct)
+    assert(got.hllEst == want,
+      s"streaming ${got.hllEst} != batch $want")
+  }
+
+  test("duplicate and replayed values cannot move the estimate") {
+    val base = (0L until 400L).map(i => Observation("k", i * 7))
+    val once = run(Seq(base), "dist_once")("k")
+    val noisy = run(Seq(base, base ++ base.take(50), base), "dist_noisy")("k")
+    assert(once.hllEst == noisy.hllEst)
+    assert(once.occupied == noisy.occupied)
+  }
+
+  test("keys are independent; per-key state is one register array") {
+    val b = (0L until 300L).flatMap(i => Seq(
+      Observation("x", i), Observation("y", i * 1000 + 17)))
+    val got = run(Seq(b), "dist_keys")
+    val wantX = batchEstimate((0L until 300L).toSeq)
+    val wantY = batchEstimate((0L until 300L).map(_ * 1000 + 17))
+    assert(got("x").hllEst == wantX)
+    assert(got("y").hllEst == wantY)
+  }
+
+  test("update function: monotone registers, bounded size") {
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    // drive the factored update directly through Spark's test-only
+    // GroupState impl is private; emulate with two sequential calls via
+    // the streaming harness instead: estimate after more data can only
+    // see occupied grow
+    val b1 = (0L until 100L).map(i => Observation("m", i))
+    val b2 = (0L until 5000L).map(i => Observation("m", i))
+    val small = run(Seq(b1), "dist_small")("m")
+    val grown = run(Seq(b1, b2), "dist_grown")("m")
+    assert(grown.occupied >= small.occupied)
+    assert(grown.occupied <= 256)
+  }
+
+  test("estimateOf mirrors Sketches.hllEstimate on a synthetic register set") {
+    val regs = new Array[Byte](256)
+    val rnd = new scala.util.Random(11)
+    (0 until 120).foreach(_ =>
+      regs(rnd.nextInt(256)) = (1 + rnd.nextInt(30)).toByte)
+    val viaSpark = Sketches.hllEstimate(
+      regs.zipWithIndex.collect { case (r, b) if r > 0 => (b, r.toInt) }
+        .toSeq.toDF("bucket", "register"), 8)
+      .collect()(0).getDouble(0)
+    assert(StreamingDistinct.estimateOf(regs, 8) == viaSpark)
+  }
+}
