@@ -21,24 +21,21 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keeper_id"))
 
-  /** Word n-gram shingle set of a document, lowercase, as array<string>. */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val words = split(lower(text), "\\s+")
-    array_distinct(
-      filter(
-        transform(words, (_, i) =>
-          when(i + n <= size(words),
-            concat_ws(" ", slice(words, i + 1, lit(n))))),
-        _.isNotNull))
-  }
-
-  /** MinHash signature of a shingle array: for each of `k` hash families,
-    * min over shingles of xxhash64(shingle, seed). Pure codegen expressions.
-    */
-  def minhashSignature(shingleArr: Column, k: Int = 32): Column =
-    array((0 until k).map { seed =>
-      array_min(transform(shingleArr, s => xxhash64(s, lit(seed))))
-    }: _*)
+  /** Word n-gram shingle set of a document, lowercase, as array<string>.
+    * The split is bound as a lambda VARIABLE (transform over a 1-element
+    * array) because higher-order array functions are interpreted and a
+    * lambda body re-evaluates captured EXPRESSIONS per element — the
+    * naive form re-ran the split once per word per row. */
+  def shingles(text: Column, n: Int = 3): Column =
+    element_at(
+      transform(array(split(lower(text), "\\s+")), words =>
+        array_distinct(
+          filter(
+            transform(words, (_, i) =>
+              when(i + n <= size(words),
+                concat_ws(" ", slice(words, i + 1, lit(n))))),
+            _.isNotNull))),
+      1)
 
   /** LSH band keys from a MinHash signature: signature split into `bands`
     * rows-per-band groups, each hashed; docs sharing any band key are
@@ -126,9 +123,10 @@ object Dedup {
 
   /** MinHash signatures via shingle rows → groupBy: the signature is k
     * `min` aggregates in ONE shuffle on the doc id. This is the scale
-    * form — the nested-array variant ([[minhashSignature]]) recomputes
-    * the shingle expression per hash family once Catalyst collapses
-    * projections, which blows up plan cost at any scale.
+    * form — a nested-array variant (k array_min(transform(...)) columns
+    * over a shingle array, deleted after it lost) re-evaluates the
+    * shingle expression per hash family in the interpreted
+    * higher-order-function path, which blows up plan cost at any scale.
     *
     * Hash-family construction: the variable-length shingle STRING is
     * hashed once (the expensive part — string hashing dominated the

@@ -156,11 +156,18 @@ object TextMetrics {
     require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
       s"need 0 <= overlap < chunkTokens, got $overlap/$chunkTokens")
     val step = chunkTokens - overlap
-    val toks = tokens(text)
-    val starts = sequence(lit(0),
-      greatest(size(toks) - 1, lit(0)), lit(step))
-    transform(starts, s => struct(s.as("start_tok"),
-      concat_ws(" ", slice(toks, s + 1, lit(chunkTokens)))
-        .as("chunk_text")))
+    // token array bound as a lambda variable: the interpreted HOF path
+    // re-evaluates captured expressions per element, so a captured
+    // split() would re-run once per chunk window (see
+    // repetitionFeatures for the measured form of this pitfall)
+    element_at(
+      transform(array(tokens(text)), toks => {
+        val starts = sequence(lit(0),
+          greatest(size(toks) - 1, lit(0)), lit(step))
+        transform(starts, s => struct(s.as("start_tok"),
+          concat_ws(" ", slice(toks, s + 1, lit(chunkTokens)))
+            .as("chunk_text")))
+      }),
+      1)
   }
 }
