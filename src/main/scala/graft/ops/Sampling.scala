@@ -60,4 +60,21 @@ object Sampling {
     df.withColumn("sample_rank", row_number().over(w))
       .where(col("sample_rank") <= n)
   }
+
+  /** Weighted Bernoulli sample: keep each row independently with
+    * probability `prob` (a column in [0,1]; values outside are clamped),
+    * deterministically — the "coin flip" is the id-hash folded to a
+    * 32-bit uniform, compared against floor(prob * 2^32). Like
+    * [[stratifiedSample]] this is a PURE FILTER (no shuffle, rerun- and
+    * partitioning-stable, rides the scan at 100 TB), but the keep
+    * probability can vary continuously per row — the quality-weighted
+    * downsampling a curation pass wants. The float product takes exactly
+    * one rounding before the integer floor, so the kept set reproduces
+    * in any engine that computes `prob` with the same arithmetic. */
+  def weightedSample(df: DataFrame, id: Column, prob: Column): DataFrame = {
+    val unit = pmod(xxhash64(id), lit(1L << 32))
+    val cutoff = floor(
+      least(greatest(prob, lit(0.0)), lit(1.0)) * lit(4294967296.0))
+    df.where(unit < cutoff)
+  }
 }

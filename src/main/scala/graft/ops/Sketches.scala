@@ -17,14 +17,18 @@ import org.apache.spark.sql.functions._
   *    bounded (row, bucket) key space), which gives map-side partial
   *    aggregation for free and bounds the shuffle at the sketch size, not
   *    the data size;
-  *  - estimator arithmetic avoids libm wherever exactness matters:
-  *    2^-register is `1.0 / (1L << register)` (exact powers of two, whose
-  *    sums are themselves exact doubles here), and the one unavoidable
-  *    `ln`/`log` call is rounded to 6 dp, the repo-wide cross-engine rule.
+  *  - estimator arithmetic avoids libm wherever exactness matters: the
+  *    HLL harmonic sum is a split integer sum whose halves each stay
+  *    exact in int64 and double (see [[hllEstimate]]), and the one
+  *    unavoidable `ln`/`log` call is rounded to 6 dp, the repo-wide
+  *    cross-engine rule.
   *
-  * The relational forms are the production paths; [[CmsAgg]] adds a
-  * single-buffer mergeable Aggregator for per-group/streaming use,
-  * spec-pinned equal to the relational sketch.
+  * The relational forms ARE the production paths — a single-buffer
+  * Aggregator variant would add nothing here (the bounded groupBy
+  * already partial-aggregates map-side to the sketch size); the
+  * streaming consumer that genuinely needs per-key sketch STATE is
+  * [[graft.streaming.StreamingDistinct]], which holds the HLL registers
+  * in GroupState and max-merges micro-batches in.
   */
 object Sketches {
 
@@ -186,8 +190,12 @@ object Sketches {
     val termLow = when(sh < split,
       call_function("shiftleft", lit(1L), sh.cast("int")))
       .otherwise(lit(0L))
+    // coalesce: a global (no-group) aggregate over an EMPTY register
+    // table yields one row with null sums — zero occupied buckets must
+    // read as sums 0 so the linear-counting branch returns est 0
     val agg = registers.groupBy(groupCols: _*).agg(
-      sum(termHigh).as("sum_high"), sum(termLow).as("sum_low"),
+      coalesce(sum(termHigh), lit(0L)).as("sum_high"),
+      coalesce(sum(termLow), lit(0L)).as("sum_low"),
       count(lit(1)).as("occupied"))
     val zeros = lit(m.toLong) - col("occupied")
     val harmonic =

@@ -1730,6 +1730,38 @@ object OracleQueries {
           len(toks[start_tok + 1 : start_tok + 40]) AS n_tokens
         FROM s ORDER BY doc_id, chunk_idx""")),
 
+    // ==================== weighted Bernoulli sampling =====================
+    // Quality-weighted downsampling: each document kept with probability
+    // n_chars / max(n_chars) — longer documents proportionally more
+    // likely — via the deterministic hash coin (32-bit uniform vs
+    // floor(prob * 2^32)). Pure filter over the scan plus one broadcast
+    // scalar (the corpus max); the oracle replays the identical division
+    // and floor from the raw hash aux table.
+    Q("sample_weighted",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        // the corpus max is collect-routed (the repo's global-scalar
+        // idiom — percentileSelect routes its bucket tables the same
+        // way): one bounded driver round-trip, and the sample itself
+        // stays a PURE FILTER instead of planning a 1-row broadcast
+        // nested-loop join
+        val maxc = docs.agg(max(col("n_chars"))).collect()(0).getLong(0)
+        val withProb = docs
+          .withColumn("_prob", col("n_chars") / lit(maxc))
+        Sampling.weightedSample(withProb, col("doc_id"), col("_prob"))
+          .select(col("doc_id"), col("n_chars"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH mx AS (SELECT MAX(n_chars) AS maxc FROM documents),
+          hx AS (SELECT doc_id,
+            ((h % 4294967296) + 4294967296) % 4294967296 AS u
+            FROM '$AuxDir/doc_bucket/*.parquet')
+        SELECT d.doc_id, d.n_chars
+        FROM documents d JOIN hx USING (doc_id) CROSS JOIN mx
+        WHERE hx.u < CAST(floor(
+          (CAST(d.n_chars AS DOUBLE) / mx.maxc) * 4294967296.0) AS BIGINT)
+        ORDER BY d.doc_id""")),
+
     // ================ J10: Bloom-filter runtime join prune ================
     // The runtime-filter pattern Spark's own row-level filtering uses: the
     // small side's keys build an m-bit Bloom filter (bounded agg — at most

@@ -25,7 +25,9 @@ object QueryClusterSmoke {
     val names = if (args.length > 4) args.drop(4).toSeq else Seq(
       "events_sessionize", "j8_asof", "j9_range_join", "text_topk_terms",
       "text_tfidf", "sample_stratified", "sample_topn", "dedup_canonical",
-      "decontaminate", "dedup_groups", "text_winnow", "skew_salted_agg")
+      "decontaminate", "dedup_groups", "text_winnow", "skew_salted_agg",
+      "j10_bloom_join", "sketch_cms_heavy", "sketch_hll_distinct",
+      "text_repetition", "text_redact", "sample_weighted")
 
     val master = if (execs <= 0) "local[16]"
       else s"local-cluster[$execs,$coresPer,$memMb]"

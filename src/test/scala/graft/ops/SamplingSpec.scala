@@ -68,4 +68,39 @@ class SamplingSpec extends SparkSpec {
     val orig = small.select("id").as[Long].collect().toSet
     assert(grown.subsetOf(orig))
   }
+
+  test("weighted: prob 0 keeps nothing, prob 1 keeps everything") {
+    val df = docs(500)
+    assert(Sampling.weightedSample(df, col("id"), lit(0.0)).count() == 0)
+    assert(Sampling.weightedSample(df, col("id"), lit(1.0)).count() == 500)
+    // out-of-range probs clamp rather than throw
+    assert(Sampling.weightedSample(df, col("id"), lit(7.5)).count() == 500)
+    assert(Sampling.weightedSample(df, col("id"), lit(-2.0)).count() == 0)
+  }
+
+  test("weighted: kept set grows monotonically with prob") {
+    val df = docs(2000)
+    val kept = Seq(0.1, 0.3, 0.6, 0.9).map { p =>
+      Sampling.weightedSample(df, col("id"), lit(p))
+        .select("id").as[Long].collect().toSet
+    }
+    kept.sliding(2).foreach { case Seq(lo, hi) =>
+      assert(lo.subsetOf(hi), s"${lo.size} not subset of ${hi.size}")
+    }
+    // keep rate tracks prob (binomial, n=2000: +-4 sigma band)
+    kept.zip(Seq(0.1, 0.3, 0.6, 0.9)).foreach { case (s, p) =>
+      val sigma = math.sqrt(2000 * p * (1 - p))
+      assert(math.abs(s.size - 2000 * p) < 4 * sigma,
+        s"rate ${s.size / 2000.0} too far from $p")
+    }
+  }
+
+  test("weighted: per-row varying prob is deterministic across partitionings") {
+    val df = docs(1000).withColumn("p", (col("id") % 100) / lit(100.0))
+    val a = Sampling.weightedSample(df.repartition(1), col("id"), col("p"))
+      .select("id").as[Long].collect().toSet
+    val b = Sampling.weightedSample(df.repartition(13), col("id"), col("p"))
+      .select("id").as[Long].collect().toSet
+    assert(a == b && a.nonEmpty)
+  }
 }

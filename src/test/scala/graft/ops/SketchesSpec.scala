@@ -151,6 +151,13 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("hll: empty input estimates 0 (global no-group aggregate)") {
+    val empty = Seq.empty[Long].toDF("k")
+    val est = Sketches.hllEstimate(
+      Sketches.hllRegisters(empty, col("k"), 8), 8).collect()
+    assert(est.length == 1 && est(0).getDouble(0) == 0.0)
+  }
+
   test("hll: saturated-rank edge — hash with all-zero remainder") {
     // bucket = pmod(hash, 256); rest = hash >>> 8 == 0 happens only for
     // hashes in [0, 256); synthesize via the register-table contract
