@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Deterministic Lloyd k-means over an embedding column — the corpus
+  * clustering primitive (topic bucketing, diversity quotas, coreset
+  * selection) built so the whole fit is REPRODUCIBLE and re-derivable by
+  * an external SQL engine:
+  *
+  *  - init is data-deterministic (the k smallest-id vectors), not
+  *    sampled;
+  *  - every distance is an exact decimal sum of per-dimension squared
+  *    differences (each term takes one deterministic double→decimal(18,9)
+  *    rounding; the sum is then order-independent), so argmin sees
+  *    IDENTICAL values on every engine/partitioning, with ties broken on
+  *    the centroid id;
+  *  - centroid updates are the repo's decimal-mean (exact sum / count).
+  *
+  * Scale shape per iteration: the corpus joins ONLY a broadcast k-row
+  * centroid table (k-fold row amplification, no shuffle), folds the
+  * distance row-locally, and one window per vec_id picks the argmin —
+  * the single corpus-keyed exchange; the centroid update aggregates
+  * k×dims rows. Iterations are a FIXED count (the caller's convergence
+  * budget): data-dependent stopping would make the plan depend on the
+  * data, which breaks rerun determinism and oracle replay. */
+object KMeans {
+
+  /** Exact squared-L2 distance: per-dim (a_i-b_i)^2 rounded once into
+    * decimal(18,9), summed exactly (order-independent), then one cast to
+    * double. Lambda bodies touch only lambda variables — no captured
+    * expression re-evaluation (the interpreted-HOF pitfall). */
+  def sqDistDecimal(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => ((x - y) * (x - y)).cast("decimal(18,9)")),
+      lit(java.math.BigDecimal.ZERO).cast("decimal(28,9)"),
+      (acc, t) => (acc + t).cast("decimal(28,9)"))
+      .cast("double")
+
+  /** Assign each vector to its nearest centroid. `vectors` must carry
+    * (idCol, `v`: array<double>); `centroids` carries (cid, cv). Returns
+    * (idCol, v, cid, d). */
+  def assign(vectors: DataFrame, centroids: DataFrame,
+             idCol: String): DataFrame = {
+    val w = Window.partitionBy(col(idCol)).orderBy(col("d"), col("cid"))
+    vectors.crossJoin(broadcast(centroids))
+      .select(col(idCol), col("v"), col("cid"),
+        sqDistDecimal(col("v"), col("cv")).as("d"))
+      .withColumn("_r", row_number().over(w))
+      .where(col("_r") === 1)
+      .drop("_r")
+  }
+
+  /** Per-cluster decimal-mean centroids, re-assembled into dim-ordered
+    * arrays (the sorted-collect idiom the IVF centroid table uses). */
+  def recentroid(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("cid"), posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy(col("cid"), col("i"))
+      .agg((sum(col("x").cast("decimal(18,9)")).cast("double") /
+        count(lit(1))).as("c"))
+      .groupBy(col("cid"))
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("c")))),
+        s => s.getField("c")).as("cv"))
+
+  /** Run `iters` Lloyd iterations from the k smallest-id vectors and
+    * return the final assignment (idCol, cid, d). */
+  def fit(vectors: DataFrame, idCol: String, k: Int,
+          iters: Int): DataFrame = {
+    require(k > 0 && iters > 0, s"need k/iters > 0, got $k/$iters")
+    val init = vectors.orderBy(col(idCol)).limit(k)
+      .select(col(idCol).cast("long").as("cid"), col("v").as("cv"))
+    var cent = init
+    var assigned = assign(vectors, cent, idCol)
+    (2 to iters).foreach { _ =>
+      cent = recentroid(assigned)
+      assigned = assign(vectors, cent, idCol)
+    }
+    assigned.select(col(idCol), col("cid"), col("d"))
+  }
+}

@@ -1730,6 +1730,46 @@ object OracleQueries {
           len(toks[start_tok + 1 : start_tok + 40]) AS n_tokens
         FROM s ORDER BY doc_id, chunk_idx""")),
 
+    // ==================== deterministic k-means clustering ================
+    // Two Lloyd iterations over the embedding corpus, k=4, init = the k
+    // smallest-id vectors — fully deterministic and engine-replayable:
+    // every distance is an exact decimal sum of per-dim squared diffs
+    // (argmin sees identical values everywhere, ties break on centroid
+    // id) and centroid updates are decimal means. The oracle unrolls the
+    // same two iterations in SQL. Per-iteration scale shape: corpus ×
+    // broadcast k-row centroids (no shuffle for distances), one window
+    // per vec_id, one bounded k×dims aggregation.
+    Q("cluster_kmeans",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+          .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
+        KMeans.fit(e, "vec_id", k = 4, iters = 2)
+          .select(col("vec_id"), col("cid"), round(col("d"), 6).as("d"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""WITH e AS (SELECT vec_id,
+            UNNEST(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x,
+            UNNEST(range(len(embedding))) AS i
+          FROM embeddings),
+        c0 AS (SELECT vec_id AS cid, i, x AS c FROM e WHERE vec_id < 4),
+        d1 AS (SELECT e.vec_id, c.cid,
+            CAST(SUM(CAST((e.x - c.c) * (e.x - c.c) AS DECIMAL(18,9)))
+              AS DOUBLE) AS d
+          FROM e JOIN c0 c USING (i) GROUP BY 1, 2),
+        a1 AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS r
+          FROM d1) WHERE r = 1),
+        c1 AS (SELECT a.cid, e.i,
+            CAST(SUM(CAST(e.x AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS c
+          FROM e JOIN a1 a USING (vec_id) GROUP BY 1, 2),
+        d2 AS (SELECT e.vec_id, c.cid,
+            CAST(SUM(CAST((e.x - c.c) * (e.x - c.c) AS DECIMAL(18,9)))
+              AS DOUBLE) AS d
+          FROM e JOIN c1 c USING (i) GROUP BY 1, 2)
+        SELECT vec_id, cid, round(d, 6) AS d FROM (SELECT vec_id, cid, d,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS r
+          FROM d2) WHERE r = 1 ORDER BY vec_id""")),
+
     // ==================== weighted Bernoulli sampling =====================
     // Quality-weighted downsampling: each document kept with probability
     // n_chars / max(n_chars) — longer documents proportionally more

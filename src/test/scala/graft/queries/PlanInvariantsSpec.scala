@@ -22,7 +22,9 @@ class PlanInvariantsSpec extends SparkSpec {
   // crossJoin, not an all-pairs).
   private val nestedLoopAllowed =
     Set("sim_topk", "sim_neardup_pairs", "dedup_ngram_jaccard",
-      "a5_global_threshold", "text_tfidf", "sim_ivf_multiprobe")
+      "a5_global_threshold", "text_tfidf", "sim_ivf_multiprobe",
+      // corpus × broadcast k-row centroid table, deliberate
+      "cluster_kmeans")
 
   test("no query plans a cartesian product or unexpected nested loop") {
     val names = graft.SparkEntry.queries.keys.toSeq.sorted
