@@ -22,20 +22,18 @@ object Dedup {
       .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keeper_id"))
 
   /** Word n-gram shingle set of a document, lowercase, as array<string>.
-    * The split is bound as a lambda VARIABLE (transform over a 1-element
-    * array) because higher-order array functions are interpreted and a
-    * lambda body re-evaluates captured EXPRESSIONS per element — the
-    * naive form re-ran the split once per word per row. */
+    * The split is bound once per row via [[Cols.bound]] (the
+    * interpreted-HOF re-evaluation pitfall — the naive form re-ran the
+    * split once per word per row). */
   def shingles(text: Column, n: Int = 3): Column =
-    element_at(
-      transform(array(split(lower(text), "\\s+")), words =>
-        array_distinct(
-          filter(
-            transform(words, (_, i) =>
-              when(i + n <= size(words),
-                concat_ws(" ", slice(words, i + 1, lit(n))))),
-            _.isNotNull))),
-      1)
+    Cols.bound(split(lower(text), "\\s+")) { words =>
+      array_distinct(
+        filter(
+          transform(words, (_, i) =>
+            when(i + n <= size(words),
+              concat_ws(" ", slice(words, i + 1, lit(n))))),
+          _.isNotNull))
+    }
 
   /** LSH band keys from a MinHash signature: signature split into `bands`
     * rows-per-band groups, each hashed; docs sharing any band key are

@@ -65,7 +65,12 @@ object KMeans {
         s => s.getField("c")).as("cv"))
 
   /** Run `iters` Lloyd iterations from the k smallest-id vectors and
-    * return the final assignment (idCol, cid, d). */
+    * return the final assignment (idCol, cid, d). A centroid whose
+    * cluster EMPTIES (possible when init vectors duplicate — every tied
+    * point breaks to the smaller cid) keeps its previous position
+    * instead of silently vanishing: the k-cluster contract holds for
+    * the whole fit, and an emptied cluster can re-acquire members in a
+    * later iteration. */
   def fit(vectors: DataFrame, idCol: String, k: Int,
           iters: Int): DataFrame = {
     require(k > 0 && iters > 0, s"need k/iters > 0, got $k/$iters")
@@ -74,7 +79,9 @@ object KMeans {
     var cent = init
     var assigned = assign(vectors, cent, idCol)
     (2 to iters).foreach { _ =>
-      cent = recentroid(assigned)
+      val updated = recentroid(assigned)
+      cent = updated.unionByName(
+        cent.join(updated.select(col("cid")), Seq("cid"), "left_anti"))
       assigned = assign(vectors, cent, idCol)
     }
     assigned.select(col(idCol), col("cid"), col("d"))

@@ -62,7 +62,9 @@ object Sampling {
   }
 
   /** Weighted Bernoulli sample: keep each row independently with
-    * probability `prob` (a column in [0,1]; values outside are clamped),
+    * probability `prob` (a column in [0,1]; values outside are clamped,
+    * and a NULL prob reads as 0 — the row is explicitly excluded rather
+    * than silently dropped by a three-valued-logic filter),
     * deterministically — the "coin flip" is the id-hash folded to a
     * 32-bit uniform, compared against floor(prob * 2^32). Like
     * [[stratifiedSample]] this is a PURE FILTER (no shuffle, rerun- and
@@ -74,7 +76,8 @@ object Sampling {
   def weightedSample(df: DataFrame, id: Column, prob: Column): DataFrame = {
     val unit = pmod(xxhash64(id), lit(1L << 32))
     val cutoff = floor(
-      least(greatest(prob, lit(0.0)), lit(1.0)) * lit(4294967296.0))
+      least(greatest(coalesce(prob, lit(0.0)), lit(0.0)), lit(1.0)) *
+        lit(4294967296.0))
     df.where(unit < cutoff)
   }
 }

@@ -39,10 +39,16 @@ object Sketches {
     * probes (the seed rides as an extra hashed literal) — no wrap-around
     * arithmetic, so the construction is ANSI-mode safe; pmod keeps every
     * position non-negative. */
-  def bloomPositions(key: Column, m: Int, k: Int): Column = {
+  def bloomPositions(key: Column, m: Int, k: Int): Column =
+    array(probePositions(key, m, k): _*)
+
+  /** The shared probe-position family — build and membership MUST derive
+    * from this one definition: drift between them would give the filter
+    * false NEGATIVES, i.e. silent row loss through [[prunedJoin]]. */
+  private def probePositions(key: Column, m: Int, k: Int): Seq[Column] = {
     require(m > 0 && k > 0, s"need m > 0 and k > 0, got m=$m k=$k")
-    array((0 until k).map(i =>
-      pmod(xxhash64(key, lit(0x9E3779B9L + i)), lit(m.toLong))): _*)
+    (0 until k).map(i =>
+      pmod(xxhash64(key, lit(0x9E3779B9L + i)), lit(m.toLong)))
   }
 
   /** Build the filter over the DISTINCT keys of `keys` and return the
@@ -73,8 +79,7 @@ object Sketches {
     * engine's [[prunedJoin]] does. */
   def mightContain(bits: Array[Long], m: Int, k: Int, key: Column): Column = {
     val bitsLit = typedLit(bits.toSeq)
-    (0 until k).map { i =>
-      val pos = pmod(xxhash64(key, lit(0x9E3779B9L + i)), lit(m.toLong))
+    probePositions(key, m, k).map { pos =>
       val word = element_at(bitsLit, (pos / 64).cast("int") + 1)
       val bitIdx = pmod(pos, lit(64L)).cast("int")
       pmod(call_function("shiftrightunsigned", word, bitIdx), lit(2L)) === 1

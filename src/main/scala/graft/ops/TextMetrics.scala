@@ -82,16 +82,12 @@ object TextMetrics {
     * row — bounded by document length, not data size — which beats an
     * explode + per-doc groupBy (a corpus-token-row shuffle) at any scale.
     * Ratios are rounded to 6 dp (cross-engine float rule). */
-  def repetitionFeatures(text: Column, n: Int = 3): Column = {
-    // Higher-order array functions are interpreted (not codegen'd), and a
-    // lambda BODY re-evaluates every captured expression per element — a
-    // naive nested form re-ran the split() once per distinct token per
-    // row (measured 15 s for the sf0.1 corpus). Binding the token array
-    // as a lambda VARIABLE (transform over a 1-element array) evaluates
-    // the split exactly once per row; the most-frequent-token count is a
-    // sort + single-pass longest-equal-run aggregate, O(n log n) per row
-    // instead of O(distinct × n) re-scans.
-    val features = transform(array(tokens(text)), toks => {
+  def repetitionFeatures(text: Column, n: Int = 3): Column =
+    // token array bound once per row (Cols.bound — the interpreted-HOF
+    // re-evaluation pitfall); the most-frequent-token count is a sort +
+    // single-pass longest-equal-run aggregate, O(n log n) per row
+    // instead of O(distinct × n) re-scans
+    Cols.bound(tokens(text)) { toks =>
       val nToks = size(toks)
       val grams = filter(
         transform(toks, (_, i) =>
@@ -116,9 +112,7 @@ object TextMetrics {
             lit(1.0) - size(array_distinct(grams)).cast("double") / nGrams)
           .otherwise(lit(0.0)), 6).as("dup_ngram_frac"),
         round(topCount.cast("double") / nToks, 6).as("top_token_frac"))
-    })
-    element_at(features, 1)
-  }
+    }
 
   /** Regex for email-shaped tokens — kept to a subset valid with IDENTICAL
     * semantics in Java regex and RE2 (no backrefs, no lookaround), so an
@@ -156,18 +150,14 @@ object TextMetrics {
     require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
       s"need 0 <= overlap < chunkTokens, got $overlap/$chunkTokens")
     val step = chunkTokens - overlap
-    // token array bound as a lambda variable: the interpreted HOF path
-    // re-evaluates captured expressions per element, so a captured
-    // split() would re-run once per chunk window (see
-    // repetitionFeatures for the measured form of this pitfall)
-    element_at(
-      transform(array(tokens(text)), toks => {
-        val starts = sequence(lit(0),
-          greatest(size(toks) - 1, lit(0)), lit(step))
-        transform(starts, s => struct(s.as("start_tok"),
-          concat_ws(" ", slice(toks, s + 1, lit(chunkTokens)))
-            .as("chunk_text")))
-      }),
-      1)
+    // token array bound once per row (Cols.bound — a captured split()
+    // would re-run once per chunk window in the interpreted HOF path)
+    Cols.bound(tokens(text)) { toks =>
+      val starts = sequence(lit(0),
+        greatest(size(toks) - 1, lit(0)), lit(step))
+      transform(starts, s => struct(s.as("start_tok"),
+        concat_ws(" ", slice(toks, s + 1, lit(chunkTokens)))
+          .as("chunk_text")))
+    }
   }
 }

@@ -1759,9 +1759,12 @@ object OracleQueries {
         a1 AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS r
           FROM d1) WHERE r = 1),
-        c1 AS (SELECT a.cid, e.i,
+        c1u AS (SELECT a.cid, e.i,
             CAST(SUM(CAST(e.x AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS c
           FROM e JOIN a1 a USING (vec_id) GROUP BY 1, 2),
+        c1 AS (SELECT * FROM c1u
+          UNION ALL SELECT cid, i, c FROM c0
+          WHERE cid NOT IN (SELECT DISTINCT cid FROM c1u)),
         d2 AS (SELECT e.vec_id, c.cid,
             CAST(SUM(CAST((e.x - c.c) * (e.x - c.c) AS DECIMAL(18,9)))
               AS DOUBLE) AS d

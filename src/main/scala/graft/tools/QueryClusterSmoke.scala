@@ -27,7 +27,8 @@ object QueryClusterSmoke {
       "text_tfidf", "sample_stratified", "sample_topn", "dedup_canonical",
       "decontaminate", "dedup_groups", "text_winnow", "skew_salted_agg",
       "j10_bloom_join", "sketch_cms_heavy", "sketch_hll_distinct",
-      "text_repetition", "text_redact", "sample_weighted")
+      "text_repetition", "text_redact", "sample_weighted",
+      "cluster_kmeans")
 
     val master = if (execs <= 0) "local[16]"
       else s"local-cluster[$execs,$coresPer,$memMb]"

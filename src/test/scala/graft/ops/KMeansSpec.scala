@@ -82,4 +82,22 @@ class KMeansSpec extends SparkSpec {
     val b = fitMap(data, 3, 2)
     assert(a == b)
   }
+
+  test("duplicate init vectors: an emptied cluster keeps its centroid " +
+      "instead of silently vanishing") {
+    // ids 0 and 1 identical -> every point tie-breaks to cid 0, cluster 1
+    // empties in iteration 1; the k-cluster contract must survive
+    val data = Seq(
+      (0L, Seq(0.0, 0.0)), (1L, Seq(0.0, 0.0)), (2L, Seq(10.0, 10.0)),
+      (3L, Seq(0.1, 0.0)), (4L, Seq(10.1, 10.0)), (5L, Seq(0.0, 0.2)))
+    val got = fitMap(data, k = 3, iters = 2)
+    // iteration 1 empties cluster 1 (ties to cid 0); with its centroid
+    // RETAINED at (0,0), iteration 2's moved cid-0 centroid (0.025,0.05)
+    // loses the exact-origin points back to cid 1 — the re-acquisition
+    // the retention exists for. Far blob stays cid 2 throughout.
+    assert(got(0L) == 1L && got(1L) == 1L, s"origin points: $got")
+    assert(got(3L) == 0L && got(5L) == 0L, s"near points: $got")
+    assert(got(2L) == 2L && got(4L) == 2L, s"far points: $got")
+    assert(got.size == 6)
+  }
 }

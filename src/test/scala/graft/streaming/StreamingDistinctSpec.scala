@@ -14,23 +14,32 @@ class StreamingDistinctSpec extends SparkSpec {
   import spark.implicits._
 
   /** Run micro-batches through the estimator; return the LAST emission
-    * per key. */
+    * per key — tracked per batchId via foreachBatch (a memory-sink scan
+    * gives no cross-batch ordering contract to lean on). */
   private def run(batches: Seq[Seq[Observation]],
                   name: String): Map[String, Estimate] = {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[Observation]
     val ckpt = java.nio.file.Files.createTempDirectory("dist_ck").toString
+    val latest =
+      new scala.collection.concurrent.TrieMap[String, (Long, Estimate)]()
     val q = StreamingDistinct.estimates(spark, in.toDS())
-      .writeStream.format("memory").queryName(name)
-      .outputMode("update").option("checkpointLocation", ckpt).start()
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[Estimate],
+                       id: Long) =>
+        df.collect().foreach { e =>
+          latest.updateWith(e.key) {
+            case Some((prevId, prev)) if prevId > id => Some((prevId, prev))
+            case _ => Some((id, e))
+          }
+        }
+        ()
+      }
+      .start()
     try {
       batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
-      // memory sink in update mode appends each emission; the LAST row
-      // per key is its latest state
-      spark.table(name).withColumn("_i", monotonically_increasing_id())
-        .orderBy(col("_i")).as[(String, Double, Int, Long)]
-        .collect().map { case (k, e, o, _) => k -> Estimate(k, e, o) }
-        .toMap
+      latest.map { case (k, (_, e)) => k -> e }.toMap
     } finally q.stop()
   }
 
