@@ -31,6 +31,21 @@ object TextMetrics {
   def tokenEstimate(text: Column): Column =
     round((length(text) / lit(4.0) + tokenCount(text)) / lit(2.0), 6)
 
+  /** Regex piece pattern for [[tokenCountBpe]]: letter runs split greedily
+    * into <=4-char pieces (the BPE-ish subword proxy), digit runs into
+    * <=3-char pieces, any other non-space char its own piece. Valid with
+    * identical greedy semantics in Java regex and RE2, so an external
+    * oracle counts the same pieces. */
+  val BpePieceRe = "[A-Za-z]{1,4}|[0-9]{1,3}|[^A-Za-z0-9\\s]"
+
+  /** Token count under the BPE-ish regex: the number of [[BpePieceRe]]
+    * matches. Pure projection (regexp_count is codegen'd). A real
+    * tokenizer's vocabulary is data-dependent; this fixed-piece proxy is
+    * the deterministic budget estimator a curation pass can rely on
+    * cross-engine and cross-run. */
+  def tokenCountBpe(text: Column): Column =
+    regexp_count(text, lit(BpePieceRe)).cast("long")
+
   /** Marker-word score for one language: summed occurrences of
     * space-delimited stopwords. */
   def langScore(text: Column, markers: Seq[String]): Column =

@@ -1730,6 +1730,32 @@ object OracleQueries {
           len(toks[start_tok + 1 : start_tok + 40]) AS n_tokens
         FROM s ORDER BY doc_id, chunk_idx""")),
 
+    // ======================= token counting ===============================
+    // The budget arithmetic every curation pass starts from: whitespace
+    // tokens, the BPE-ish regex-piece count (letter runs split into
+    // <=4-char pieces, digits into <=3, other chars singly), and the
+    // blended estimate — all pure projections; the oracle counts the
+    // same RE2-compatible pieces.
+    Q("text_tokens",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        docs.select(col("doc_id"),
+            TextMetrics.tokenCount(col("text")).cast("long")
+              .as("n_ws_tokens"),
+            TextMetrics.tokenCountBpe(col("text")).as("n_bpe_tokens"),
+            TextMetrics.tokenEstimate(col("text")).as("token_estimate"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+          (length(text) - length(replace(text, ' ', ''))) + 1
+            AS n_ws_tokens,
+          len(regexp_extract_all(text,
+            '[A-Za-z]{1,4}|[0-9]{1,3}|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
+          round((length(text) / 4.0 +
+            ((length(text) - length(replace(text, ' ', ''))) + 1)) / 2.0,
+            6) AS token_estimate
+        FROM documents ORDER BY doc_id""")),
+
     // ==================== deterministic k-means clustering ================
     // Two Lloyd iterations over the embedding corpus, k=4, init = the k
     // smallest-id vectors — fully deterministic and engine-replayable:

@@ -136,4 +136,35 @@ class PropertySpec extends SparkSpec {
       assert(got == expect)
     }
   }
+
+  test("property: bloom filter never false-negatives on random key sets") {
+    import graft.ops.Sketches
+    (1 to 3).foreach { _ =>
+      val m = 1 << (8 + rnd.nextInt(6)) // 256 .. 8192 bits
+      val k = 2 + rnd.nextInt(5)
+      val keys = Seq.fill(50 + rnd.nextInt(300))(rnd.nextLong()).distinct
+      val df = keys.toDF("key")
+      val bits = Sketches.buildBloom(df, col("key"), m, k)
+      val kept = df.where(Sketches.mightContain(bits, m, k, col("key")))
+        .count()
+      assert(kept == keys.length,
+        s"false negative at m=$m k=$k: $kept of ${keys.length}")
+    }
+  }
+
+  test("property: CMS estimate >= exact on random skewed counts") {
+    import graft.ops.Sketches
+    (1 to 3).foreach { _ =>
+      val width = 1 << (3 + rnd.nextInt(6)) // 8 .. 256: forced collisions
+      val rows = Seq.fill(2000)(s"k${(rnd.nextGaussian() * 20).toInt}")
+        .toDF("k")
+      val exact = rows.groupBy("k").count()
+      val est = Sketches.cmsEstimate(
+          Sketches.cmsSketch(rows, col("k"), 3, width),
+          exact.select("k"), "k", 3, width)
+        .join(exact, "k").collect()
+      est.foreach(r => assert(r.getLong(1) >= r.getLong(2),
+        s"CMS bound violated at width=$width: $r"))
+    }
+  }
 }

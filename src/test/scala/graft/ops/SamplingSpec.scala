@@ -76,6 +76,11 @@ class SamplingSpec extends SparkSpec {
     // out-of-range probs clamp rather than throw
     assert(Sampling.weightedSample(df, col("id"), lit(7.5)).count() == 500)
     assert(Sampling.weightedSample(df, col("id"), lit(-2.0)).count() == 0)
+    // null prob reads as 0 (excluded), non-null rows keep their coin
+    val mixed = df.withColumn("p",
+      when(col("id") < 100, lit(1.0)).otherwise(lit(null).cast("double")))
+    assert(Sampling.weightedSample(mixed, col("id"), col("p"))
+      .count() == 100)
   }
 
   test("weighted: kept set grows monotonically with prob") {
