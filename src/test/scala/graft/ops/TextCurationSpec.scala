@@ -53,6 +53,19 @@ class TextCurationSpec extends SparkSpec {
     }
   }
 
+  test("tokenCountBpe: piece semantics pinned against hand counts") {
+    val got = Seq(
+      "hello world",        // 5+5 letters -> 2+2 pieces
+      "internationalization", // 20 letters -> 5 pieces
+      "a 12345 b!",         // 1 + (3+2 digits) + 1 + 1 punct = 5
+      "x,y.z",              // 3 letters + 2 punct = 5
+      "   ",                // whitespace only -> 0
+      "")                   // empty -> 0
+      .toDF("t").select(TextMetrics.tokenCountBpe(col("t")))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(4L, 5L, 5L, 5L, 0L, 0L))
+  }
+
   test("redact: emails and phones replaced, counts match") {
     val rows = Seq(
       "write to alice.smith+tag@sub.example.co.uk for details",
