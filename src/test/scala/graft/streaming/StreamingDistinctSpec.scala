@@ -90,6 +90,43 @@ class StreamingDistinctSpec extends SparkSpec {
     assert(grown.occupied <= 256)
   }
 
+  test("registers survive a query restart from the checkpoint") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Observation]
+    val ckpt = java.nio.file.Files.createTempDirectory("dist_rs").toString
+    val latest =
+      new scala.collection.concurrent.TrieMap[String, (Long, Estimate)]()
+    def startQuery() = StreamingDistinct.estimates(spark, in.toDS())
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[Estimate],
+                       id: Long) =>
+        df.collect().foreach { e =>
+          latest.updateWith(e.key) {
+            case Some((prevId, prev)) if prevId > id => Some((prevId, prev))
+            case _ => Some((id, e))
+          }
+        }
+        ()
+      }.start()
+    // batch 1 and batch 2 carry DISJOINT value ranges: if the register
+    // state were lost at restart, the final estimate could only reflect
+    // batch 2 and the union parity below would fail
+    val q1 = startQuery()
+    try {
+      in.addData((0L until 800L).map(i => Observation("r", i * 13)): _*)
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val q2 = startQuery()
+    try {
+      in.addData((800L until 1600L).map(i => Observation("r", i * 13)): _*)
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val want = batchEstimate((0L until 1600L).map(_ * 13))
+    assert(latest("r")._2.hllEst == want,
+      s"post-restart ${latest("r")._2.hllEst} != union $want")
+  }
+
   test("estimateOf mirrors Sketches.hllEstimate on a synthetic register set") {
     val regs = new Array[Byte](256)
     val rnd = new scala.util.Random(11)
