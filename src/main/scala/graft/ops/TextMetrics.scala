@@ -129,6 +129,37 @@ object TextMetrics {
         round(topCount.cast("double") / nToks, 6).as("top_token_frac"))
     }
 
+  /** Corpus-trained unigram language-model score per document — the
+    * CCNet-style quality signal (a real LM scores with perplexity; the
+    * unigram model is its deterministic, engine-replayable floor). One
+    * pass builds the vocabulary (token → count, map-side combined), a
+    * second joins it back onto the exploded tokens and averages
+    * ln(count/total) per document. Each ln is rounded to 6 dp BEFORE
+    * the per-document mean (the repo's cross-engine float rule) and the
+    * mean routes through an exact decimal sum.
+    *
+    * Scale notes: the vocabulary is BOUNDED (it is a vocabulary — even
+    * web-scale corpora hold ~10^7 types), so it broadcasts and the
+    * corpus-token side never shuffles for the join; the only corpus
+    * exchange is the per-document rollup. The corpus total is
+    * collect-routed like the engine's other global scalars.
+    *
+    * Returns (idCol, avg_logprob, n_tokens). */
+  def unigramLogprob(df: org.apache.spark.sql.DataFrame, idCol: String,
+                     textCol: String): org.apache.spark.sql.DataFrame = {
+    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val total = vocab.agg(sum(col("c"))).collect()(0).getLong(0)
+    toks.join(broadcast(vocab), "tok")
+      .select(col(idCol),
+        round(log(col("c") / lit(total)), 6).as("lp"))
+      .groupBy(col(idCol))
+      .agg(
+        (sum(col("lp").cast("decimal(18,9)")).cast("double") /
+          count(lit(1))).as("avg_logprob"),
+        count(lit(1)).as("n_tokens"))
+  }
+
   /** Regex for email-shaped tokens — kept to a subset valid with IDENTICAL
     * semantics in Java regex and RE2 (no backrefs, no lookaround), so an
     * external-engine oracle can replay the redaction. */

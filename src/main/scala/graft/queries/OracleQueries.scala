@@ -1730,6 +1730,30 @@ object OracleQueries {
           len(toks[start_tok + 1 : start_tok + 40]) AS n_tokens
         FROM s ORDER BY doc_id, chunk_idx""")),
 
+    // ================= unigram LM quality scoring =========================
+    // The CCNet-style corpus-trained quality signal: per-document mean
+    // unigram log-probability under the corpus's own token distribution.
+    // Vocabulary broadcast (bounded by type count, not corpus size);
+    // each ln rounded to 6 dp before the exact decimal mean.
+    Q("text_unigram_logprob",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        TextMetrics.unigramLogprob(docs, "doc_id", "text")
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH toks AS (SELECT doc_id,
+            UNNEST(string_split(text, ' ')) AS tok FROM documents),
+          vocab AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY 1),
+          tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM vocab),
+          scored AS (SELECT t.doc_id,
+            round(ln(CAST(v.c AS DOUBLE) / (SELECT n FROM tot)), 6) AS lp
+            FROM toks t JOIN vocab v USING (tok))
+        SELECT doc_id,
+          CAST(SUM(CAST(lp AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*)
+            AS avg_logprob,
+          COUNT(*) AS n_tokens
+        FROM scored GROUP BY doc_id ORDER BY doc_id""")),
+
     // ======================= token counting ===============================
     // The budget arithmetic every curation pass starts from: whitespace
     // tokens, the BPE-ish regex-piece count (letter runs split into

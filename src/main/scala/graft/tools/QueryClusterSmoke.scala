@@ -28,7 +28,7 @@ object QueryClusterSmoke {
       "decontaminate", "dedup_groups", "text_winnow", "skew_salted_agg",
       "j10_bloom_join", "sketch_cms_heavy", "sketch_hll_distinct",
       "text_repetition", "text_redact", "sample_weighted",
-      "cluster_kmeans", "text_tokens")
+      "cluster_kmeans", "text_tokens", "text_unigram_logprob")
 
     val master = if (execs <= 0) "local[16]"
       else s"local-cluster[$execs,$coresPer,$memMb]"

@@ -66,6 +66,25 @@ class TextCurationSpec extends SparkSpec {
     assert(got == Seq(4L, 5L, 5L, 5L, 0L, 0L))
   }
 
+  test("unigramLogprob: hand-computed tiny corpus") {
+    val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val got = TextMetrics.unigramLogprob(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2)))
+      .toMap
+    def r6(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    // totals: a=2, b=2, c=1 of 5. Mirror the decimal-sum mean exactly:
+    // exact decimal sum of the 6 dp-rounded logs, ONE cast to double,
+    // then the double division by the count
+    val lpA = r6(math.log(2.0 / 5)); val lpC = r6(math.log(1.0 / 5))
+    def decMean(vals: Seq[Double]): Double =
+      vals.map(java.math.BigDecimal.valueOf)
+        .reduce(_.add(_)).doubleValue() / vals.size
+    assert(got(1L)._2 == 3 && got(2L)._2 == 2)
+    assert(got(1L)._1 == decMean(Seq(lpA, lpA, lpA)))
+    assert(got(2L)._1 == decMean(Seq(lpA, lpC)))
+  }
+
   test("redact: emails and phones replaced, counts match") {
     val rows = Seq(
       "write to alice.smith+tag@sub.example.co.uk for details",
