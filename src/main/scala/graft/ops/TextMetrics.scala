@@ -138,19 +138,28 @@ object TextMetrics {
     * the per-document mean (the repo's cross-engine float rule) and the
     * mean routes through an exact decimal sum.
     *
-    * Scale notes: the vocabulary is BOUNDED (it is a vocabulary — even
-    * web-scale corpora hold ~10^7 types), so it broadcasts and the
-    * corpus-token side never shuffles for the join; the only corpus
-    * exchange is the per-document rollup. The corpus total is
-    * collect-routed like the engine's other global scalars.
+    * Scale notes: the vocab join is left to Spark's own strategy — a
+    * type-bounded vocabulary (the common case) auto-broadcasts under
+    * the threshold, while a tokenizer whose distinct types grow with
+    * the corpus (ids, URLs, glued punctuation) falls back to a hash
+    * join rather than OOMing the driver through a forced broadcast
+    * hint. The corpus token total is collect-routed like the engine's
+    * other global scalars, from a count-only scan (spaces+1 per row —
+    * no explode, no shuffle), so the vocabulary aggregation itself runs
+    * exactly once, inside the returned plan.
     *
-    * Returns (idCol, avg_logprob, n_tokens). */
+    * Returns (idCol, avg_logprob, n_tokens); empty/all-null corpora
+    * yield an empty result rather than a lookup error. */
   def unigramLogprob(df: org.apache.spark.sql.DataFrame, idCol: String,
                      textCol: String): org.apache.spark.sql.DataFrame = {
     val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
     val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
-    val total = vocab.agg(sum(col("c"))).collect()(0).getLong(0)
-    toks.join(broadcast(vocab), "tok")
+    // spaces+1 == exactly the split's token count, so this equals
+    // sum(vocab.c) without paying the explode+groupBy a second time
+    val totalRow = df
+      .agg(sum(tokenCount(col(textCol)).cast("long"))).collect()(0)
+    val total = if (totalRow.isNullAt(0)) 0L else totalRow.getLong(0)
+    toks.join(vocab, "tok")
       .select(col(idCol),
         round(log(col("c") / lit(total)), 6).as("lp"))
       .groupBy(col(idCol))

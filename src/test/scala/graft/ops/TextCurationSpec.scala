@@ -85,6 +85,13 @@ class TextCurationSpec extends SparkSpec {
     assert(got(2L)._1 == decMean(Seq(lpA, lpC)))
   }
 
+  test("unigramLogprob: empty and all-null corpora yield empty results") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(TextMetrics.unigramLogprob(empty, "doc_id", "text").count() == 0)
+    val nulls = Seq((1L, null: String)).toDF("doc_id", "text")
+    assert(TextMetrics.unigramLogprob(nulls, "doc_id", "text").count() == 0)
+  }
+
   test("redact: emails and phones replaced, counts match") {
     val rows = Seq(
       "write to alice.smith+tag@sub.example.co.uk for details",
