@@ -430,6 +430,25 @@ object OracleQueries {
           FROM lineitem) g
         GROUP BY l_returnflag, g.g10_raw ORDER BY l_returnflag""")),
 
+    // ====== A12b: GROUPED distributed rank-selection percentile ===========
+    // a5 oracle-gates percentileSelect's GLOBAL leg; this gates the
+    // grouped routing (per-group bucket histograms, split / small-gather
+    // / recurse decided per group) against DuckDB's native
+    // quantile_cont — the per-group answers must interpolate
+    // identically whatever route each group took.
+    Q("a12_group_percentile",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        PercentileAgg.percentileSelect(
+            ev.select(col("event_type"), col("value")),
+            Seq("event_type"), "value", 0.9, outCol = "p90_raw")
+          .select(col("event_type"), round(col("p90_raw"), 6).as("p90"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type,
+          ROUND(quantile_cont(value, 0.9), 6) AS p90
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
     // ========= A7 + J1: broadcast dim join + per-group spot stats =========
     // Reference spottiness.py:30-46 (per-spot area/medianQ/intensity stats)
     // over the pixel ⋈ geometry broadcast-join shape.
