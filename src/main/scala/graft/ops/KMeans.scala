@@ -76,6 +76,12 @@ object KMeans {
     require(k > 0 && iters > 0, s"need k/iters > 0, got $k/$iters")
     val init = vectors.orderBy(col(idCol)).limit(k)
       .select(col(idCol).cast("long").as("cid"), col("v").as("cv"))
+    // guard the k-cluster contract up front: with fewer than k vectors the
+    // limit(k) init would silently yield fewer centroids. The count runs
+    // over the limit(k) plan (bounded work), not the full corpus.
+    val have = init.count()
+    require(have == k,
+      s"k-means needs at least k=$k vectors, got $have")
     var cent = init
     var assigned = assign(vectors, cent, idCol)
     (2 to iters).foreach { _ =>

@@ -51,10 +51,14 @@ object Sketches {
       pmod(xxhash64(key, lit(0x9E3779B9L + i)), lit(m.toLong)))
   }
 
-  /** Build the filter over the DISTINCT keys of `keys` and return the
-    * packed bitset. The build is one bounded aggregation: explode the k
-    * positions, OR the single-bit masks per 64-bit word — at most
-    * ceil(m/64) rows ever reach the driver, whatever the key count.
+  /** Build the filter over the keys of `keys` and return the packed
+    * bitset. Duplicate key occurrences are harmless (bit_or is
+    * idempotent) and are deliberately NOT deduplicated: a `.distinct()`
+    * would cost an extra exchange on the build side, while duplicate
+    * probe rows collapse map-side in the bounded groupBy below. The
+    * build is one bounded aggregation: explode the k positions, OR the
+    * single-bit masks per 64-bit word — at most ceil(m/64) rows ever
+    * reach the driver, whatever the key count.
     * This is the runtime-filter build a broadcast-join prune wants: the
     * collected bitset is injected into the big side's scan as a literal,
     * so the prune costs zero joins and zero shuffles. */
@@ -95,9 +99,12 @@ object Sketches {
     */
   def prunedJoin(big: DataFrame, small: DataFrame, bigKey: String,
                  smallKey: String, m: Int = 1 << 16, k: Int = 5): DataFrame = {
-    val bits = buildBloom(small, col(smallKey), m, k)
-    big.where(mightContain(bits, m, k, col(bigKey)))
-      .join(small, col(bigKey) === col(smallKey))
+    // DataFrame-qualified key references: bare col(...) === col(...)
+    // would be ambiguous (AnalysisException) whenever both sides use the
+    // same key column name
+    val bits = buildBloom(small, small(smallKey), m, k)
+    val pruned = big.where(mightContain(bits, m, k, big(bigKey)))
+    pruned.join(small, pruned(bigKey) === small(smallKey))
   }
 
   // ======================= Count-Min sketch ==============================

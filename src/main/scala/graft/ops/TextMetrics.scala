@@ -21,10 +21,26 @@ object TextMetrics {
   def occ(text: Column, needle: String): Column =
     (length(text) - length(replace(text, lit(needle), lit("")))) / needle.length
 
-  /** Whitespace token count: spaces + 1 (documents are single-space
-    * separated in the synthetic corpus; robust enough for quality metrics).
-    */
-  def tokenCount(text: Column): Column = occ(text, " ") + 1
+  /** Whitespace normalization — the documented ingest contract for text
+    * whose whitespace is not already single-space separated: collapse
+    * every whitespace run to one space and trim the ends. After this,
+    * the literal-space `tokens`/`tokenCount` family and the
+    * `\s+`-splitting shingle builders tokenize IDENTICALLY (they differ
+    * on raw tabs/newlines/doubled spaces), and no empty-string tokens
+    * arise. Pure codegen'd projection; `string_trim(regexp_replace(...,
+    * '\s+', ' ', 'g'))` replays it in an external SQL engine. */
+  def normalizeWs(text: Column): Column =
+    trim(regexp_replace(text, "\\s+", " "))
+
+  /** Whitespace token count: the element count of [[tokens]] — by
+    * construction the SAME split whose exploded rows feed the
+    * vocabulary/TF-IDF paths, so a count and the tokenization it
+    * describes cannot drift on ANY input (on doubled spaces the split
+    * keeps empty-string tokens and this count includes them, exactly as
+    * the exploded rows do). Numerically equal to spaces+1. Apply
+    * [[normalizeWs]] at ingest when the corpus is not single-space
+    * normalized. */
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("double")
 
   /** BPE-ish subword count estimate: chars / 4 heuristic blended with word
     * count — a cheap, deterministic stand-in for a real tokenizer. */
@@ -75,10 +91,12 @@ object TextMetrics {
   /** 64-bit rolling content fingerprint (xxhash64 of the text). */
   def fingerprint(text: Column): Column = xxhash64(text)
 
-  /** Tokens as an array column: literal single-space split (the corpus
-    * is single-space separated). `split` takes a regex; a lone space is
-    * regex-inert, and the same split reproduces in SQL engines'
-    * `string_split(text, ' ')`. */
+  /** Tokens as an array column: literal single-space split. `split`
+    * takes a regex; a lone space is regex-inert, and the same split
+    * reproduces in SQL engines' `string_split(text, ' ')`. On
+    * non-normalized whitespace (tabs, doubled spaces) this differs from
+    * the `\s+` split the shingle builders use — [[normalizeWs]] at
+    * ingest makes the two families agree. */
   def tokens(text: Column): Column = split(text, " ")
 
   /** Smoothed inverse document frequency, ln((N+1)/(df+1)) + 1, ROUNDED
@@ -144,9 +162,12 @@ object TextMetrics {
     * the corpus (ids, URLs, glued punctuation) falls back to a hash
     * join rather than OOMing the driver through a forced broadcast
     * hint. The corpus token total is collect-routed like the engine's
-    * other global scalars, from a count-only scan (spaces+1 per row —
-    * no explode, no shuffle), so the vocabulary aggregation itself runs
-    * exactly once, inside the returned plan.
+    * other global scalars, from a count-only scan
+    * (size(tokens(text)) per row — the SAME split whose exploded rows
+    * build the vocabulary, so the denominator equals the vocab sum BY
+    * CONSTRUCTION on any input; still no explode, no shuffle), so the
+    * vocabulary aggregation itself runs exactly once, inside the
+    * returned plan.
     *
     * Returns (idCol, avg_logprob, n_tokens); empty/all-null corpora
     * yield an empty result rather than a lookup error. */
@@ -154,8 +175,9 @@ object TextMetrics {
                      textCol: String): org.apache.spark.sql.DataFrame = {
     val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
     val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
-    // spaces+1 == exactly the split's token count, so this equals
-    // sum(vocab.c) without paying the explode+groupBy a second time
+    // tokenCount IS size(tokens(...)) — the same split the explode
+    // above uses — so this equals sum(vocab.c) by construction,
+    // without paying the explode+groupBy a second time
     val totalRow = df
       .agg(sum(tokenCount(col(textCol)).cast("long"))).collect()(0)
     val total = if (totalRow.isNullAt(0)) 0L else totalRow.getLong(0)

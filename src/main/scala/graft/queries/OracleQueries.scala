@@ -1820,7 +1820,11 @@ object OracleQueries {
             UNNEST(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x,
             UNNEST(range(len(embedding))) AS i
           FROM embeddings),
-        c0 AS (SELECT vec_id AS cid, i, x AS c FROM e WHERE vec_id < 4),
+        ids AS (SELECT vec_id FROM (SELECT vec_id,
+            ROW_NUMBER() OVER (ORDER BY vec_id) AS r FROM embeddings)
+          WHERE r <= 4),
+        c0 AS (SELECT e.vec_id AS cid, e.i, e.x AS c
+          FROM e JOIN ids USING (vec_id)),
         d1 AS (SELECT e.vec_id, c.cid,
             CAST(SUM(CAST((e.x - c.c) * (e.x - c.c) AS DECIMAL(18,9)))
               AS DOUBLE) AS d

@@ -92,6 +92,44 @@ class TextCurationSpec extends SparkSpec {
     assert(TextMetrics.unigramLogprob(nulls, "doc_id", "text").count() == 0)
   }
 
+  test("messy whitespace: tokenCount == exploded count == unigram total") {
+    // the round-7 foot-gun: doubled spaces / tabs / trailing space —
+    // tokenCount is now DEFINED as size(tokens(...)), so the count, the
+    // exploded vocabulary rows, and the unigram denominator cannot drift
+    val docs = Seq(
+      (1L, "a  b"),               // doubled space -> an empty token
+      (2L, " lead and  trail "),  // leading + doubled + trailing
+      (3L, "tab\there"),          // tab is NOT a split point for tokens()
+      (4L, "plain single spaced")).toDF("doc_id", "text")
+    val perDoc = docs.select(col("doc_id"),
+        TextMetrics.tokenCount(col("text")).cast("long").as("n"),
+        size(split(col("text"), " ")).cast("long").as("nsplit"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    perDoc.foreach { case (_, n, nsplit) => assert(n == nsplit) }
+    assert(perDoc.map(t => t._1 -> t._2).toMap ==
+      Map(1L -> 3L, 2L -> 6L, 3L -> 1L, 4L -> 3L))
+    val lp = TextMetrics.unigramLogprob(docs, "doc_id", "text")
+    val nTok = lp.agg(sum("n_tokens")).collect()(0).getLong(0)
+    val total = docs.agg(sum(
+      TextMetrics.tokenCount(col("text")).cast("long")))
+      .collect()(0).getLong(0)
+    assert(nTok == total, s"unigram denominator $total != vocab sum $nTok")
+    assert(lp.count() == 4)
+  }
+
+  test("normalizeWs aligns the literal-space and \\s+ tokenizer families") {
+    val messy = Seq("a  b", "\ttab\nnewline  mix ", "already clean")
+      .toDF("text")
+    // reference side: strip ALL leading/trailing whitespace (Spark's
+    // trim only strips spaces), then split on whitespace runs
+    val rows = messy.select(
+        TextMetrics.tokens(TextMetrics.normalizeWs(col("text"))).as("lit"),
+        split(regexp_replace(col("text"), "^\\s+|\\s+$", ""), "\\s+")
+          .as("re")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1)) }
+  }
+
   test("redact: emails and phones replaced, counts match") {
     val rows = Seq(
       "write to alice.smith+tag@sub.example.co.uk for details",
