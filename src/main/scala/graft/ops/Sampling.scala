@@ -1,8 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** Deterministic sampling for corpus curation. `rand()`-based sampling
   * is useless for a reproducible training-data pipeline (re-runs and
@@ -14,11 +14,13 @@ import org.apache.spark.sql.expressions.Window
   * Scale notes: [[stratifiedSample]] is a pure filter — no shuffle at
   * all, fully pushdown-friendly, the form to use at 100 TB.
   * [[smallestHashSample]] (exact-N per stratum) needs a per-stratum
-  * order, i.e. one shuffle on the stratum key; with few large strata the
-  * window partitions are skewed, so for huge data prefer a two-phase
-  * variant (per-partition top-N, then merge) — at the sizes where an
-  * exact count matters (eval splits, capped per-language quotas) N is
-  * small and the grouped top-N below is the standard shape.
+  * order, i.e. one shuffle of the FULL data on the stratum key, and with
+  * few large strata the window partitions are skewed.
+  * [[smallestHashSampleTwoPhase]] removes both hazards: a bounded top-N
+  * aggregate keeps at most N (hash, id) pairs per stratum per task
+  * map-side, so the exchange moves pairs, not rows, and no partition
+  * ever holds more than the merged pair lists — the form for huge data.
+  * The two are equivalence-spec-pinned.
   */
 object Sampling {
 
@@ -59,6 +61,96 @@ object Sampling {
     val w = Window.partitionBy(stratum).orderBy(xxhash64(id), id)
     df.withColumn("sample_rank", row_number().over(w))
       .where(col("sample_rank") <= n)
+  }
+
+  /** One sampled row's sort key: the id-hash and the (integral) id. */
+  final case class HashId(h: Long, i: Long)
+
+  /** Bounded top-N aggregator over (hash, id) pairs: the buffer holds AT
+    * MOST n pairs, kept sorted ascending by (h, i) — so the partial
+    * (map-side) aggregation already reduces each task's contribution to
+    * n pairs per stratum, and the merge is a truncated sorted-array
+    * merge. The common non-qualifying row (hash above the current n-th)
+    * costs O(1). Signed long comparison matches the window form's
+    * ascending orderBy on xxhash64. */
+  private class TopNAgg(n: Int)
+      extends Aggregator[HashId, Array[Long], Seq[HashId]] {
+    private def less(h1: Long, i1: Long, h2: Long, i2: Long): Boolean =
+      h1 < h2 || (h1 == h2 && i1 < i2)
+
+    def zero: Array[Long] = Array.emptyLongArray
+
+    def reduce(buf: Array[Long], in: HashId): Array[Long] = {
+      val m = buf.length / 2
+      if (m == n && !less(in.h, in.i, buf(2 * n - 2), buf(2 * n - 1)))
+        return buf
+      var pos = m
+      while (pos > 0 && less(in.h, in.i, buf(2 * pos - 2), buf(2 * pos - 1)))
+        pos -= 1
+      val keep = math.min(m + 1, n)
+      val out = new Array[Long](keep * 2)
+      System.arraycopy(buf, 0, out, 0, pos * 2)
+      out(2 * pos) = in.h; out(2 * pos + 1) = in.i
+      val rest = keep - pos - 1
+      if (rest > 0) System.arraycopy(buf, pos * 2, out, (pos + 1) * 2,
+        rest * 2)
+      out
+    }
+
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      val ma = a.length / 2; val mb = b.length / 2
+      val keep = math.min(ma + mb, n)
+      val out = new Array[Long](keep * 2)
+      var ia = 0; var ib = 0; var io = 0
+      while (io < keep) {
+        val takeA = ib >= mb || (ia < ma &&
+          less(a(2 * ia), a(2 * ia + 1), b(2 * ib), b(2 * ib + 1)))
+        if (takeA) { out(2 * io) = a(2 * ia); out(2 * io + 1) = a(2 * ia + 1)
+          ia += 1 }
+        else { out(2 * io) = b(2 * ib); out(2 * io + 1) = b(2 * ib + 1)
+          ib += 1 }
+        io += 1
+      }
+      out
+    }
+
+    def finish(buf: Array[Long]): Seq[HashId] =
+      (0 until buf.length / 2).map(j => HashId(buf(2 * j), buf(2 * j + 1)))
+
+    // native long-array encoder (the MedianMadAgg precedent): the buffer
+    // crosses the partial→final exchange as a length-prefixed memcpy
+    def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    def outputEncoder: Encoder[Seq[HashId]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[HashId]]()
+  }
+
+  /** Two-phase exact-N-per-stratum sample — SAME result as
+    * [[smallestHashSample]] (equivalence-spec-pinned), built for strata
+    * far larger than a task: phase 1 is the bounded [[TopNAgg]], whose
+    * map-side partial aggregation keeps at most n (hash, id) pairs per
+    * stratum per task — the per-partition top-N — so the exchange moves
+    * ≤ tasks × strata × n 16-byte pairs whatever the data size, and the
+    * reduce side merges pair lists instead of sorting a stratum; phase 2
+    * joins the ≤ strata × n sampled ids back onto the data (an equi-join
+    * the optimizer broadcasts at sane sample sizes). No window, no
+    * full-data sort, no skew: a stratum's cost no longer depends on its
+    * row count beyond the scan.
+    *
+    * `id` must be non-null and integral (the repo's doc_id/vec_id
+    * convention — it rides the buffer as a long; hash ties break on it).
+    * Adds `sample_rank` (1..N) exactly as the window form does. */
+  def smallestHashSampleTwoPhase(df: DataFrame, stratum: Column, id: Column,
+                                 n: Int): DataFrame = {
+    require(n > 0, s"need n > 0, got $n")
+    val top = df.groupBy(stratum.as("_s"))
+      .agg(udaf(new TopNAgg(n), Encoders.product[HashId])
+        .apply(xxhash64(id), id.cast("long")).as("_top"))
+      .select(col("_s"), posexplode(col("_top")).as(Seq("_pos", "_hi")))
+      .select(col("_s"), (col("_pos") + 1).cast("int").as("sample_rank"),
+        col("_hi.i").as("_i"))
+    df.join(top, stratum === col("_s") && id.cast("long") === col("_i"))
+      .drop("_s", "_i")
   }
 
   /** Weighted Bernoulli sample: keep each row independently with

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 import graft.ops.Sketches
 
@@ -17,8 +17,10 @@ import graft.ops.Sketches
   * a per-key value SET, which is state that grows with history and can
   * never be dropped. The register merge is commutative/associative/
   * idempotent (max), so replays and out-of-order arrival cannot change
-  * the result — no watermark is needed for correctness, only for state
-  * eviction policy a caller may add.
+  * the result — no watermark is needed for correctness. Eviction is a
+  * POLICY choice: [[estimates]] keeps every key forever (bounded key
+  * domains), [[estimatesWithTtl]] drops keys idle past a TTL so
+  * unbounded key domains cannot accumulate unbounded total state.
   *
   * Cross-path parity: the bucket/rank columns are computed BEFORE
   * `groupByKey` by the very same codegen'd expressions the batch sketch
@@ -93,7 +95,14 @@ object StreamingDistinct {
 
   /** Wire the estimator onto a streaming Dataset of observations.
     * Update-mode output: one row per touched key per micro-batch with
-    * the key's current estimate. */
+    * the key's current estimate.
+    *
+    * BOUNDED-KEYS ASSUMPTION: this NoTimeout form holds one register
+    * array per key FOREVER — per-key state is a perfect 2^p bytes, but
+    * the key SET grows with history, so a stream whose key domain is
+    * unbounded (session ids, URLs) accumulates unbounded total state.
+    * Use it when keys are a bounded dimension (tenants, languages,
+    * sources); otherwise use [[estimatesWithTtl]]. */
   def estimates(spark: SparkSession, obs: Dataset[Observation],
                 p: Int = 8): Dataset[Estimate] = {
     import spark.implicits._
@@ -103,5 +112,62 @@ object StreamingDistinct {
       .as[BucketRank]
       .groupByKey(_.key)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout)(update(p))
+  }
+
+  /** The TTL update function, factored out so the unit spec can drive
+    * it directly (including the timeout path) through Spark's
+    * `TestGroupState`. A timed-out key REMOVES its registers and emits
+    * nothing; a live key merges, re-arms its processing-time timer, and
+    * emits. After eviction a re-appearing key starts from empty
+    * registers — its estimate reflects only post-eviction observations
+    * (the documented semantics: the estimator forgets, it does not
+    * resurrect). */
+  private[streaming] def updateTtl(p: Int, ttlMs: Long)(
+      key: String, rows: Iterator[BucketRank],
+      state: GroupState[Registers]): Iterator[Estimate] = {
+    if (state.hasTimedOut) {
+      state.remove()
+      Iterator.empty
+    } else {
+      val regs = state.getOption.map(_.regs)
+        .getOrElse(new Array[Byte](1 << p))
+      rows.foreach { r =>
+        if (r.rank > regs(r.bucket)) regs(r.bucket) = r.rank.toByte
+      }
+      state.update(Registers(regs))
+      state.setTimeoutDuration(ttlMs)
+      Iterator.single(Estimate(key, estimateOf(regs, p), regs.count(_ > 0)))
+    }
+  }
+
+  /** TTL-evicting variant of [[estimates]] for UNBOUNDED key domains:
+    * a key idle for `ttl` (processing time) has its registers dropped,
+    * so total state is bounded by the number of keys ACTIVE within one
+    * TTL window — not by history. Inside the window the estimate is
+    * bit-identical to the NoTimeout form (same merge, same arithmetic);
+    * a key that returns after eviction re-estimates from its new
+    * observations only. Update-mode output; evictions emit nothing
+    * (consumers keep the last estimate, exactly as they would for a key
+    * that simply went quiet).
+    *
+    * Operational note: with ProcessingTimeTimeout Spark conservatively
+    * schedules NO-DATA micro-batches so due timeouts fire even on a
+    * quiet stream — that is the eviction mechanism working, but it
+    * means drain-style test harnesses (`processAllAvailable` under the
+    * default immediate trigger) never see the stream settle; run this
+    * form with a processing-time trigger in production, and spec it at
+    * the update-function level (as StreamingDistinctSpec does). */
+  def estimatesWithTtl(spark: SparkSession, obs: Dataset[Observation],
+                       ttl: java.time.Duration,
+                       p: Int = 8): Dataset[Estimate] = {
+    import spark.implicits._
+    require(!ttl.isNegative && !ttl.isZero, s"need a positive ttl, got $ttl")
+    val (bucket, rank) = Sketches.hllBucketRank(xxhash64(col("value")), p)
+    obs
+      .select(col("key"), bucket.as("bucket"), rank.as("rank"))
+      .as[BucketRank]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.ProcessingTimeTimeout)(updateTtl(p, ttl.toMillis))
   }
 }

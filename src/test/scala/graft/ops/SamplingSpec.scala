@@ -69,6 +69,44 @@ class SamplingSpec extends SparkSpec {
     assert(grown.subsetOf(orig))
   }
 
+  test("two-phase smallest-hash sample == window form, any partitioning") {
+    // skewed strata: one giant, one tiny — the shape the window form's
+    // per-stratum partitions choke on and the two-phase form was built
+    // for. Equivalence must hold row-for-row INCLUDING sample_rank.
+    val d = (0 until 5000).map(i =>
+        (i.toLong, if (i % 50 == 0) "tiny" else "big"))
+      .toDF("id", "lang")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("lang", "id", "sample_rank").as[(String, Long, Int)]
+        .collect().sorted.toSeq
+    val window = canon(Sampling.smallestHashSample(
+      d, col("lang"), col("id"), n = 20))
+    val twoPhase = canon(Sampling.smallestHashSampleTwoPhase(
+      d, col("lang"), col("id"), n = 20))
+    assert(twoPhase == window)
+    // many partitions => many partial buffers => the merge path runs
+    val sharded = canon(Sampling.smallestHashSampleTwoPhase(
+      d.repartition(17), col("lang"), col("id"), n = 20))
+    assert(sharded == window)
+    // output schema matches the window form (df.* then sample_rank)
+    assert(Sampling.smallestHashSampleTwoPhase(
+        d, col("lang"), col("id"), 3).columns.toSeq ==
+      Seq("id", "lang", "sample_rank"))
+  }
+
+  test("two-phase: n larger than a stratum keeps the whole stratum") {
+    val d = (0 until 40).map(i => (i.toLong, if (i < 8) "xs" else "big"))
+      .toDF("id", "lang")
+    val got = Sampling.smallestHashSampleTwoPhase(
+      d, col("lang"), col("id"), n = 10)
+    val counts = got.groupBy("lang").count().as[(String, Long)]
+      .collect().toMap
+    assert(counts == Map("xs" -> 8L, "big" -> 10L))
+    val ranks = got.where($"lang" === "xs").select("sample_rank")
+      .as[Int].collect().sorted.toSeq
+    assert(ranks == (1 to 8))
+  }
+
   test("weighted: prob 0 keeps nothing, prob 1 keeps everything") {
     val df = docs(500)
     assert(Sampling.weightedSample(df, col("id"), lit(0.0)).count() == 0)

@@ -17,13 +17,17 @@ class StreamingDistinctSpec extends SparkSpec {
     * per key — tracked per batchId via foreachBatch (a memory-sink scan
     * gives no cross-batch ordering contract to lean on). */
   private def run(batches: Seq[Seq[Observation]],
-                  name: String): Map[String, Estimate] = {
+                  name: String,
+                  build: org.apache.spark.sql.Dataset[Observation] =>
+                    org.apache.spark.sql.Dataset[Estimate] = in =>
+                    StreamingDistinct.estimates(spark, in))
+      : Map[String, Estimate] = {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[Observation]
     val ckpt = java.nio.file.Files.createTempDirectory("dist_ck").toString
     val latest =
       new scala.collection.concurrent.TrieMap[String, (Long, Estimate)]()
-    val q = StreamingDistinct.estimates(spark, in.toDS())
+    val q = build(in.toDS())
       .writeStream.outputMode("update")
       .option("checkpointLocation", ckpt)
       .foreachBatch { (df: org.apache.spark.sql.Dataset[Estimate],
@@ -125,6 +129,92 @@ class StreamingDistinctSpec extends SparkSpec {
     val want = batchEstimate((0L until 1600L).map(_ * 13))
     assert(latest("r")._2.hllEst == want,
       s"post-restart ${latest("r")._2.hllEst} != union $want")
+  }
+
+  test("ttl: eviction drops state; a returning key sees new data only") {
+    import org.apache.spark.api.java.{Optional => JOptional}
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import StreamingDistinct.{BucketRank, Registers}
+    def bucketRanks(values: Seq[Long]): Seq[BucketRank] = {
+      val (b, r) = Sketches.hllBucketRank(xxhash64(col("value")), 8)
+      values.toDF("value")
+        .select(lit("k").as("key"), b.as("bucket"), r.as("rank"))
+        .as[BucketRank].collect().toSeq
+    }
+    val ttlMs = 60000L
+    val obsA = (0L until 900L).map(_ * 13)
+    val obsB = (0L until 40L).map(_ * 997 + 5)
+    // live batch: merges, emits, arms the processing-time timer
+    val s1 = TestGroupState.create[Registers](JOptional.empty[Registers](),
+      GroupStateTimeout.ProcessingTimeTimeout,
+      batchProcessingTimeMs = 1000L,
+      eventTimeWatermarkMs = JOptional.empty[Long](), hasTimedOut = false)
+    val out1 = StreamingDistinct.updateTtl(8, ttlMs)(
+      "k", bucketRanks(obsA).iterator, s1).toSeq
+    assert(out1.map(_.hllEst) == Seq(batchEstimate(obsA)))
+    assert(s1.exists && !s1.isRemoved)
+    assert(s1.getTimeoutTimestampMs.get() == 1000L + ttlMs)
+    // the TTL fires: registers removed, nothing emitted
+    val s2 = TestGroupState.create[Registers](JOptional.of(s1.get),
+      GroupStateTimeout.ProcessingTimeTimeout,
+      batchProcessingTimeMs = 1000L + ttlMs + 1,
+      eventTimeWatermarkMs = JOptional.empty[Long](), hasTimedOut = true)
+    val out2 = StreamingDistinct.updateTtl(8, ttlMs)(
+      "k", Iterator.empty, s2).toSeq
+    assert(out2.isEmpty && s2.isRemoved)
+    // the key returns: estimate reflects ONLY post-eviction observations
+    val s3 = TestGroupState.create[Registers](JOptional.empty[Registers](),
+      GroupStateTimeout.ProcessingTimeTimeout,
+      batchProcessingTimeMs = 2000L + ttlMs,
+      eventTimeWatermarkMs = JOptional.empty[Long](), hasTimedOut = false)
+    val out3 = StreamingDistinct.updateTtl(8, ttlMs)(
+      "k", bucketRanks(obsB).iterator, s3).toSeq
+    val freshB = batchEstimate(obsB)
+    val unionAB = batchEstimate(obsA ++ obsB)
+    assert(out3.map(_.hllEst) == Seq(freshB))
+    assert(freshB != unionAB,
+      "spec must distinguish fresh-start from resurrected state")
+  }
+
+  test("ttl: inside the window the TTL form matches the NoTimeout form") {
+    // function-level parity (the e2e harness can't drain a
+    // ProcessingTimeTimeout query: Spark conservatively schedules
+    // no-data batches to fire timeouts, so processAllAvailable never
+    // settles under the default trigger): drive both update functions
+    // over the same two observation batches and compare every emission
+    import org.apache.spark.api.java.{Optional => JOptional}
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import StreamingDistinct.{BucketRank, Registers}
+    def bucketRanks(values: Seq[Long]): Seq[BucketRank] = {
+      val (b, r) = Sketches.hllBucketRank(xxhash64(col("value")), 8)
+      values.toDF("value")
+        .select(lit("t").as("key"), b.as("bucket"), r.as("rank"))
+        .as[BucketRank].collect().toSeq
+    }
+    val b1 = (0L until 600L).map(_ * 19)
+    val b2 = (300L until 1100L).map(_ * 19)
+    def mkState(prev: Option[Registers], now: Long) =
+      TestGroupState.create[Registers](
+        prev.map(JOptional.of[Registers]).getOrElse(
+          JOptional.empty[Registers]()),
+        GroupStateTimeout.ProcessingTimeTimeout,
+        batchProcessingTimeMs = now,
+        eventTimeWatermarkMs = JOptional.empty[Long](),
+        hasTimedOut = false)
+    var plainState: Option[Registers] = None
+    var ttlState: Option[Registers] = None
+    Seq(b1, b2).zipWithIndex.foreach { case (batch, bi) =>
+      val rows = bucketRanks(batch)
+      val sp = mkState(plainState, 1000L * (bi + 1))
+      val plainOut = StreamingDistinct.update(8)("t", rows.iterator, sp)
+      plainState = Some(sp.get)
+      val st = mkState(ttlState, 1000L * (bi + 1))
+      val ttlOut = StreamingDistinct.updateTtl(8, 60000L)(
+        "t", rows.iterator, st).toSeq
+      ttlState = Some(st.get)
+      assert(ttlOut == Seq(plainOut),
+        s"batch $bi: ttl $ttlOut != plain $plainOut")
+    }
   }
 
   test("estimateOf mirrors Sketches.hllEstimate on a synthetic register set") {
