@@ -109,13 +109,27 @@ object TextMetrics {
     * fraction of repeated tokens, fraction of repeated n-grams, and the
     * corpus share of the single most frequent token — the signals that
     * catch boilerplate and degenerate generations in a pre-training
-    * corpus. ENTIRELY row-local (array expressions over the token list):
-    * zero shuffles, the whole filter rides the scan at 100 TB. The
-    * most-frequent-token count is a quadratic-in-tokens array scan per
-    * row — bounded by document length, not data size — which beats an
-    * explode + per-doc groupBy (a corpus-token-row shuffle) at any scale.
-    * Ratios are rounded to 6 dp (cross-engine float rule). */
-  def repetitionFeatures(text: Column, n: Int = 3): Column =
+    * corpus. ENTIRELY row-local: zero shuffles, the whole filter rides
+    * the scan at 100 TB. Since round 8 this is the native
+    * [[graft.functions.RepetitionSig]] expression (one hash-counting
+    * pass per row); TextHotBench measured the interpreted HOF form at
+    * 740–1113 ns/token vs ~60–70 for the expression family, making it
+    * the hottest text operator — the same measurement-then-promotion
+    * path the MinhashSig family took in round 7. Results are
+    * bit-identical to [[repetitionFeaturesHof]], the retained in-repo
+    * oracle (RepetitionFormSpec). Ratios are rounded to 6 dp
+    * (cross-engine float rule). */
+  def repetitionFeatures(text: Column, n: Int = 3): Column = {
+    import org.apache.spark.sql.graftshim.Internals.{column => toCol, expression => toExpr}
+    toCol(graft.functions.RepetitionSig(toExpr(text), n))
+  }
+
+  /** The original higher-order-function form of [[repetitionFeatures]] —
+    * retained as the in-repo oracle for the native expression (pure
+    * Spark builtins, independently re-derivable in SQL). The
+    * most-frequent-token count is a sort + longest-equal-run aggregate,
+    * O(n log n) per row. */
+  def repetitionFeaturesHof(text: Column, n: Int = 3): Column =
     // token array bound once per row (Cols.bound — the interpreted-HOF
     // re-evaluation pitfall); the most-frequent-token count is a sort +
     // single-pass longest-equal-run aggregate, O(n log n) per row

@@ -120,6 +120,23 @@ object ScaleGen {
         .as("l_shipdate"))
   }
 
+  /** Events-shaped table (a12's percentile source): 5 uniform event
+    * types, values ~uniform in [0, 100) with 4 dp (the sf0.1 shape),
+    * ~66 events per user. */
+  def events(spark: SparkSession, n: Long): DataFrame = {
+    val id = col("id")
+    def h(s: Int) = xxhash64(id, lit(s))
+    spark.range(n).select(
+      id.as("event_id"),
+      timestamp_seconds(lit(1735689600L) +
+        pmod(h(1), lit(86400L * 30))).as("ts"),
+      pmod(h(2), lit(math.max(1L, n / 66))).as("user_id"),
+      element_at(typedLit(Seq("click", "view", "purchase", "signup",
+        "error")), (pmod(h(3), lit(5L)) + 1).cast("int")).as("event_type"),
+      round(pmod(h(4), lit(1000000L)) / lit(10000.0), 4).as("value"),
+      concat(lit("p="), pmod(h(5), lit(100L))).as("props"))
+  }
+
   def writeScale(spark: SparkSession, dir: String, docs: Int, vecs: Int,
                  li: Long, seed: Long, files: Int): Unit = {
     documents(spark, docs, seed).repartition(files)
@@ -128,7 +145,10 @@ object ScaleGen {
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     lineitem(spark, li).repartition(files)
       .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
-    println(s"[scalegen] wrote $dir: docs=$docs vecs=$vecs li=$li")
+    events(spark, li / 6).repartition(files)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    println(s"[scalegen] wrote $dir: docs=$docs vecs=$vecs li=$li " +
+      s"ev=${li / 6}")
   }
 
   def main(args: Array[String]): Unit = {
