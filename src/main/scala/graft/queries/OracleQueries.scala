@@ -1589,6 +1589,26 @@ object OracleQueries {
           JOIN '$AuxDir/doc_bucket/*.parquet' b USING (doc_id))
         WHERE sample_rank <= 20 ORDER BY lang, sample_rank""")),
 
+    // Two-phase (bounded top-N aggregate) form of the SAME draw — the
+    // huge-strata scale path (r8): map-side partial aggregation keeps at
+    // most n (hash, id) pairs per stratum per task, so the exchange
+    // moves pairs, not rows. Equivalence with the window form is
+    // spec-pinned (SamplingSpec); the identical DuckDB oracle gates it
+    // end to end here.
+    Q("sample_topn_twophase",
+      (s, dir) => {
+        Sampling.smallestHashSampleTwoPhase(t(s, dir, "documents"),
+            col("lang"), col("doc_id"), n = 20)
+          .select(col("lang"), col("sample_rank"), col("doc_id"))
+          .orderBy(col("lang"), col("sample_rank"))
+      },
+      Some(s"""SELECT lang, sample_rank, doc_id FROM (
+          SELECT d.lang, d.doc_id, ROW_NUMBER() OVER (PARTITION BY d.lang
+              ORDER BY b.h, d.doc_id) AS sample_rank
+          FROM documents d
+          JOIN '$AuxDir/doc_bucket/*.parquet' b USING (doc_id))
+        WHERE sample_rank <= 20 ORDER BY lang, sample_rank""")),
+
     // ============ dedup: canonical-document selection ====================
     // The step after grouping that a curation pipeline actually ships:
     // within each near-dup group keep ONE representative (longest text,
