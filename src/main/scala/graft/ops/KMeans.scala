@@ -74,14 +74,22 @@ object KMeans {
   def fit(vectors: DataFrame, idCol: String, k: Int,
           iters: Int): DataFrame = {
     require(k > 0 && iters > 0, s"need k/iters > 0, got $k/$iters")
-    val init = vectors.orderBy(col(idCol)).limit(k)
+    // collect-route the k init centroids (<= k rows, the repo's
+    // global-scalar idiom): ONE TakeOrdered pass both materializes the
+    // init table as a LocalRelation (so iteration 1's broadcast never
+    // re-scans the corpus for it) and guards the k-cluster contract —
+    // with fewer than k vectors the limit(k) init would silently yield
+    // fewer centroids
+    val sel = vectors.orderBy(col(idCol)).limit(k)
       .select(col(idCol).cast("long").as("cid"), col("v").as("cv"))
-    // guard the k-cluster contract up front: with fewer than k vectors the
-    // limit(k) init would silently yield fewer centroids. The count runs
-    // over the limit(k) plan (bounded work), not the full corpus.
-    val have = init.count()
-    require(have == k,
-      s"k-means needs at least k=$k vectors, got $have")
+    val initRows = sel.collect()
+    require(initRows.length == k,
+      s"k-means needs at least k=$k vectors, got ${initRows.length}")
+    val init = {
+      import scala.jdk.CollectionConverters._
+      vectors.sparkSession.createDataFrame(
+        initRows.toSeq.asJava, sel.schema)
+    }
     var cent = init
     var assigned = assign(vectors, cent, idCol)
     (2 to iters).foreach { _ =>

@@ -137,20 +137,30 @@ object Sampling {
     * full-data sort, no skew: a stratum's cost no longer depends on its
     * row count beyond the scan.
     *
-    * `id` must be non-null and integral (the repo's doc_id/vec_id
-    * convention — it rides the buffer as a long; hash ties break on it).
-    * Adds `sample_rank` (1..N) exactly as the window form does. */
+    * `id` must be non-null, integral, and UNIQUE within its stratum
+    * (the repo's doc_id/vec_id key convention — it rides the buffer as
+    * a long; hash ties break on it). A duplicated id would fan out
+    * through the join-back where the window form ranks each occurrence,
+    * so the equivalence contract is scoped to key-like ids. A NULL
+    * stratum is a stratum like any other (null-safe join), exactly as
+    * the window form partitions it. Adds `sample_rank` (1..N),
+    * REPLACING any existing column of that name as `withColumn` does in
+    * the window form. */
   def smallestHashSampleTwoPhase(df: DataFrame, stratum: Column, id: Column,
                                  n: Int): DataFrame = {
     require(n > 0, s"need n > 0, got $n")
-    val top = df.groupBy(stratum.as("_s"))
+    val base = df.drop("sample_rank")
+    val top = base.groupBy(stratum.as("__tp_s"))
       .agg(udaf(new TopNAgg(n), Encoders.product[HashId])
-        .apply(xxhash64(id), id.cast("long")).as("_top"))
-      .select(col("_s"), posexplode(col("_top")).as(Seq("_pos", "_hi")))
-      .select(col("_s"), (col("_pos") + 1).cast("int").as("sample_rank"),
-        col("_hi.i").as("_i"))
-    df.join(top, stratum === col("_s") && id.cast("long") === col("_i"))
-      .drop("_s", "_i")
+        .apply(xxhash64(id), id.cast("long")).as("__tp_top"))
+      .select(col("__tp_s"),
+        posexplode(col("__tp_top")).as(Seq("__tp_pos", "__tp_hi")))
+      .select(col("__tp_s"),
+        (col("__tp_pos") + 1).cast("int").as("sample_rank"),
+        col("__tp_hi.i").as("__tp_i"))
+    base.join(top, stratum <=> col("__tp_s") &&
+        id.cast("long") === col("__tp_i"))
+      .drop("__tp_s", "__tp_i")
   }
 
   /** Weighted Bernoulli sample: keep each row independently with

@@ -129,14 +129,12 @@ object StreamingDistinct {
       state.remove()
       Iterator.empty
     } else {
-      val regs = state.getOption.map(_.regs)
-        .getOrElse(new Array[Byte](1 << p))
-      rows.foreach { r =>
-        if (r.rank > regs(r.bucket)) regs(r.bucket) = r.rank.toByte
-      }
-      state.update(Registers(regs))
+      // DELEGATE to the NoTimeout update: in-window parity with
+      // [[estimates]] is then true by construction, not by two copies
+      // staying in sync
+      val est = update(p)(key, rows, state)
       state.setTimeoutDuration(ttlMs)
-      Iterator.single(Estimate(key, estimateOf(regs, p), regs.count(_ > 0)))
+      Iterator.single(est)
     }
   }
 

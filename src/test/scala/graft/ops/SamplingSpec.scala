@@ -94,6 +94,35 @@ class SamplingSpec extends SparkSpec {
       Seq("id", "lang", "sample_rank"))
   }
 
+  test("two-phase: NULL strata sample like any other stratum") {
+    // review finding (r8): a plain equi-join would drop the null
+    // stratum's sampled rows (NULL === NULL is NULL); the null-safe
+    // join must keep them, exactly as the window form partitions null
+    val d = (0 until 600)
+      .map(i => (i.toLong, if (i % 3 == 0) null else "x"))
+      .toDF("id", "lang")
+    def canonN(df: org.apache.spark.sql.DataFrame) =
+      df.select("lang", "id", "sample_rank").collect()
+        .map(r => (Option(r.getString(0)).getOrElse("<null>"),
+          r.getLong(1), r.getInt(2))).sorted.toSeq
+    val window = canonN(Sampling.smallestHashSample(
+      d, col("lang"), col("id"), n = 15))
+    val twoPhase = canonN(Sampling.smallestHashSampleTwoPhase(
+      d, col("lang"), col("id"), n = 15))
+    assert(twoPhase == window)
+    assert(twoPhase.count(_._1 == "<null>") == 15)
+  }
+
+  test("two-phase: a pre-existing sample_rank column is replaced") {
+    val d = (0 until 300).map(i => (i.toLong, "s")).toDF("id", "lang")
+      .withColumn("sample_rank", lit(99))
+    val got = Sampling.smallestHashSampleTwoPhase(
+      d, col("lang"), col("id"), n = 5)
+    assert(got.columns.count(_ == "sample_rank") == 1)
+    assert(got.select("sample_rank").as[Int].collect().sorted.toSeq ==
+      (1 to 5))
+  }
+
   test("two-phase: n larger than a stratum keeps the whole stratum") {
     val d = (0 until 40).map(i => (i.toLong, if (i < 8) "xs" else "big"))
       .toDF("id", "lang")
