@@ -23,7 +23,13 @@ object Verify {
     // each other and a failed run cannot leave stale tables behind.
     val auxDir = new java.io.File(outDir, "oracle_aux").getAbsolutePath
     queries.OracleQueries.writeOracleAux(spark, sfDir, auxDir)
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // local-iteration filter (comma-separated names); the driver never
+    // sets it, so the full dump remains the default contract
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

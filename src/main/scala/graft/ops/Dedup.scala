@@ -378,4 +378,57 @@ object Dedup {
         "targets; raise maxIter or use a star-contraction variant")
     labels
   }
+
+  /** C4-style segment-level exact dedup: remove every repeat of a
+    * segment ACROSS the whole corpus (and within a document), keeping
+    * only its globally first occurrence, then reassemble each document
+    * from its surviving segments in original order. This is the
+    * curation pass that strips boilerplate — cookie banners, license
+    * headers, navigation text — which document-level dedup can never
+    * catch because the surrounding text differs.
+    *
+    * The segmenter is the CALLER's: pass `split(col("text"), "\n\n")`
+    * for paragraph dedup on a real corpus, a sentence splitter, or a
+    * token-window chunker — this operator only needs the ordered
+    * array<string>. "First occurrence" is deterministic: the minimum
+    * (id, segment-index) pair over all occurrences, so reruns and
+    * repartitionings keep the same survivor.
+    *
+    * Scale shape: posexplode → one hash aggregation keyed by the
+    * segment itself (min(struct(id, idx)) combines map-side, so the
+    * shuffle carries one (segment, pair) row per distinct segment per
+    * partition — boilerplate collapses BEFORE the exchange) → one
+    * equi-join of the exploded rows against that firsts table (both
+    * sides hash-partitioned on the segment; no skew beyond the
+    * segment's own duplication factor) → one groupBy(id) to
+    * reassemble. No window over the corpus, no driver-side state.
+    *
+    * Output: (id, clean_text, n_segments, n_removed) — one row per
+    * document that produced at least one segment (a document whose
+    * segmenter returns an empty array contributes no exploded rows and
+    * drops out; left-join the id list back if empty documents must
+    * surface). A document whose every segment was seen earlier keeps
+    * an empty `clean_text` — the downstream length filter's problem,
+    * not silently dropped.
+    */
+  def segmentDedup(df: DataFrame, idCol: String, segments: Column,
+                   sep: String = " "): DataFrame = {
+    val seg = df.select(col(idCol).as("id"),
+      posexplode(segments).as(Seq("idx", "seg")))
+    val firsts = seg
+      .groupBy(col("seg"))
+      .agg(min(struct(col("id"), col("idx"))).as("first"))
+    seg.join(firsts, "seg")
+      .withColumn("__sd_keep",
+        col("id") === col("first.id") && col("idx") === col("first.idx"))
+      .groupBy(col("id"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(
+            when(col("__sd_keep"), struct(col("idx"), col("seg"))))),
+          _.getField("seg")), sep).as("clean_text"),
+        count(lit(1)).as("n_segments"),
+        sum(when(col("__sd_keep"), lit(0L)).otherwise(lit(1L)))
+          .as("n_removed"))
+  }
 }

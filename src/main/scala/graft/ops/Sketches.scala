@@ -220,4 +220,67 @@ object Sketches {
       .otherwise(raw)
     agg.select(groupCols :+ round(est, 6).as("hll_est"): _*)
   }
+
+  // ============== equi-width histogram quantile sketch ===================
+
+  /** Bounded equi-width histogram over [lo, hi): the mergeable,
+    * single-pass complement to the EXACT rank-selection percentile
+    * ([[graft.ops.PercentileAgg.percentileSelect]]). The exact form
+    * routes extra jobs to locate ranks; this sketch is ONE aggregation
+    * whose shuffle is bounded by |groups| × m rows regardless of input
+    * size (map-side combine collapses each partition to the sketch), and
+    * two count tables union+re-sum to merge corpora — the shape to
+    * monitor a quantile over 100 TB or across incremental loads.
+    *
+    * bucket = floor((x - lo) / width) clamped to [0, m-1]; values
+    * outside [lo, hi) saturate into the edge buckets — a DOCUMENTED
+    * bias: a quantile landing in clamped mass degrades to the edge
+    * bucket's estimate. Pick lo/hi from domain knowledge; the error of
+    * an in-range estimate is at most one bucket width.
+    */
+  def histCounts(df: DataFrame, value: Column, lo: Double, hi: Double,
+                 m: Int, groupCols: Seq[Column] = Seq.empty): DataFrame = {
+    require(m > 0 && hi > lo, s"need m > 0 and hi > lo, got m=$m [$lo,$hi)")
+    val width = (hi - lo) / m
+    val bucket = least(greatest(
+      floor((value.cast("double") - lit(lo)) / lit(width)).cast("int"),
+      lit(0)), lit(m - 1))
+    df.select(groupCols :+ bucket.as("bucket"): _*)
+      .groupBy(groupCols :+ col("bucket"): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Interpolated quantile estimates from a [[histCounts]] sketch: for
+    * each q the 1-based target rank is ceil(q·N) (floored at 1), the
+    * containing bucket is the one whose cumulative count first reaches
+    * it, and the estimate interpolates linearly inside that bucket —
+    * `lo + width · (bucket + (rank − cum_before) / cnt)`, rounded to
+    * 6 dp (the repo-wide cross-engine rule). All selection arithmetic is
+    * integer; the windows run over ≤ m rows per group — sketch-sized,
+    * never data-sized. Output: (group…, q, est).
+    */
+  def histQuantiles(counts: DataFrame, qs: Seq[Double], lo: Double,
+                    hi: Double, m: Int,
+                    groupCols: Seq[Column] = Seq.empty): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      s"quantiles must lie in (0, 1], got $qs")
+    val width = (hi - lo) / m
+    val wCum = Window.partitionBy(groupCols: _*).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(groupCols: _*)
+    val cum = counts
+      .withColumn("__hq_cum", sum(col("cnt")).over(wCum))
+      .withColumn("__hq_n", sum(col("cnt")).over(wAll))
+    cum
+      .select(col("*"), explode(array(qs.map(lit): _*)).as("q"))
+      .withColumn("__hq_rank",
+        greatest(ceil(col("q") * col("__hq_n")).cast("long"), lit(1L)))
+      .where(col("__hq_cum") >= col("__hq_rank") &&
+        col("__hq_cum") - col("cnt") < col("__hq_rank"))
+      .select(groupCols.map(c => col(c.toString)) ++ Seq(col("q"),
+        round(lit(lo) + lit(width) * (col("bucket") +
+          (col("__hq_rank") - (col("__hq_cum") - col("cnt"))).cast("double") /
+            col("cnt")), 6).as("est")): _*)
+  }
 }

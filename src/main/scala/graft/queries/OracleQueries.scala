@@ -2101,7 +2101,110 @@ object OracleQueries {
             AS n_emails,
           len(regexp_extract_all(pii_text,
             '\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}')) AS n_phones
-        FROM p ORDER BY doc_id"""))
+        FROM p ORDER BY doc_id""")),
+
+    // ===================== sequence packing ==============================
+    // The pretraining layout step: documents laid end to end into
+    // 64-token sequences per language shard, each document's exact spans
+    // emitted. Pure integer arithmetic over one per-shard window cumsum
+    // + a sequence() explode — bit-exact across engines. Sharding is the
+    // scale story: packing is deterministic PER SHARD (the real-pipeline
+    // contract), so 100 TB is one exchange on the shard key, never a
+    // global order.
+    Q("pack_sequences",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        Packing.packSpans(docs, col("lang"), col("doc_id"), col("doc_id"),
+            TextMetrics.tokenCount(col("text")), budget = 64)
+          .orderBy(col("shard"), col("seq_id"), col("seq_offset"))
+      },
+      Some("""WITH d AS (SELECT lang, doc_id,
+            CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+            FROM documents),
+          c AS (SELECT lang, doc_id, tok,
+            CAST(COALESCE(SUM(tok) OVER (PARTITION BY lang ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS st
+            FROM d),
+          e AS (SELECT lang, doc_id, tok, st,
+            UNNEST(range(st // 64, (st + tok - 1) // 64 + 1)) AS seq_id
+            FROM c)
+        SELECT lang AS shard, seq_id,
+          GREATEST(st, seq_id * 64) - seq_id * 64 AS seq_offset,
+          doc_id,
+          GREATEST(st, seq_id * 64) - st AS doc_offset,
+          LEAST(st + tok, (seq_id + 1) * 64) - GREATEST(st, seq_id * 64)
+            AS span_len
+        FROM e ORDER BY shard, seq_id, seq_offset""")),
+
+    // ============== histogram quantile sketch ============================
+    // The mergeable single-pass complement to a12's exact rank-selection
+    // percentile: a 128-bucket equi-width histogram over l_extendedprice
+    // (domain [0, 110000) — the sketch's declared parameter, not peeked
+    // from data), quantiles interpolated inside the containing bucket.
+    // The sketch shuffle is |groups| x 128 rows whatever the data size;
+    // DuckDB rebuilds the identical histogram and interpolation.
+    Q("sketch_hist_quantile",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .select(col("l_returnflag").as("flag"), col("l_extendedprice"))
+        val counts = Sketches.histCounts(li, col("l_extendedprice"),
+          lo = 0.0, hi = 110000.0, m = 128, groupCols = Seq(col("flag")))
+        Sketches.histQuantiles(counts, Seq(0.5, 0.9, 0.99),
+            lo = 0.0, hi = 110000.0, m = 128, groupCols = Seq(col("flag")))
+          .orderBy(col("flag"), col("q"))
+      },
+      Some("""WITH b AS (SELECT l_returnflag AS flag,
+            LEAST(GREATEST(CAST(FLOOR(l_extendedprice / 859.375) AS INTEGER),
+              0), 127) AS bucket, COUNT(*) AS cnt
+            FROM lineitem GROUP BY 1, 2),
+          c AS (SELECT flag, bucket, cnt,
+            SUM(cnt) OVER (PARTITION BY flag ORDER BY bucket
+              ROWS UNBOUNDED PRECEDING) AS cum,
+            SUM(cnt) OVER (PARTITION BY flag) AS n FROM b),
+          qq AS (SELECT c.*, u.q,
+            GREATEST(CAST(CEIL(u.q * n) AS BIGINT), 1) AS r
+            FROM c, (SELECT CAST(UNNEST([0.5, 0.9, 0.99]) AS DOUBLE) AS q) u)
+        SELECT flag, q,
+          ROUND(859.375 * (bucket + CAST(r - (cum - cnt) AS DOUBLE) / cnt), 6)
+            AS est
+        FROM qq WHERE cum >= r AND cum - cnt < r
+        ORDER BY flag, q""")),
+
+    // ================ segment-level (C4-style) dedup =====================
+    // Boilerplate stripping: every repeat of a 20-token segment across
+    // the corpus is removed (global first occurrence kept, deterministic
+    // by (doc_id, idx)), documents reassembled from the survivors. The
+    // segmenter is caller-supplied (here the overlap-0 token chunker;
+    // a real corpus passes split(text, '\n\n')). One bounded hash agg
+    // keyed by the segment + one equi-join — no corpus window.
+    Q("dedup_segments",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val segs = transform(
+          TextMetrics.chunks(col("text"), chunkTokens = 20, overlap = 0),
+          _.getField("chunk_text"))
+        Dedup.segmentDedup(docs, "doc_id", segs)
+          .select(col("id").as("doc_id"), col("clean_text"),
+            col("n_segments"), col("n_removed"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+            FROM documents),
+          s AS (SELECT doc_id, toks,
+            UNNEST(range(0, greatest(len(toks), 1), 20)) AS st FROM t),
+          seg AS (SELECT doc_id, st // 20 AS idx,
+            array_to_string(toks[st + 1 : st + 20], ' ') AS seg FROM s),
+          m AS (SELECT doc_id, idx, seg,
+            ROW_NUMBER() OVER (PARTITION BY seg ORDER BY doc_id, idx) AS rn
+            FROM seg)
+        SELECT doc_id,
+          COALESCE(string_agg(CASE WHEN rn = 1 THEN seg END, ' '
+            ORDER BY idx), '') AS clean_text,
+          COUNT(*) AS n_segments,
+          CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_removed
+        FROM m GROUP BY doc_id ORDER BY doc_id"""))
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
