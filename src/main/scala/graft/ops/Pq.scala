@@ -1,0 +1,205 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Product quantization for embedding-scale similarity search: split the
+  * D-dim vector into S subspaces, train a tiny k-entry codebook per
+  * subspace (grouped Lloyd — all subspaces in the SAME jobs), and
+  * represent every vector by S small codes. At k <= 256 a 64-dim float
+  * embedding (256 B) compresses to S = 8 single-byte codes — the 32×
+  * memory cut that lets a 100 TB embedding corpus be scanned for
+  * neighbours from RAM, which is the entire point of PQ (Jégou et al.,
+  * "Product Quantization for Nearest Neighbor Search").
+  *
+  * Determinism contract (the [[KMeans]] rules, inherited operation for
+  * operation): init is the k smallest-id vectors (collect-routed — one
+  * bounded driver round-trip), every distance is the exact decimal sum
+  * of per-dimension squared differences ([[KMeans.sqDistDecimal]]),
+  * centroid updates are the repo decimal-mean, argmin ties break on the
+  * code, and iteration count is fixed. The per-subspace equivalence
+  * spec pins [[train]] to [[KMeans.fit]] run on the sliced vectors.
+  *
+  * Scale shape: training joins the corpus only against a BROADCAST
+  * codebook (S×k rows) and aggregates to S×k×(D/S) rows per update —
+  * bounded, map-side-combined; the one corpus-keyed exchange per
+  * iteration is the (id, sub) argmin window, the same trade as
+  * [[KMeans.assign]] (train on a [[Sampling]] sample at real scale —
+  * PQ codebooks need thousands of vectors, not the corpus).
+  * [[searchAdc]] is asymmetric-distance lookup: the query side becomes
+  * an S×k distance table (broadcast), the corpus side streams its
+  * CODES, and the only per-candidate work is S table lookups summed —
+  * no floating-vector math touches the corpus at query time.
+  *
+  * `vecCol` must already be array<double> ([[VectorOps.toDouble]]).
+  */
+object Pq {
+
+  /** Per-subspace slices of each vector: (id, sub, sv). */
+  def subVectors(df: DataFrame, idCol: String, vecCol: String,
+                 subspaces: Int, dim: Int): DataFrame = {
+    require(subspaces > 0 && dim % subspaces == 0,
+      s"dim $dim must divide into $subspaces subspaces")
+    val sd = dim / subspaces
+    df.select(col(idCol).as("id"), col(vecCol).as("__pq_v"))
+      .select(col("id"),
+        explode(sequence(lit(0), lit(subspaces - 1))).as("sub"),
+        col("__pq_v"))
+      .select(col("id"), col("sub"),
+        slice(col("__pq_v"), col("sub") * sd + 1, lit(sd)).as("sv"))
+  }
+
+  /** Nearest codebook entry per (vector, subspace) — the KMeans.assign
+    * shape grouped by subspace: broadcast codebook join (no corpus
+    * shuffle for the distances), decimal-exact argmin, ties to the
+    * smaller entry id. */
+  private def assignG(sv: DataFrame, cent: DataFrame,
+                      entry: String): DataFrame = {
+    val w = Window.partitionBy(col("id"), col("sub"))
+      .orderBy(col("d"), col(entry))
+    sv.join(broadcast(cent), Seq("sub"))
+      .select(col("id"), col("sub"), col("sv"), col(entry),
+        KMeans.sqDistDecimal(col("sv"), col("cv")).as("d"))
+      .withColumn("_r", row_number().over(w))
+      .where(col("_r") === 1)
+      .drop("_r")
+  }
+
+  /** Per-(subspace, entry) decimal-mean centroids — [[KMeans.recentroid]]
+    * with the subspace riding in the key; the whole update is S×k×(D/S)
+    * rows. */
+  private def recentroidG(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("sub"), col("cid"), posexplode(col("sv")).as(Seq("i", "x")))
+      .groupBy(col("sub"), col("cid"), col("i"))
+      .agg((sum(col("x").cast("decimal(18,9)")).cast("double") /
+        count(lit(1))).as("c"))
+      .groupBy(col("sub"), col("cid"))
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("c")))),
+        s => s.getField("c")).as("cv"))
+
+  /** Train all S codebooks in shared jobs. Returns
+    * (codebook (sub, code, cv), assigned (id, sub, code, d)) with codes
+    * densely relabelled 0..k-1 (rank of the init vector's id — byte-range
+    * for k <= 256). Empty clusters keep their previous centroid, the
+    * [[KMeans.fit]] rule. */
+  def train(vecs: DataFrame, idCol: String, vecCol: String, subspaces: Int,
+            dim: Int, k: Int, iters: Int): (DataFrame, DataFrame) = {
+    require(k > 0 && iters > 0, s"need k/iters > 0, got $k/$iters")
+    val sd = dim / subspaces
+    val sv = subVectors(vecs, idCol, vecCol, subspaces, dim)
+    // collect-route the k init vectors once (<= k rows); slicing them
+    // into S×k sub-centroids is driver arithmetic
+    val sel = vecs.orderBy(col(idCol)).limit(k)
+      .select(col(idCol).cast("long").as("cid"), col(vecCol).as("v"))
+    val initRows = sel.collect()
+    require(initRows.length == k,
+      s"PQ training needs at least k=$k vectors, got ${initRows.length}")
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val init = initRows.toSeq.flatMap { r =>
+      val cid = r.getLong(0)
+      val v = r.getSeq[Double](1)
+      (0 until subspaces).map(s =>
+        (s, cid, v.slice(s * sd, (s + 1) * sd)))
+    }.toDF("sub", "cid", "cv")
+    var cent = init
+    var assigned = assignG(sv, cent, "cid")
+    (2 to iters).foreach { _ =>
+      val updated = recentroidG(assigned)
+      cent = updated.unionByName(
+        cent.join(updated.select(col("sub"), col("cid")),
+          Seq("sub", "cid"), "left_anti"))
+      assigned = assignG(sv, cent, "cid")
+    }
+    val cidToCode = initRows.map(_.getLong(0)).sorted.toSeq
+      .zipWithIndex.toDF("cid", "code")
+    // collect-route the finished codebook (S×k rows, the repo's
+    // bounded-table idiom): every downstream reference ([[encode]], the
+    // ADC lookup table, the oracle aux dump) would otherwise re-execute
+    // the whole iterative training lineage per reference
+    val cbPlan = cent.join(broadcast(cidToCode), "cid")
+      .select(col("sub"), col("code"), col("cv"))
+    val codebook = {
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(cbPlan.collect().toSeq.asJava, cbPlan.schema)
+    }
+    val assignedOut = assigned.join(broadcast(cidToCode), "cid")
+      .select(col("id"), col("sub"), col("code"), col("d"))
+    (codebook, assignedOut)
+  }
+
+  /** Encode vectors against a trained codebook: (id, codes) with
+    * codes[s] = the subspace-s entry of smallest decimal-exact distance
+    * (ties to the smaller code). Out-of-sample safe — any vector of the
+    * right dimension encodes. */
+  def encode(vecs: DataFrame, idCol: String, vecCol: String,
+             codebook: DataFrame, subspaces: Int, dim: Int): DataFrame =
+    assignG(subVectors(vecs, idCol, vecCol, subspaces, dim),
+      codebook, "code")
+      .groupBy(col("id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("sub"), col("code")))),
+        s => s.getField("code")).as("codes"))
+
+  /** Asymmetric-distance (ADC) top-k search: queries become a broadcast
+    * (query, sub, code) -> partial-distance table; candidates stream
+    * their codes and pay S lookups + one exact decimal sum each.
+    * Output (query_id, rank, cand_id, adist), self-matches excluded,
+    * ties on the candidate id. */
+  def searchAdc(queries: DataFrame, qIdCol: String, qVecCol: String,
+                codes: DataFrame, codebook: DataFrame, subspaces: Int,
+                dim: Int, topK: Int): DataFrame = {
+    val lut = subVectors(queries, qIdCol, qVecCol, subspaces, dim)
+      .join(broadcast(codebook), Seq("sub"))
+      .select(col("id").as("query_id"), col("sub"), col("code"),
+        KMeans.sqDistDecimal(col("sv"), col("cv")).as("pd"))
+    val cx = codes.select(col("id").as("cand_id"),
+      posexplode(col("codes")).as(Seq("sub", "code")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist"), col("cand_id"))
+    cx.join(broadcast(lut), Seq("sub", "code"))
+      .where(col("query_id") =!= col("cand_id"))
+      .groupBy(col("query_id"), col("cand_id"))
+      .agg(sum(col("pd").cast("decimal(18,9)")).cast("double").as("adist"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("cand_id"),
+        round(col("adist"), 6).as("adist"))
+  }
+
+  /** The production PQ pattern: ADC builds a `shortlist`-sized candidate
+    * set per query FROM CODES ALONE, then exact decimal distances re-rank
+    * only that shortlist against the full vectors — the corpus's float
+    * vectors are touched for |queries| × shortlist rows total, not per
+    * scan. Quantization error costs RECALL INTO THE SHORTLIST only (a
+    * true neighbour outside the shortlist stays lost — size the
+    * shortlist for the measured recall, see PqRecallSpec); everything
+    * inside it is ranked exactly. Output (query_id, rank, cand_id, dist),
+    * ties on the candidate id. */
+  def searchRerank(queries: DataFrame, qIdCol: String, qVecCol: String,
+                   candidates: DataFrame, cIdCol: String, cVecCol: String,
+                   codes: DataFrame, codebook: DataFrame, subspaces: Int,
+                   dim: Int, shortlist: Int, topK: Int): DataFrame = {
+    require(topK <= shortlist,
+      s"topK $topK cannot exceed the shortlist $shortlist")
+    val short = searchAdc(queries, qIdCol, qVecCol, codes, codebook,
+        subspaces, dim, shortlist)
+      .select(col("query_id"), col("cand_id"))
+    val q = queries.select(col(qIdCol).as("query_id"),
+      col(qVecCol).as("__pq_qv"))
+    val c = candidates.select(col(cIdCol).as("cand_id"),
+      col(cVecCol).as("__pq_cv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist"), col("cand_id"))
+    short.join(broadcast(q), Seq("query_id"))
+      .join(c, Seq("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        KMeans.sqDistDecimal(col("__pq_qv"), col("__pq_cv")).as("dist"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("cand_id"),
+        round(col("dist"), 6).as("dist"))
+  }
+}

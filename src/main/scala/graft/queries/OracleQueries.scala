@@ -99,6 +99,12 @@ object OracleQueries {
   private val CmsWidth = 1024
   private val HllP = 8 // m = 256 registers, saturated rank 65-p = 57
 
+  /** Parameters shared by the PQ query, its aux codebook, and the oracle. */
+  private val PqSub = 8
+  private val PqDim = 64
+  private val PqK = 16
+  private val PqIters = 2
+
   /** Write the raw-hash aux tables for the current scale factor. Called by
     * Verify before the query dump; NOT part of any benched query. */
   def writeOracleAux(s: SparkSession, dir: String,
@@ -165,6 +171,22 @@ object OracleQueries {
     ev.select(col("event_type"), col("user_id")).distinct()
       .select(col("event_type"), xxhash64(col("user_id")).as("h"))
       .write.mode("overwrite").parquet(s"$AuxDir/hll_hashes")
+    // product quantization: the trained codebook, exploded to
+    // (sub, code, gi, c) with gi the GLOBAL dimension index. Training
+    // is iterative Lloyd (the arithmetic already oracle-covered by
+    // cluster_kmeans and spec-pinned to KMeans.fit per subspace);
+    // ENCODING and ADC SEARCH — everything downstream of the codebook —
+    // are re-derived by the oracle from this table.
+    val emb = t(s, dir, "embeddings")
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+    val (pqCb, _) = graft.ops.Pq.train(emb, "vec_id", "v",
+      PqSub, PqDim, PqK, PqIters)
+    pqCb
+      .select(col("sub"), col("code"), posexplode(col("cv")).as(Seq("i", "c")))
+      .select(col("sub"), col("code"),
+        (col("sub") * (PqDim / PqSub) + col("i")).as("gi"), col("c"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$AuxDir/pq_codebook")
   }
 
   // ---- the inventory -----------------------------------------------------
@@ -2204,7 +2226,102 @@ object OracleQueries {
           COUNT(*) AS n_segments,
           CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
             AS n_removed
-        FROM m GROUP BY doc_id ORDER BY doc_id"""))
+        FROM m GROUP BY doc_id ORDER BY doc_id""")),
+
+    // =========== product quantization: encode + ADC top-k ================
+    // The memory-bounded ANN scale path: 8 subspaces x 16 codes over the
+    // 64-dim embeddings (byte codes — a 32x cut vs float32 vectors), ADC
+    // search = S table lookups + one exact decimal sum per candidate.
+    // Training (grouped Lloyd, spec-pinned to KMeans.fit per subspace)
+    // ships to the oracle as the aux codebook; the oracle re-derives the
+    // ENCODING argmin and the whole ADC ranking from it with the same
+    // decimal arithmetic.
+    Q("sim_pq_adc",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+          .select(col("vec_id"),
+            col("embedding").cast("array<double>").as("v"))
+        val (cb, _) = Pq.train(e, "vec_id", "v", 8, 64, 16, 2)
+        val codes = Pq.encode(e, "vec_id", "v", cb, 8, 64)
+        val q = e.where(col("vec_id") < 5)
+        Pq.searchAdc(q, "vec_id", "v", codes, cb, 8, 64, topK = 5)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id,
+            UNNEST(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x,
+            UNNEST(range(len(embedding))) AS gi
+          FROM embeddings),
+        cb AS (SELECT sub, code, gi, c FROM '$AuxDir/pq_codebook/*.parquet'),
+        dist AS (SELECT e.vec_id, cb.sub, cb.code,
+            CAST(SUM(CAST((e.x - cb.c) * (e.x - cb.c) AS DECIMAL(18,9)))
+              AS DOUBLE) AS d
+          FROM e JOIN cb USING (gi) GROUP BY 1, 2, 3),
+        enc AS (SELECT vec_id, sub, code FROM (SELECT vec_id, sub, code,
+            ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d, code)
+              AS r FROM dist) WHERE r = 1),
+        lut AS (SELECT vec_id AS query_id, sub, code, d AS pd
+          FROM dist WHERE vec_id < 5),
+        ad AS (SELECT l.query_id, enc.vec_id AS cand_id,
+            CAST(SUM(CAST(l.pd AS DECIMAL(18,9))) AS DOUBLE) AS adist
+          FROM enc JOIN lut l USING (sub, code)
+          WHERE l.query_id <> enc.vec_id GROUP BY 1, 2)
+        SELECT query_id, rank, cand_id, round(adist, 6) AS adist
+        FROM (SELECT query_id, cand_id, adist,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY adist, cand_id) AS rank FROM ad)
+        WHERE rank <= 5 ORDER BY query_id, rank""")),
+
+    // ============ PQ shortlist + exact re-rank ===========================
+    // The way PQ deploys: ADC (codes only) builds a 20-candidate
+    // shortlist per query, exact decimal distances re-rank just those —
+    // the corpus floats are touched for |queries| x 20 rows total.
+    // Quantization error costs recall INTO the shortlist only; measured
+    // in PqRecallSpec (shortlist recall 1.000 at 40 on clustered data).
+    Q("sim_pq_rerank",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+          .select(col("vec_id"),
+            col("embedding").cast("array<double>").as("v"))
+        val (cb, _) = Pq.train(e, "vec_id", "v", 8, 64, 16, 2)
+        val codes = Pq.encode(e, "vec_id", "v", cb, 8, 64)
+        val q = e.where(col("vec_id") < 5)
+        Pq.searchRerank(q, "vec_id", "v", e, "vec_id", "v", codes, cb,
+            8, 64, shortlist = 20, topK = 5)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id,
+            UNNEST(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x,
+            UNNEST(range(len(embedding))) AS gi
+          FROM embeddings),
+        cb AS (SELECT sub, code, gi, c FROM '$AuxDir/pq_codebook/*.parquet'),
+        dist AS (SELECT e.vec_id, cb.sub, cb.code,
+            CAST(SUM(CAST((e.x - cb.c) * (e.x - cb.c) AS DECIMAL(18,9)))
+              AS DOUBLE) AS d
+          FROM e JOIN cb USING (gi) GROUP BY 1, 2, 3),
+        enc AS (SELECT vec_id, sub, code FROM (SELECT vec_id, sub, code,
+            ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d, code)
+              AS r FROM dist) WHERE r = 1),
+        lut AS (SELECT vec_id AS query_id, sub, code, d AS pd
+          FROM dist WHERE vec_id < 5),
+        ad AS (SELECT l.query_id, enc.vec_id AS cand_id,
+            CAST(SUM(CAST(l.pd AS DECIMAL(18,9))) AS DOUBLE) AS adist
+          FROM enc JOIN lut l USING (sub, code)
+          WHERE l.query_id <> enc.vec_id GROUP BY 1, 2),
+        short AS (SELECT query_id, cand_id FROM (SELECT query_id, cand_id,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY adist, cand_id) AS r FROM ad) WHERE r <= 20),
+        ex AS (SELECT sh.query_id, sh.cand_id,
+            CAST(SUM(CAST((q.x - c.x) * (q.x - c.x) AS DECIMAL(18,9)))
+              AS DOUBLE) AS dist
+          FROM short sh
+          JOIN e q ON q.vec_id = sh.query_id
+          JOIN e c ON c.vec_id = sh.cand_id AND c.gi = q.gi
+          GROUP BY 1, 2)
+        SELECT query_id, rank, cand_id, round(dist, 6) AS dist
+        FROM (SELECT query_id, cand_id, dist,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY dist, cand_id) AS rank FROM ex)
+        WHERE rank <= 5 ORDER BY query_id, rank"""))
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
