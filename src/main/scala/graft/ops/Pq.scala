@@ -169,6 +169,40 @@ object Pq {
         round(col("adist"), 6).as("adist"))
   }
 
+  /** IVF-PQ: ADC search restricted to each query's coarse cell — the
+    * canonical large-corpus ANN index (coarse quantizer prunes the
+    * candidate set, byte codes rank what remains; no float vector and
+    * no out-of-cell candidate is ever touched). `codes` must carry the
+    * cell alongside the codes; the cell RIDES IN THE JOIN KEY, so
+    * out-of-cell candidates are dropped in the hash lookup itself, not
+    * filtered after pairing. */
+  def searchAdcInCells(queries: DataFrame, qIdCol: String, qVecCol: String,
+                       qCellCol: String, codes: DataFrame, cellCol: String,
+                       codebook: DataFrame, subspaces: Int, dim: Int,
+                       topK: Int): DataFrame = {
+    val cells = queries.select(col(qIdCol).as("id"),
+      col(qCellCol).as("__pq_cell"))
+    val lut = subVectors(queries, qIdCol, qVecCol, subspaces, dim)
+      .join(broadcast(cells), Seq("id"))
+      .join(broadcast(codebook), Seq("sub"))
+      .select(col("id").as("query_id"), col("__pq_cell").as("cell"),
+        col("sub"), col("code"),
+        KMeans.sqDistDecimal(col("sv"), col("cv")).as("pd"))
+    val cx = codes.select(col("id").as("cand_id"),
+      col(cellCol).as("cell"),
+      posexplode(col("codes")).as(Seq("sub", "code")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist"), col("cand_id"))
+    cx.join(broadcast(lut), Seq("cell", "sub", "code"))
+      .where(col("query_id") =!= col("cand_id"))
+      .groupBy(col("query_id"), col("cand_id"))
+      .agg(sum(col("pd").cast("decimal(18,9)")).cast("double").as("adist"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("cand_id"),
+        round(col("adist"), 6).as("adist"))
+  }
+
   /** The production PQ pattern: ADC builds a `shortlist`-sized candidate
     * set per query FROM CODES ALONE, then exact decimal distances re-rank
     * only that shortlist against the full vectors — the corpus's float

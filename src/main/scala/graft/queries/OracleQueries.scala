@@ -2321,7 +2321,55 @@ object OracleQueries {
         FROM (SELECT query_id, cand_id, dist,
             ROW_NUMBER() OVER (PARTITION BY query_id
               ORDER BY dist, cand_id) AS rank FROM ex)
-        WHERE rank <= 5 ORDER BY query_id, rank"""))
+        WHERE rank <= 5 ORDER BY query_id, rank""")),
+
+    // ====================== IVF-PQ composed ANN ==========================
+    // The canonical large-corpus index: the coarse quantizer (the label
+    // cell, as in sim_ivf_topk) prunes candidates, PQ byte codes rank
+    // what remains — no float vector and no out-of-cell candidate is
+    // touched at query time. The cell rides IN the ADC join key.
+    Q("sim_ivfpq",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+          .select(col("vec_id"), col("label"),
+            col("embedding").cast("array<double>").as("v"))
+        val (cb, _) = Pq.train(e, "vec_id", "v", 8, 64, 16, 2)
+        val codes = Pq.encode(e, "vec_id", "v", cb, 8, 64)
+          .join(e.select(col("vec_id").as("id"), col("label")), "id")
+        val q = e.where(col("vec_id") < 5)
+        Pq.searchAdcInCells(q, "vec_id", "v", "label", codes, "label",
+            cb, 8, 64, topK = 3)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id,
+            UNNEST(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x,
+            UNNEST(range(len(embedding))) AS gi
+          FROM embeddings),
+        lab AS (SELECT vec_id, label FROM embeddings),
+        cb AS (SELECT sub, code, gi, c FROM '$AuxDir/pq_codebook/*.parquet'),
+        dist AS (SELECT e.vec_id, cb.sub, cb.code,
+            CAST(SUM(CAST((e.x - cb.c) * (e.x - cb.c) AS DECIMAL(18,9)))
+              AS DOUBLE) AS d
+          FROM e JOIN cb USING (gi) GROUP BY 1, 2, 3),
+        enc AS (SELECT vec_id, sub, code FROM (SELECT vec_id, sub, code,
+            ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d, code)
+              AS r FROM dist) WHERE r = 1),
+        lut AS (SELECT d.vec_id AS query_id, ql.label, d.sub, d.code,
+            d.d AS pd
+          FROM dist d JOIN lab ql ON ql.vec_id = d.vec_id
+          WHERE d.vec_id < 5),
+        ad AS (SELECT l.query_id, enc.vec_id AS cand_id,
+            CAST(SUM(CAST(l.pd AS DECIMAL(18,9))) AS DOUBLE) AS adist
+          FROM enc
+          JOIN lab cl ON cl.vec_id = enc.vec_id
+          JOIN lut l ON l.sub = enc.sub AND l.code = enc.code
+            AND l.label = cl.label
+          WHERE l.query_id <> enc.vec_id GROUP BY 1, 2)
+        SELECT query_id, rank, cand_id, round(adist, 6) AS adist
+        FROM (SELECT query_id, cand_id, adist,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY adist, cand_id) AS rank FROM ad)
+        WHERE rank <= 3 ORDER BY query_id, rank"""))
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

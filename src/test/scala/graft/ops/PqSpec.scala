@@ -94,6 +94,31 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("IVF-PQ restricts candidates to the query's cell, same ADC order") {
+    val cells = vecs.select(col("vec_id").as("id"),
+      (col("vec_id") % 3).cast("int").as("cell"))
+    val codes = Pq.encode(vecs, "vec_id", "v", codebook, subspaces, dim)
+      .join(cells, "id")
+    val q = vecs.where(col("vec_id") < 3)
+      .withColumn("cell", (col("vec_id") % 3).cast("int"))
+    val got = Pq.searchAdcInCells(q, "vec_id", "v", "cell", codes, "cell",
+      codebook, subspaces, dim, topK = 23).collect()
+    // every candidate shares the query's cell
+    got.foreach(r => assert(r.getLong(0) % 3 == r.getLong(2) % 3))
+    // within the cell, ranking equals plain ADC filtered to the cell
+    val full = Pq.searchAdc(q, "vec_id", "v", codes, codebook,
+        subspaces, dim, topK = 23).collect()
+      .filter(r => r.getLong(0) % 3 == r.getLong(2) % 3)
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getInt(1)).map(r =>
+        (r.getLong(2), r.getDouble(3))).toSeq).toMap
+    got.groupBy(_.getLong(0)).foreach { case (qid, rs) =>
+      val mine = rs.sortBy(_.getInt(1)).map(r =>
+        (r.getLong(2), r.getDouble(3))).toSeq
+      assert(mine == full(qid), s"query $qid cell ranking diverges")
+    }
+  }
+
   test("codebook and encoding are partitioning-invariant") {
     val (cb2, _) = Pq.train(vecs.repartition(7, col("vec_id")),
       "vec_id", "v", subspaces, dim, k, iters)
