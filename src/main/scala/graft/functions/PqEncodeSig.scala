@@ -1,0 +1,98 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
+
+/** Whole PQ code vector of an embedding as ONE row-local expression: the
+  * trained codebook rides inside the expression as a literal
+  * (S × k × D/S doubles — a few KB), so encoding is SHUFFLE-FREE and a
+  * 100 TB embedding corpus encodes inside its own scan. The relational
+  * form ([[graft.ops.Pq.encode]]) pays a broadcast-join row
+  * amplification of k per subspace plus a corpus-keyed (id, sub) argmin
+  * window — an exchange of S × |corpus| rows that this expression
+  * deletes outright; it stays as the in-repo oracle, bit-equality
+  * pinned (PqEncodeFormSpec).
+  *
+  * Bit-compatibility is the load-bearing property, and it has one
+  * subtlety: the relational argmin orders by the DOUBLE-cast distance
+  * (ties then break on the code), so two sub-centroids whose exact
+  * decimal distances differ but collapse to the same double must tie
+  * here as well. The eval therefore mirrors
+  * [[graft.ops.KMeans.sqDistDecimal]] exactly — per-dimension term
+  * rounded once into decimal scale 9 via the shortest-decimal
+  * double→BigDecimal route Spark's Cast uses, exact decimal sum, ONE
+  * double conversion at the end — and compares those doubles.
+  *
+  * CodegenFallback: the per-row work is a fixed S×k×(D/S) arithmetic
+  * loop; falling back costs the enclosing projection its whole-stage
+  * fusion but removes a corpus exchange, which dominates at any scale
+  * (the MinhashSig family precedent, measured in TextHotBench).
+  */
+case class PqEncodeSig(child: Expression,
+                       codebook: Array[Array[Array[Double]]])
+    extends UnaryExpression with CodegenFallback {
+  require(codebook.nonEmpty && codebook.forall(_.nonEmpty),
+    "codebook must have at least one subspace and one code")
+  private val subspaces = codebook.length
+  private val k = codebook(0).length
+  private val sd = codebook(0)(0).length
+  require(codebook.forall(s => s.length == k && s.forall(_.length == sd)),
+    "codebook must be rectangular: same k and sub-dimension everywhere")
+
+  override def dataType: DataType =
+    ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "pq_encode_sig"
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckFailure(s"$prettyName expects array<double>, got " +
+            other.simpleString)
+    }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData].toDoubleArray()
+    if (arr.length != subspaces * sd)
+      throw new IllegalArgumentException(
+        s"$prettyName: vector has ${arr.length} dims, codebook expects " +
+          s"${subspaces * sd}")
+    val codes = new Array[Int](subspaces)
+    var s = 0
+    while (s < subspaces) {
+      val base = s * sd
+      var bestCode = 0
+      var bestD = Double.PositiveInfinity
+      var c = 0
+      while (c < k) {
+        val cv = codebook(s)(c)
+        var acc = java.math.BigDecimal.ZERO
+        var i = 0
+        while (i < sd) {
+          val diff = arr(base + i) - cv(i)
+          // Spark's double->decimal(18,9) cast: shortest-decimal
+          // representation (BigDecimal.valueOf = Double.toString),
+          // then setScale(9, HALF_UP)
+          acc = acc.add(java.math.BigDecimal.valueOf(diff * diff)
+            .setScale(9, java.math.RoundingMode.HALF_UP))
+          i += 1
+        }
+        val d = acc.doubleValue() // the relational form compares DOUBLES
+        if (d < bestD) { bestD = d; bestCode = c }
+        c += 1
+      }
+      codes(s) = bestCode
+      s += 1
+    }
+    new GenericArrayData(codes)
+  }
+
+  override protected def withNewChildInternal(c: Expression): PqEncodeSig =
+    copy(child = c)
+}

@@ -169,6 +169,35 @@ object Pq {
         round(col("adist"), 6).as("adist"))
   }
 
+  /** Row-local encode — the scale path: the codebook (already a
+    * LocalRelation after [[train]]'s collect-route) folds into a
+    * [[graft.functions.PqEncodeSig]] literal, so the whole encoding is
+    * one shuffle-FREE projection riding the corpus scan. [[encode]]
+    * (broadcast-join + argmin window — an exchange of S × |corpus|
+    * rows) stays as the in-repo oracle, bit-equality pinned by
+    * PqEncodeFormSpec. Output identical: (id, codes). Measured
+    * (PqFormBench, interleaved, 1× and 10× ScaleGen corpora): the
+    * expression runs at 0.38–0.55× the relational form's wall time AND
+    * deletes the exchange. One known cost: under projection collapse a
+    * downstream explode's pushed null/size filter re-evaluates the
+    * expression per row (up to 3×) — bounded by the fixed S×k×(D/S)
+    * kernel, far below the exchange it replaces. */
+  def encodeLocal(vecs: DataFrame, idCol: String, vecCol: String,
+                  codebook: DataFrame, subspaces: Int, dim: Int): DataFrame = {
+    import org.apache.spark.sql.graftshim.Internals.{column => toCol, expression => toExpr}
+    val sd = dim / subspaces
+    val rows = codebook.select(col("sub"), col("code"), col("cv")).collect()
+    val k = rows.length / subspaces
+    val cb = Array.ofDim[Array[Double]](subspaces, k)
+    rows.foreach { r =>
+      cb(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray
+    }
+    require(cb.forall(_.forall(v => v != null && v.length == sd)),
+      s"codebook must cover codes 0..${k - 1} for all $subspaces subspaces")
+    vecs.select(col(idCol).as("id"),
+      toCol(graft.functions.PqEncodeSig(toExpr(col(vecCol)), cb)).as("codes"))
+  }
+
   /** IVF-PQ: ADC search restricted to each query's coarse cell — the
     * canonical large-corpus ANN index (coarse quantizer prunes the
     * candidate set, byte codes rank what remains; no float vector and

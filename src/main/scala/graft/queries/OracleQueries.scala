@@ -2242,7 +2242,7 @@ object OracleQueries {
           .select(col("vec_id"),
             col("embedding").cast("array<double>").as("v"))
         val (cb, _) = Pq.train(e, "vec_id", "v", 8, 64, 16, 2)
-        val codes = Pq.encode(e, "vec_id", "v", cb, 8, 64)
+        val codes = Pq.encodeLocal(e, "vec_id", "v", cb, 8, 64)
         val q = e.where(col("vec_id") < 5)
         Pq.searchAdc(q, "vec_id", "v", codes, cb, 8, 64, topK = 5)
           .orderBy(col("query_id"), col("rank"))
@@ -2283,7 +2283,7 @@ object OracleQueries {
           .select(col("vec_id"),
             col("embedding").cast("array<double>").as("v"))
         val (cb, _) = Pq.train(e, "vec_id", "v", 8, 64, 16, 2)
-        val codes = Pq.encode(e, "vec_id", "v", cb, 8, 64)
+        val codes = Pq.encodeLocal(e, "vec_id", "v", cb, 8, 64)
         val q = e.where(col("vec_id") < 5)
         Pq.searchRerank(q, "vec_id", "v", e, "vec_id", "v", codes, cb,
             8, 64, shortlist = 20, topK = 5)
@@ -2334,7 +2334,7 @@ object OracleQueries {
           .select(col("vec_id"), col("label"),
             col("embedding").cast("array<double>").as("v"))
         val (cb, _) = Pq.train(e, "vec_id", "v", 8, 64, 16, 2)
-        val codes = Pq.encode(e, "vec_id", "v", cb, 8, 64)
+        val codes = Pq.encodeLocal(e, "vec_id", "v", cb, 8, 64)
           .join(e.select(col("vec_id").as("id"), col("label")), "id")
         val q = e.where(col("vec_id") < 5)
         Pq.searchAdcInCells(q, "vec_id", "v", "label", codes, "label",
