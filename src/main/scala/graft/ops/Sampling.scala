@@ -182,4 +182,21 @@ object Sampling {
         lit(4294967296.0))
     df.where(unit < cutoff)
   }
+
+  /** [[weightedSample]] with the probability given in LOG space: keep
+    * each row with probability min(1, e^logProb) — the form an
+    * importance-resampling pass produces (a log-likelihood RATIO) —
+    * WITHOUT ever calling exp: the coin compares in log space,
+    * `round(ln((u+1)/2^32), 6) < logProb` with u the 32-bit id-hash
+    * uniform. exp's cross-engine rounding is unpinned libm behaviour;
+    * ln of a discrete hash value rounded to 6 dp is the single-ln form
+    * the repo's other oracles already rely on. A NULL logProb excludes
+    * the row explicitly. Still a PURE FILTER — no shuffle, rides the
+    * scan. */
+  def logWeightedSample(df: DataFrame, id: Column,
+                        logProb: Column): DataFrame = {
+    val unit = pmod(xxhash64(id), lit(1L << 32))
+    val coin = round(log((unit + 1).cast("double") / lit(4294967296.0)), 6)
+    df.where(coin < coalesce(logProb, lit(Double.NegativeInfinity)))
+  }
 }

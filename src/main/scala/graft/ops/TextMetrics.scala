@@ -205,6 +205,40 @@ object TextMetrics {
         count(lit(1)).as("n_tokens"))
   }
 
+  /** [[unigramLogprob]] scored against an EXTERNAL reference corpus:
+    * the vocabulary and total come from `ref`, and tokens absent from
+    * the reference take the smoothed floor ln(1/(total+1)) instead of
+    * dropping out — the cross-corpus half of a DSIR-style importance
+    * weight (Xie et al., "Data Selection for Language Models via
+    * Importance Resampling": weight ∝ p_target(doc)/p_source(doc); the
+    * per-token average of ln p_target comes from here, ln p_source from
+    * [[unigramLogprob]]). Same determinism rules: each ln rounded to
+    * 6 dp, decimal-exact mean, vocab join left to Spark's strategy,
+    * reference total collect-routed from a count-only scan. Returns
+    * (idCol, avg_logprob, n_tokens). */
+  def unigramLogprobAgainst(df: org.apache.spark.sql.DataFrame,
+                            idCol: String, textCol: String,
+                            ref: org.apache.spark.sql.DataFrame,
+                            refTextCol: String)
+      : org.apache.spark.sql.DataFrame = {
+    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+    val vocab = ref.select(explode(tokens(col(refTextCol))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val totalRow = ref
+      .agg(sum(tokenCount(col(refTextCol)).cast("long"))).collect()(0)
+    val total = if (totalRow.isNullAt(0)) 0L else totalRow.getLong(0)
+    toks.join(vocab, Seq("tok"), "left")
+      .select(col(idCol),
+        when(col("c").isNull,
+          round(log(lit(1.0) / (total + 1.0)), 6))
+          .otherwise(round(log(col("c") / lit(total)), 6)).as("lp"))
+      .groupBy(col(idCol))
+      .agg(
+        (sum(col("lp").cast("decimal(18,9)")).cast("double") /
+          count(lit(1))).as("avg_logprob"),
+        count(lit(1)).as("n_tokens"))
+  }
+
   /** Regex for email-shaped tokens — kept to a subset valid with IDENTICAL
     * semantics in Java regex and RE2 (no backrefs, no lookaround), so an
     * external-engine oracle can replay the redaction. */

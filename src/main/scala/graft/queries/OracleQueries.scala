@@ -2369,7 +2369,67 @@ object OracleQueries {
         FROM (SELECT query_id, cand_id, adist,
             ROW_NUMBER() OVER (PARTITION BY query_id
               ORDER BY adist, cand_id) AS rank FROM ad)
-        WHERE rank <= 3 ORDER BY query_id, rank"""))
+        WHERE rank <= 3 ORDER BY query_id, rank""")),
+
+    // =========== DSIR-style importance resampling ========================
+    // Data selection via importance resampling (Xie et al.): keep each
+    // document with probability min(1, p_target(doc)/p_source(doc))
+    // under unigram LMs — target = the English slice, source = the full
+    // corpus. The DOCUMENT-level log-ratio (per-token average difference
+    // × token count — the actual likelihood ratio, not its per-token
+    // average) lives entirely in LOG space and so does the Bernoulli
+    // coin (Sampling.logWeightedSample), so no engine ever calls exp.
+    // Both scoring passes are bounded-vocab joins; the coin is a pure
+    // filter. (This synthetic corpus shares most vocabulary across
+    // languages, so the unigram ratio is mild by construction — the
+    // gate verifies the machinery hash-exactly either way.)
+    Q("dsir_resample",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val target = docs.where(col("lang") === "en")
+        val srcLp = TextMetrics.unigramLogprob(docs, "doc_id", "text")
+          .select(col("doc_id"), col("avg_logprob").as("lp_s"),
+            col("n_tokens"))
+        val tgtLp = TextMetrics.unigramLogprobAgainst(docs, "doc_id",
+            "text", target, "text")
+          .select(col("doc_id"), col("avg_logprob").as("lp_t"))
+        val scored = tgtLp.join(srcLp, "doc_id")
+          .withColumn("lp_diff",
+            round((col("lp_t") - col("lp_s")) * col("n_tokens"), 6))
+        Sampling.logWeightedSample(scored, col("doc_id"), col("lp_diff"))
+          .select(col("doc_id"), col("lp_diff"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH toks AS (SELECT doc_id,
+            UNNEST(string_split(text, ' ')) AS tok FROM documents),
+          svocab AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY 1),
+          stot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM svocab),
+          ttoks AS (SELECT UNNEST(string_split(text, ' ')) AS tok
+            FROM documents WHERE lang = 'en'),
+          tvocab AS (SELECT tok, COUNT(*) AS c FROM ttoks GROUP BY 1),
+          ttot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM tvocab),
+          ssc AS (SELECT t.doc_id,
+              CAST(SUM(CAST(round(ln(CAST(v.c AS DOUBLE) /
+                (SELECT n FROM stot)), 6) AS DECIMAL(18,9))) AS DOUBLE)
+                / COUNT(*) AS lp_s,
+              COUNT(*) AS n_tokens
+            FROM toks t JOIN svocab v USING (tok) GROUP BY 1),
+          tsc AS (SELECT t.doc_id,
+              CAST(SUM(CAST(CASE WHEN v.c IS NULL
+                THEN round(ln(1.0 / ((SELECT n FROM ttot) + 1)), 6)
+                ELSE round(ln(CAST(v.c AS DOUBLE) /
+                  (SELECT n FROM ttot)), 6) END AS DECIMAL(18,9)))
+                AS DOUBLE) / COUNT(*) AS lp_t
+            FROM toks t LEFT JOIN tvocab v USING (tok) GROUP BY 1),
+          j AS (SELECT ssc.doc_id,
+            round((lp_t - lp_s) * n_tokens, 6) AS lp_diff
+            FROM ssc JOIN tsc USING (doc_id)),
+          hx AS (SELECT doc_id,
+            ((h % 4294967296) + 4294967296) % 4294967296 AS u
+            FROM '$AuxDir/doc_bucket/*.parquet')
+        SELECT j.doc_id, lp_diff FROM j JOIN hx USING (doc_id)
+        WHERE round(ln(CAST(u + 1 AS DOUBLE) / 4294967296.0), 6) < lp_diff
+        ORDER BY doc_id"""))
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
