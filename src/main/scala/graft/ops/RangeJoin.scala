@@ -54,4 +54,42 @@ object RangeJoin {
       .where(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop("_rj_bucket")
   }
+
+  /** Bucketed interval-OVERLAP join (both sides are intervals): match
+    * where `lLo <= rHi && rLo <= lHi` (inclusive, touching endpoints
+    * match — the SQL `a.lo <= b.hi AND b.lo <= a.hi` predicate that
+    * Spark would otherwise plan as a nested-loop/cartesian). Both sides
+    * explode to their covered buckets and equi-join on the bucket; a
+    * pair sharing several buckets would duplicate, so the match is
+    * emitted ONLY in the first shared bucket
+    * (`bucket == max(floor(lLo/w), floor(rLo/w))`) — exactly-once
+    * without any distinct pass. Same span guard and inverted-interval
+    * rule as [[pointInInterval]], applied to BOTH sides; the caller's
+    * column names must be disjoint across the sides (the join keeps
+    * all four bound columns). Shuffle cost: one hash exchange of
+    * Σ(span/width) rows per side. */
+  def intervalOverlap(left: DataFrame, lLo: String, lHi: String,
+                      right: DataFrame, rLo: String, rHi: String,
+                      bucketWidth: Double, keys: Seq[String] = Nil,
+                      maxBucketsPerInterval: Int = 1024): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth $bucketWidth must be positive")
+    require(!(left.columns ++ right.columns).contains("_rj_bucket"),
+      "a side already carries the _rj_bucket helper column")
+    def spans(df: DataFrame, loCol: String, hiCol: String): DataFrame = {
+      val lob = floor(col(loCol) / bucketWidth).cast("long")
+      val hib = floor(col(hiCol) / bucketWidth).cast("long")
+      df.where(col(loCol) <= col(hiCol))
+        .withColumn("_rj_bucket", explode(sequence(lob,
+          when(hib - lob < maxBucketsPerInterval, hib).otherwise(
+            raise_error(concat(lit(s"interval spans more than " +
+              s"$maxBucketsPerInterval buckets at width $bucketWidth: ["),
+              col(loCol), lit(", "), col(hiCol), lit("]")))))))
+    }
+    spans(left, lLo, lHi).join(spans(right, rLo, rHi), keys :+ "_rj_bucket")
+      .where(col(lLo) <= col(rHi) && col(rLo) <= col(lHi) &&
+        col("_rj_bucket") === greatest(
+          floor(col(lLo) / bucketWidth), floor(col(rLo) / bucketWidth))
+          .cast("long"))
+      .drop("_rj_bucket")
+  }
 }

@@ -2429,7 +2429,39 @@ object OracleQueries {
             FROM '$AuxDir/doc_bucket/*.parquet')
         SELECT j.doc_id, lp_diff FROM j JOIN hx USING (doc_id)
         WHERE round(ln(CAST(u + 1 AS DOUBLE) / 4294967296.0), 6) < lp_diff
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // ============= J11: interval-overlap join (bucketed) =================
+    // Both sides are INTERVALS (event spans vs per-size windows) — the
+    // join Spark would plan as a nested loop. Bucketized on both sides
+    // with the first-shared-bucket rule, so each overlapping pair emits
+    // exactly once with no distinct pass; DuckDB replays the plain
+    // inequality join as the oracle.
+    Q("j11_interval_overlap",
+      (s, dir) => {
+        val ev = t(s, dir, "events").where(col("event_id") < 5000)
+          .select(col("event_id"), col("value").as("e_lo"),
+            (col("value") + 2.5).as("e_hi"))
+        val iv = t(s, dir, "part").groupBy(col("p_size"))
+          .agg(count(lit(1)).as("n_parts"))
+          .withColumn("lo", col("p_size") * 10.0 - col("p_size") * 0.5)
+          .withColumn("hi", col("p_size") * 10.0 + col("p_size") * 0.5)
+        RangeJoin.intervalOverlap(ev, "e_lo", "e_hi", iv, "lo", "hi",
+            bucketWidth = 10.0)
+          .groupBy(col("p_size"))
+          .agg(count(lit(1)).as("n_pairs"), dsum(col("e_lo")).as("lo_sum"))
+          .orderBy(col("p_size"))
+      },
+      Some(s"""WITH ev AS (SELECT event_id, value AS e_lo,
+            value + 2.5 AS e_hi FROM events WHERE event_id < 5000),
+          iv AS (SELECT p_size, COUNT(*) AS n_parts,
+            p_size * 10.0 - p_size * 0.5 AS lo,
+            p_size * 10.0 + p_size * 0.5 AS hi
+          FROM part GROUP BY p_size)
+        SELECT iv.p_size, COUNT(*) AS n_pairs,
+          ${sqlDsum("e.e_lo")} AS lo_sum
+        FROM ev e JOIN iv ON e.e_lo <= iv.hi AND iv.lo <= e.e_hi
+        GROUP BY iv.p_size ORDER BY iv.p_size"""))
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
