@@ -2461,7 +2461,29 @@ object OracleQueries {
         SELECT iv.p_size, COUNT(*) AS n_pairs,
           ${sqlDsum("e.e_lo")} AS lo_sum
         FROM ev e JOIN iv ON e.e_lo <= iv.hi AND iv.lo <= e.e_hi
-        GROUP BY iv.p_size ORDER BY iv.p_size"""))
+        GROUP BY iv.p_size ORDER BY iv.p_size""")),
+
+    // ============ skew-safe two-phase grouped top-k =======================
+    // Top 10 documents per language by length — computed by the bounded
+    // two-phase aggregator (map-side keeps <= k pairs per group per
+    // task; the exchange moves 16-byte pairs, not rows), not the
+    // hot-group window. The oracle replays the window form — the two
+    // are row-identical by construction (equivalence-spec-pinned).
+    Q("topk_two_phase",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        TopK.topKByScore(docs, col("lang"), col("doc_id"),
+            col("n_chars"), k = 10)
+          .select(col("lang"), col("topk_rank"), col("doc_id"),
+            col("n_chars"))
+          .orderBy(col("lang"), col("topk_rank"))
+      },
+      Some("""SELECT lang, topk_rank, doc_id, n_chars FROM (
+          SELECT lang, doc_id, n_chars,
+            CAST(ROW_NUMBER() OVER (PARTITION BY lang
+              ORDER BY n_chars DESC, doc_id) AS INTEGER) AS topk_rank
+          FROM documents)
+        WHERE topk_rank <= 10 ORDER BY lang, topk_rank"""))
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
