@@ -2483,7 +2483,33 @@ object OracleQueries {
             CAST(ROW_NUMBER() OVER (PARTITION BY lang
               ORDER BY n_chars DESC, doc_id) AS INTEGER) AS topk_rank
           FROM documents)
-        WHERE topk_rank <= 10 ORDER BY lang, topk_rank"""))
+        WHERE topk_rank <= 10 ORDER BY lang, topk_rank""")),
+
+    // ================ z-order layout key (Morton interleave) =============
+    // The multi-dimensional data-skipping sort key: bit b of l_orderkey
+    // at z-bit 2b, bit b of l_partkey at 2b+1 — a pure 62-term
+    // shift/mask/or column tree fully inside whole-stage codegen.
+    // LayoutSpec quantifies the skipping claim (worst-dimension chunk
+    // span ~3x tighter than a one-column sort); this gate pins the
+    // interleave arithmetic bit-for-bit against DuckDB's replay.
+    Q("layout_zorder",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem").where(col("l_orderkey") < 2000)
+        li.select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+            Layout.zOrder2(col("l_orderkey"), col("l_partkey")).as("z"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"))
+      },
+      // the interleave is unrolled to a 62-term expression (mirroring
+      // the Spark column tree) rather than a series-join + GROUP BY: a
+      // grouped form would silently MERGE duplicate
+      // (orderkey, linenumber, partkey) triples, which sf0.1 contains
+      Some(s"""SELECT l_orderkey, l_linenumber, l_partkey,
+          ${(0 until 31).map(b =>
+            s"(((l_orderkey >> $b) & 1) << ${2 * b}) | " +
+            s"(((l_partkey >> $b) & 1) << ${2 * b + 1})").mkString(" | ")}
+            AS z
+        FROM lineitem WHERE l_orderkey < 2000
+        ORDER BY l_orderkey, l_linenumber"""))
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
