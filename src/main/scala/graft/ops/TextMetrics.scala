@@ -239,6 +239,47 @@ object TextMetrics {
         count(lit(1)).as("n_tokens"))
   }
 
+  /** Adjacent-token bigrams of a document as (bg = "w1 w2", w1) structs —
+    * row-local (two shifted slices zipped; no per-document window, no
+    * shuffle). A document of fewer than two tokens yields an empty
+    * array. */
+  def bigrams(text: Column): Column =
+    Cols.bound(tokens(text)) { toks =>
+      zip_with(
+        slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+        slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+        (a, b) => struct(concat(a, lit(" "), b).as("bg"), a.as("w1")))
+    }
+
+  /** Corpus-trained BIGRAM language-model score per document: the mean
+    * over a document's adjacent token pairs of ln p(w2 | w1), with the
+    * conditional MLE p(w2|w1) = c(w1 w2) / cPrefix(w1), where cPrefix
+    * counts w1's occurrences AS A PREFIX (= the sum of c(w1 ·) over the
+    * bigram table — so numerator and denominator come from the same
+    * aggregation and cannot drift). One step up the n-gram ladder from
+    * [[unigramLogprob]] toward real perplexity, with the same
+    * determinism rules: each ln rounded to 6 dp, decimal-exact mean,
+    * vocabulary joins left to Spark's strategy (bounded by bigram TYPE
+    * count). Documents with fewer than two tokens drop out (they have
+    * no bigram to score). Returns (idCol, avg_logprob, n_bigrams). */
+  def bigramLogprob(df: org.apache.spark.sql.DataFrame, idCol: String,
+                    textCol: String): org.apache.spark.sql.DataFrame = {
+    val rows = df.select(col(idCol),
+        explode(bigrams(col(textCol))).as("b"))
+      .select(col(idCol), col("b.bg").as("bg"), col("b.w1").as("w1"))
+    val c2 = rows.groupBy(col("bg"), col("w1"))
+      .agg(count(lit(1)).as("c2"))
+    val cp = c2.groupBy(col("w1")).agg(sum(col("c2")).as("cp"))
+    rows
+      .join(c2.join(cp, "w1").select(col("bg"), col("c2"), col("cp")), "bg")
+      .select(col(idCol), round(log(col("c2") / col("cp")), 6).as("lp"))
+      .groupBy(col(idCol))
+      .agg(
+        (sum(col("lp").cast("decimal(18,9)")).cast("double") /
+          count(lit(1))).as("avg_logprob"),
+        count(lit(1)).as("n_bigrams"))
+  }
+
   /** Regex for email-shaped tokens — kept to a subset valid with IDENTICAL
     * semantics in Java regex and RE2 (no backrefs, no lookaround), so an
     * external-engine oracle can replay the redaction. */

@@ -2509,7 +2509,37 @@ object OracleQueries {
             s"(((l_partkey >> $b) & 1) << ${2 * b + 1})").mkString(" | ")}
             AS z
         FROM lineitem WHERE l_orderkey < 2000
-        ORDER BY l_orderkey, l_linenumber"""))
+        ORDER BY l_orderkey, l_linenumber""")),
+
+    // =============== bigram LM quality scoring ============================
+    // One rung up the n-gram ladder from text_unigram_logprob: the mean
+    // conditional ln p(w2|w1) per document, MLE from the corpus's own
+    // bigram table; the prefix denominator is the SUM of that same
+    // table (numerator and denominator cannot drift). Bigrams extract
+    // row-locally (two shifted slices zipped) — no per-document window.
+    Q("text_bigram_logprob",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        TextMetrics.bigramLogprob(docs, "doc_id", "text")
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+            FROM documents),
+          p AS (SELECT doc_id, toks,
+            UNNEST(range(1, greatest(len(toks), 1))) AS i FROM t),
+          rows_ AS (SELECT doc_id,
+            toks[i] || ' ' || toks[i + 1] AS bg, toks[i] AS w1 FROM p),
+          c2 AS (SELECT bg, w1, COUNT(*) AS c2 FROM rows_ GROUP BY 1, 2),
+          cp AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS cp
+            FROM c2 GROUP BY 1),
+          scored AS (SELECT r.doc_id,
+            round(ln(CAST(c2.c2 AS DOUBLE) / cp.cp), 6) AS lp
+          FROM rows_ r JOIN c2 USING (bg) JOIN cp ON cp.w1 = c2.w1)
+        SELECT doc_id,
+          CAST(SUM(CAST(lp AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*)
+            AS avg_logprob,
+          COUNT(*) AS n_bigrams
+        FROM scored GROUP BY doc_id ORDER BY doc_id"""))
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

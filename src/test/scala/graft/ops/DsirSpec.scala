@@ -32,6 +32,22 @@ class DsirSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("bigramLogprob: hand-computed conditional MLE") {
+    // corpus bigrams: "a b" x2, "b a" x1, "b c" x1
+    //   cPrefix(a)=2, cPrefix(b)=2
+    //   p(b|a) = 2/2 = 1 -> lp 0;  p(a|b) = 1/2;  p(c|b) = 1/2
+    val docs = Seq((1L, "a b a b c"), (2L, "solo")).toDF("doc_id", "text")
+    val r = TextMetrics.bigramLogprob(docs, "doc_id", "text").collect()
+    assert(r.length == 1, "a single-token doc has no bigram to score")
+    def lp(x: Double) = java.math.BigDecimal.valueOf(math.log(x))
+      .setScale(6, java.math.RoundingMode.HALF_UP)
+    // doc 1 bigrams: (a b), (b a), (a b), (b c)
+    val want = Seq(lp(1.0), lp(0.5), lp(1.0), lp(0.5))
+      .reduce(_ add _).doubleValue() / 4
+    assert(r(0).getLong(0) == 1L && r(0).getDouble(1) == want &&
+      r(0).getLong(2) == 4L)
+  }
+
   test("logWeightedSample: coin semantics in log space") {
     val df = (0L until 4000L).toDF("id")
     // logProb 0 => keep with prob ~1 (ln(u) < 0 except u = 2^32)
