@@ -1,0 +1,54 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.SparkSpec
+
+/** JSONL ingest: the schema contract (extra fields ignored, missing
+  * fields null), corrupt-line quarantine with the raw text intact, and
+  * a write→read round trip against the parquet corpus. */
+class JsonlSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType)))
+
+  test("clean/corrupt split with the raw line preserved") {
+    val dir = java.nio.file.Files.createTempDirectory("jsonl").toString
+    val lines = Seq(
+      """{"doc_id": 1, "text": "hello world", "lang": "en"}""",
+      """{"doc_id": 2, "text": "bonjour", "lang": "fr", "extra": 9}""",
+      """{"doc_id": 3, "text": "missing lang"}""",
+      """{"doc_id": 4, "text": "truncat""", // cut mid-string
+      """not json at all""",
+      "",
+      """{"doc_id": 5, "text": "ok", "lang": "de"}""")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "part-0.jsonl"),
+      lines.mkString("\n"))
+    val (clean, corrupt) =
+      JsonlSource.readWithQuarantine(spark, dir, schema)
+    val c = clean.orderBy("doc_id").collect()
+    assert(c.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 5L))
+    assert(c(1).getString(2) == "fr") // extra field ignored, lang kept
+    assert(c(2).isNullAt(2)) // missing field -> null, still clean
+    val bad = corrupt.collect().map(_.getString(0)).toSet
+    assert(bad == Set("""{"doc_id": 4, "text": "truncat""",
+      "not json at all", ""))
+  }
+
+  test("write -> read round trip against the parquet corpus") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text", "lang")
+    val dir = java.nio.file.Files.createTempDirectory("jsonl_rt").toString
+    docs.write.mode("overwrite").json(dir)
+    val (clean, corrupt) = JsonlSource.readWithQuarantine(spark, dir, schema)
+    assert(corrupt.count() == 0)
+    val a = docs.orderBy("doc_id").collect().toSeq
+    val b = clean.orderBy("doc_id").collect().toSeq
+    assert(a == b)
+  }
+}
