@@ -1,0 +1,42 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Watermarked stream-stream interval join — the attribution shape
+  * (impression ⋈ click within a horizon) and the last Structured
+  * Streaming primitive family in the engine (stateful map/flatMap,
+  * windowed aggs, dedup, sessions, distinct, top-k are elsewhere).
+  *
+  * State boundedness is the whole design: both sides carry watermarks
+  * and the join condition carries a TIME BOUND
+  * (`rightTs BETWEEN leftTs AND leftTs + horizon`), which is exactly
+  * what lets Spark evict: a left row older than
+  * max-event-time − (watermark + horizon) can never match a future
+  * right row and is dropped from the state store, so state is bounded
+  * by arrival rate × (watermark + horizon), not by history. Without
+  * the time bound the same join would accumulate both streams forever
+  * — the trap this helper exists to make unmakeable.
+  */
+object StreamingJoin {
+
+  /** Inner-join `left` rows to the `right` rows that share `key` and
+    * fall inside `[leftTs, leftTs + horizonSec]`, with both sides
+    * late-bounded by `watermarkSec`. Column names must be disjoint
+    * apart from the key. Append-mode output: a pair emits once both
+    * watermarks pass it. */
+  def withinHorizon(left: DataFrame, leftTs: String,
+                    right: DataFrame, rightTs: String,
+                    key: String, horizonSec: Int,
+                    watermarkSec: Int): DataFrame = {
+    require(horizonSec > 0 && watermarkSec >= 0,
+      s"need horizon > 0 and watermark >= 0, got $horizonSec/$watermarkSec")
+    val l = left.withWatermark(leftTs, s"$watermarkSec seconds")
+    val r = right.withWatermark(rightTs, s"$watermarkSec seconds")
+    l.join(r,
+      l(key) === r(key) &&
+        r(rightTs) >= l(leftTs) &&
+        r(rightTs) <= l(leftTs) + expr(s"INTERVAL $horizonSec SECONDS"))
+      .drop(r(key))
+  }
+}
