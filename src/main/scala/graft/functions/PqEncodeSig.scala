@@ -76,10 +76,20 @@ case class PqEncodeSig(child: Expression,
         var i = 0
         while (i < sd) {
           val diff = arr(base + i) - cv(i)
-          // Spark's double->decimal(18,9) cast: shortest-decimal
-          // representation (BigDecimal.valueOf = Double.toString),
-          // then setScale(9, HALF_UP)
-          acc = acc.add(java.math.BigDecimal.valueOf(diff * diff)
+          val term = diff * diff
+          // the relational oracle's per-term cast to decimal(18,9)
+          // OVERFLOWS (to null, which would then WIN its argmin via
+          // NULLS FIRST) for terms >= 1e9 — outside the family's
+          // declared distance domain. Unlimited BigDecimal here would
+          // silently DIVERGE from that form instead of matching it, so
+          // the domain is enforced loudly: scale embeddings (or pick
+          // per-dimension spans) so |x - c| stays under ~31623.
+          if (!(term < 1e9))
+            throw new IllegalArgumentException(
+              s"$prettyName: squared per-dimension distance $term " +
+                "exceeds the decimal(18,9) domain (|diff| >= ~31623); " +
+                "scale the embedding space")
+          acc = acc.add(java.math.BigDecimal.valueOf(term)
             .setScale(9, java.math.RoundingMode.HALF_UP))
           i += 1
         }

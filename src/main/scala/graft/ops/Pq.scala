@@ -32,7 +32,13 @@ import org.apache.spark.sql.expressions.Window
   * CODES, and the only per-candidate work is S table lookups summed —
   * no floating-vector math touches the corpus at query time.
   *
-  * `vecCol` must already be array<double> ([[VectorOps.toDouble]]).
+  * `vecCol` must already be array<double> ([[VectorOps.toDouble]]),
+  * non-null, and within the family's distance domain: every
+  * per-dimension squared difference must stay under 1e9 (the
+  * decimal(18,9) range) — beyond it the relational form's decimal cast
+  * would overflow to null and corrupt its argmin, so [[encodeLocal]]'s
+  * expression REJECTS such vectors loudly instead of silently
+  * diverging from its pinned oracle.
   */
 object Pq {
 

@@ -63,71 +63,9 @@ object Sampling {
       .where(col("sample_rank") <= n)
   }
 
-  /** One sampled row's sort key: the id-hash and the (integral) id. */
-  final case class HashId(h: Long, i: Long)
-
-  /** Bounded top-N aggregator over (hash, id) pairs: the buffer holds AT
-    * MOST n pairs, kept sorted ascending by (h, i) — so the partial
-    * (map-side) aggregation already reduces each task's contribution to
-    * n pairs per stratum, and the merge is a truncated sorted-array
-    * merge. The common non-qualifying row (hash above the current n-th)
-    * costs O(1). Signed long comparison matches the window form's
-    * ascending orderBy on xxhash64. */
-  private class TopNAgg(n: Int)
-      extends Aggregator[HashId, Array[Long], Seq[HashId]] {
-    private def less(h1: Long, i1: Long, h2: Long, i2: Long): Boolean =
-      h1 < h2 || (h1 == h2 && i1 < i2)
-
-    def zero: Array[Long] = Array.emptyLongArray
-
-    def reduce(buf: Array[Long], in: HashId): Array[Long] = {
-      val m = buf.length / 2
-      if (m == n && !less(in.h, in.i, buf(2 * n - 2), buf(2 * n - 1)))
-        return buf
-      var pos = m
-      while (pos > 0 && less(in.h, in.i, buf(2 * pos - 2), buf(2 * pos - 1)))
-        pos -= 1
-      val keep = math.min(m + 1, n)
-      val out = new Array[Long](keep * 2)
-      System.arraycopy(buf, 0, out, 0, pos * 2)
-      out(2 * pos) = in.h; out(2 * pos + 1) = in.i
-      val rest = keep - pos - 1
-      if (rest > 0) System.arraycopy(buf, pos * 2, out, (pos + 1) * 2,
-        rest * 2)
-      out
-    }
-
-    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
-      val ma = a.length / 2; val mb = b.length / 2
-      val keep = math.min(ma + mb, n)
-      val out = new Array[Long](keep * 2)
-      var ia = 0; var ib = 0; var io = 0
-      while (io < keep) {
-        val takeA = ib >= mb || (ia < ma &&
-          less(a(2 * ia), a(2 * ia + 1), b(2 * ib), b(2 * ib + 1)))
-        if (takeA) { out(2 * io) = a(2 * ia); out(2 * io + 1) = a(2 * ia + 1)
-          ia += 1 }
-        else { out(2 * io) = b(2 * ib); out(2 * io + 1) = b(2 * ib + 1)
-          ib += 1 }
-        io += 1
-      }
-      out
-    }
-
-    def finish(buf: Array[Long]): Seq[HashId] =
-      (0 until buf.length / 2).map(j => HashId(buf(2 * j), buf(2 * j + 1)))
-
-    // native long-array encoder (the MedianMadAgg precedent): the buffer
-    // crosses the partial→final exchange as a length-prefixed memcpy
-    def bufferEncoder: Encoder[Array[Long]] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
-    def outputEncoder: Encoder[Seq[HashId]] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[HashId]]()
-  }
-
   /** Two-phase exact-N-per-stratum sample — SAME result as
     * [[smallestHashSample]] (equivalence-spec-pinned), built for strata
-    * far larger than a task: phase 1 is the bounded [[TopNAgg]], whose
+    * far larger than a task: phase 1 is the bounded [[BoundedTopAgg]], whose
     * map-side partial aggregation keeps at most n (hash, id) pairs per
     * stratum per task — the per-partition top-N — so the exchange moves
     * ≤ tasks × strata × n 16-byte pairs whatever the data size, and the
@@ -150,14 +88,19 @@ object Sampling {
                                  n: Int): DataFrame = {
     require(n > 0, s"need n > 0, got $n")
     val base = df.drop("sample_rank")
+    // the bounded buffer is the shared BoundedTopAgg (also behind
+    // TopK.topKByScore) with the signed ascending (hash, id) order the
+    // window form's orderBy uses
+    val less = (h1: Long, i1: Long, h2: Long, i2: Long) =>
+      h1 < h2 || (h1 == h2 && i1 < i2)
     val top = base.groupBy(stratum.as("__tp_s"))
-      .agg(udaf(new TopNAgg(n), Encoders.product[HashId])
+      .agg(udaf(new BoundedTopAgg(n, less), Encoders.product[(Long, Long)])
         .apply(xxhash64(id), id.cast("long")).as("__tp_top"))
       .select(col("__tp_s"),
         posexplode(col("__tp_top")).as(Seq("__tp_pos", "__tp_hi")))
       .select(col("__tp_s"),
         (col("__tp_pos") + 1).cast("int").as("sample_rank"),
-        col("__tp_hi.i").as("__tp_i"))
+        col("__tp_hi._2").as("__tp_i"))
     base.join(top, stratum <=> col("__tp_s") &&
         id.cast("long") === col("__tp_i"))
       .drop("__tp_s", "__tp_i")

@@ -18,70 +18,38 @@ import org.apache.spark.sql.functions._
   * Ordering: score DESCENDING, ties on the id ASCENDING — identical to
   * the window form's `orderBy(score.desc, id)` (equivalence-spec-pinned).
   * `id` must be non-null, integral, and unique within its group (the
-  * repo's key convention); scores must not be NaN (NaN has no place in
-  * a ranking; the window form would sort it arbitrarily high).
+  * repo's key convention). A NULL or NaN score FAILS LOUDLY, naming the
+  * id: neither has a defensible rank (the window form would happily
+  * sort them somewhere, but "somewhere" is exactly the silent-garbage
+  * outcome a curation pipeline must not ship), and NaN additionally has
+  * no strict total order, which would corrupt the sorted bounded
+  * buffer. Guarding at the column level keeps the aggregator's
+  * invariants unconditional.
   */
 object TopK {
 
-  /** One candidate: score and the (integral) id. */
-  final case class ScoreId(s: Double, i: Long)
-
-  /** Bounded top-k aggregator over (score, id) pairs, kept sorted by
-    * (score desc, id asc) in a flat long array (score bits via
-    * doubleToRawLongBits — the buffer crosses the exchange as a native
-    * long-array memcpy, the MedianMadAgg/TopNAgg precedent). */
+  /** Bounded top-k over (score, id): the shared [[BoundedTopAgg]] with
+    * scores carried as raw IEEE bits in the pair's first slot and the
+    * (desc score, asc id) order decoded in the comparator. Inputs are
+    * (Double, Long); NaN is excluded upstream by [[topKByScore]]'s
+    * loud guard. */
   private class TopKAgg(k: Int)
-      extends Aggregator[ScoreId, Array[Long], Seq[ScoreId]] {
-    private def better(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
-      s1 > s2 || (s1 == s2 && i1 < i2)
-    private def sAt(buf: Array[Long], j: Int): Double =
-      java.lang.Double.longBitsToDouble(buf(2 * j))
-    private def iAt(buf: Array[Long], j: Int): Long = buf(2 * j + 1)
-
-    def zero: Array[Long] = Array.emptyLongArray
-
-    def reduce(buf: Array[Long], in: ScoreId): Array[Long] = {
-      val m = buf.length / 2
-      if (m == k && !better(in.s, in.i, sAt(buf, k - 1), iAt(buf, k - 1)))
-        return buf
-      var pos = m
-      while (pos > 0 && better(in.s, in.i, sAt(buf, pos - 1), iAt(buf, pos - 1)))
-        pos -= 1
-      val keep = math.min(m + 1, k)
-      val out = new Array[Long](keep * 2)
-      System.arraycopy(buf, 0, out, 0, pos * 2)
-      out(2 * pos) = java.lang.Double.doubleToRawLongBits(in.s)
-      out(2 * pos + 1) = in.i
-      val rest = keep - pos - 1
-      if (rest > 0) System.arraycopy(buf, pos * 2, out, (pos + 1) * 2,
-        rest * 2)
-      out
-    }
-
-    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
-      val ma = a.length / 2; val mb = b.length / 2
-      val keep = math.min(ma + mb, k)
-      val out = new Array[Long](keep * 2)
-      var ia = 0; var ib = 0; var io = 0
-      while (io < keep) {
-        val takeA = ib >= mb || (ia < ma &&
-          better(sAt(a, ia), iAt(a, ia), sAt(b, ib), iAt(b, ib)))
-        if (takeA) { out(2 * io) = a(2 * ia); out(2 * io + 1) = a(2 * ia + 1)
-          ia += 1 }
-        else { out(2 * io) = b(2 * ib); out(2 * io + 1) = b(2 * ib + 1)
-          ib += 1 }
-        io += 1
-      }
-      out
-    }
-
-    def finish(buf: Array[Long]): Seq[ScoreId] =
-      (0 until buf.length / 2).map(j => ScoreId(sAt(buf, j), iAt(buf, j)))
-
-    def bufferEncoder: Encoder[Array[Long]] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
-    def outputEncoder: Encoder[Seq[ScoreId]] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[ScoreId]]()
+      extends Aggregator[(Double, Long), Array[Long], Seq[(Long, Long)]] {
+    private val inner = new BoundedTopAgg(k,
+      (s1b: Long, i1: Long, s2b: Long, i2: Long) => {
+        val s1 = java.lang.Double.longBitsToDouble(s1b)
+        val s2 = java.lang.Double.longBitsToDouble(s2b)
+        s1 > s2 || (s1 == s2 && i1 < i2)
+      })
+    def zero: Array[Long] = inner.zero
+    def reduce(buf: Array[Long], in: (Double, Long)): Array[Long] =
+      inner.reduce(buf,
+        (java.lang.Double.doubleToRawLongBits(in._1), in._2))
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] =
+      inner.merge(a, b)
+    def finish(buf: Array[Long]): Seq[(Long, Long)] = inner.finish(buf)
+    def bufferEncoder: Encoder[Array[Long]] = inner.bufferEncoder
+    def outputEncoder: Encoder[Seq[(Long, Long)]] = inner.outputEncoder
   }
 
   /** Window-form reference (and the small-group fast path): full data
@@ -94,23 +62,27 @@ object TopK {
   }
 
   /** Two-phase grouped top-k — SAME rows as [[topKByScoreWindow]]
-    * (equivalence-spec-pinned): bounded map-side top-k, then one
-    * equi-join back onto the data for the payload. Adds `topk_rank`,
-    * REPLACING any existing column of that name, exactly as the window
-    * form's withColumn does. A NULL group is a group like any other
-    * (null-safe join-back). */
+    * (equivalence-spec-pinned) for non-null, non-NaN scores: bounded
+    * map-side top-k, then one equi-join back onto the data for the
+    * payload. Adds `topk_rank`, REPLACING any existing column of that
+    * name, exactly as the window form's withColumn does. A NULL group
+    * is a group like any other (null-safe join-back). */
   def topKByScore(df: DataFrame, group: Column, id: Column, score: Column,
                   k: Int): DataFrame = {
     require(k > 0, s"need k > 0, got $k")
     val base = df.drop("topk_rank")
+    val s = score.cast("double")
+    val guarded = when(s.isNull || isnan(s),
+      raise_error(concat(lit("topKByScore: NULL or NaN score for id "),
+        id.cast("string")))).otherwise(s)
     val top = base.groupBy(group.as("__tk_g"))
-      .agg(udaf(new TopKAgg(k), Encoders.product[ScoreId])
-        .apply(score.cast("double"), id.cast("long")).as("__tk_top"))
+      .agg(udaf(new TopKAgg(k), Encoders.product[(Double, Long)])
+        .apply(guarded, id.cast("long")).as("__tk_top"))
       .select(col("__tk_g"),
         posexplode(col("__tk_top")).as(Seq("__tk_pos", "__tk_si")))
       .select(col("__tk_g"),
         (col("__tk_pos") + 1).cast("int").as("topk_rank"),
-        col("__tk_si.i").as("__tk_i"))
+        col("__tk_si._2").as("__tk_i"))
     base.join(top, group <=> col("__tk_g") &&
         id.cast("long") === col("__tk_i"))
       .drop("__tk_g", "__tk_i")

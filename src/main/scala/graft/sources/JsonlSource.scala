@@ -53,8 +53,11 @@ object JsonlSource {
       from_json(col("raw"), pSchema,
         java.util.Map.of("columnNameOfCorruptRecord", "_jl_corrupt")).as("j"))
     val bad = col("j").isNull || col("j._jl_corrupt").isNotNull
+    // getField (literal name) rather than col("j.f") string paths: a
+    // schema field whose NAME contains a dot (legal JSON) would
+    // otherwise mis-parse as a nested path
     val clean = parsed.where(!bad)
-      .select(schema.fieldNames.map(f => col(s"j.$f").as(f)): _*)
+      .select(schema.fieldNames.map(f => col("j").getField(f).as(f)): _*)
     val corrupt = parsed.where(bad).select(col("raw"))
     (clean, corrupt)
   }

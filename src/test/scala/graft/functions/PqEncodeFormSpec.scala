@@ -49,6 +49,20 @@ class PqEncodeFormSpec extends SparkSpec {
     assert(a == Seq(0, 0) && b == Seq(0, 0))
   }
 
+  test("out-of-domain distances fail loudly instead of diverging") {
+    // |diff| >= ~31623 overflows the relational form's decimal(18,9)
+    // term to null (which would WIN its argmin) — the expression must
+    // reject, not silently differ from its pinned oracle
+    val cbRows = Seq((0, 0, Seq(0.0, 0.0, 0.0, 0.0)),
+      (1, 0, Seq(0.0, 0.0, 0.0, 0.0))).toDF("sub", "code", "cv")
+    val far = Seq((1L, Seq(1e6, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)))
+      .toDF("vec_id", "v")
+    val e = intercept[Exception] {
+      Pq.encodeLocal(far, "vec_id", "v", cbRows, subspaces, dim).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("dimension mismatch fails loudly") {
     val cbRows = Seq((0, 0, Seq(1.0, 2.0, 3.0, 4.0)),
       (1, 0, Seq(5.0, 6.0, 7.0, 8.0))).toDF("sub", "code", "cv")

@@ -31,6 +31,21 @@ class TopKSpec extends SparkSpec {
     assert(a.count(r => r.getString(0) == "tiny") == 1)
   }
 
+  test("NULL and NaN scores fail loudly, naming the id") {
+    val withNull = Seq(("a", 1L, Some(5.0)), ("a", 2L, None))
+      .toDF("g", "id", "s")
+    val e1 = intercept[Exception] {
+      TopK.topKByScore(withNull, col("g"), col("id"), col("s"), 2).collect()
+    }
+    assert(e1.getMessage != null)
+    val withNan = Seq(("a", 1L, 5.0), ("a", 2L, Double.NaN))
+      .toDF("g", "id", "s")
+    val e2 = intercept[Exception] {
+      TopK.topKByScore(withNan, col("g"), col("id"), col("s"), 2).collect()
+    }
+    assert(e2.getMessage != null)
+  }
+
   test("a pre-existing topk_rank column is replaced, as withColumn does") {
     val df = Seq(("a", 1L, 5.0, 42), ("a", 2L, 7.0, 42))
       .toDF("g", "id", "s", "topk_rank")
