@@ -2539,7 +2539,30 @@ object OracleQueries {
           CAST(SUM(CAST(lp AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*)
             AS avg_logprob,
           COUNT(*) AS n_bigrams
-        FROM scored GROUP BY doc_id ORDER BY doc_id"""))
+        FROM scored GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ================== hierarchical rollup aggregation ==================
+    // The OLAP subtotal surface: one pass produces per-(flag, status)
+    // rows, per-flag subtotals, and the grand total, tagged by the
+    // grouping bitmask — Spark's rollup == DuckDB's GROUP BY ROLLUP
+    // with the same GROUPING bit convention (1 = aggregated level).
+    Q("agg_rollup",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        li.rollup(col("l_returnflag"), col("l_linestatus"))
+          .agg(grouping_id().as("gid"),
+            count(lit(1)).as("n_rows"),
+            dsum(col("l_quantity")).as("qty_sum"))
+          .select(col("l_returnflag"), col("l_linestatus"),
+            col("gid").cast("long").as("gid"), col("n_rows"),
+            col("qty_sum"))
+          .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
+      },
+      Some(s"""SELECT l_returnflag, l_linestatus,
+          CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+          COUNT(*) AS n_rows, ${sqlDsum("l_quantity")} AS qty_sum
+        FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        ORDER BY gid, l_returnflag, l_linestatus"""))
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
