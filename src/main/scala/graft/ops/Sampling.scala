@@ -142,4 +142,38 @@ object Sampling {
     val coin = round(log((unit + 1).cast("double") / lit(4294967296.0)), 6)
     df.where(coin < coalesce(logProb, lit(Double.NegativeInfinity)))
   }
+
+  /** Weighted exact-N sample without replacement per stratum — the
+    * Efraimidis–Spirakis A-ES scheme, the canonical distributed form:
+    * each row draws the key u^(1/w) (u uniform from the id hash, w its
+    * weight) and the N largest keys per stratum win; a row's selection
+    * probability is proportional to its weight. Everything stays in LOG
+    * space (key ⇔ ln(u)/w — same argmax, no pow/exp libm call; ln of
+    * the discrete hash value is rounded to 6 dp, the repo's single-ln
+    * rule) and the per-stratum top-N runs on [[TopK.topKByScore]]'s
+    * bounded two-phase aggregator — map-side ≤ N pairs per stratum per
+    * task, pairs not rows through the exchange, no skewed window.
+    * Weights must be strictly positive and non-null (fails loudly,
+    * naming the id — a zero weight would divide ln(u) to -∞, which has
+    * no defensible rank). Deterministic, rerun- and partitioning-
+    * stable. Adds `sample_rank` (1..N) in key order. */
+  def weightedSampleExactN(df: DataFrame, stratum: Column, id: Column,
+                           weight: Column, n: Int): DataFrame = {
+    require(n > 0, s"need n > 0, got $n")
+    val w = weight.cast("double")
+    val wGuarded = when(w.isNull || w <= 0.0 || isnan(w),
+      raise_error(concat(
+        lit("weightedSampleExactN: non-positive, NaN, or NULL weight "),
+        lit("for id "), id.cast("string")))).otherwise(w)
+    val unit = pmod(xxhash64(id), lit(1L << 32))
+    val lnU = round(log((unit + 1).cast("double") / lit(4294967296.0)), 6)
+    // u = 2^32 maps to ln 1 = 0: score 0/w = 0 for every weight — a
+    // harmless 2^-32 corner where that one row ranks first with ties
+    // on the id, identically in any engine
+    val key = lnU / wGuarded
+    TopK.topKByScore(df.withColumn("__ws_key", key), stratum, id,
+        col("__ws_key"), n)
+      .withColumn("sample_rank", col("topk_rank"))
+      .drop("topk_rank", "__ws_key")
+  }
 }

@@ -2562,7 +2562,36 @@ object OracleQueries {
           CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
           COUNT(*) AS n_rows, ${sqlDsum("l_quantity")} AS qty_sum
         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
-        ORDER BY gid, l_returnflag, l_linestatus"""))
+        ORDER BY gid, l_returnflag, l_linestatus""")),
+
+    // ======== weighted exact-N sampling (Efraimidis–Spirakis) ============
+    // The canonical distributed weighted without-replacement draw: the
+    // N largest u^(1/w) keys per language win, probability proportional
+    // to the weight (document length here). Log-space keys (no pow/exp
+    // libm), per-stratum top-N on the bounded two-phase aggregator; the
+    // oracle replays key arithmetic and ranking from the raw hash aux.
+    Q("sample_weighted_topn",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        Sampling.weightedSampleExactN(docs, col("lang"), col("doc_id"),
+            col("n_chars"), n = 15)
+          .select(col("lang"), col("sample_rank"), col("doc_id"),
+            col("n_chars"))
+          .orderBy(col("lang"), col("sample_rank"))
+      },
+      Some(s"""WITH hx AS (SELECT doc_id,
+            ((h % 4294967296) + 4294967296) % 4294967296 AS u
+            FROM '$AuxDir/doc_bucket/*.parquet'),
+          k AS (SELECT d.lang, d.doc_id, d.n_chars,
+            round(ln(CAST(u + 1 AS DOUBLE) / 4294967296.0), 6)
+              / CAST(d.n_chars AS DOUBLE) AS key
+            FROM documents d JOIN hx USING (doc_id)),
+          r AS (SELECT lang, doc_id, n_chars,
+            CAST(ROW_NUMBER() OVER (PARTITION BY lang
+              ORDER BY key DESC, doc_id) AS INTEGER) AS sample_rank
+            FROM k)
+        SELECT lang, sample_rank, doc_id, n_chars FROM r
+        WHERE sample_rank <= 15 ORDER BY lang, sample_rank"""))
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
