@@ -248,6 +248,19 @@ object Dedup {
     when(uni > 0, inter / uni).otherwise(lit(0.0))
   }
 
+  /** Containment of `a` in `b`: |A ∩ B| / |A| over distinct-element
+    * arrays. The ASYMMETRIC near-dup signal Jaccard misses at length
+    * skew: a short document fully embedded in a long one scores
+    * containment ≈ 1 while its Jaccard stays near |A|/|B| — the case
+    * that matters for quote/boilerplate inclusion and for eval-set
+    * leakage, where the contained side is the one to flag. An empty
+    * `a` scores 0 (nothing to contain). */
+  def containment(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val na = size(a).cast("double")
+    when(na > 0, inter / na).otherwise(lit(0.0))
+  }
+
   /** Near-duplicate GROUPS: connected components over a candidate-pair
     * graph (the step after [[minhashCandidates]] / a cosine threshold —
     * dedup keeps one document per component, not per pair). Distributed

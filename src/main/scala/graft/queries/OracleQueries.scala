@@ -2591,7 +2591,43 @@ object OracleQueries {
               ORDER BY key DESC, doc_id) AS INTEGER) AS sample_rank
             FROM k)
         SELECT lang, sample_rank, doc_id, n_chars FROM r
-        WHERE sample_rank <= 15 ORDER BY lang, sample_rank"""))
+        WHERE sample_rank <= 15 ORDER BY lang, sample_rank""")),
+
+    // ============ dedup: asymmetric containment pairs ====================
+    // |A∩B|/|A| — the signal Jaccard misses at length skew: a short
+    // document embedded in a long one contains ≈ 1 while Jaccard stays
+    // near |A|/|B|. Both directions emitted per pair; the same
+    // materialize-before-self-join rule as dedup_ngram_jaccard.
+    Q("dedup_containment",
+      (s, dir) => {
+        val d = t(s, dir, "documents").where(col("doc_id") < 50)
+          .select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+          .localCheckpoint(true)
+        val a = d.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+        val b = d.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+        a.join(b, col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"),
+            round(Dedup.containment(col("sh_a"), col("sh_b")), 6)
+              .as("c_ab"),
+            round(Dedup.containment(col("sh_b"), col("sh_a")), 6)
+              .as("c_ba"))
+          .where(greatest(col("c_ab"), col("c_ba")) >= 0.05)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""WITH d AS (SELECT doc_id,
+            list_distinct([array_to_string(w[i:i+2], ' ')
+              FOR i IN range(1, len(w) - 1)]) AS sh
+          FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+                FROM documents WHERE doc_id < 50)),
+        pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / len(a.sh), 6) AS c_ab,
+            ROUND(CAST(len(list_intersect(b.sh, a.sh)) AS DOUBLE)
+              / len(b.sh), 6) AS c_ba
+          FROM d a JOIN d b ON a.doc_id < b.doc_id)
+        SELECT id_a, id_b, c_ab, c_ba FROM pairs
+        WHERE GREATEST(c_ab, c_ba) >= 0.05
+        ORDER BY id_a, id_b"""))
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,33 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Containment vs Jaccard at length skew: the embedded-document case. */
+class ContainmentSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("a short document embedded in a long one: containment ~1, Jaccard small") {
+    val short = "alpha beta gamma delta epsilon zeta"
+    val long = short + " " + (1 to 40).map(i => s"w$i").mkString(" ")
+    val df = Seq((short, long)).toDF("a", "b")
+      .select(Dedup.shingles(col("a"), 3).as("sa"),
+        Dedup.shingles(col("b"), 3).as("sb"))
+    val r = df.select(
+      Dedup.containment(col("sa"), col("sb")).as("c_ab"),
+      Dedup.containment(col("sb"), col("sa")).as("c_ba"),
+      Dedup.jaccard(col("sa"), col("sb")).as("j")).collect()(0)
+    assert(r.getDouble(0) == 1.0, "the short side is fully contained")
+    assert(r.getDouble(1) < 0.2 && r.getDouble(2) < 0.2,
+      "reverse containment and Jaccard must stay small at this skew")
+  }
+
+  test("disjoint and empty sets score 0") {
+    val df = Seq((Seq("a b c"), Seq("x y z"), Seq.empty[String]))
+      .toDF("sa", "sb", "se")
+    val r = df.select(
+      Dedup.containment(col("sa"), col("sb")),
+      Dedup.containment(col("se"), col("sa"))).collect()(0)
+    assert(r.getDouble(0) == 0.0 && r.getDouble(1) == 0.0)
+  }
+}
