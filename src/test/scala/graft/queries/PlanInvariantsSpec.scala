@@ -22,6 +22,9 @@ class PlanInvariantsSpec extends SparkSpec {
   // crossJoin, not an all-pairs).
   private val nestedLoopAllowed =
     Set("sim_topk", "sim_neardup_pairs", "dedup_ngram_jaccard",
+      // the containment sibling of the jaccard exact-verify sweep:
+      // same bounded 50-doc demo slice, same deliberate pair join
+      "dedup_containment",
       "a5_global_threshold", "text_tfidf", "sim_ivf_multiprobe",
       // corpus × broadcast k-row centroid table, deliberate
       "cluster_kmeans")
