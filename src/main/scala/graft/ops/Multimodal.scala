@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -189,6 +189,99 @@ object Multimodal {
         }
       }
       .toDF("asset_id", "thumb")
+  }
+
+  /** 64-bit average-hash (aHash) perceptual fingerprint: the image is
+    * pooled onto an 8×8 luma grid (exact integer sums over the cells'
+    * pixel rectangles, strided like [[decodeImage]] so work per asset
+    * is bounded at any resolution), and bit (cy*8+cx) is set when the
+    * cell's mean luma is >= the mean of the 64 cell means. Two images
+    * that differ by re-encoding, mild noise, or resizing land a few
+    * bits apart (Hamming distance), which is what image-level near-dup
+    * dedup keys on — the visual analogue of SimHash. Deterministic:
+    * integer cell sums, one double division per cell. Images smaller
+    * than the 8×8 grid are rejected (some cells would be empty). */
+  def aHashOf(payload: Array[Byte]): Long = {
+    val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(payload))
+    require(img != null, "undecodable image payload")
+    val (w, h) = (img.getWidth, img.getHeight)
+    require(w >= 8 && h >= 8, s"image ${w}x$h smaller than the 8x8 grid")
+    val stride = math.max(1, math.max(w, h) / 256)
+    val sums = new Array[Long](64)
+    val counts = new Array[Long](64)
+    var y = 0
+    while (y < h) {
+      val cy = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val cx = x * 8 / w
+        val rgb = img.getRGB(x, y)
+        val luma = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+          (rgb & 0xff) * 114) / 1000
+        sums(cy * 8 + cx) += luma
+        counts(cy * 8 + cx) += 1
+        x += stride
+      }
+      y += stride
+    }
+    val means = Array.tabulate(64)(i => sums(i).toDouble / counts(i))
+    val global = means.sum / 64
+    var bits = 0L
+    var i = 0
+    while (i < 64) {
+      if (means(i) >= global) bits |= (1L << i)
+      i += 1
+    }
+    bits
+  }
+
+  /** Perceptual hashes for image assets: (asset_id, ahash); undecodable
+    * or under-sized payloads are dropped here (already accounted as
+    * ok=false by [[extractFeatures]] — the quarantine convention
+    * [[thumbnails]] uses). */
+  def imageHashes(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.where(col("modality") === "image")
+      .select(col("asset_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) =>
+          scala.util.Try((id, aHashOf(payload))).toOption
+        }
+      }
+      .toDF("asset_id", "ahash")
+  }
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Image near-dup candidate pairs within `maxDist` Hamming bits,
+    * WITHOUT an all-pairs scan: the 64-bit hash splits into four 16-bit
+    * bands and candidates must share at least one band — the pigeonhole
+    * guarantee for maxDist <= 3 (four bands, at most three differing
+    * bits, so one band is untouched; larger maxDist trades recall, the
+    * LSH story as everywhere else). One equi-join per band through a
+    * single exploded join; the exact Hamming check filters, and the
+    * per-pair groupBy collapses multi-band duplicates. */
+  def nearDupImagePairs(hashes: DataFrame, maxDist: Int): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    def banded(df: DataFrame, suffix: String): DataFrame =
+      df.select(col("asset_id").as(s"id_$suffix"),
+          col("ahash").as(s"ahash_$suffix"),
+          explode(array((0 until 4).map(b =>
+            struct(lit(b).as("band"),
+              shiftrightunsigned(col("ahash"), b * 16)
+                .bitwiseAND(lit(0xFFFFL)).as("key"))): _*)).as("bk"))
+        .select(col(s"id_$suffix"), col(s"ahash_$suffix"),
+          col("bk.band").as("band"), col("bk.key").as("key"))
+    val a = banded(hashes, "a")
+    val b = banded(hashes, "b")
+    a.join(b, Seq("band", "key"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(first(hamming(col("ahash_a"), col("ahash_b"))).as("dist"))
+      .where(col("dist") <= maxDist)
   }
 
   /** Video frame sampling plan: explode each video asset into `n` evenly
