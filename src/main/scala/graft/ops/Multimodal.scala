@@ -206,7 +206,14 @@ object Multimodal {
     require(img != null, "undecodable image payload")
     val (w, h) = (img.getWidth, img.getHeight)
     require(w >= 8 && h >= 8, s"image ${w}x$h smaller than the 8x8 grid")
-    val stride = math.max(1, math.max(w, h) / 256)
+    // PER-AXIS strides: a single stride from max(w, h) would skip whole
+    // grid rows on skewed-aspect images (a 2048x32 strip at stride 8
+    // only samples every other cell row), leaving 0-count cells whose
+    // NaN means silently zero the hash. strideX <= w/8 and
+    // strideY <= h/8 hold by construction (256 >= 8), so every cell is
+    // sampled; total work stays bounded at <= 256x256 samples.
+    val strideX = math.max(1, w / 256)
+    val strideY = math.max(1, h / 256)
     val sums = new Array[Long](64)
     val counts = new Array[Long](64)
     var y = 0
@@ -220,10 +227,13 @@ object Multimodal {
           (rgb & 0xff) * 114) / 1000
         sums(cy * 8 + cx) += luma
         counts(cy * 8 + cx) += 1
-        x += stride
+        x += strideX
       }
-      y += stride
+      y += strideY
     }
+    require(counts.forall(_ > 0),
+      s"aHash sampling left an empty cell on a ${w}x$h image — " +
+        "stride invariant violated")
     val means = Array.tabulate(64)(i => sums(i).toDouble / counts(i))
     val global = means.sum / 64
     var bits = 0L
@@ -266,6 +276,10 @@ object Multimodal {
     * per-pair groupBy collapses multi-band duplicates. */
   def nearDupImagePairs(hashes: DataFrame, maxDist: Int): DataFrame = {
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    // materialize before the self-join (the dedup_ngram_jaccard rule):
+    // both banded sides would otherwise re-execute the upstream ImageIO
+    // decode lineage — the dominant cost of the operator, doubled
+    val pinned = hashes.localCheckpoint(true)
     def banded(df: DataFrame, suffix: String): DataFrame =
       df.select(col("asset_id").as(s"id_$suffix"),
           col("ahash").as(s"ahash_$suffix"),
@@ -275,8 +289,8 @@ object Multimodal {
                 .bitwiseAND(lit(0xFFFFL)).as("key"))): _*)).as("bk"))
         .select(col(s"id_$suffix"), col(s"ahash_$suffix"),
           col("bk.band").as("band"), col("bk.key").as("key"))
-    val a = banded(hashes, "a")
-    val b = banded(hashes, "b")
+    val a = banded(pinned, "a")
+    val b = banded(pinned, "b")
     a.join(b, Seq("band", "key"))
       .where(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))

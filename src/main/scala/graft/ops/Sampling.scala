@@ -28,6 +28,17 @@ object Sampling {
   def hashBucket(id: Column, buckets: Int): Column =
     pmod(xxhash64(id), lit(buckets.toLong))
 
+  /** The id-hash folded to a 32-bit uniform — THE shared coin every
+    * sampler's cross-engine determinism keys on (the oracles replay it
+    * from the raw-hash aux table); one definition, three consumers. */
+  private def unit32(id: Column): Column =
+    pmod(xxhash64(id), lit(1L << 32))
+
+  /** ln of the (0, 1]-mapped uniform, rounded to 6 dp — the log-space
+    * coin shared by [[logWeightedSample]] and [[weightedSampleExactN]]. */
+  private def lnUnit(id: Column): Column =
+    round(log((unit32(id) + 1).cast("double") / lit(4294967296.0)), 6)
+
   /** Rate-based stratified sample: keep a row of stratum s iff
     * `hash(id) mod buckets < round(rates(s) * buckets)`. Unknown strata
     * get `defaultRate`. Deterministic, no shuffle, composable with any
@@ -119,7 +130,7 @@ object Sampling {
     * one rounding before the integer floor, so the kept set reproduces
     * in any engine that computes `prob` with the same arithmetic. */
   def weightedSample(df: DataFrame, id: Column, prob: Column): DataFrame = {
-    val unit = pmod(xxhash64(id), lit(1L << 32))
+    val unit = unit32(id)
     val cutoff = floor(
       least(greatest(coalesce(prob, lit(0.0)), lit(0.0)), lit(1.0)) *
         lit(4294967296.0))
@@ -137,11 +148,8 @@ object Sampling {
     * the row explicitly. Still a PURE FILTER — no shuffle, rides the
     * scan. */
   def logWeightedSample(df: DataFrame, id: Column,
-                        logProb: Column): DataFrame = {
-    val unit = pmod(xxhash64(id), lit(1L << 32))
-    val coin = round(log((unit + 1).cast("double") / lit(4294967296.0)), 6)
-    df.where(coin < coalesce(logProb, lit(Double.NegativeInfinity)))
-  }
+                        logProb: Column): DataFrame =
+    df.where(lnUnit(id) < coalesce(logProb, lit(Double.NegativeInfinity)))
 
   /** Weighted exact-N sample without replacement per stratum — the
     * Efraimidis–Spirakis A-ES scheme, the canonical distributed form:
@@ -165,8 +173,7 @@ object Sampling {
       raise_error(concat(
         lit("weightedSampleExactN: non-positive, NaN, or NULL weight "),
         lit("for id "), id.cast("string")))).otherwise(w)
-    val unit = pmod(xxhash64(id), lit(1L << 32))
-    val lnU = round(log((unit + 1).cast("double") / lit(4294967296.0)), 6)
+    val lnU = lnUnit(id)
     // u = 2^32 maps to ln 1 = 0: score 0/w = 0 for every weight — a
     // harmless 2^-32 corner where that one row ranks first with ties
     // on the id, identically in any engine

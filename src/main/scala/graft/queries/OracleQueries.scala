@@ -2620,10 +2620,12 @@ object OracleQueries {
           FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
                 FROM documents WHERE doc_id < 50)),
         pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-            ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-              / len(a.sh), 6) AS c_ab,
-            ROUND(CAST(len(list_intersect(b.sh, a.sh)) AS DOUBLE)
-              / len(b.sh), 6) AS c_ba
+            CASE WHEN len(a.sh) > 0 THEN
+              ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                / len(a.sh), 6) ELSE 0.0 END AS c_ab,
+            CASE WHEN len(b.sh) > 0 THEN
+              ROUND(CAST(len(list_intersect(b.sh, a.sh)) AS DOUBLE)
+                / len(b.sh), 6) ELSE 0.0 END AS c_ba
           FROM d a JOIN d b ON a.doc_id < b.doc_id)
         SELECT id_a, id_b, c_ab, c_ba FROM pairs
         WHERE GREATEST(c_ab, c_ba) >= 0.05

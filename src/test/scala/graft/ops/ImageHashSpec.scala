@@ -65,6 +65,18 @@ class ImageHashSpec extends SparkSpec {
       s"expected only the noised copy pair, got $pairs")
   }
 
+  test("skewed-aspect images sample every cell (no silent zero hash)") {
+    // a 2048x32 strip: a single max(w,h)-derived stride would skip
+    // whole grid rows, NaN the cell means, and hash everything to 0 —
+    // the per-axis strides must keep the hash meaningful
+    val strip = Multimodal.aHashOf(
+      png(2048, 32, (x, _) => if (x < 1024) 220 else 40))
+    val stripOther = Multimodal.aHashOf(
+      png(2048, 32, (_, y) => if (y < 16) 220 else 40))
+    assert(strip != 0L && stripOther != 0L)
+    assert(java.lang.Long.bitCount(strip ^ stripOther) >= 16)
+  }
+
   test("undersized images are rejected loudly") {
     val e = intercept[Exception] {
       Multimodal.aHashOf(png(4, 4, leftBright))
