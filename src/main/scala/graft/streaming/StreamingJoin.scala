@@ -39,4 +39,30 @@ object StreamingJoin {
         r(rightTs) <= l(leftTs) + expr(s"INTERVAL $horizonSec SECONDS"))
       .drop(r(key))
   }
+
+  /** LEFT-OUTER [[withinHorizon]]: every left row eventually emits —
+    * joined while matches arrive, or once, with null right columns,
+    * after the watermark proves no in-horizon match can still come.
+    * This is the attribution completeness case ("impression with NO
+    * click"), and it only works BECAUSE of the time bound: Spark emits
+    * the null row when the left row's state expires, so an unbounded
+    * join condition would mean the null rows never surface (and state
+    * never drains). Expect the null-extended rows to arrive a
+    * watermark-delay later than the matches — they are declarations
+    * that the horizon closed, not observations. */
+  def withinHorizonLeftOuter(left: DataFrame, leftTs: String,
+                             right: DataFrame, rightTs: String,
+                             key: String, horizonSec: Int,
+                             watermarkSec: Int): DataFrame = {
+    require(horizonSec > 0 && watermarkSec >= 0,
+      s"need horizon > 0 and watermark >= 0, got $horizonSec/$watermarkSec")
+    val l = left.withWatermark(leftTs, s"$watermarkSec seconds")
+    val r = right.withWatermark(rightTs, s"$watermarkSec seconds")
+    l.join(r,
+      l(key) === r(key) &&
+        r(rightTs) >= l(leftTs) &&
+        r(rightTs) <= l(leftTs) + expr(s"INTERVAL $horizonSec SECONDS"),
+      "left_outer")
+      .drop(r(key))
+  }
 }

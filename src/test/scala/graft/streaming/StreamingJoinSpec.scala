@@ -53,6 +53,43 @@ class StreamingJoinSpec extends SparkSpec {
     assert(got == Set((1L, 10L)))
   }
 
+  test("left-outer: unmatched impressions surface with null clicks " +
+      "once the horizon provably closed") {
+    implicit val ctx = spark.sqlContext
+    val imps = MemoryStream[Imp]
+    val clicks = MemoryStream[Click]
+    val ckpt = java.nio.file.Files.createTempDirectory("ssjo").toString
+    val joined = StreamingJoin.withinHorizonLeftOuter(
+      imps.toDF(), "impTs", clicks.toDF(), "clickTs",
+      key = "user", horizonSec = 60, watermarkSec = 30)
+    val q = joined.selectExpr("impId", "clickId")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ssjo_out").option("checkpointLocation", ckpt).start()
+    try {
+      // u1 gets a click in horizon; u2 never does
+      imps.addData(Imp("u1", ts(100), 1L), Imp("u2", ts(100), 2L))
+      clicks.addData(Click("u1", ts(120), 10L))
+      q.processAllAvailable()
+      // advance both watermarks far past 100 + horizon + watermark so
+      // u2's no-match row is provable
+      imps.addData(Imp("zz", ts(5000), 99L))
+      clicks.addData(Click("zz", ts(5000), 98L))
+      q.processAllAvailable()
+      // one more no-op batch lets the state-expiry emission drain
+      imps.addData(Imp("zz2", ts(6000), 97L))
+      clicks.addData(Click("zz2", ts(6000), 96L))
+      q.processAllAvailable()
+      val rows = spark.table("ssjo_out").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) None
+          else Some(r.getLong(1)))).toSet
+      assert(rows.contains((1L, Some(10L))), "matched pair missing")
+      assert(rows.contains((2L, None)),
+        "unmatched impression never surfaced with a null click")
+      assert(!rows.contains((1L, None)),
+        "a matched impression must not ALSO emit a null row")
+    } finally q.stop()
+  }
+
   test("a click behind the watermark is dropped, not joined") {
     val got = run(
       Seq(
