@@ -28,7 +28,17 @@ object StreamingJoin {
   def withinHorizon(left: DataFrame, leftTs: String,
                     right: DataFrame, rightTs: String,
                     key: String, horizonSec: Int,
-                    watermarkSec: Int): DataFrame = {
+                    watermarkSec: Int): DataFrame =
+    joined(left, leftTs, right, rightTs, key, horizonSec, watermarkSec,
+      "inner")
+
+  /** The one watermark + time-bound + join assembly BOTH variants
+    * delegate to — a condition or guard fix cannot diverge between the
+    * inner and left-outer forms. */
+  private def joined(left: DataFrame, leftTs: String,
+                     right: DataFrame, rightTs: String,
+                     key: String, horizonSec: Int, watermarkSec: Int,
+                     joinType: String): DataFrame = {
     require(horizonSec > 0 && watermarkSec >= 0,
       s"need horizon > 0 and watermark >= 0, got $horizonSec/$watermarkSec")
     val l = left.withWatermark(leftTs, s"$watermarkSec seconds")
@@ -36,7 +46,8 @@ object StreamingJoin {
     l.join(r,
       l(key) === r(key) &&
         r(rightTs) >= l(leftTs) &&
-        r(rightTs) <= l(leftTs) + expr(s"INTERVAL $horizonSec SECONDS"))
+        r(rightTs) <= l(leftTs) + expr(s"INTERVAL $horizonSec SECONDS"),
+      joinType)
       .drop(r(key))
   }
 
@@ -53,16 +64,7 @@ object StreamingJoin {
   def withinHorizonLeftOuter(left: DataFrame, leftTs: String,
                              right: DataFrame, rightTs: String,
                              key: String, horizonSec: Int,
-                             watermarkSec: Int): DataFrame = {
-    require(horizonSec > 0 && watermarkSec >= 0,
-      s"need horizon > 0 and watermark >= 0, got $horizonSec/$watermarkSec")
-    val l = left.withWatermark(leftTs, s"$watermarkSec seconds")
-    val r = right.withWatermark(rightTs, s"$watermarkSec seconds")
-    l.join(r,
-      l(key) === r(key) &&
-        r(rightTs) >= l(leftTs) &&
-        r(rightTs) <= l(leftTs) + expr(s"INTERVAL $horizonSec SECONDS"),
+                             watermarkSec: Int): DataFrame =
+    joined(left, leftTs, right, rightTs, key, horizonSec, watermarkSec,
       "left_outer")
-      .drop(r(key))
-  }
 }
