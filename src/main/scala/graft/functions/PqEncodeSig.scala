@@ -31,7 +31,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
   * (the MinhashSig family precedent, measured in TextHotBench).
   */
 case class PqEncodeSig(child: Expression,
-                       codebook: Array[Array[Array[Double]]])
+                       codebook: IndexedSeq[IndexedSeq[IndexedSeq[Double]]])
     extends UnaryExpression with CodegenFallback {
   require(codebook.nonEmpty && codebook.forall(_.nonEmpty),
     "codebook must have at least one subspace and one code")
@@ -40,6 +40,14 @@ case class PqEncodeSig(child: Expression,
   private val sd = codebook(0)(0).length
   require(codebook.forall(s => s.length == k && s.forall(_.length == sd)),
     "codebook must be rectangular: same k and sub-dimension everywhere")
+  // the codebook is held as nested IndexedSeq (Vector at the call
+  // sites) so the case-class equals/hashCode are VALUE-based — with
+  // raw arrays two semantically identical encode expressions never
+  // compared equal, defeating canonicalization and common-subexpression
+  // elimination; eval reads this flat array mirror (rebuilt per
+  // executor after deserialization)
+  @transient private lazy val cb: Array[Array[Double]] =
+    codebook.map(_.flatten.toArray).toArray
 
   override def dataType: DataType =
     ArrayType(IntegerType, containsNull = false)
@@ -69,13 +77,14 @@ case class PqEncodeSig(child: Expression,
       val base = s * sd
       var bestCode = 0
       var bestD = Double.PositiveInfinity
+      val flat = cb(s)
       var c = 0
       while (c < k) {
-        val cv = codebook(s)(c)
+        val cOff = c * sd
         var acc = java.math.BigDecimal.ZERO
         var i = 0
         while (i < sd) {
-          val diff = arr(base + i) - cv(i)
+          val diff = arr(base + i) - flat(cOff + i)
           val term = diff * diff
           // the relational oracle's per-term cast to decimal(18,9)
           // OVERFLOWS (to null, which would then WIN its argmin via

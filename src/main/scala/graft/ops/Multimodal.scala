@@ -231,9 +231,14 @@ object Multimodal {
       }
       y += strideY
     }
-    require(counts.forall(_ > 0),
-      s"aHash sampling left an empty cell on a ${w}x$h image — " +
-        "stride invariant violated")
+    // IllegalSTATEException, deliberately distinct from the two require
+    // guards above: those reject bad INPUTS (quarantined by callers),
+    // this one flags a bug in the sampling loop itself and must
+    // PROPAGATE — see [[imageHashes]]'s catch discipline
+    if (!counts.forall(_ > 0))
+      throw new IllegalStateException(
+        s"aHash sampling left an empty cell on a ${w}x$h image — " +
+          "stride invariant violated")
     val means = Array.tabulate(64)(i => sums(i).toDouble / counts(i))
     val global = means.sum / 64
     var bits = 0L
@@ -248,7 +253,12 @@ object Multimodal {
   /** Perceptual hashes for image assets: (asset_id, ahash); undecodable
     * or under-sized payloads are dropped here (already accounted as
     * ok=false by [[extractFeatures]] — the quarantine convention
-    * [[thumbnails]] uses). */
+    * [[thumbnails]] uses). Only the EXPECTED decode failures are
+    * quarantined — a null/undersized image (IllegalArgumentException
+    * from [[aHashOf]]'s input guards) or a codec error (IOException
+    * from ImageIO); anything else, in particular the stride-invariant
+    * IllegalStateException, is a BUG and propagates to fail the job
+    * instead of surfacing as silently missing assets. */
   def imageHashes(assets: DataFrame): DataFrame = {
     val spark = assets.sparkSession
     import spark.implicits._
@@ -257,7 +267,11 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (id, payload) =>
-          scala.util.Try((id, aHashOf(payload))).toOption
+          try Some((id, aHashOf(payload)))
+          catch {
+            case _: IllegalArgumentException => None
+            case _: java.io.IOException => None
+          }
         }
       }
       .toDF("asset_id", "ahash")
@@ -272,8 +286,11 @@ object Multimodal {
     * guarantee for maxDist <= 3 (four bands, at most three differing
     * bits, so one band is untouched; larger maxDist trades recall, the
     * LSH story as everywhere else). One equi-join per band through a
-    * single exploded join; the exact Hamming check filters, and the
-    * per-pair groupBy collapses multi-band duplicates. */
+    * single exploded join; the exact Hamming check filters BELOW the
+    * pair exchange (16-bit band collisions between unrelated images are
+    * common at corpus scale — far pairs must die on the joined row, not
+    * ride the shuffle), and the per-pair groupBy only collapses
+    * multi-band duplicates of TRUE near-dups. */
   def nearDupImagePairs(hashes: DataFrame, maxDist: Int): DataFrame = {
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
     // materialize before the self-join (the dedup_ngram_jaccard rule):
@@ -293,9 +310,10 @@ object Multimodal {
     val b = banded(pinned, "b")
     a.join(b, Seq("band", "key"))
       .where(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(first(hamming(col("ahash_a"), col("ahash_b"))).as("dist"))
+      .withColumn("dist", hamming(col("ahash_a"), col("ahash_b")))
       .where(col("dist") <= maxDist)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(first(col("dist")).as("dist"))
   }
 
   /** Video frame sampling plan: explode each video asset into `n` evenly

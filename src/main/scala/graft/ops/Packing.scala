@@ -14,7 +14,11 @@ import org.apache.spark.sql.functions._
   *
   * The packing order is explicit and deterministic: documents are laid
   * out in `order`-ascending order WITHIN each `shard`, and sequence ids
-  * are per-shard. Sharding is what makes this scale: a single global
+  * are per-shard. `order` must be UNIQUE within its shard: a cumulative
+  * sum over tied order values has no defined result under a ROWS frame
+  * (the layout would depend on partitioning and run — the opposite of
+  * the bit-exact contract), so a duplicated (shard, order) pair FAILS
+  * LOUDLY instead of silently shipping one of several possible layouts. Sharding is what makes this scale: a single global
   * packing order would funnel 100 TB through one window partition, while
   * per-shard packing (shard = input file, language, date bucket — any
   * key with bounded per-key volume) gives one exchange on the shard key
@@ -37,7 +41,8 @@ object Packing {
     * straddles several sequences and emits one span row per sequence
     * touched; the spans of one document are contiguous and cover it
     * exactly once. Documents with `tokens <= 0` are rejected loudly —
-    * a zero-length document would silently vanish from the layout.
+    * a zero-length document would silently vanish from the layout — and
+    * so is a (shard, order) duplicate (see the object doc).
     */
   def packSpans(df: DataFrame, shard: Column, order: Column, id: Column,
                 tokens: Column, budget: Int): DataFrame = {
@@ -54,10 +59,23 @@ object Packing {
     val base = df
       .select(shard.as("shard"), order.as("__pk_ord"), id.as("doc_id"),
         tok.as("__pk_tok"))
+      // uniqueness guard for the ROWS-frame cumsum below: a count over
+      // (shard, order) shares the cumsum's shard exchange and sort (the
+      // subset-key distribution is already satisfied), and the raise
+      // rides INSIDE __pk_start — every output column except the bare
+      // shard/doc_id derives from it, so pruning cannot drop the check
+      .withColumn("__pk_dup", count(lit(1)).over(
+        Window.partitionBy(col("shard"), col("__pk_ord"))))
       .withColumn("__pk_start",
-        coalesce(sum(col("__pk_tok")).over(
-          Window.partitionBy(col("shard")).orderBy(col("__pk_ord"))
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        when(col("__pk_dup") > 1, raise_error(concat(
+          lit("packSpans: duplicate order value within shard "),
+          col("shard").cast("string"),
+          lit(" — the cumulative layout is undefined under ties; "),
+          lit("pass a unique per-shard order (offending order: "),
+          col("__pk_ord").cast("string"), lit(")"))).cast("long"))
+          .otherwise(coalesce(sum(col("__pk_tok")).over(
+            Window.partitionBy(col("shard")).orderBy(col("__pk_ord"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))))
     base
       .select(col("shard"), col("doc_id"), col("__pk_tok"),
         col("__pk_start"),

@@ -194,14 +194,17 @@ object Pq {
     val sd = dim / subspaces
     val rows = codebook.select(col("sub"), col("code"), col("cv")).collect()
     val k = rows.length / subspaces
-    val cb = Array.ofDim[Array[Double]](subspaces, k)
+    val cb = Array.ofDim[Vector[Double]](subspaces, k)
     rows.foreach { r =>
-      cb(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray
+      cb(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toVector
     }
     require(cb.forall(_.forall(v => v != null && v.length == sd)),
       s"codebook must cover codes 0..${k - 1} for all $subspaces subspaces")
+    // nested Vectors (value equality) — the expression's equals/hashCode
+    // must compare codebook CONTENT for canonicalization to work
+    val cbv = cb.map(_.toVector).toVector
     vecs.select(col(idCol).as("id"),
-      toCol(graft.functions.PqEncodeSig(toExpr(col(vecCol)), cb)).as("codes"))
+      toCol(graft.functions.PqEncodeSig(toExpr(col(vecCol)), cbv)).as("codes"))
   }
 
   /** IVF-PQ: ADC search restricted to each query's coarse cell — the

@@ -145,11 +145,17 @@ object Sampling {
     * uniform. exp's cross-engine rounding is unpinned libm behaviour;
     * ln of a discrete hash value rounded to 6 dp is the single-ln form
     * the repo's other oracles already rely on. A NULL logProb excludes
-    * the row explicitly. Still a PURE FILTER — no shuffle, rides the
-    * scan. */
+    * the row explicitly. logProb >= 0 means min(1, e^lp) = 1: kept
+    * UNCONDITIONALLY, matching [[weightedSample]] at prob = 1 (the
+    * strict `<` alone would drop the one row whose hash maps to
+    * u = 2^32-1, i.e. lnUnit = 0, at lp = 0 — an inconsistency between
+    * the two coins, not a defensible probability). Still a PURE
+    * FILTER — no shuffle, rides the scan. */
   def logWeightedSample(df: DataFrame, id: Column,
-                        logProb: Column): DataFrame =
-    df.where(lnUnit(id) < coalesce(logProb, lit(Double.NegativeInfinity)))
+                        logProb: Column): DataFrame = {
+    val lp = coalesce(logProb, lit(Double.NegativeInfinity))
+    df.where(lp >= 0.0 || lnUnit(id) < lp)
+  }
 
   /** Weighted exact-N sample without replacement per stratum — the
     * Efraimidis–Spirakis A-ES scheme, the canonical distributed form:

@@ -62,22 +62,30 @@ object TopK {
   }
 
   /** Two-phase grouped top-k — SAME rows as [[topKByScoreWindow]]
-    * (equivalence-spec-pinned) for non-null, non-NaN scores: bounded
-    * map-side top-k, then one equi-join back onto the data for the
-    * payload. Adds `topk_rank`, REPLACING any existing column of that
-    * name, exactly as the window form's withColumn does. A NULL group
-    * is a group like any other (null-safe join-back). */
+    * (equivalence-spec-pinned) for non-null, non-NaN scores and
+    * NON-NULL ids: bounded map-side top-k, then one equi-join back onto
+    * the data for the payload. Adds `topk_rank`, REPLACING any existing
+    * column of that name, exactly as the window form's withColumn does.
+    * A NULL group is a group like any other (null-safe join-back); a
+    * NULL id FAILS LOUDLY — the window form would rank it, but the
+    * join-back here could never match it (null.cast(long) === __tk_i is
+    * three-valued-false), so without the guard the row would vanish
+    * SILENTLY, breaking the window-equivalence contract in exactly the
+    * way the score guard exists to prevent. */
   def topKByScore(df: DataFrame, group: Column, id: Column, score: Column,
                   k: Int): DataFrame = {
     require(k > 0, s"need k > 0, got $k")
     val base = df.drop("topk_rank")
     val s = score.cast("double")
+    val idGuarded = when(id.isNull,
+      raise_error(lit("topKByScore: NULL id — the id column is the " +
+        "join-back key and must be non-null"))).otherwise(id.cast("long"))
     val guarded = when(s.isNull || isnan(s),
       raise_error(concat(lit("topKByScore: NULL or NaN score for id "),
         id.cast("string")))).otherwise(s)
     val top = base.groupBy(group.as("__tk_g"))
       .agg(udaf(new TopKAgg(k), Encoders.product[(Double, Long)])
-        .apply(guarded, id.cast("long")).as("__tk_top"))
+        .apply(guarded, idGuarded).as("__tk_top"))
       .select(col("__tk_g"),
         posexplode(col("__tk_top")).as(Seq("__tk_pos", "__tk_si")))
       .select(col("__tk_g"),

@@ -2428,7 +2428,8 @@ object OracleQueries {
             ((h % 4294967296) + 4294967296) % 4294967296 AS u
             FROM '$AuxDir/doc_bucket/*.parquet')
         SELECT j.doc_id, lp_diff FROM j JOIN hx USING (doc_id)
-        WHERE round(ln(CAST(u + 1 AS DOUBLE) / 4294967296.0), 6) < lp_diff
+        WHERE lp_diff >= 0
+           OR round(ln(CAST(u + 1 AS DOUBLE) / 4294967296.0), 6) < lp_diff
         ORDER BY doc_id""")),
 
     // ============= J11: interval-overlap join (bucketed) =================

@@ -63,6 +63,26 @@ class PqEncodeFormSpec extends SparkSpec {
     assert(e.getMessage != null)
   }
 
+  test("two identical encode expressions compare EQUAL (value-based " +
+      "codebook) — the canonicalization contract") {
+    // with the codebook held as raw arrays, equals was identity-based
+    // and common-subexpression elimination could never fire on two
+    // structurally identical encodes (r8 advisory)
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    def cb() = Vector(
+      Vector(Vector(1.0, 2.0), Vector(3.0, 4.0)),
+      Vector(Vector(5.0, 6.0), Vector(7.0, 8.0)))
+    val child = BoundReference(0, ArrayType(DoubleType), nullable = true)
+    val e1 = PqEncodeSig(child, cb())
+    val e2 = PqEncodeSig(child, cb())
+    assert(e1 == e2 && e1.hashCode == e2.hashCode)
+    assert(e1.canonicalized == e2.canonicalized)
+    val different = PqEncodeSig(child,
+      cb().updated(0, Vector(Vector(9.0, 9.0), Vector(3.0, 4.0))))
+    assert(e1 != different)
+  }
+
   test("dimension mismatch fails loudly") {
     val cbRows = Seq((0, 0, Seq(1.0, 2.0, 3.0, 4.0)),
       (1, 0, Seq(5.0, 6.0, 7.0, 8.0))).toDF("sub", "code", "cv")

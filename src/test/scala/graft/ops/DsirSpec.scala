@@ -50,9 +50,13 @@ class DsirSpec extends SparkSpec {
 
   test("logWeightedSample: coin semantics in log space") {
     val df = (0L until 4000L).toDF("id")
-    // logProb 0 => keep with prob ~1 (ln(u) < 0 except u = 2^32)
+    // logProb 0 => min(1, e^0) = 1: kept UNCONDITIONALLY (the >= 0
+    // special case — the strict coin alone would drop a u = 2^32-1 row)
     val all = Sampling.logWeightedSample(df, col("id"), lit(0.0)).count()
-    assert(all >= 3999)
+    assert(all == 4000)
+    // positive logProb is the same certainty
+    assert(Sampling.logWeightedSample(df, col("id"), lit(2.5)).count()
+      == 4000)
     // ln(0.5): keep about half
     val half = Sampling.logWeightedSample(df, col("id"),
       lit(math.log(0.5))).count()

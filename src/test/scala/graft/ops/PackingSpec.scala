@@ -89,4 +89,23 @@ class PackingSpec extends SparkSpec {
     }
     assert(e.getMessage != null)
   }
+
+  test("a duplicated (shard, order) pair fails loudly — the layout is " +
+      "undefined under order ties") {
+    // two docs share order=1 in shard "a": the cumsum's ROWS frame has
+    // no defined result, so the contract is a loud failure, not a
+    // partitioning-dependent layout
+    val tied = Seq(("a", 1L, 10L, 5L), ("a", 1L, 11L, 3L),
+      ("b", 1L, 12L, 4L)).toDF("lang", "ord", "doc_id", "tok")
+    val e = intercept[Exception] {
+      Packing.packSpans(tied, col("lang"), col("ord"), col("doc_id"),
+        col("tok"), budget).collect()
+    }
+    assert(e.getMessage != null)
+    // the same orders in DIFFERENT shards are fine
+    val ok = Seq(("a", 1L, 10L, 5L), ("b", 1L, 11L, 3L))
+      .toDF("lang", "ord", "doc_id", "tok")
+    assert(Packing.packSpans(ok, col("lang"), col("ord"), col("doc_id"),
+      col("tok"), budget).count() == 2)
+  }
 }

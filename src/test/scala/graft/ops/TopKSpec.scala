@@ -46,6 +46,18 @@ class TopKSpec extends SparkSpec {
     assert(e2.getMessage != null)
   }
 
+  test("a NULL id fails loudly instead of silently vanishing") {
+    // the window form would rank a null id; the two-phase join-back can
+    // never match it (three-valued-false), so the contract is a loud
+    // failure, mirroring the score guard
+    val df = Seq((Some("a"), Some(1L), 5.0), (Some("a"), None, 7.0))
+      .toDF("g", "id", "s")
+    val e = intercept[Exception] {
+      TopK.topKByScore(df, col("g"), col("id"), col("s"), 2).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("a pre-existing topk_rank column is replaced, as withColumn does") {
     val df = Seq(("a", 1L, 5.0, 42), ("a", 2L, 7.0, 42))
       .toDF("g", "id", "s", "topk_rank")
