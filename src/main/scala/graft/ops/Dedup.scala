@@ -261,6 +261,45 @@ object Dedup {
     when(na > 0, inter / na).otherwise(lit(0.0))
   }
 
+  /** [[containment]] scored over a CANDIDATE-PAIR table — the production
+    * composition (the bounded all-pairs sweep is a demo shape): pairs
+    * come from [[minhashCandidates]] (or any LSH/banding source), and
+    * the asymmetric signal is computed only for them. This is the pass
+    * that catches length-skewed near-dups — a short document embedded in
+    * a long one scores containment ≈ 1 while its Jaccard (what the
+    * banded signatures estimate) stays near |A|/|B|, so Jaccard-banded
+    * LSH under-RANKS them; scoring containment over the band-collision
+    * candidates recovers the asymmetry without ever going all-pairs.
+    *
+    * Scale shape: the pair table's distinct endpoint ids semi-join the
+    * corpus (only CANDIDATE documents are ever shingled — candidate
+    * count is LSH-bounded, ≪ corpus), the shingle arrays are
+    * materialized once (the dedup_ngram_jaccard rule: both pair sides
+    * would otherwise re-execute the shingle expression per pair under
+    * CollapseProject), and two hash equi-joins put (sh_a, sh_b) on each
+    * pair row for a row-local intersection. No corpus shuffle, no
+    * all-pairs anything.
+    *
+    * `pairs` must carry `id_a`/`id_b` (the candidate convention); both
+    * directions are returned as `c_ab` = containment of a in b and
+    * `c_ba`, alongside the pair's other columns. */
+  def containmentOverPairs(df: DataFrame, idCol: String, textCol: String,
+                           pairs: DataFrame, n: Int = 3): DataFrame = {
+    val ids = pairs.select(col("id_a").as("__ct_id"))
+      .unionByName(pairs.select(col("id_b").as("__ct_id"))).distinct()
+    val sh = df.join(ids, col(idCol) === col("__ct_id"), "left_semi")
+      .select(col(idCol).as("__ct_doc"), shingles(col(textCol), n).as("sh"))
+      .localCheckpoint(eager = true)
+    pairs
+      .join(sh.select(col("__ct_doc").as("id_a"), col("sh").as("sh_a")),
+        "id_a")
+      .join(sh.select(col("__ct_doc").as("id_b"), col("sh").as("sh_b")),
+        "id_b")
+      .withColumn("c_ab", containment(col("sh_a"), col("sh_b")))
+      .withColumn("c_ba", containment(col("sh_b"), col("sh_a")))
+      .drop("sh_a", "sh_b")
+  }
+
   /** Near-duplicate GROUPS: connected components over a candidate-pair
     * graph (the step after [[minhashCandidates]] / a cosine threshold —
     * dedup keeps one document per component, not per pair). Distributed

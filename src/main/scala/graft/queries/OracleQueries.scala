@@ -2680,6 +2680,62 @@ object OracleQueries {
           FROM d a JOIN d b ON a.doc_id < b.doc_id)
         SELECT id_a, id_b, c_ab, c_ba FROM pairs
         WHERE GREATEST(c_ab, c_ba) >= 0.05
+        ORDER BY id_a, id_b""")),
+
+    // ========= dedup: containment over LSH candidates (production) =======
+    // The composition a real corpus runs (the 50-doc sweep above is the
+    // bounded demo): MinHash-LSH banding proposes candidate pairs over
+    // the WHOLE corpus, and the asymmetric containment signal is scored
+    // only for them — the length-skewed near-dups Jaccard-banded LSH
+    // under-ranks (short doc inside a long one: containment ≈ 1,
+    // Jaccard ≈ |A|/|B|) are recovered without going all-pairs. Only
+    // candidate documents are ever shingled (LSH-bounded semi-join).
+    // The oracle re-derives banding from the aux family hashes and the
+    // intersection arithmetic from the raw text in list SQL.
+    Q("dedup_containment_lsh",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val cand = Dedup.minhashCandidates(docs, "doc_id", "text",
+            n = 3, k = 32, bands = 8)
+          .select(col("id_a"), col("id_b"))
+        Dedup.containmentOverPairs(docs, "doc_id", "text", cand, n = 3)
+          .select(col("id_a"), col("id_b"),
+            round(col("c_ab"), 6).as("c_ab"),
+            round(col("c_ba"), 6).as("c_ba"))
+          .where(greatest(col("c_ab"), col("c_ba")) >= 0.5)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(s"""WITH fam AS (SELECT id, seed, fh
+            FROM '$AuxDir/minhash_family/*.parquet'),
+          sig AS (SELECT id, seed, MIN(fh) AS m FROM fam GROUP BY id, seed),
+          sigl AS (SELECT id, list(m ORDER BY seed) AS sig
+            FROM sig GROUP BY id),
+          bands AS (SELECT id, b, sig[b*4+1:b*4+4] AS slc
+            FROM sigl CROSS JOIN range(0, 8) t(b)),
+          pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+            FROM bands a JOIN bands b
+              ON a.b = b.b AND a.slc = b.slc AND a.id < b.id),
+          cids AS (SELECT DISTINCT id FROM (
+            SELECT id_a AS id FROM pairs
+            UNION ALL SELECT id_b FROM pairs)),
+          d AS (SELECT doc_id,
+              list_distinct([array_to_string(w[i:i+2], ' ')
+                FOR i IN range(1, len(w) - 1)]) AS sh
+            FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w
+                  FROM documents
+                  WHERE doc_id IN (SELECT id FROM cids))),
+          sc AS (SELECT p.id_a, p.id_b,
+              CASE WHEN len(a.sh) > 0 THEN
+                ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                  / len(a.sh), 6) ELSE 0.0 END AS c_ab,
+              CASE WHEN len(b.sh) > 0 THEN
+                ROUND(CAST(len(list_intersect(b.sh, a.sh)) AS DOUBLE)
+                  / len(b.sh), 6) ELSE 0.0 END AS c_ba
+            FROM pairs p
+            JOIN d a ON a.doc_id = p.id_a
+            JOIN d b ON b.doc_id = p.id_b)
+        SELECT id_a, id_b, c_ab, c_ba FROM sc
+        WHERE GREATEST(c_ab, c_ba) >= 0.5
         ORDER BY id_a, id_b"""))
   )
 

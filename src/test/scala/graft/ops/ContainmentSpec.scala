@@ -30,4 +30,27 @@ class ContainmentSpec extends SparkSpec {
       Dedup.containment(col("se"), col("sa"))).collect()(0)
     assert(r.getDouble(0) == 0.0 && r.getDouble(1) == 0.0)
   }
+
+  test("containmentOverPairs scores exactly the given pairs, both " +
+      "directions, matching the direct computation") {
+    val short = "alpha beta gamma delta epsilon zeta"
+    val long = short + " " + (1 to 40).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, short), (2L, long), (3L, "totally other words " +
+      "here that share nothing with anyone at all"),
+      (4L, "never a candidate so never shingled")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val r = Dedup.containmentOverPairs(docs, "doc_id", "text", pairs)
+      .orderBy("id_a", "id_b").collect()
+    assert(r.length == 2, "one output row per candidate pair")
+    assert(r(0).getAs[Double]("c_ab") == 1.0,
+      "short-in-long pair: full containment of the short side")
+    assert(r(0).getAs[Double]("c_ba") < 0.2)
+    assert(r(1).getAs[Double]("c_ab") == 0.0 &&
+      r(1).getAs[Double]("c_ba") == 0.0, "disjoint pair scores 0 both ways")
+    // pair columns beyond the ids ride through untouched
+    val withExtra = pairs.withColumn("est", lit(0.75))
+    val cols = Dedup.containmentOverPairs(docs, "doc_id", "text", withExtra)
+      .columns.toSet
+    assert(Set("id_a", "id_b", "est", "c_ab", "c_ba").subsetOf(cols))
+  }
 }
