@@ -91,7 +91,16 @@ object Bench {
     val memGBps =
       12.0 * 64 * 1024 * 1024 * spark.sparkContext.defaultParallelism /
         calMem / 1e9
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"calibration_sec":$calibration,"calibration_mem_sec":$calMem,"calibration_mem_gbps":$memGBps,"total_over_calibration":${total / calibration},"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"calibration_sec":$calibration,"calibration_mem_sec":$calMem,"calibration_mem_gbps":$memGBps,"total_over_calibration":${total / calibration},"sf":"$sfDir"}"""
+    println(json)
+    // the driver's artifact pipeline head-truncates long stdout lines
+    // (BENCH_r08.json lost ~14 of 77 query timings), so the full
+    // per-query map is ALSO written to a file when asked — the copy
+    // committed to bench/ each round keeps the round-over-round table
+    // independent of /tmp surviving
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(p), json)
+    }
     spark.stop()
   }
 }

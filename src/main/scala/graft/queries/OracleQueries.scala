@@ -2736,7 +2736,184 @@ object OracleQueries {
             JOIN d b ON b.doc_id = p.id_b)
         SELECT id_a, id_b, c_ab, c_ba FROM sc
         WHERE GREATEST(c_ab, c_ba) >= 0.5
-        ORDER BY id_a, id_b"""))
+        ORDER BY id_a, id_b""")),
+
+    // ============ the END-TO-END curation pipeline =======================
+    // The composition a training-data pipeline actually ships, chained as
+    // ONE plan: JSONL ingest with corrupt-line quarantine → token/
+    // repetition quality filter → exact dedup (keep min-id per content
+    // hash) → MinHash-LSH near-dedup (keep the canonical member of each
+    // connected group) → eval-set decontamination (docs sharing >= 5
+    // shingle hashes with the held-out doc_id < 50 slice) → weighted
+    // exact-N sample per language (Efraimidis–Spirakis, weight =
+    // n_chars) → sequence packing into 64-token training spans. Every
+    // stage is individually oracle-gated elsewhere; this row gates the
+    // COMPOSITION — the output spans only hash-match if every stage
+    // passed exactly the right survivor set to the next.
+    //
+    // Plan shape (the scale audit lives in SCALE_r09.md): the ingest
+    // parse and both quality predicates ride ONE text scan (from_json →
+    // filters are projections), the exact dedup is a single min(struct)
+    // hash aggregation — duplicates collapse MAP-SIDE, no keeper
+    // join-back, no second scan — and the cleaned corpus is
+    // materialized ONCE at the stage boundary (localCheckpoint here;
+    // the parquet staging table a production pipeline writes): the
+    // near-dedup signatures, both anti-joins, and the decontamination
+    // explode all read that one artifact instead of re-executing the
+    // scan lineage per reference. After decontamination only the four
+    // small columns survive (text is dropped once its token count is
+    // taken), so the sampler's two-phase agg + join-back and the
+    // packing window touch a narrow table. The corrupt lines are
+    // injected in-plan (a union of three literals) so the quarantine
+    // path is exercised without a filesystem side effect; the eval side
+    // of the decontamination join is broadcast; the sampler moves
+    // bounded (key, id) pairs; packing is one per-language window.
+    Q("pipeline_curate",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+        import org.apache.spark.sql.graftshim.Internals.{column => toCol, expression => toExpr}
+        val docs = t(s, dir, "documents")
+        // 1. ingest: the corpus slice rendered as JSONL lines plus three
+        // corrupt ones; the contract parse quarantines the bad lines
+        val lines = docs.where(col("doc_id") >= 50)
+          .select(to_json(struct(col("doc_id"), col("lang"), col("text"),
+            col("n_chars"))).as("raw"))
+          .unionByName(Seq(
+            """{"doc_id": 999999, "lang": "xx", "text": "truncated""",
+            "definitely not json", "").toDF("raw"))
+        val schema = StructType(Seq(
+          StructField("doc_id", LongType), StructField("lang", StringType),
+          StructField("text", StringType), StructField("n_chars", LongType)))
+        val (clean, _) =
+          graft.sources.JsonlSource.parseWithQuarantine(lines, schema)
+        // 2. quality: >= 5 tokens, repeated-token fraction <= 0.7
+        val q = clean.where(
+          TextMetrics.tokenCount(col("text")) >= 5 &&
+            TextMetrics.repetitionFeatures(col("text"))
+              .getField("dup_token_frac") <= 0.7)
+        // 3. exact dedup: ONE min(struct) hash aggregation — the
+        // min-id row of each content hash wins, duplicates collapse
+        // map-side (the segmentDedup idiom), no keeper join-back. The
+        // result is the cleaned-corpus STAGE BOUNDARY: materialized
+        // once (a production pipeline writes this table to parquet),
+        // because four downstream consumers read it — the signature
+        // projection, both anti-join left sides, and the
+        // decontamination explode — and each would otherwise re-execute
+        // the whole scan lineage
+        val s1 = q.groupBy(md5(col("text")).as("__h"))
+          .agg(min(struct(col("doc_id"), col("lang"), col("text"),
+            col("n_chars"))).as("__r"))
+          .select(col("__r.doc_id").as("doc_id"), col("__r.lang").as("lang"),
+            col("__r.text").as("text"), col("__r.n_chars").as("n_chars"))
+          .localCheckpoint(eager = true)
+        // 4. near dedup: LSH candidates >= 0.5 est-Jaccard, connected
+        // groups, drop every non-canonical (id != group_id) member
+        val cand = Dedup.minhashCandidates(s1, "doc_id", "text",
+            n = 3, k = 32, bands = 8)
+          .where(col("est_jaccard") >= 0.5)
+        val losers = Dedup.connectedGroups(cand, "id_a", "id_b")
+          .where(col("id") =!= col("group_id"))
+          .select(col("id").as("doc_id"))
+        val s2 = s1.join(losers, Seq("doc_id"), "left_anti")
+        // 5. decontaminate vs the held-out eval slice (doc_id < 50)
+        def hashRows(d: DataFrame) = d.select(col("doc_id"), explode(toCol(
+          graft.functions.DistinctShingleHashes(toExpr(col("text")), 3)))
+          .as("h"))
+        val evalH = hashRows(docs.where(col("doc_id") < 50))
+          .select(col("h")).distinct()
+        val contam = hashRows(s2)
+          .join(broadcast(evalH), "h")
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+          .where(col("n_shared") >= 5).select("doc_id")
+        // text has served its last purpose (the token count); the
+        // curated table carries only the four narrow columns into the
+        // sampler/packer, and is materialized because the two-phase
+        // top-k references its base twice (agg + join-back)
+        val s3 = s2.join(contam, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("lang"), col("n_chars"),
+            TextMetrics.tokenCount(col("text")).cast("long").as("__pc_tok"))
+          .localCheckpoint(eager = true)
+        // 6. weighted exact-N per language (weight = document length)
+        val samp = Sampling.weightedSampleExactN(s3, col("lang"),
+          col("doc_id"), col("n_chars"), n = 10)
+        // 7. pack the sampled docs into 64-token training sequences
+        Packing.packSpans(samp, col("lang"), col("doc_id"), col("doc_id"),
+            col("__pc_tok"), budget = 64)
+          .orderBy(col("shard"), col("seq_id"), col("seq_offset"))
+      },
+      Some(s"""WITH RECURSIVE
+        corpus AS (SELECT doc_id, lang, text, n_chars FROM documents
+          WHERE doc_id >= 50),
+        tokd AS (SELECT doc_id, lang, text, n_chars,
+          string_split(text, ' ') AS toks FROM corpus),
+        q AS (SELECT * FROM tokd WHERE len(toks) >= 5
+          AND round(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE)
+            / len(toks), 6) <= 0.7),
+        ex AS (SELECT MIN(doc_id) AS doc_id FROM q GROUP BY md5(text)),
+        s1 AS (SELECT q.* FROM q JOIN ex USING (doc_id)),
+        fam AS (SELECT id, seed, fh FROM '$AuxDir/minhash_family/*.parquet'
+          WHERE id IN (SELECT doc_id FROM s1)),
+        sig AS (SELECT id, seed, MIN(fh) AS m FROM fam GROUP BY id, seed),
+        sigl AS (SELECT id, list(m ORDER BY seed) AS sig
+          FROM sig GROUP BY id),
+        bands AS (SELECT id, b, sig[b*4+1:b*4+4] AS slc
+          FROM sigl CROSS JOIN range(0, 8) t(b)),
+        pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+          FROM bands a JOIN bands b
+            ON a.b = b.b AND a.slc = b.slc AND a.id < b.id),
+        kept AS (SELECT p.id_a, p.id_b
+          FROM pairs p
+          JOIN sig sa ON sa.id = p.id_a
+          JOIN sig sb ON sb.id = p.id_b AND sb.seed = sa.seed
+          GROUP BY p.id_a, p.id_b
+          HAVING SUM(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) >= 16),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM kept
+          UNION ALL SELECT id_b, id_a FROM kept),
+        nodes AS (SELECT DISTINCT src AS id FROM edges),
+        reach(id, r) AS (
+          SELECT id, id FROM nodes
+          UNION
+          SELECT re.id, ed.dst FROM reach re JOIN edges ed ON ed.src = re.r),
+        grp AS (SELECT id, MIN(r) AS group_id FROM reach GROUP BY id),
+        s2 AS (SELECT * FROM s1 WHERE doc_id NOT IN
+          (SELECT id FROM grp WHERE id <> group_id)),
+        ev AS (SELECT DISTINCT h
+          FROM '$AuxDir/all_shingle_hashes/*.parquet' WHERE id < 50),
+        contam AS (SELECT c.id FROM
+            (SELECT id, h FROM '$AuxDir/all_shingle_hashes/*.parquet'
+             WHERE id IN (SELECT doc_id FROM s2)) c
+          JOIN ev USING (h) GROUP BY c.id HAVING COUNT(*) >= 5),
+        s3 AS (SELECT * FROM s2
+          WHERE doc_id NOT IN (SELECT id FROM contam)),
+        hx AS (SELECT doc_id,
+          ((h % 4294967296) + 4294967296) % 4294967296 AS u
+          FROM '$AuxDir/doc_bucket/*.parquet'),
+        keys AS (SELECT s3.lang, s3.doc_id, s3.toks,
+            round(ln(CAST(u + 1 AS DOUBLE) / 4294967296.0), 6)
+              / CAST(s3.n_chars AS DOUBLE) AS key
+          FROM s3 JOIN hx USING (doc_id)),
+        rk AS (SELECT lang, doc_id, toks,
+            ROW_NUMBER() OVER (PARTITION BY lang
+              ORDER BY key DESC, doc_id) AS rnk
+          FROM keys),
+        samp AS (SELECT lang, doc_id, CAST(len(toks) AS BIGINT) AS tk
+          FROM rk WHERE rnk <= 10),
+        cum AS (SELECT lang, doc_id, tk,
+            CAST(COALESCE(SUM(tk) OVER (PARTITION BY lang ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS st
+          FROM samp),
+        sp AS (SELECT lang, doc_id, tk, st,
+            UNNEST(range(st // 64, (st + tk - 1) // 64 + 1)) AS seq_id
+          FROM cum)
+        SELECT lang AS shard, seq_id,
+          GREATEST(st, seq_id * 64) - seq_id * 64 AS seq_offset,
+          doc_id,
+          GREATEST(st, seq_id * 64) - st AS doc_offset,
+          LEAST(st + tk, (seq_id + 1) * 64) - GREATEST(st, seq_id * 64)
+            AS span_len
+        FROM sp ORDER BY shard, seq_id, seq_offset"""))
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

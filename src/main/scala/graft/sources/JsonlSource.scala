@@ -37,12 +37,22 @@ object JsonlSource {
     * are CLEAN (null columns) — schema-level nullability policy belongs
     * to the caller's downstream filters, not the decoder. */
   def readWithQuarantine(spark: SparkSession, path: String,
-                         schema: StructType): (DataFrame, DataFrame) = {
+                         schema: StructType): (DataFrame, DataFrame) =
+    parseWithQuarantine(spark.read
+      .schema(StructType(Seq(StructField("raw", StringType))))
+      .text(path), schema)
+
+  /** The parse half of [[readWithQuarantine]], over an ALREADY-LOADED
+    * single-string-column DataFrame of raw lines (its first column is
+    * the line text, whatever its name) — the seam that lets the same
+    * contract parsing run over any line source: a text scan, a
+    * streaming socket, or an in-plan rendering. Pure column logic over
+    * one pass of the input; no shuffle, fully lazy. */
+  def parseWithQuarantine(lines: DataFrame,
+                          schema: StructType): (DataFrame, DataFrame) = {
     require(!schema.fieldNames.contains("_jl_corrupt"),
       "the schema already carries the _jl_corrupt helper field")
-    val raw = spark.read
-      .schema(StructType(Seq(StructField("raw", StringType))))
-      .text(path)
+    val raw = lines.select(col(lines.columns.head).as("raw"))
     // PERMISSIVE from_json yields an ALL-NULL struct for a malformed
     // line — indistinguishable from a valid object of nulls — so
     // corruption is detected via an explicit corrupt-record field

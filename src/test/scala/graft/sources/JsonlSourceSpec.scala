@@ -39,6 +39,22 @@ class JsonlSourceSpec extends SparkSpec {
       "not json at all", ""))
   }
 
+  test("parseWithQuarantine over in-plan lines == the file path (the " +
+      "curation pipeline's ingest seam), fully lazy") {
+    val lines = Seq(
+      """{"doc_id": 1, "text": "hello world", "lang": "en"}""",
+      """not json""",
+      """{"doc_id": 2, "text": "ok", "lang": "de"}""").toDF("raw")
+    val (clean, corrupt) = JsonlSource.parseWithQuarantine(lines, schema)
+    assert(clean.orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+      == Seq(1L, 2L))
+    assert(corrupt.collect().map(_.getString(0)).toSeq == Seq("not json"))
+    // any single-string column name works — the first column is the line
+    val renamed = JsonlSource.parseWithQuarantine(
+      lines.withColumnRenamed("raw", "value"), schema)
+    assert(renamed._1.count() == 2)
+  }
+
   test("write -> read round trip against the parquet corpus") {
     val docs = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")
