@@ -49,6 +49,20 @@ case class PqEncodeSig(child: Expression,
   @transient private lazy val cb: Array[Array[Double]] =
     codebook.map(_.flatten.toArray).toArray
 
+  // Catalyst calls equals/hashCode repeatedly during analysis and
+  // optimization (expression maps, semanticEquals, CSE); a naive
+  // value hash would walk all S×k×(D/S) boxed doubles per call, so the
+  // hash is computed once and equals checks it before the deep
+  // codebook comparison (which then only runs on a true candidate
+  // match or the vanishingly rare collision)
+  @transient override lazy val hashCode: Int =
+    scala.util.hashing.MurmurHash3.caseClassHash(this)
+  override def equals(other: Any): Boolean = other match {
+    case p: PqEncodeSig => (p eq this) ||
+      (p.hashCode == hashCode && p.child == child && p.codebook == codebook)
+    case _ => false
+  }
+
   override def dataType: DataType =
     ArrayType(IntegerType, containsNull = false)
   override def nullable: Boolean = true

@@ -282,7 +282,14 @@ object Dedup {
     *
     * `pairs` must carry `id_a`/`id_b` (the candidate convention); both
     * directions are returned as `c_ab` = containment of a in b and
-    * `c_ba`, alongside the pair's other columns. */
+    * `c_ba`, alongside the pair's other columns. A pair referencing a
+    * document ABSENT from `df` (stale candidate table, mismatched
+    * upstream filters, an id-type drift breaking the equi-join) FAILS
+    * LOUDLY, naming the pair — an inner join would silently drop it,
+    * and a curation pipeline reading absence as "not a near-dup" would
+    * ship the duplicate (the [[TopK.topKByScore]] silent-vanish class;
+    * the guard rides the score columns, so it holds for any caller
+    * that reads them). */
   def containmentOverPairs(df: DataFrame, idCol: String, textCol: String,
                            pairs: DataFrame, n: Int = 3): DataFrame = {
     val ids = pairs.select(col("id_a").as("__ct_id"))
@@ -290,13 +297,21 @@ object Dedup {
     val sh = df.join(ids, col(idCol) === col("__ct_id"), "left_semi")
       .select(col(idCol).as("__ct_doc"), shingles(col(textCol), n).as("sh"))
       .localCheckpoint(eager = true)
+    def guarded(side: Column): Column =
+      when(side.isNull, raise_error(concat(
+        lit("containmentOverPairs: pair ("), col("id_a").cast("string"),
+        lit(", "), col("id_b").cast("string"),
+        lit(") references a document absent from df")))
+        .cast("array<string>")).otherwise(side)
     pairs
       .join(sh.select(col("__ct_doc").as("id_a"), col("sh").as("sh_a")),
-        "id_a")
+        Seq("id_a"), "left")
       .join(sh.select(col("__ct_doc").as("id_b"), col("sh").as("sh_b")),
-        "id_b")
-      .withColumn("c_ab", containment(col("sh_a"), col("sh_b")))
-      .withColumn("c_ba", containment(col("sh_b"), col("sh_a")))
+        Seq("id_b"), "left")
+      .withColumn("c_ab",
+        containment(guarded(col("sh_a")), guarded(col("sh_b"))))
+      .withColumn("c_ba",
+        containment(guarded(col("sh_b")), guarded(col("sh_a"))))
       .drop("sh_a", "sh_b")
   }
 

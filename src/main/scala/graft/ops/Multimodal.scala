@@ -253,12 +253,15 @@ object Multimodal {
   /** Perceptual hashes for image assets: (asset_id, ahash); undecodable
     * or under-sized payloads are dropped here (already accounted as
     * ok=false by [[extractFeatures]] — the quarantine convention
-    * [[thumbnails]] uses). Only the EXPECTED decode failures are
-    * quarantined — a null/undersized image (IllegalArgumentException
-    * from [[aHashOf]]'s input guards) or a codec error (IOException
-    * from ImageIO); anything else, in particular the stride-invariant
-    * IllegalStateException, is a BUG and propagates to fail the job
-    * instead of surfacing as silently missing assets. */
+    * [[thumbnails]] uses). Decode failures are quarantined in FULL
+    * breadth — [[aHashOf]]'s input guards (IllegalArgumentException),
+    * codec IOExceptions, AND the RuntimeExceptions the JDK decoders
+    * are known to throw on malformed payloads (CMMException on a
+    * corrupt ICC profile, ArrayIndexOutOfBounds on truncated data) —
+    * with ONE deliberate exception: the stride-invariant
+    * IllegalStateException is a BUG in this file's own sampling loop
+    * and PROPAGATES to fail the job instead of surfacing as silently
+    * missing assets. */
   def imageHashes(assets: DataFrame): DataFrame = {
     val spark = assets.sparkSession
     import spark.implicits._
@@ -269,8 +272,8 @@ object Multimodal {
         it.flatMap { case (id, payload) =>
           try Some((id, aHashOf(payload)))
           catch {
-            case _: IllegalArgumentException => None
-            case _: java.io.IOException => None
+            case e: IllegalStateException => throw e
+            case scala.util.control.NonFatal(_) => None
           }
         }
       }

@@ -2770,42 +2770,18 @@ object OracleQueries {
     // bounded (key, id) pairs; packing is one per-language window.
     Q("pipeline_curate",
       (s, dir) => {
-        import s.implicits._
-        import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
         import org.apache.spark.sql.graftshim.Internals.{column => toCol, expression => toExpr}
         val docs = t(s, dir, "documents")
-        // 1. ingest: the corpus slice rendered as JSONL lines plus three
-        // corrupt ones; the contract parse quarantines the bad lines
-        val lines = docs.where(col("doc_id") >= 50)
-          .select(to_json(struct(col("doc_id"), col("lang"), col("text"),
-            col("n_chars"))).as("raw"))
-          .unionByName(Seq(
-            """{"doc_id": 999999, "lang": "xx", "text": "truncated""",
-            "definitely not json", "").toDF("raw"))
-        val schema = StructType(Seq(
-          StructField("doc_id", LongType), StructField("lang", StringType),
-          StructField("text", StringType), StructField("n_chars", LongType)))
-        val (clean, _) =
-          graft.sources.JsonlSource.parseWithQuarantine(lines, schema)
-        // 2. quality: >= 5 tokens, repeated-token fraction <= 0.7
-        val q = clean.where(
-          TextMetrics.tokenCount(col("text")) >= 5 &&
-            TextMetrics.repetitionFeatures(col("text"))
-              .getField("dup_token_frac") <= 0.7)
-        // 3. exact dedup: ONE min(struct) hash aggregation — the
-        // min-id row of each content hash wins, duplicates collapse
-        // map-side (the segmentDedup idiom), no keeper join-back. The
-        // result is the cleaned-corpus STAGE BOUNDARY: materialized
-        // once (a production pipeline writes this table to parquet),
-        // because four downstream consumers read it — the signature
+        // 1-3. ingest + quarantine, quality filter, map-side exact
+        // dedup — the shared CurateStages builder (also what the
+        // CuratePlanProbe explain audit runs). The result is the
+        // cleaned-corpus STAGE BOUNDARY: materialized once (a
+        // production pipeline writes this table to parquet), because
+        // four downstream consumers read it — the signature
         // projection, both anti-join left sides, and the
-        // decontamination explode — and each would otherwise re-execute
-        // the whole scan lineage
-        val s1 = q.groupBy(md5(col("text")).as("__h"))
-          .agg(min(struct(col("doc_id"), col("lang"), col("text"),
-            col("n_chars"))).as("__r"))
-          .select(col("__r.doc_id").as("doc_id"), col("__r.lang").as("lang"),
-            col("__r.text").as("text"), col("__r.n_chars").as("n_chars"))
+        // decontamination explode — and each would otherwise
+        // re-execute the whole scan lineage
+        val s1 = CurateStages.cleanedCorpus(s, docs)
           .localCheckpoint(eager = true)
         // 4. near dedup: LSH candidates >= 0.5 est-Jaccard, connected
         // groups, drop every non-canonical (id != group_id) member

@@ -23,8 +23,18 @@ import graft.ops.Pq
   * persist (N × S small ints, the 32× memory cut that makes PQ PQ).
   * Memoized per (session, sfDir); Verify and Bench each hold one
   * session, so training runs once per process however many PQ queries
-  * execute. The [[codesWithCell]] variant (codes ⋈ coarse cell) is the
-  * IVF-PQ index layout — cell resolved at build time, not per query.
+  * execute. The `Staged.codesWithCell` variant (codes ⋈ coarse cell)
+  * is the IVF-PQ index layout — cell resolved at build time, not per
+  * query.
+  *
+  * Memo CONTRACT: `dir`'s parquet must be immutable for the session's
+  * lifetime (true here — /root/testdata is read-only to the harness);
+  * a rewritten embeddings table needs a fresh SparkSession, exactly as
+  * a rebuilt production index needs re-staging — there is no content
+  * fingerprinting, the memo IS the staged-index semantics. Entries are
+  * retained for the owning session's lifetime (the key holds the
+  * session reference; Verify/Bench are short-lived single-session
+  * processes).
   */
 object PqStage {
 

@@ -52,7 +52,12 @@ object JsonlSource {
                           schema: StructType): (DataFrame, DataFrame) = {
     require(!schema.fieldNames.contains("_jl_corrupt"),
       "the schema already carries the _jl_corrupt helper field")
-    val raw = lines.select(col(lines.columns.head).as("raw"))
+    // backtick-quote the input column: a bare col(name) would mis-parse
+    // a NAME containing a dot as a nested path — the same hazard the
+    // getField comment below guards on the schema side
+    val first = lines.columns.head
+    val raw = lines
+      .select(col("`" + first.replace("`", "``") + "`").as("raw"))
     // PERMISSIVE from_json yields an ALL-NULL struct for a malformed
     // line — indistinguishable from a valid object of nulls — so
     // corruption is detected via an explicit corrupt-record field

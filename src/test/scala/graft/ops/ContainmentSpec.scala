@@ -53,4 +53,15 @@ class ContainmentSpec extends SparkSpec {
       .columns.toSet
     assert(Set("id_a", "id_b", "est", "c_ab", "c_ba").subsetOf(cols))
   }
+
+  test("a pair referencing a document absent from df fails loudly " +
+      "instead of silently vanishing") {
+    val docs = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val stale = Seq((1L, 99L)).toDF("id_a", "id_b") // 99 not in docs
+    val e = intercept[Exception] {
+      Dedup.containmentOverPairs(docs, "doc_id", "text", stale)
+        .select("c_ab", "c_ba").collect()
+    }
+    assert(e.getMessage != null)
+  }
 }

@@ -53,6 +53,11 @@ class JsonlSourceSpec extends SparkSpec {
     val renamed = JsonlSource.parseWithQuarantine(
       lines.withColumnRenamed("raw", "value"), schema)
     assert(renamed._1.count() == 2)
+    // including a name containing a DOT (would mis-parse as a nested
+    // path without the backtick quoting)
+    val dotted = JsonlSource.parseWithQuarantine(
+      lines.withColumnRenamed("raw", "log.raw"), schema)
+    assert(dotted._1.count() == 2 && dotted._2.count() == 1)
   }
 
   test("write -> read round trip against the parquet corpus") {
