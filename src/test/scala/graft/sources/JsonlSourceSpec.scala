@@ -60,6 +60,35 @@ class JsonlSourceSpec extends SparkSpec {
     assert(dotted._1.count() == 2 && dotted._2.count() == 1)
   }
 
+  test("the same contract parse runs over a STREAMING text source — " +
+      "clean rows and quarantine both flow as streams") {
+    val dir = java.nio.file.Files.createTempDirectory("jsonl_stream").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "b0.jsonl"),
+      Seq("""{"doc_id": 1, "text": "hello", "lang": "en"}""",
+        "garbage line",
+        """{"doc_id": 2, "text": "more", "lang": "fr"}""").mkString("\n"))
+    val lines = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.StringType))))
+      .text(dir)
+    // parseWithQuarantine is pure column logic, so it lifts to the
+    // streaming DataFrame unchanged — the seam the scaladoc promises
+    val (clean, corrupt) = JsonlSource.parseWithQuarantine(lines, schema)
+    val q1 = clean.writeStream.format("memory").queryName("jl_clean")
+      .outputMode("append").start()
+    val q2 = corrupt.writeStream.format("memory").queryName("jl_bad")
+      .outputMode("append").start()
+    try {
+      q1.processAllAvailable(); q2.processAllAvailable()
+      val got = spark.table("jl_clean").orderBy("doc_id").collect()
+      assert(got.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+      val bad = spark.table("jl_bad").collect().map(_.getString(0)).toSeq
+      assert(bad == Seq("garbage line"))
+    } finally { q1.stop(); q2.stop() }
+  }
+
   test("write -> read round trip against the parquet corpus") {
     val docs = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")
