@@ -213,15 +213,55 @@ object Pq {
     * no out-of-cell candidate is ever touched). `codes` must carry the
     * cell alongside the codes; the cell RIDES IN THE JOIN KEY, so
     * out-of-cell candidates are dropped in the hash lookup itself, not
-    * filtered after pairing. */
+    * filtered after pairing. Delegates to [[searchAdcInProbedCells]]
+    * with each query probing exactly its own cell. */
   def searchAdcInCells(queries: DataFrame, qIdCol: String, qVecCol: String,
                        qCellCol: String, codes: DataFrame, cellCol: String,
                        codebook: DataFrame, subspaces: Int, dim: Int,
-                       topK: Int): DataFrame = {
-    val cells = queries.select(col(qIdCol).as("id"),
-      col(qCellCol).as("__pq_cell"))
+                       topK: Int): DataFrame =
+    searchAdcInProbedCells(queries, qIdCol, qVecCol,
+      queries.select(col(qIdCol).as("id"), col(qCellCol).as("cell")),
+      codes, cellCol, codebook, subspaces, dim, topK)
+
+  /** The coarse-quantizer probe step of multi-probe IVF-PQ: rank cells
+    * by exact decimal squared-L2 from the query to each CELL CENTROID
+    * (ties to the smaller cell id — the [[KMeans]] argmin rules, so an
+    * external engine replays the ranking bit-for-bit) and keep the top
+    * `probes`. The centroid table is index metadata (one row per cell —
+    * broadcast), so this is a scalar-product projection over the
+    * queries; the corpus is never touched. Returns (id, cell). */
+  def probeCells(queries: DataFrame, qIdCol: String, qVecCol: String,
+                 centroids: DataFrame, cellCol: String,
+                 probes: Int): DataFrame = {
+    require(probes > 0, s"need probes > 0, got $probes")
+    val w = Window.partitionBy(col("id")).orderBy(col("d"), col("cell"))
+    queries.select(col(qIdCol).as("id"), col(qVecCol).as("__pq_qv"))
+      .crossJoin(broadcast(centroids.select(col(cellCol).as("cell"),
+        col("cv").as("__pq_cc"))))
+      .select(col("id"), col("cell"),
+        KMeans.sqDistDecimal(col("__pq_qv"), col("__pq_cc")).as("d"))
+      .withColumn("__pq_p", row_number().over(w))
+      .where(col("__pq_p") <= probes)
+      .select(col("id"), col("cell"))
+  }
+
+  /** Multi-probe IVF-PQ: ADC restricted to each query's probe cell SET
+    * (from [[probeCells]] — the standard recall lever over single-probe
+    * IVF: a true neighbour just across a cell boundary is recovered by
+    * probing the runner-up cell, at P× the lookup cost and ZERO extra
+    * corpus passes). `probesDf` carries (id, cell), one row per probed
+    * cell; the broadcast LUT grows to P × S × k rows per query and the
+    * cell STILL rides in the join key — a candidate lives in exactly
+    * one cell, so each (query, candidate) pair forms at most once and
+    * the per-pair sum stays exactly S partial distances. */
+  def searchAdcInProbedCells(queries: DataFrame, qIdCol: String,
+                             qVecCol: String, probesDf: DataFrame,
+                             codes: DataFrame, cellCol: String,
+                             codebook: DataFrame, subspaces: Int, dim: Int,
+                             topK: Int): DataFrame = {
     val lut = subVectors(queries, qIdCol, qVecCol, subspaces, dim)
-      .join(broadcast(cells), Seq("id"))
+      .join(broadcast(probesDf.select(col("id"),
+        col("cell").as("__pq_cell"))), Seq("id"))
       .join(broadcast(codebook), Seq("sub"))
       .select(col("id").as("query_id"), col("__pq_cell").as("cell"),
         col("sub"), col("code"),

@@ -2421,6 +2421,66 @@ object OracleQueries {
               ORDER BY adist, cand_id) AS rank FROM ad)
         WHERE rank <= 3 ORDER BY query_id, rank""")),
 
+    // =============== multi-probe IVF-PQ composed ANN =====================
+    // The recall lever over single-probe IVF-PQ: rank cells by exact
+    // decimal squared-L2 from the query to each staged CELL CENTROID
+    // (index metadata — one broadcast row per cell), probe the top 2,
+    // and run the same cell-keyed ADC over the probe set. A true
+    // neighbour just across a cell boundary is recovered at 2x the
+    // lookup cost and zero extra corpus passes; the oracle re-derives
+    // centroids, probe ranking, encoding, and the ADC ranking.
+    Q("sim_ivfpq_multiprobe",
+      (s, dir) => {
+        val st = PqStage.staged(s, dir)
+        val q = PqStage.embeddings(s, dir).where(col("vec_id") < 5)
+        val probes = Pq.probeCells(q, "vec_id", "v", st.cellCentroids,
+          "label", probes = 2)
+        Pq.searchAdcInProbedCells(q, "vec_id", "v", probes,
+            st.codesWithCell, "label", st.codebook,
+            PqStage.Sub, PqStage.Dim, topK = 3)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id,
+            UNNEST(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x,
+            UNNEST(range(len(embedding))) AS gi
+          FROM embeddings),
+        lab AS (SELECT vec_id, label FROM embeddings),
+        cb AS (SELECT sub, code, gi, c FROM '$AuxDir/pq_codebook/*.parquet'),
+        dist AS (SELECT e.vec_id, cb.sub, cb.code,
+            CAST(SUM(CAST((e.x - cb.c) * (e.x - cb.c) AS DECIMAL(18,9)))
+              AS DOUBLE) AS d
+          FROM e JOIN cb USING (gi) GROUP BY 1, 2, 3),
+        enc AS (SELECT vec_id, sub, code FROM (SELECT vec_id, sub, code,
+            ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d, code)
+              AS r FROM dist) WHERE r = 1),
+        cent AS (SELECT l.label, e.gi,
+            CAST(SUM(CAST(e.x AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS c
+          FROM e JOIN lab l USING (vec_id) GROUP BY 1, 2),
+        qd AS (SELECT e.vec_id AS query_id, ct.label,
+            CAST(SUM(CAST((e.x - ct.c) * (e.x - ct.c) AS DECIMAL(18,9)))
+              AS DOUBLE) AS d
+          FROM e JOIN cent ct USING (gi)
+          WHERE e.vec_id < 5 GROUP BY 1, 2),
+        probes AS (SELECT query_id, label FROM (SELECT query_id, label,
+            ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d, label)
+              AS p FROM qd) WHERE p <= 2),
+        lut AS (SELECT d.vec_id AS query_id, p.label, d.sub, d.code,
+            d.d AS pd
+          FROM dist d JOIN probes p ON p.query_id = d.vec_id
+          WHERE d.vec_id < 5),
+        ad AS (SELECT l.query_id, enc.vec_id AS cand_id,
+            CAST(SUM(CAST(l.pd AS DECIMAL(18,9))) AS DOUBLE) AS adist
+          FROM enc
+          JOIN lab cl ON cl.vec_id = enc.vec_id
+          JOIN lut l ON l.sub = enc.sub AND l.code = enc.code
+            AND l.label = cl.label
+          WHERE l.query_id <> enc.vec_id GROUP BY 1, 2)
+        SELECT query_id, rank, cand_id, round(adist, 6) AS adist
+        FROM (SELECT query_id, cand_id, adist,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY adist, cand_id) AS rank FROM ad)
+        WHERE rank <= 3 ORDER BY query_id, rank""")),
+
     // =========== DSIR-style importance resampling ========================
     // Data selection via importance resampling (Xie et al.): keep each
     // document with probability min(1, p_target(doc)/p_source(doc))

@@ -25,7 +25,9 @@ import graft.ops.Pq
   * session, so training runs once per process however many PQ queries
   * execute. The `Staged.codesWithCell` variant (codes ⋈ coarse cell)
   * is the IVF-PQ index layout — cell resolved at build time, not per
-  * query.
+  * query — and `Staged.cellCentroids` is the coarse-quantizer metadata
+  * (one decimal-mean centroid per cell) that multi-probe ranks
+  * against.
   *
   * Memo CONTRACT: `dir`'s parquet must be immutable for the session's
   * lifetime (true here — /root/testdata is read-only to the harness);
@@ -48,7 +50,8 @@ object PqStage {
   val Iters = 2
 
   final case class Staged(codebook: DataFrame, codes: DataFrame,
-                          codesWithCell: DataFrame)
+                          codesWithCell: DataFrame,
+                          cellCentroids: DataFrame)
 
   private val cache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Staged]
@@ -71,6 +74,18 @@ object PqStage {
       val withCell = codes
         .join(e.select(col("vec_id").as("id"), col("label")), "id")
         .localCheckpoint(eager = true)
-      Staged(cb, codes, withCell)
+      // per-cell centroid table (the coarse-quantizer metadata a real
+      // IVF index stores): decimal-routed per-dim means, one row per
+      // cell — the vector_centroids recipe, tiny and broadcastable
+      val cents = e
+        .select(col("label"), posexplode(col("v")).as(Seq("i", "x")))
+        .groupBy(col("label"), col("i"))
+        .agg((sum(col("x").cast("decimal(18,9)")).cast("double") /
+          count(lit(1))).as("c"))
+        .groupBy(col("label"))
+        .agg(transform(array_sort(collect_list(struct(col("i"),
+          col("c")))), s => s.getField("c")).as("cv"))
+        .localCheckpoint(eager = true)
+      Staged(cb, codes, withCell, cents)
     })
 }

@@ -26,6 +26,9 @@ class PlanInvariantsSpec extends SparkSpec {
       // same bounded 50-doc demo slice, same deliberate pair join
       "dedup_containment",
       "a5_global_threshold", "text_tfidf", "sim_ivf_multiprobe",
+      // queries × broadcast per-cell centroid table (coarse-quantizer
+      // metadata, one row per cell) — the probe ranking, deliberate
+      "sim_ivfpq_multiprobe",
       // corpus × broadcast k-row centroid table, deliberate
       "cluster_kmeans")
 
