@@ -294,8 +294,16 @@ object Dedup {
                            pairs: DataFrame, n: Int = 3): DataFrame = {
     val ids = pairs.select(col("id_a").as("__ct_id"))
       .unionByName(pairs.select(col("id_b").as("__ct_id"))).distinct()
+    // a PRESENT document with NULL text gets an EMPTY shingle set (and
+    // so scores 0, the [[containment]] empty-side rule and what the
+    // oracle's len(sh) > 0 CASE yields) — without the coalesce its null
+    // array would trip the absence guard below with a wrong diagnosis;
+    // after this, a null in the joined sh column can ONLY mean the
+    // left-join missed, i.e. the document truly is not in df
     val sh = df.join(ids, col(idCol) === col("__ct_id"), "left_semi")
-      .select(col(idCol).as("__ct_doc"), shingles(col(textCol), n).as("sh"))
+      .select(col(idCol).as("__ct_doc"),
+        coalesce(shingles(col(textCol), n), lit(Array.empty[String]))
+          .as("sh"))
       .localCheckpoint(eager = true)
     def guarded(side: Column): Column =
       when(side.isNull, raise_error(concat(

@@ -22,6 +22,13 @@ import java.io.ByteArrayInputStream
   */
 object Multimodal {
 
+  /** Thrown ONLY by [[aHashOf]]'s sampling-loop self-check — a type no
+    * JDK codec path can throw, so quarantining callers can let exactly
+    * this one propagate (an engine bug must fail the job) while
+    * swallowing every decode failure a malformed payload can produce. */
+  final class StrideInvariantViolation(msg: String)
+      extends IllegalStateException(msg)
+
   /** Canonical schema for a multimodal asset table. */
   val assetSchema: StructType = StructType(Seq(
     StructField("asset_id", LongType, nullable = false),
@@ -231,12 +238,15 @@ object Multimodal {
       }
       y += strideY
     }
-    // IllegalSTATEException, deliberately distinct from the two require
-    // guards above: those reject bad INPUTS (quarantined by callers),
-    // this one flags a bug in the sampling loop itself and must
-    // PROPAGATE — see [[imageHashes]]'s catch discipline
+    // a DEDICATED exception type, deliberately distinct from the two
+    // require guards above: those reject bad INPUTS (quarantined by
+    // callers), this one flags a bug in the sampling loop itself and
+    // must PROPAGATE — and the type must be one no JDK codec path can
+    // throw, so [[imageHashes]]'s catch discrimination is exact (a
+    // broad IllegalStateException check would also propagate codec
+    // ISEs on malformed payloads, failing the job on one bad asset)
     if (!counts.forall(_ > 0))
-      throw new IllegalStateException(
+      throw new StrideInvariantViolation(
         s"aHash sampling left an empty cell on a ${w}x$h image — " +
           "stride invariant violated")
     val means = Array.tabulate(64)(i => sums(i).toDouble / counts(i))
@@ -255,13 +265,14 @@ object Multimodal {
     * ok=false by [[extractFeatures]] — the quarantine convention
     * [[thumbnails]] uses). Decode failures are quarantined in FULL
     * breadth — [[aHashOf]]'s input guards (IllegalArgumentException),
-    * codec IOExceptions, AND the RuntimeExceptions the JDK decoders
-    * are known to throw on malformed payloads (CMMException on a
-    * corrupt ICC profile, ArrayIndexOutOfBounds on truncated data) —
-    * with ONE deliberate exception: the stride-invariant
-    * IllegalStateException is a BUG in this file's own sampling loop
-    * and PROPAGATES to fail the job instead of surfacing as silently
-    * missing assets. */
+    * codec IOExceptions, AND whatever RuntimeExceptions the JDK
+    * decoders throw on malformed payloads (CMMException on a corrupt
+    * ICC profile, ArrayIndexOutOfBounds on truncated data, codec-side
+    * IllegalStateExceptions) — with ONE deliberate exception: the
+    * dedicated [[StrideInvariantViolation]] is a BUG in this file's
+    * own sampling loop and PROPAGATES to fail the job instead of
+    * surfacing as silently missing assets; its type makes the
+    * discrimination exact. */
   def imageHashes(assets: DataFrame): DataFrame = {
     val spark = assets.sparkSession
     import spark.implicits._
@@ -272,7 +283,7 @@ object Multimodal {
         it.flatMap { case (id, payload) =>
           try Some((id, aHashOf(payload)))
           catch {
-            case e: IllegalStateException => throw e
+            case e: StrideInvariantViolation => throw e
             case scala.util.control.NonFatal(_) => None
           }
         }

@@ -227,17 +227,19 @@ object Pq {
     * by exact decimal squared-L2 from the query to each CELL CENTROID
     * (ties to the smaller cell id — the [[KMeans]] argmin rules, so an
     * external engine replays the ranking bit-for-bit) and keep the top
-    * `probes`. The centroid table is index metadata (one row per cell —
-    * broadcast), so this is a scalar-product projection over the
-    * queries; the corpus is never touched. Returns (id, cell). */
+    * `probes`. `centroids` carries (cellCol, cvCol) with the centroid
+    * vector as array<double>. The centroid table is index metadata
+    * (one row per cell — broadcast), so this is a scalar-product
+    * projection over the queries; the corpus is never touched.
+    * Returns (id, cell). */
   def probeCells(queries: DataFrame, qIdCol: String, qVecCol: String,
                  centroids: DataFrame, cellCol: String,
-                 probes: Int): DataFrame = {
+                 probes: Int, cvCol: String = "cv"): DataFrame = {
     require(probes > 0, s"need probes > 0, got $probes")
     val w = Window.partitionBy(col("id")).orderBy(col("d"), col("cell"))
     queries.select(col(qIdCol).as("id"), col(qVecCol).as("__pq_qv"))
       .crossJoin(broadcast(centroids.select(col(cellCol).as("cell"),
-        col("cv").as("__pq_cc"))))
+        col(cvCol).as("__pq_cc"))))
       .select(col("id"), col("cell"),
         KMeans.sqDistDecimal(col("__pq_qv"), col("__pq_cc")).as("d"))
       .withColumn("__pq_p", row_number().over(w))

@@ -33,10 +33,12 @@ import graft.ops.Pq
   * lifetime (true here — /root/testdata is read-only to the harness);
   * a rewritten embeddings table needs a fresh SparkSession, exactly as
   * a rebuilt production index needs re-staging — there is no content
-  * fingerprinting, the memo IS the staged-index semantics. Entries are
-  * retained for the owning session's lifetime (the key holds the
-  * session reference; Verify/Bench are short-lived single-session
-  * processes).
+  * fingerprinting, the memo IS the staged-index semantics. Retention
+  * is single-session: staging for a session EVICTS every other
+  * session's entries (their checkpointed artifacts die with their
+  * session anyway), so a long-lived multi-session JVM — the test
+  * runner, an embedding host cycling sessions — cannot accumulate
+  * dead-session cache state.
   */
 object PqStage {
 
@@ -64,8 +66,10 @@ object PqStage {
         col("embedding").cast("array<double>").as("v"))
 
   /** Trained codebook + staged code tables for `dir`'s embeddings,
-    * computed once per (session, sfDir). */
-  def staged(s: SparkSession, dir: String): Staged =
+    * computed once per (session, sfDir); other sessions' entries are
+    * evicted (see the retention contract above). */
+  def staged(s: SparkSession, dir: String): Staged = {
+    cache.filterInPlace { case ((sess, _), _) => sess eq s }
     cache.getOrElseUpdate((s, dir), {
       val e = embeddings(s, dir)
       val (cb, _) = Pq.train(e, "vec_id", "v", Sub, Dim, K, Iters)
@@ -88,4 +92,5 @@ object PqStage {
         .localCheckpoint(eager = true)
       Staged(cb, codes, withCell, cents)
     })
+  }
 }

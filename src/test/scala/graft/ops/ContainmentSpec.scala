@@ -64,4 +64,14 @@ class ContainmentSpec extends SparkSpec {
     }
     assert(e.getMessage != null)
   }
+
+  test("a PRESENT document with NULL text scores 0 (empty shingle " +
+      "set), not a spurious absence failure") {
+    val docs = Seq((1L, Some("alpha beta gamma delta epsilon")),
+      (2L, None: Option[String])).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val r = Dedup.containmentOverPairs(docs, "doc_id", "text", pairs)
+      .select("c_ab", "c_ba").collect()(0)
+    assert(r.getDouble(0) == 0.0 && r.getDouble(1) == 0.0)
+  }
 }
