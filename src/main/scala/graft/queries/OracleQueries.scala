@@ -151,6 +151,10 @@ object OracleQueries {
     docs.select(col("doc_id"), xxhash64(col("doc_id")).as("h"),
         Sampling.hashBucket(col("doc_id"), 1000).as("bucket"))
       .write.mode("overwrite").parquet(s"$AuxDir/doc_bucket")
+    // the embedding-side twin, for the cluster-quota sampling oracle
+    t(s, dir, "embeddings")
+      .select(col("vec_id"), xxhash64(col("vec_id")).as("h"))
+      .write.mode("overwrite").parquet(s"$AuxDir/vec_bucket")
     // decontamination: distinct shingle hashes for EVERY document (the
     // simhash table above covers only doc_id < 100)
     Dedup.shingleRows(docs, "doc_id", "text", 3)
@@ -1918,6 +1922,63 @@ object OracleQueries {
         WHERE hx.u < CAST(floor(
           (CAST(d.n_chars AS DOUBLE) / mx.maxc) * 4294967296.0) AS BIGINT)
         ORDER BY d.doc_id""")),
+
+    // ============ cluster-balanced (diversity-quota) sampling ============
+    // The coreset/topic-balance draw a curation pass runs after
+    // clustering: k-means assigns every embedding to a cluster, then a
+    // deterministic exact-N smallest-hash sample is drawn PER CLUSTER —
+    // so each topic contributes the same count regardless of its
+    // population (the diversity quota that keeps a dominant topic from
+    // swamping a fine-tuning mix). The per-cluster draw runs on the
+    // bounded two-phase aggregator (pairs, not rows, cross the
+    // exchange); the oracle replays the Lloyd assignment and ranks by
+    // the aux-materialized id hash.
+    Q("cluster_quota_sample",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+          .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
+        val fit = KMeans.fit(e, "vec_id", k = 4, iters = 2)
+        Sampling.smallestHashSampleTwoPhase(fit, col("cid"),
+            col("vec_id"), n = 8)
+          .select(col("cid"), col("sample_rank"), col("vec_id"))
+          .orderBy(col("cid"), col("sample_rank"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id,
+            UNNEST(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x,
+            UNNEST(range(len(embedding))) AS i
+          FROM embeddings),
+        ids AS (SELECT vec_id FROM (SELECT vec_id,
+            ROW_NUMBER() OVER (ORDER BY vec_id) AS r FROM embeddings)
+          WHERE r <= 4),
+        c0 AS (SELECT e.vec_id AS cid, e.i, e.x AS c
+          FROM e JOIN ids USING (vec_id)),
+        d1 AS (SELECT e.vec_id, c.cid,
+            CAST(SUM(CAST((e.x - c.c) * (e.x - c.c) AS DECIMAL(18,9)))
+              AS DOUBLE) AS d
+          FROM e JOIN c0 c USING (i) GROUP BY 1, 2),
+        a1 AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS r
+          FROM d1) WHERE r = 1),
+        c1u AS (SELECT a.cid, e.i,
+            CAST(SUM(CAST(e.x AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS c
+          FROM e JOIN a1 a USING (vec_id) GROUP BY 1, 2),
+        c1 AS (SELECT * FROM c1u
+          UNION ALL SELECT cid, i, c FROM c0
+          WHERE cid NOT IN (SELECT DISTINCT cid FROM c1u)),
+        d2 AS (SELECT e.vec_id, c.cid,
+            CAST(SUM(CAST((e.x - c.c) * (e.x - c.c) AS DECIMAL(18,9)))
+              AS DOUBLE) AS d
+          FROM e JOIN c1 c USING (i) GROUP BY 1, 2),
+        a2 AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS r
+          FROM d2) WHERE r = 1),
+        hx AS (SELECT vec_id, h FROM '$AuxDir/vec_bucket/*.parquet'),
+        rk AS (SELECT a2.cid, a2.vec_id,
+            CAST(ROW_NUMBER() OVER (PARTITION BY a2.cid
+              ORDER BY hx.h, a2.vec_id) AS INTEGER) AS sample_rank
+          FROM a2 JOIN hx USING (vec_id))
+        SELECT cid, sample_rank, vec_id FROM rk WHERE sample_rank <= 8
+        ORDER BY cid, sample_rank""")),
 
     // ================ J10: Bloom-filter runtime join prune ================
     // The runtime-filter pattern Spark's own row-level filtering uses: the

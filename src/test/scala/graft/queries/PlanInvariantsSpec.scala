@@ -30,7 +30,9 @@ class PlanInvariantsSpec extends SparkSpec {
       // metadata, one row per cell) — the probe ranking, deliberate
       "sim_ivfpq_multiprobe",
       // corpus × broadcast k-row centroid table, deliberate
-      "cluster_kmeans")
+      "cluster_kmeans",
+      // same KMeans.fit assignment inside the quota-sampling composition
+      "cluster_quota_sample")
 
   test("no query plans a cartesian product or unexpected nested loop") {
     val names = graft.SparkEntry.queries.keys.toSeq.sorted
