@@ -58,10 +58,13 @@ object Dedup {
     val w = Window.partitionBy(col("id")).orderBy(col("pos"))
     val lags = (n - 1) to 1 by -1
     val parts = lags.map(i => lag(col("w"), i).over(w)) :+ col("w")
+    // n = 1 has no lagged parts: every word is a full shingle (the
+    // guard below would be an empty reduce)
+    val full =
+      if (lags.isEmpty) lit(true)
+      else lags.map(i => lag(col("w"), i).over(w).isNotNull).reduce(_ && _)
     words.select(col("id"), col("pos"),
-        concat_ws(" ", parts: _*).as("shingle"),
-        lags.map(i => lag(col("w"), i).over(w).isNotNull)
-          .reduce(_ && _).as("_full"))
+        concat_ws(" ", parts: _*).as("shingle"), full.as("_full"))
       .where(col("_full")).drop("_full")
   }
 
@@ -240,6 +243,56 @@ object Dedup {
     sh.groupBy(col("id"))
       .agg(SimHashAgg.simhash(col("h")).as("simhash"))
   }
+
+  /** Hamming-banded near-dup pairing over 64-bit fingerprints — the
+    * shared assembly behind text SimHash pairs ([[simhashNearDupPairs]])
+    * and image aHash pairs ([[Multimodal.nearDupImagePairs]]). The hash
+    * splits into four 16-bit bands and candidates must share at least
+    * one band: the pigeonhole guarantee for `maxDist <= 3` (at most
+    * three differing bits cannot touch all four bands), the banded-LSH
+    * recall story for larger distances. Scale shape: one exploded
+    * equi-join on (band, key) — never all-pairs — with the exact
+    * Hamming check applied on the joined row BELOW the pair exchange
+    * (16-bit band collisions between unrelated items are common at
+    * corpus scale; far pairs must die before the shuffle), so the
+    * per-pair groupBy only collapses multi-band duplicates of TRUE
+    * near-dups. Input is pinned before the self-join (the
+    * dedup_ngram_jaccard rule): both banded sides would otherwise
+    * re-execute the upstream signature lineage — for images that is the
+    * whole decode. Returns (id_a, id_b, dist) with id_a < id_b. */
+  def hammingBandedPairs(sigs: DataFrame, idCol: String, hashCol: String,
+                         maxDist: Int): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    val pinned = sigs.localCheckpoint(true)
+    def banded(suffix: String): DataFrame =
+      pinned.select(col(idCol).as(s"id_$suffix"),
+          col(hashCol).as(s"h_$suffix"),
+          explode(array((0 until 4).map(b =>
+            struct(lit(b).as("band"),
+              shiftrightunsigned(col(hashCol), b * 16)
+                .bitwiseAND(lit(0xFFFFL)).as("key"))): _*)).as("bk"))
+        .select(col(s"id_$suffix"), col(s"h_$suffix"),
+          col("bk.band").as("band"), col("bk.key").as("key"))
+    banded("a").join(banded("b"), Seq("band", "key"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("dist", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
+      .where(col("dist") <= maxDist)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(first(col("dist")).as("dist"))
+  }
+
+  /** Text SimHash near-dup candidate pairs: 64-bit [[simhashSignatures]]
+    * fingerprints through [[hammingBandedPairs]] — the cosine-flavoured
+    * sibling of [[minhashCandidates]]' Jaccard banding, and the text
+    * twin of the image aHash path. Where MinHash-LSH recalls pairs by
+    * set overlap, SimHash Hamming distance tracks the angular distance
+    * of the weighted shingle bags, so lightly edited documents land
+    * within a few bits. Zero shuffles to the signatures (row-local
+    * expression), one banded equi-join to the pairs. */
+  def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+                          n: Int = 3, maxDist: Int = 3): DataFrame =
+    hammingBandedPairs(simhashSignatures(df, idCol, textCol, n),
+      "id", "simhash", maxDist)
 
   /** Exact n-gram Jaccard similarity between two shingle-array columns. */
   def jaccard(a: Column, b: Column): Column = {

@@ -295,40 +295,14 @@ object Multimodal {
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
   /** Image near-dup candidate pairs within `maxDist` Hamming bits,
-    * WITHOUT an all-pairs scan: the 64-bit hash splits into four 16-bit
-    * bands and candidates must share at least one band — the pigeonhole
-    * guarantee for maxDist <= 3 (four bands, at most three differing
-    * bits, so one band is untouched; larger maxDist trades recall, the
-    * LSH story as everywhere else). One equi-join per band through a
-    * single exploded join; the exact Hamming check filters BELOW the
-    * pair exchange (16-bit band collisions between unrelated images are
-    * common at corpus scale — far pairs must die on the joined row, not
-    * ride the shuffle), and the per-pair groupBy only collapses
-    * multi-band duplicates of TRUE near-dups. */
-  def nearDupImagePairs(hashes: DataFrame, maxDist: Int): DataFrame = {
-    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
-    // materialize before the self-join (the dedup_ngram_jaccard rule):
-    // both banded sides would otherwise re-execute the upstream ImageIO
-    // decode lineage — the dominant cost of the operator, doubled
-    val pinned = hashes.localCheckpoint(true)
-    def banded(df: DataFrame, suffix: String): DataFrame =
-      df.select(col("asset_id").as(s"id_$suffix"),
-          col("ahash").as(s"ahash_$suffix"),
-          explode(array((0 until 4).map(b =>
-            struct(lit(b).as("band"),
-              shiftrightunsigned(col("ahash"), b * 16)
-                .bitwiseAND(lit(0xFFFFL)).as("key"))): _*)).as("bk"))
-        .select(col(s"id_$suffix"), col(s"ahash_$suffix"),
-          col("bk.band").as("band"), col("bk.key").as("key"))
-    val a = banded(pinned, "a")
-    val b = banded(pinned, "b")
-    a.join(b, Seq("band", "key"))
-      .where(col("id_a") < col("id_b"))
-      .withColumn("dist", hamming(col("ahash_a"), col("ahash_b")))
-      .where(col("dist") <= maxDist)
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(first(col("dist")).as("dist"))
-  }
+    * WITHOUT an all-pairs scan — [[Dedup.hammingBandedPairs]] over the
+    * aHash fingerprints (banding semantics, pigeonhole recall bound,
+    * and the below-the-exchange Hamming filter are documented there). */
+  def nearDupImagePairs(hashes: DataFrame, maxDist: Int): DataFrame =
+    // one shared assembly with the text SimHash path — the pin before
+    // the self-join matters MOST here (both banded sides would re-run
+    // the ImageIO decode lineage, the dominant cost of the operator)
+    Dedup.hammingBandedPairs(hashes, "asset_id", "ahash", maxDist)
 
   /** Video frame sampling plan: explode each video asset into `n` evenly
     * spaced (asset_id, frame_idx, ts_ms) rows — the shuffle-free fan-out a

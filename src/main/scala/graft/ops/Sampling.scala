@@ -189,4 +189,133 @@ object Sampling {
       .withColumn("sample_rank", col("topk_rank"))
       .drop("topk_rank", "__ws_key")
   }
+
+  /** Largest-remainder (Hamilton) apportionment of `total` sample slots
+    * across target mixture weights: each stratum gets
+    * `floor(total·w/Σw)` slots, and the leftover slots go to the
+    * largest fractional remainders (ties on the stratum key — fully
+    * deterministic, and replayable in SQL: Σw routes through
+    * DECIMAL(8,4) so the normalizer is order-independent, then one
+    * double multiply/divide per stratum exactly as an oracle computes
+    * it). Driver-side arithmetic over the handful of mixture weights —
+    * no data is touched. */
+  def apportion(weights: Seq[(String, Double)], total: Int): Seq[(String, Int)] = {
+    require(total >= 0, s"total must be >= 0, got $total")
+    require(weights.nonEmpty, "need at least one stratum weight")
+    require(weights.forall(_._2 > 0), s"weights must be positive: $weights")
+    require(weights.map(_._1).distinct.size == weights.size,
+      s"duplicate stratum in $weights")
+    val sw = weights.map(w => BigDecimal(w._2).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+    val q = weights.map { case (k, w) => (k, total * w / sw) }
+    val floors = q.map { case (k, x) => (k, math.floor(x).toInt) }
+    val extra = total - floors.map(_._2).sum
+    val bump = q.map { case (k, x) => (k, x - math.floor(x)) }
+      .sortBy { case (k, rem) => (-rem, k) }
+      .take(extra).map(_._1).toSet
+    floors.map { case (k, f) => (k, f + (if (bump(k)) 1 else 0)) }
+  }
+
+  /** Per-stratum exact-N smallest-hash sampling with a DIFFERENT quota
+    * per stratum — the domain-mixture draw ([[apportion]] turns target
+    * proportions into the quota map). One bounded aggregation at the
+    * LARGEST quota (the two-phase pair discipline unchanged), then each
+    * stratum keeps its own rank prefix via a broadcast quota table —
+    * per-stratum k inside the shared aggregator would buy nothing, the
+    * buffer bound is already max(n). Strata absent from `quotas` are
+    * excluded (inner join); a stratum with fewer rows than its quota
+    * contributes everything it has. */
+  def smallestHashSampleQuotas(df: DataFrame, stratum: Column, id: Column,
+                               quotas: Seq[(String, Int)]): DataFrame = {
+    require(quotas.nonEmpty, "need at least one quota")
+    require(quotas.forall(_._2 >= 0), s"quotas must be >= 0: $quotas")
+    val maxN = quotas.map(_._2).max
+    require(maxN > 0, s"at least one quota must be positive: $quotas")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val qdf = quotas.toDF("__q_s", "__q_n")
+    smallestHashSampleTwoPhase(df, stratum, id, maxN)
+      .join(broadcast(qdf), stratum === col("__q_s"))
+      .where(col("sample_rank") <= col("__q_n"))
+      .drop("__q_s", "__q_n")
+  }
+
+  /** Priority-ordered TOKEN-BUDGET selection: walk the corpus in
+    * descending `priority` order (ties broken on ascending id) and keep
+    * every document whose strictly-preceding cumulative token count is
+    * still `< budget` — so the selection is an exact, deterministic
+    * function of (priority, id, tokens), the boundary document that
+    * crosses the budget is kept, and re-runs reproduce it bit-for-bit.
+    * This is the draw a pre-training mix actually wants ("the best B
+    * tokens", not "the best N documents" — document counts don't bound
+    * training cost, token counts do).
+    *
+    * Scale shape — the naive form is a single global-order window, i.e.
+    * ONE partition holding the whole corpus. Two-phase instead:
+    * phase 1 aggregates token totals per coarse priority bucket
+    * (`buckets` rows reach the driver — the bounded-table idiom), the
+    * driver prefix-sums them highest-bucket-first to locate the single
+    * BOUNDARY bucket where the cumulative crosses the budget; phase 2
+    * keeps every row above the boundary with a PURE FILTER (rides the
+    * scan, no shuffle) and pays the exact ordered window only inside
+    * the boundary bucket — 1/buckets of the corpus in expectation.
+    * Priorities must lie in [0, 1] (the bucket map `floor(p·buckets)`
+    * must be monotone; out-of-range, NULL, or NaN fails loudly naming
+    * the id) and token counts must be positive (a non-positive count
+    * would make the cumulative non-monotone). Both guards ride inside
+    * columns phase 1 aggregates, so they fire on every row at call
+    * time regardless of downstream pruning. */
+  def tokenBudgetSample(df: DataFrame, id: Column, priority: Column,
+                        tokens: Column, budget: Long,
+                        buckets: Int = 1024): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val p = priority.cast("double")
+    val pGuarded = when(p.isNull || isnan(p) || p < 0.0 || p > 1.0,
+      raise_error(concat(
+        lit("tokenBudgetSample: priority must be in [0, 1], got "),
+        coalesce(p.cast("string"), lit("NULL")),
+        lit(" for id "), id.cast("string"))).cast("double"))
+      .otherwise(p)
+    val tok = when(tokens.cast("long") > 0, tokens.cast("long"))
+      .otherwise(raise_error(concat(
+        lit("tokenBudgetSample: non-positive, NULL, or NaN token count "),
+        lit("for id "), id.cast("string"))).cast("long"))
+    val base = df
+      .withColumn("__tb_b",
+        least(floor(pGuarded * buckets), lit(buckets - 1L)).cast("long"))
+      .withColumn("__tb_tok", tok)
+      .withColumn("__tb_p", pGuarded)
+    // phase 1: bounded per-bucket totals — at most `buckets` rows cross
+    // the exchange and reach the driver, whatever the corpus size
+    val totals = base.groupBy(col("__tb_b"))
+      .agg(sum(col("__tb_tok")).as("__tb_t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(-_._1) // bucket desc == priority desc
+    var above = 0L
+    var boundary = -1L
+    var remaining = 0L
+    var i = 0
+    while (i < totals.length && boundary < 0) {
+      val (b, t) = totals(i)
+      if (above + t >= budget) { boundary = b; remaining = budget - above }
+      else above += t
+      i += 1
+    }
+    val kept =
+      if (boundary < 0) base // whole corpus fits (guards fired in phase 1)
+      else {
+        val upper = base.where(col("__tb_b") > boundary)
+        val w = Window.partitionBy(col("__tb_b"))
+          .orderBy(col("__tb_p").desc, id.asc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val edge = base.where(col("__tb_b") === boundary)
+          .withColumn("__tb_before",
+            coalesce(sum(col("__tb_tok")).over(w), lit(0L)))
+          .where(col("__tb_before") < remaining)
+          .drop("__tb_before")
+        upper.unionByName(edge)
+      }
+    kept.drop("__tb_b", "__tb_tok", "__tb_p")
+  }
 }

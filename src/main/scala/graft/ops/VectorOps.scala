@@ -74,6 +74,68 @@ object VectorOps {
       .select(col("query_id"), col("rank"), col("cand_id"), col("sim"))
   }
 
+  /** Johnson–Lindenstrauss random projection of a `dim`-long vector onto
+    * `rDim` fixed pseudo-random directions:
+    * `out[r] = Σ_i v[i] · sin(r·dim + i + 1)` — the SAME deterministic
+    * sin-direction family as [[lshBuckets]] (direction r here = plane p
+    * there), so the oracle re-derives the directions from the staged
+    * `lsh_planes` aux table and the projection is engine-independent
+    * (left-to-right accumulation on both sides, like the LshBucket
+    * codegen loop). Row-local pure projection — zero shuffles, rides
+    * the scan. The ANN use: shortlist in the reduced space (8 doubles
+    * instead of 64 floats through the ranking path), then exact
+    * re-rank only the shortlist in full dimension — the third classic
+    * memory-reduction lever next to IVF (prune by cell) and PQ (prune
+    * by code size). */
+  def randomProject(vec: Column, dim: Int, rDim: Int): Column = {
+    require(rDim > 0 && dim > 0, s"need dim > 0 and rDim > 0, got $dim/$rDim")
+    array((0 until rDim).map { r =>
+      val dir = typedlit((0 until dim).map(i => math.sin(r * dim + i + 1.0)))
+      aggregate(zip_with(vec, dir, (x, w) => x * w), lit(0.0), _ + _)
+    }: _*)
+  }
+
+  /** RP-shortlisted exact top-k: rank the whole corpus by cosine in the
+    * [[randomProject]]-reduced space to a per-query shortlist, then
+    * exact-cosine re-rank ONLY the shortlist in full dimension — the
+    * shortlist-then-rerank contract of `Pq.searchRerank`, with JL
+    * projection as the compressor instead of PQ codes. Scale shape: the
+    * reduced scan carries (id, rDim doubles) — not the full vector —
+    * and the shortlist runs on the bounded-pair aggregator
+    * ([[TopK.topKByScore]]: map-side top-`shortlist` per query, pairs
+    * not rows through the exchange, no skewed per-query window); the
+    * re-rank is a second corpus scan pruned to (id, vec) against the
+    * BROADCAST shortlist, so only `shortlist` full vectors per query
+    * are ever scored. Recall is measured, not asserted
+    * (RandomProjectionSpec). */
+  def topKCosineRp(queries: DataFrame, candidates: DataFrame, idCol: String,
+                   vecCol: String, dim: Int, rDim: Int, shortlist: Int,
+                   k: Int): DataFrame = {
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    val qr = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      randomProject(col(vecCol), dim, rDim).as("qrv"))
+    val cr = candidates.select(col(idCol).as("cand_id"),
+      randomProject(col(vecCol), dim, rDim).as("crv"))
+    val scored = cr.join(broadcast(qr.select(col("query_id"), col("qrv"))),
+        col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        round(cosine(col("qrv"), col("crv")), 6).as("rsim"))
+    val short = TopK.topKByScore(scored, col("query_id"), col("cand_id"),
+        col("rsim"), shortlist)
+      .select(col("query_id"), col("cand_id"))
+    val rer = candidates
+      .select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
+      .join(broadcast(short), "cand_id")
+      .join(broadcast(qr.select(col("query_id"), col("qv"))), "query_id")
+      .select(col("query_id"), col("cand_id"),
+        round(cosine(col("qv"), col("cv")), 6).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("cand_id"))
+    rer.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("cand_id"), col("sim"))
+  }
+
   /** Random-hyperplane LSH bucket id (SimHash over the embedding): sign bits
     * of dot products with `nPlanes` pseudo-random hyperplanes derived
     * deterministically from the element index — candidates sharing a bucket

@@ -130,6 +130,13 @@ object OracleQueries {
     Dedup.shingleRows(sDocs, "doc_id", "text", 3)
       .select(col("id"), xxhash64(col("shingle")).as("h"))
       .write.mode("overwrite").parquet(s"$AuxDir/simhash_shingle_hashes")
+    // unigram (bag-of-words) distinct hashes — the feature granularity
+    // the SimHash PAIRING query runs at (dedup_simhash_pairs): this
+    // corpus' near-dups are word-order shuffles, disjoint at trigram
+    // level but near-identical as word SETS
+    Dedup.shingleRows(sDocs, "doc_id", "text", 1)
+      .select(col("id"), xxhash64(col("shingle")).as("h"))
+      .write.mode("overwrite").parquet(s"$AuxDir/simhash_unigram_hashes")
     sDocs.select(col("doc_id"),
         TextMetrics.fingerprint(col("text")).as("fingerprint"))
       .write.mode("overwrite").parquet(s"$AuxDir/doc_fp")
@@ -1308,6 +1315,55 @@ object OracleQueries {
           COUNT(DISTINCT label) AS n_labels, MIN(vec_id) AS min_vec_id
         FROM bk GROUP BY bucket HAVING COUNT(*) > 1 ORDER BY bucket""")),
 
+    // ====== random-projection (JL) shortlist + exact re-rank ANN ==========
+    // The third classic ANN compressor next to IVF (prune by cell) and PQ
+    // (prune by code size): project 64-float vectors onto 8 fixed
+    // sin-directions (the lsh_planes family, p < 8), shortlist by reduced
+    // cosine on the bounded-pair aggregator, exact-rerank only the
+    // shortlist in full dimension. The oracle re-derives the directions
+    // from the staged plane table and replays projection (left-to-right
+    // list_inner_product = the codegen loop), both cosines, and both
+    // rankings.
+    Q("sim_rp_topk",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+          .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
+        VectorOps.topKCosineRp(e.where(col("vec_id") < 5), e, "vec_id", "v",
+            dim = 64, rDim = 8, shortlist = 20, k = 5)
+          .withColumnRenamed("rank", "rnk")
+          .orderBy(col("query_id"), col("rnk"))
+      },
+      Some(s"""WITH pl AS (SELECT p, list(w ORDER BY j) AS dir
+            FROM '$AuxDir/lsh_planes/*.parquet' WHERE p < 8 GROUP BY p),
+          d AS (SELECT vec_id,
+              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings),
+          proj AS (SELECT d.vec_id, pl.p,
+              list_inner_product(d.v, pl.dir) AS y
+            FROM d CROSS JOIN pl),
+          rp AS (SELECT vec_id, list(y ORDER BY p) AS rv
+            FROM proj GROUP BY vec_id),
+          q AS (SELECT vec_id AS query_id, rv AS qrv FROM rp
+            WHERE vec_id < 5),
+          sc AS (SELECT q.query_id, c.vec_id AS cand_id,
+              ROUND(list_inner_product(q.qrv, c.rv) /
+                (SQRT(list_inner_product(q.qrv, q.qrv)) *
+                 SQRT(list_inner_product(c.rv, c.rv))), 6) AS rsim
+            FROM q JOIN rp c ON c.vec_id <> q.query_id),
+          short AS (SELECT query_id, cand_id FROM (SELECT query_id, cand_id,
+              ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY rsim DESC, cand_id) AS r FROM sc) WHERE r <= 20),
+          ex AS (SELECT s.query_id, s.cand_id,
+              ROUND(list_inner_product(dq.v, dc.v) /
+                (SQRT(list_inner_product(dq.v, dq.v)) *
+                 SQRT(list_inner_product(dc.v, dc.v))), 6) AS sim
+            FROM short s JOIN d dq ON dq.vec_id = s.query_id
+            JOIN d dc ON dc.vec_id = s.cand_id)
+        SELECT query_id, rnk, cand_id, sim FROM (SELECT query_id, cand_id,
+            sim, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY sim DESC, cand_id) AS rnk FROM ex)
+        WHERE rnk <= 5 ORDER BY query_id, rnk""")),
+
     // ====== dedup: SimHash fingerprints (rows-only check) =================
     Q("dedup_simhash",
       (s, dir) => {
@@ -1337,6 +1393,121 @@ object OracleQueries {
         FROM sim s JOIN '$AuxDir/doc_fp/*.parquet' f
           ON f.doc_id = s.doc_id
         ORDER BY s.doc_id""")),
+
+    // ====== dedup: SimHash Hamming-banded near-dup pairs ==================
+    // The pairing path over the SimHash fingerprints (the cosine-flavoured
+    // sibling of dedup_minhash's Jaccard banding, and the text twin of the
+    // image aHash path — one shared banded assembly): 4×16-bit bands,
+    // exact Hamming filter BELOW the pair exchange, pigeonhole-complete at
+    // maxDist <= 3. Feature granularity is UNIGRAMS here: this corpus'
+    // near-dups are word-order shuffles — trigram-disjoint but
+    // near-identical as word sets, which is exactly the editing class
+    // bag-of-features SimHash exists to catch (the trigram form is the
+    // sequence-sensitive plagiarism variant, fingerprinted by
+    // dedup_simhash). The oracle re-derives the fingerprints from the
+    // materialized unigram hashes, replays the banding ((h>>16b)&0xFFFF —
+    // the mask makes arithmetic-vs-logical shift of the sign bit moot),
+    // and checks the same Hamming cut on XOR bit counts.
+    Q("dedup_simhash_pairs",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").where(col("doc_id") < 100)
+        Dedup.simhashNearDupPairs(docs, "doc_id", "text", n = 1, maxDist = 3)
+          .select(col("id_a"), col("id_b"), col("dist").cast("int").as("dist"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(s"""WITH sh AS (SELECT id, h
+            FROM '$AuxDir/simhash_unigram_hashes/*.parquet'),
+          votes AS (SELECT id, j,
+              SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+            FROM sh CROSS JOIN range(0, 64) t(j) GROUP BY id, j),
+          sim AS (SELECT id,
+              CAST(SUM(CASE WHEN v > 0 THEN
+                  CASE WHEN j = 63 THEN CAST(-9223372036854775808 AS HUGEINT)
+                       ELSE CAST(1::BIGINT << j AS HUGEINT) END
+                ELSE 0 END) AS BIGINT) AS simhash
+            FROM votes GROUP BY id),
+          bands AS (SELECT id, simhash, b,
+              (simhash >> (b * 16)) & 65535 AS key
+            FROM sim CROSS JOIN range(0, 4) t(b)),
+          pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+              CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS dist
+            FROM bands a JOIN bands b
+              ON a.b = b.b AND a.key = b.key AND a.id < b.id)
+        SELECT id_a, id_b, dist FROM pairs WHERE dist <= 3
+        ORDER BY id_a, id_b""")),
+
+    // ============ token-budget priority sampling (two-phase) ==============
+    // "The best B tokens", not "the best N documents": walk the corpus in
+    // descending priority, keep a document iff the strictly-preceding
+    // cumulative token count is < budget. The engine runs the two-phase
+    // form (bounded per-bucket totals to the driver, pure filter above
+    // the boundary bucket, exact window only inside it — 1/1024 of the
+    // corpus); the oracle replays the SEMANTIC as one global window
+    // cumsum. Priority is integer-derived ((n_chars mod 997)/997 — one
+    // exact division, identical doubles in both engines); tokens are the
+    // whitespace count of text_tokens.
+    Q("sample_token_budget",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .withColumn("_pri", (col("n_chars") % 997).cast("double") / 997.0)
+          .withColumn("_tok", TextMetrics.tokenCount(col("text")).cast("long"))
+        Sampling.tokenBudgetSample(docs, col("doc_id"), col("_pri"),
+            col("_tok"), budget = 20000L)
+          .select(col("doc_id"), col("_tok").as("n_tokens"),
+            round(col("_pri"), 6).as("priority"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH tk AS (SELECT doc_id,
+            (length(text) - length(replace(text, ' ', ''))) + 1 AS n_tokens,
+            (n_chars % 997) / 997.0 AS pri
+          FROM documents),
+        cum AS (SELECT doc_id, n_tokens, pri,
+            COALESCE(SUM(n_tokens) OVER (ORDER BY pri DESC, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+          FROM tk)
+        SELECT doc_id, n_tokens, ROUND(pri, 6) AS priority
+        FROM cum WHERE bef < 20000 ORDER BY doc_id""")),
+
+    // ============ domain-mixture sampling (Hamilton apportionment) ========
+    // The mixture draw a fine-tuning/pre-training blend wants: target
+    // proportions per language turned into integer quotas by
+    // largest-remainder apportionment (driver arithmetic over 5 weights;
+    // the oracle replays it in SQL — Σw through DECIMAL so the
+    // normalizer is order-independent, then the same double multiply/
+    // divide/floor and the same remainder ranking), then ONE bounded
+    // two-phase draw at the largest quota with each language keeping its
+    // own rank prefix through a broadcast quota table.
+    Q("mix_domains",
+      (s, dir) => {
+        val weights = Seq("en" -> 0.35, "es" -> 0.20, "de" -> 0.20,
+          "fr" -> 0.15, "zh" -> 0.10)
+        val quotas = Sampling.apportion(weights, total = 50)
+        Sampling.smallestHashSampleQuotas(t(s, dir, "documents"),
+            col("lang"), col("doc_id"), quotas)
+          .select(col("lang"), col("sample_rank"), col("doc_id"))
+          .orderBy(col("lang"), col("sample_rank"))
+      },
+      Some(s"""WITH w(lang, wt) AS (VALUES ('en', 0.35), ('es', 0.20),
+            ('de', 0.20), ('fr', 0.15), ('zh', 0.10)),
+          tot AS (SELECT CAST(SUM(CAST(wt AS DECIMAL(8,4))) AS DOUBLE)
+              AS sw FROM w),
+          q AS (SELECT lang, 50 * CAST(wt AS DOUBLE) / sw AS x
+            FROM w CROSS JOIN tot),
+          fl AS (SELECT lang, CAST(floor(x) AS INTEGER) AS fq,
+              x - floor(x) AS rem FROM q),
+          need AS (SELECT 50 - SUM(fq) AS extra FROM fl),
+          rk AS (SELECT lang, fq,
+              ROW_NUMBER() OVER (ORDER BY rem DESC, lang) AS r FROM fl),
+          quota AS (SELECT lang, fq + CASE WHEN r <= (SELECT extra
+              FROM need) THEN 1 ELSE 0 END AS n FROM rk),
+          hx AS (SELECT doc_id, h FROM '$AuxDir/doc_bucket/*.parquet'),
+          ranked AS (SELECT d.lang, d.doc_id,
+              CAST(ROW_NUMBER() OVER (PARTITION BY d.lang
+                ORDER BY hx.h, d.doc_id) AS INTEGER) AS sample_rank
+            FROM documents d JOIN hx USING (doc_id))
+        SELECT r.lang, r.sample_rank, r.doc_id
+        FROM ranked r JOIN quota q ON q.lang = r.lang
+        WHERE r.sample_rank <= q.n ORDER BY r.lang, r.sample_rank""")),
 
     // ========= streaming-analytics shape: hourly event rollup =============
     // ts is read as epoch-nanos long (nanosAsLong); truncate to the hour

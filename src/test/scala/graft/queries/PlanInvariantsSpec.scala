@@ -22,6 +22,10 @@ class PlanInvariantsSpec extends SparkSpec {
   // crossJoin, not an all-pairs).
   private val nestedLoopAllowed =
     Set("sim_topk", "sim_neardup_pairs", "dedup_ngram_jaccard",
+      // the reduced-space scorer of the JL shortlist path: same
+      // broadcast-queries brute-force shape as sim_topk, over 8-double
+      // vectors instead of 64 — the re-rank side stays equi-join
+      "sim_rp_topk",
       // the containment sibling of the jaccard exact-verify sweep:
       // same bounded 50-doc demo slice, same deliberate pair join
       "dedup_containment",
