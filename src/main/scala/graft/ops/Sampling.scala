@@ -265,11 +265,13 @@ object Sampling {
     * would make the cumulative non-monotone). Both guards ride inside
     * columns phase 1 aggregates, so they fire on every row at call
     * time regardless of downstream pruning. */
-  def tokenBudgetSample(df: DataFrame, id: Column, priority: Column,
-                        tokens: Column, budget: Long,
-                        buckets: Int = 1024): DataFrame = {
-    require(budget > 0, s"budget must be positive, got $budget")
-    require(buckets > 0, s"buckets must be positive, got $buckets")
+  /** The guarded working columns shared by [[tokenBudgetSample]] and
+    * [[tokenBudgetSampleByStratum]]: monotone priority bucket, positive
+    * token count, the priority itself — with the loud guards riding
+    * INSIDE columns phase 1 aggregates, so they fire on every row at
+    * call time regardless of downstream pruning. */
+  private def tokenBudgetBase(df: DataFrame, id: Column, priority: Column,
+                              tokens: Column, buckets: Int): DataFrame = {
     val p = priority.cast("double")
     val pGuarded = when(p.isNull || isnan(p) || p < 0.0 || p > 1.0,
       raise_error(concat(
@@ -281,29 +283,26 @@ object Sampling {
       .otherwise(raise_error(concat(
         lit("tokenBudgetSample: non-positive, NULL, or NaN token count "),
         lit("for id "), id.cast("string"))).cast("long"))
-    val base = df
-      .withColumn("__tb_b",
+    df.withColumn("__tb_b",
         least(floor(pGuarded * buckets), lit(buckets - 1L)).cast("long"))
       .withColumn("__tb_tok", tok)
       .withColumn("__tb_p", pGuarded)
+  }
+
+  def tokenBudgetSample(df: DataFrame, id: Column, priority: Column,
+                        tokens: Column, budget: Long,
+                        buckets: Int = 1024): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val base = tokenBudgetBase(df, id, priority, tokens, buckets)
     // phase 1: bounded per-bucket totals — at most `buckets` rows cross
     // the exchange and reach the driver, whatever the corpus size
     val totals = base.groupBy(col("__tb_b"))
       .agg(sum(col("__tb_tok")).as("__tb_t"))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
-      .sortBy(-_._1) // bucket desc == priority desc
-    var above = 0L
-    var boundary = -1L
-    var remaining = 0L
-    var i = 0
-    while (i < totals.length && boundary < 0) {
-      val (b, t) = totals(i)
-      if (above + t >= budget) { boundary = b; remaining = budget - above }
-      else above += t
-      i += 1
-    }
+    val (boundary, remaining) = findBoundary(totals, budget)
     val kept =
-      if (boundary < 0) base // whole corpus fits (guards fired in phase 1)
+      if (boundary == Long.MinValue) base // whole corpus fits
       else {
         val upper = base.where(col("__tb_b") > boundary)
         val w = Window.partitionBy(col("__tb_b"))
@@ -317,5 +316,72 @@ object Sampling {
         upper.unionByName(edge)
       }
     kept.drop("__tb_b", "__tb_tok", "__tb_p")
+  }
+
+  /** Walk (bucket, tokenTotal) pairs highest-bucket-first and locate the
+    * bucket where the cumulative crosses `budget`. Returns (boundary,
+    * remaining-within-boundary); boundary = Long.MinValue when the whole
+    * set fits (every real bucket compares > MinValue, so the "fits"
+    * case needs no special-casing at the filter). */
+  private def findBoundary(totals: Seq[(Long, Long)],
+                           budget: Long): (Long, Long) = {
+    var above = 0L
+    for ((b, t) <- totals.sortBy(-_._1)) {
+      if (above + t >= budget) return (b, budget - above)
+      above += t
+    }
+    (Long.MinValue, 0L)
+  }
+
+  /** [[tokenBudgetSample]] with a DIFFERENT token budget per stratum —
+    * the token-denominated mixture draw ([[apportion]] over a total
+    * token budget turns target proportions into the per-domain budget
+    * map; training mixes are specified in tokens, not document counts).
+    * Same two-phase shape, stratified: phase 1 aggregates per-(stratum,
+    * bucket) totals (|strata|·buckets rows to the driver — still
+    * bounded), the driver finds each stratum's boundary bucket, and
+    * phase 2 joins the small broadcast boundary table so rows above
+    * their OWN stratum's boundary pass as a pure filter while only each
+    * stratum's boundary bucket pays the exact window (partitioned by
+    * stratum — no global order ever forms). Strata absent from
+    * `budgets` are excluded, as in [[smallestHashSampleQuotas]]; a NULL
+    * stratum is likewise excluded (it can carry no budget). */
+  def tokenBudgetSampleByStratum(df: DataFrame, stratum: Column, id: Column,
+                                 priority: Column, tokens: Column,
+                                 budgets: Seq[(String, Long)],
+                                 buckets: Int = 1024): DataFrame = {
+    require(budgets.nonEmpty, "need at least one stratum budget")
+    require(budgets.forall(_._2 > 0), s"budgets must be positive: $budgets")
+    require(budgets.map(_._1).distinct.size == budgets.size,
+      s"duplicate stratum in $budgets")
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val budgetMap = budgets.toMap
+    val base = tokenBudgetBase(df, id, priority, tokens, buckets)
+      .withColumn("__tb_s", stratum.cast("string"))
+      .where(col("__tb_s").isin(budgets.map(_._1): _*))
+    val totals = base.groupBy(col("__tb_s"), col("__tb_b"))
+      .agg(sum(col("__tb_tok")).as("__tb_t"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val bounds = totals.groupBy(_._1).toSeq.map { case (s, rows) =>
+      val (b, rem) = findBoundary(rows.map(r => (r._2, r._3)).toSeq,
+        budgetMap(s))
+      (s, b, rem)
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val joined = base.join(broadcast(bounds.toDF("__bd_s", "__bd_b",
+      "__bd_r")), col("__tb_s") === col("__bd_s"))
+    val upper = joined.where(col("__tb_b") > col("__bd_b"))
+    val w = Window.partitionBy(col("__tb_s"))
+      .orderBy(col("__tb_p").desc, id.asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val edge = joined.where(col("__tb_b") === col("__bd_b"))
+      .withColumn("__tb_before",
+        coalesce(sum(col("__tb_tok")).over(w), lit(0L)))
+      .where(col("__tb_before") < col("__bd_r"))
+      .drop("__tb_before")
+    upper.unionByName(edge)
+      .drop("__tb_b", "__tb_tok", "__tb_p", "__tb_s",
+        "__bd_s", "__bd_b", "__bd_r")
   }
 }

@@ -1509,6 +1509,56 @@ object OracleQueries {
         FROM ranked r JOIN quota q ON q.lang = r.lang
         WHERE r.sample_rank <= q.n ORDER BY r.lang, r.sample_rank""")),
 
+    // ============ token-denominated mixture (apportion + per-stratum ======
+    // ============ token budgets) ==========================================
+    // Training mixes are specified in TOKENS, not document counts: a
+    // 15000-token total budget is apportioned across the language target
+    // weights (same Hamilton arithmetic as mix_domains), then each
+    // language runs its own priority-ordered token-budget walk — the
+    // stratified two-phase form (per-(lang, bucket) bounded totals, pure
+    // filter above each stratum's own boundary, exact window only inside
+    // the boundary buckets, partitioned by lang). The oracle replays
+    // apportionment AND the per-lang cumsum semantic in one query.
+    Q("mix_token_budget",
+      (s, dir) => {
+        val weights = Seq("en" -> 0.35, "es" -> 0.20, "de" -> 0.20,
+          "fr" -> 0.15, "zh" -> 0.10)
+        val budgets = Sampling.apportion(weights, total = 15000)
+          .map { case (k, n) => (k, n.toLong) }
+        val docs = t(s, dir, "documents")
+          .withColumn("_pri", (col("n_chars") % 997).cast("double") / 997.0)
+          .withColumn("_tok", TextMetrics.tokenCount(col("text")).cast("long"))
+        Sampling.tokenBudgetSampleByStratum(docs, col("lang"),
+            col("doc_id"), col("_pri"), col("_tok"), budgets)
+          .select(col("lang"), col("doc_id"), col("_tok").as("n_tokens"))
+          .orderBy(col("lang"), col("doc_id"))
+      },
+      Some("""WITH w(lang, wt) AS (VALUES ('en', 0.35), ('es', 0.20),
+            ('de', 0.20), ('fr', 0.15), ('zh', 0.10)),
+          tot AS (SELECT CAST(SUM(CAST(wt AS DECIMAL(8,4))) AS DOUBLE)
+              AS sw FROM w),
+          q AS (SELECT lang, 15000 * CAST(wt AS DOUBLE) / sw AS x
+            FROM w CROSS JOIN tot),
+          fl AS (SELECT lang, CAST(floor(x) AS BIGINT) AS fq,
+              x - floor(x) AS rem FROM q),
+          need AS (SELECT 15000 - SUM(fq) AS extra FROM fl),
+          rk AS (SELECT lang, fq,
+              ROW_NUMBER() OVER (ORDER BY rem DESC, lang) AS r FROM fl),
+          budget AS (SELECT lang, fq + CASE WHEN r <= (SELECT extra
+              FROM need) THEN 1 ELSE 0 END AS bt FROM rk),
+          tk AS (SELECT doc_id, lang,
+              (length(text) - length(replace(text, ' ', ''))) + 1
+                AS n_tokens,
+              (n_chars % 997) / 997.0 AS pri FROM documents),
+          cum AS (SELECT doc_id, lang, n_tokens,
+              COALESCE(SUM(n_tokens) OVER (PARTITION BY lang
+                ORDER BY pri DESC, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS bef FROM tk)
+        SELECT c.lang, c.doc_id, c.n_tokens
+        FROM cum c JOIN budget b ON b.lang = c.lang
+        WHERE c.bef < b.bt ORDER BY c.lang, c.doc_id""")),
+
     // ========= streaming-analytics shape: hourly event rollup =============
     // ts is read as epoch-nanos long (nanosAsLong); truncate to the hour
     // with exact integer arithmetic, format in the UTC session zone — the

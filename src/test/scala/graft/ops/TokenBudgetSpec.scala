@@ -82,4 +82,53 @@ class TokenBudgetSpec extends SparkSpec {
     val e = intercept[Exception] { sample(df, 100L, 8) }
     assert(e.getMessage != null)
   }
+
+  // ---- stratified (per-stratum budgets) variant --------------------------
+
+  private def stratCorpus(seed: Int, n: Int) = {
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map { i =>
+      (Seq("en", "de", "zh")(rnd.nextInt(3)), i.toLong,
+        rnd.nextInt(1000) / 1000.0, 1L + rnd.nextInt(40))
+    }.toDF("lang", "id", "pri", "tok")
+  }
+
+  test("stratified == independent per-stratum budget walks") {
+    val df = stratCorpus(20260814, 900).repartition(13, col("id"))
+    val budgets = Seq("en" -> 1200L, "de" -> 400L, "zh" -> 99999L)
+    val got = Sampling.tokenBudgetSampleByStratum(df, col("lang"),
+        col("id"), col("pri"), col("tok"), budgets, buckets = 16)
+      .select("lang", "id").as[(String, Long)].collect().toSeq.sorted
+    val want = budgets.flatMap { case (lang, b) =>
+      Sampling.tokenBudgetSample(df.where(col("lang") === lang),
+          col("id"), col("pri"), col("tok"), b, buckets = 16)
+        .select("lang", "id").as[(String, Long)].collect().toSeq
+    }.sorted
+    assert(got == want && got.nonEmpty)
+    // en/de budgets bite (partial selection); zh's swallows its stratum
+    val perLang = got.groupBy(_._1).view.mapValues(_.size).toMap
+    val full = df.groupBy(col("lang")).count().as[(String, Long)]
+      .collect().toMap
+    assert(perLang("en") < full("en") && perLang("de") < full("de"))
+    assert(perLang("zh") == full("zh"))
+  }
+
+  test("stratified: strata without a budget (and NULL strata) are excluded") {
+    val df = Seq((Some("en"), 1L, 0.5, 10L), (Some("xx"), 2L, 0.5, 10L),
+      (None, 3L, 0.5, 10L)).toDF("lang", "id", "pri", "tok")
+    val got = Sampling.tokenBudgetSampleByStratum(df, col("lang"),
+        col("id"), col("pri"), col("tok"), Seq("en" -> 100L))
+      .select("id").as[Long].collect().toSeq
+    assert(got == Seq(1L))
+  }
+
+  test("stratified: duplicate or non-positive budgets are rejected") {
+    val df = stratCorpus(3, 10)
+    intercept[IllegalArgumentException] {
+      Sampling.tokenBudgetSampleByStratum(df, col("lang"), col("id"),
+        col("pri"), col("tok"), Seq("en" -> 10L, "en" -> 20L)) }
+    intercept[IllegalArgumentException] {
+      Sampling.tokenBudgetSampleByStratum(df, col("lang"), col("id"),
+        col("pri"), col("tok"), Seq("en" -> 0L)) }
+  }
 }
