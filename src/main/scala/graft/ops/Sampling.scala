@@ -198,7 +198,16 @@ object Sampling {
     * DECIMAL(8,4) so the normalizer is order-independent, then one
     * double multiply/divide per stratum exactly as an oracle computes
     * it). Driver-side arithmetic over the handful of mixture weights —
-    * no data is touched. */
+    * no data is touched.
+    *
+    * Because the normalizer is the 4-dp-ROUNDED sum, weights whose true
+    * sum differs from their rounded sum (thirds, or weights below
+    * 0.00005) would over- or under-draw `total` — largest-remainder
+    * only conserves slots when the per-stratum quotients sum to ~total.
+    * That inconsistency fails LOUDLY here (conservation guard below)
+    * instead of silently misallocating: pass weights that sum to a
+    * 4-dp-exact value (e.g. 0.3333/0.3333/0.3334 for thirds). When the
+    * function returns, the quotas sum to exactly `total`. */
   def apportion(weights: Seq[(String, Double)], total: Int): Seq[(String, Int)] = {
     require(total >= 0, s"total must be >= 0, got $total")
     require(weights.nonEmpty, "need at least one stratum weight")
@@ -207,9 +216,20 @@ object Sampling {
       s"duplicate stratum in $weights")
     val sw = weights.map(w => BigDecimal(w._2).setScale(4,
       BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+    require(sw > 0,
+      s"weights round to a zero normalizer at 4 decimal places: $weights")
     val q = weights.map { case (k, w) => (k, total * w / sw) }
     val floors = q.map { case (k, x) => (k, math.floor(x).toInt) }
     val extra = total - floors.map(_._2).sum
+    // conservation guard: with a consistent normalizer the floors leave
+    // 0..(strata-1) slots to distribute (the classic Hamilton bound,
+    // plus at most one slot of float slack); anything outside means the
+    // rounded normalizer disagrees with the true weight sum and EVERY
+    // stratum's quotient is biased — refuse rather than misallocate
+    require(extra >= 0 && extra <= weights.size,
+      s"apportionment imbalance (extra=$extra for ${weights.size} " +
+        s"strata): the weight sum is not 4-dp-exact — renormalize " +
+        s"the weights (e.g. thirds -> 0.3333/0.3333/0.3334): $weights")
     val bump = q.map { case (k, x) => (k, x - math.floor(x)) }
       .sortBy { case (k, rem) => (-rem, k) }
       .take(extra).map(_._1).toSet
@@ -240,31 +260,6 @@ object Sampling {
       .drop("__q_s", "__q_n")
   }
 
-  /** Priority-ordered TOKEN-BUDGET selection: walk the corpus in
-    * descending `priority` order (ties broken on ascending id) and keep
-    * every document whose strictly-preceding cumulative token count is
-    * still `< budget` — so the selection is an exact, deterministic
-    * function of (priority, id, tokens), the boundary document that
-    * crosses the budget is kept, and re-runs reproduce it bit-for-bit.
-    * This is the draw a pre-training mix actually wants ("the best B
-    * tokens", not "the best N documents" — document counts don't bound
-    * training cost, token counts do).
-    *
-    * Scale shape — the naive form is a single global-order window, i.e.
-    * ONE partition holding the whole corpus. Two-phase instead:
-    * phase 1 aggregates token totals per coarse priority bucket
-    * (`buckets` rows reach the driver — the bounded-table idiom), the
-    * driver prefix-sums them highest-bucket-first to locate the single
-    * BOUNDARY bucket where the cumulative crosses the budget; phase 2
-    * keeps every row above the boundary with a PURE FILTER (rides the
-    * scan, no shuffle) and pays the exact ordered window only inside
-    * the boundary bucket — 1/buckets of the corpus in expectation.
-    * Priorities must lie in [0, 1] (the bucket map `floor(p·buckets)`
-    * must be monotone; out-of-range, NULL, or NaN fails loudly naming
-    * the id) and token counts must be positive (a non-positive count
-    * would make the cumulative non-monotone). Both guards ride inside
-    * columns phase 1 aggregates, so they fire on every row at call
-    * time regardless of downstream pruning. */
   /** The guarded working columns shared by [[tokenBudgetSample]] and
     * [[tokenBudgetSampleByStratum]]: monotone priority bucket, positive
     * token count, the priority itself — with the loud guards riding
@@ -289,6 +284,43 @@ object Sampling {
       .withColumn("__tb_p", pGuarded)
   }
 
+  /** Priority-ordered TOKEN-BUDGET selection: walk the corpus in
+    * descending `priority` order (ties broken on ascending id) and keep
+    * every document whose strictly-preceding cumulative token count is
+    * still `< budget` — so the selection is an exact, deterministic
+    * function of (priority, id, tokens), the boundary document that
+    * crosses the budget is kept, and re-runs reproduce it bit-for-bit.
+    * This is the draw a pre-training mix actually wants ("the best B
+    * tokens", not "the best N documents" — document counts don't bound
+    * training cost, token counts do).
+    *
+    * Scale shape — the naive form is a single global-order window, i.e.
+    * ONE partition holding the whole corpus. Two-phase instead:
+    * phase 1 aggregates token totals per coarse priority bucket
+    * (`buckets` rows reach the driver — the bounded-table idiom), the
+    * driver prefix-sums them highest-bucket-first to locate the single
+    * BOUNDARY bucket where the cumulative crosses the budget; phase 2
+    * keeps every row above the boundary with a PURE FILTER (rides the
+    * scan, no shuffle) and pays the exact ordered window only inside
+    * the boundary bucket — 1/buckets of the corpus in expectation.
+    * Priorities must lie in [0, 1] (the bucket map `floor(p·buckets)`
+    * must be monotone; out-of-range, NULL, or NaN fails loudly naming
+    * the id) and token counts must be positive (a non-positive count
+    * would make the cumulative non-monotone). Both guards ride inside
+    * columns phase 1 aggregates, so they fire on every row at call
+    * time regardless of downstream pruning.
+    *
+    * The input lineage is deliberately NOT pinned: phase 1 and the two
+    * phase-2 branches each re-execute it. At scale the input is a
+    * staged table whose column-pruned, filter-pushed re-scan is far
+    * cheaper than materializing the corpus (pinning here would BE a
+    * corpus copy — the opposite of the hammingBandedPairs case, where
+    * the pinned table is small and its lineage expensive). The
+    * corollary, as everywhere in this module: `df` must be
+    * rerun-deterministic, or the phase-1 boundary and the phase-2 rows
+    * could disagree. Callers with an expensive non-staged upstream
+    * should localCheckpoint it themselves (the pipeline_curate
+    * stage-boundary idiom). */
   def tokenBudgetSample(df: DataFrame, id: Column, priority: Column,
                         tokens: Column, budget: Long,
                         buckets: Int = 1024): DataFrame = {

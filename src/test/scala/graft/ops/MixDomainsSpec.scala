@@ -33,6 +33,25 @@ class MixDomainsSpec extends SparkSpec {
       Sampling.apportion(Seq("a" -> 1.0, "a" -> 2.0), 5) }
   }
 
+  test("a non-4-dp-exact weight sum fails loudly instead of misallocating") {
+    // thirds: the rounded normalizer (0.9999) understates the true sum,
+    // every quotient overdraws, floors sum to 30003 > 30000 — without
+    // the conservation guard this would silently return 30003 slots
+    val e = intercept[IllegalArgumentException] {
+      Sampling.apportion(Seq("a" -> 1.0 / 3, "b" -> 1.0 / 3,
+        "c" -> 1.0 / 3), 30000)
+    }
+    assert(e.getMessage.contains("imbalance"))
+    // weights below the 4-dp resolution round the normalizer to zero
+    intercept[IllegalArgumentException] {
+      Sampling.apportion(Seq("a" -> 4e-5, "b" -> 4e-5), 10)
+    }
+    // the documented renormalization passes and conserves exactly
+    val ok = Sampling.apportion(Seq("a" -> 0.3333, "b" -> 0.3333,
+      "c" -> 0.3334), 30000)
+    assert(ok.map(_._2).sum == 30000)
+  }
+
   private lazy val corpus = {
     val rnd = new scala.util.Random(20260814)
     (0 until 600).map { i =>
