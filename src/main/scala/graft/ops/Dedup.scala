@@ -559,4 +559,67 @@ object Dedup {
         sum(when(col("__sd_keep"), lit(0L)).otherwise(lit(1L)))
           .as("n_removed"))
   }
+
+  /** SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): near-duplicates in EMBEDDING space — paraphrases,
+    * templated rewrites, translations back-translated — that no lexical
+    * signature (MinHash/SimHash/shingles) can catch. The corpus is
+    * k-means-clustered first (the caller runs [[KMeans.fit]] and passes
+    * the assignment), and all pairwise cosine comparison happens WITHIN
+    * a cluster only: the cluster id is the equi-join key, so candidate
+    * pairs materialize per cluster, never corpus x corpus. That per-
+    * cluster O(n_c^2) is the ALGORITHM's published cost model — SemDeDup
+    * runs k large (tens of thousands at web scale) precisely so each
+    * cluster stays small; the one-partition-per-cluster window below is
+    * bounded by the same contract that bounds the pair matrix itself.
+    *
+    * Drop rule (the paper's practical one-pass form, made deterministic):
+    * rank each cluster's members farthest-from-centroid first (the
+    * keep-low-centroid-similarity choice, `round(d, 6)` DESC with the id
+    * as tie-break — the repo's rounded-then-ranked idiom so the order is
+    * identical on every engine and partitioning), then drop a vector iff
+    * SOME earlier-ranked member of its cluster has cosine >= tau with it.
+    * Deliberately NOT transitive-closure semantics: an already-dropped
+    * vector still dominates later ones (this matches the reference
+    * implementation's upper-triangular max-similarity test), and rank 1
+    * of every cluster is always kept. Cosines are rounded to 6 dp before
+    * the threshold, like every cross-engine cosine in this repo.
+    *
+    * Plan shape: the rank window partitions by `cid`, and that exchange
+    * doubles as the self-join's required distribution on both sides —
+    * the joined plan shows SortMergeJoin sitting directly on
+    * Window/Sort/Exchange(cid), no additional exchange per side. The
+    * cosine is computed on the joined row and filtered BELOW the
+    * dominating-neighbor aggregation (only true near-dup pairs reach
+    * it), and the final join-back keys on the id with AQE free to
+    * broadcast the (usually small) dominated set.
+    *
+    * `vectors` carries (idCol, `v`: array<double>); `assigned` is
+    * [[KMeans.fit]] output (idCol, cid, d). Returns one row per input
+    * vector: (idCol, cid, kept, dup_of) with `dup_of` the EARLIEST-
+    * ranked dominating neighbor, or -1 for kept rows. */
+  def semanticDedup(vectors: DataFrame, assigned: DataFrame,
+                    idCol: String, tau: Double): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0, s"tau must be in (0, 1], got $tau")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("cid"))
+      .orderBy(round(col("d"), 6).desc, col(idCol))
+    val ranked = vectors.join(assigned, idCol)
+      .select(col(idCol), col("v"), col("cid"),
+        row_number().over(w).as("__sd_r"))
+    val a = ranked.select(col("cid"), col(idCol).as("__sd_ida"),
+      col("v").as("__sd_va"), col("__sd_r").as("__sd_ra"))
+    val b = ranked.select(col("cid"), col(idCol).as("__sd_idb"),
+      col("v").as("__sd_vb"), col("__sd_r").as("__sd_rb"))
+    val dominated = a.join(b, Seq("cid"))
+      .where(col("__sd_ra") < col("__sd_rb") &&
+        round(VectorOps.cosine(col("__sd_va"), col("__sd_vb")), 6)
+          >= tau)
+      .groupBy(col("__sd_idb").as(idCol))
+      .agg(min_by(col("__sd_ida"), col("__sd_ra")).as("__sd_dom"))
+    ranked.join(dominated, Seq(idCol), "left")
+      .select(col(idCol), col("cid"),
+        col("__sd_dom").isNull.as("kept"),
+        coalesce(col("__sd_dom"), lit(-1L)).as("dup_of"))
+  }
 }

@@ -2201,6 +2201,76 @@ object OracleQueries {
         SELECT cid, sample_rank, vec_id FROM rk WHERE sample_rank <= 8
         ORDER BY cid, sample_rank""")),
 
+    // ============== SemDeDup: semantic (embedding-space) dedup ============
+    // Near-duplicates no lexical signature catches — paraphrases,
+    // templated rewrites — pruned in embedding space, cluster-bucketed so
+    // pairwise cosine only ever runs WITHIN a k-means cluster (Abbas et
+    // al. 2023). Rank = farthest-from-centroid first (round(d,6) DESC,
+    // id tie-break); a vector is dropped iff some earlier-ranked cluster
+    // member has cosine >= 0.40 with it, dup_of = the earliest-ranked
+    // such dominator. The oracle replays the whole chain: the k=8 Lloyd
+    // fit (same unrolled CTEs as cluster_kmeans), the rank, the
+    // upper-triangular within-cluster cosine test, the arg-min pick.
+    Q("dedup_semantic",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings").where(col("vec_id") < 1000)
+          .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
+        val fit = KMeans.fit(e, "vec_id", k = 8, iters = 2)
+        Dedup.semanticDedup(e, fit, "vec_id", tau = 0.40)
+          .orderBy(col("vec_id"))
+      },
+      Some("""WITH e AS (SELECT vec_id,
+            UNNEST(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x,
+            UNNEST(range(len(embedding))) AS i
+          FROM embeddings WHERE vec_id < 1000),
+        ids AS (SELECT vec_id FROM (SELECT vec_id,
+            ROW_NUMBER() OVER (ORDER BY vec_id) AS r FROM embeddings
+            WHERE vec_id < 1000) WHERE r <= 8),
+        c0 AS (SELECT e.vec_id AS cid, e.i, e.x AS c
+          FROM e JOIN ids USING (vec_id)),
+        d1 AS (SELECT e.vec_id, c.cid,
+            CAST(SUM(CAST((e.x - c.c) * (e.x - c.c) AS DECIMAL(18,9)))
+              AS DOUBLE) AS d
+          FROM e JOIN c0 c USING (i) GROUP BY 1, 2),
+        a1 AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS r
+          FROM d1) WHERE r = 1),
+        c1u AS (SELECT a.cid, e.i,
+            CAST(SUM(CAST(e.x AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS c
+          FROM e JOIN a1 a USING (vec_id) GROUP BY 1, 2),
+        c1 AS (SELECT * FROM c1u
+          UNION ALL SELECT cid, i, c FROM c0
+          WHERE cid NOT IN (SELECT DISTINCT cid FROM c1u)),
+        d2 AS (SELECT e.vec_id, c.cid,
+            CAST(SUM(CAST((e.x - c.c) * (e.x - c.c) AS DECIMAL(18,9)))
+              AS DOUBLE) AS d
+          FROM e JOIN c1 c USING (i) GROUP BY 1, 2),
+        a2 AS (SELECT vec_id, cid, d FROM (SELECT vec_id, cid, d,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS r
+          FROM d2) WHERE r = 1),
+        rk AS (SELECT vec_id, cid,
+            ROW_NUMBER() OVER (PARTITION BY cid
+              ORDER BY round(d, 6) DESC, vec_id) AS r
+          FROM a2),
+        vv AS (SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings WHERE vec_id < 1000),
+        pu AS (SELECT ra.vec_id AS ida, rb.vec_id AS idb, ra.r AS rra,
+            UNNEST(va.v) AS x, UNNEST(vb.v) AS y
+          FROM rk ra JOIN rk rb ON ra.cid = rb.cid AND ra.r < rb.r
+          JOIN vv va ON va.vec_id = ra.vec_id
+          JOIN vv vb ON vb.vec_id = rb.vec_id),
+        sc AS (SELECT ida, idb, rra, SUM(x*y) AS dot, SUM(x*x) AS na,
+            SUM(y*y) AS nb FROM pu GROUP BY 1, 2, 3),
+        dom AS (SELECT idb AS vec_id, ida AS dup_of FROM (SELECT idb, ida,
+            ROW_NUMBER() OVER (PARTITION BY idb ORDER BY rra) AS rr
+          FROM sc WHERE ROUND(dot/(SQRT(na)*SQRT(nb)), 6) >= 0.40)
+          WHERE rr = 1)
+        SELECT r.vec_id, r.cid, dom.vec_id IS NULL AS kept,
+          COALESCE(dom.dup_of, -1) AS dup_of
+        FROM rk r LEFT JOIN dom ON dom.vec_id = r.vec_id
+        ORDER BY r.vec_id""")),
+
     // ================ J10: Bloom-filter runtime join prune ================
     // The runtime-filter pattern Spark's own row-level filtering uses: the
     // small side's keys build an m-bit Bloom filter (bounded agg — at most
