@@ -326,4 +326,43 @@ object TextMetrics {
           .as("chunk_text")))
     }
   }
+
+  /** CCNet-style quality bucketing (Wenzek et al. 2020,
+    * "CCNet: Extracting High Quality Monolingual Datasets from Web
+    * Crawl Data"): each document is LM-scored ([[unigramLogprob]] —
+    * higher average log-probability = lower perplexity = more fluent)
+    * and split into per-LANGUAGE terciles — `head` (most fluent third),
+    * `middle`, `tail` — because perplexity scales are not comparable
+    * across languages, so a global cut would misfile whole languages.
+    *
+    * Determinism/plan shape: the scored table is pinned once
+    * (localCheckpoint — it feeds the two tercile boundary computations
+    * AND the final projection; unpinned, the vocab join would re-execute
+    * three times). Boundaries come from [[PercentileAgg.percentileSelect]]
+    * (the bounded multi-job routing — never a global sort), are rounded
+    * to 6 dp, broadcast (one row per language), and compared against the
+    * 6-dp-rounded score with `>=` — both sides rounded, so the bucket
+    * edge is identical on every engine and partitioning. Returns one row
+    * per document: (idCol, lang, score, bucket). */
+  def qualityBuckets(df: org.apache.spark.sql.DataFrame, idCol: String,
+                     textCol: String,
+                     langCol: String): org.apache.spark.sql.DataFrame = {
+    val scored = unigramLogprob(df, idCol, textCol)
+      .join(df.select(col(idCol), col(langCol).as("lang")), idCol)
+      .select(col(idCol), col("lang"),
+        round(col("avg_logprob"), 6).as("score"))
+      .localCheckpoint(true)
+    val p33 = PercentileAgg.percentileSelect(scored, Seq("lang"),
+      "score", 1.0 / 3, outCol = "__qb_p33")
+    val p67 = PercentileAgg.percentileSelect(scored, Seq("lang"),
+      "score", 2.0 / 3, outCol = "__qb_p67")
+    val bounds = broadcast(p33.join(p67, "lang")
+      .select(col("lang"), round(col("__qb_p33"), 6).as("__qb_lo"),
+        round(col("__qb_p67"), 6).as("__qb_hi")))
+    scored.join(bounds, "lang")
+      .select(col(idCol), col("lang"), col("score"),
+        when(col("score") >= col("__qb_hi"), "head")
+          .when(col("score") >= col("__qb_lo"), "middle")
+          .otherwise("tail").as("bucket"))
+  }
 }

@@ -2039,6 +2039,44 @@ object OracleQueries {
           COUNT(*) AS n_tokens
         FROM scored GROUP BY doc_id ORDER BY doc_id""")),
 
+    // ============ CCNet-style quality buckets (head/middle/tail) ==========
+    // Per-LANGUAGE perplexity terciles (Wenzek et al. 2020): LM scales
+    // are not comparable across languages, so each language is cut at
+    // its own 1/3 and 2/3 score quantiles. Boundaries ride the bounded
+    // percentile routing (never a global sort) and broadcast one row per
+    // language; both the score and the boundary are rounded to 6 dp
+    // before the >= comparison, so the bucket edge is engine- and
+    // partitioning-exact. The oracle replays the unigram scoring chain
+    // and quantile_cont per language.
+    Q("quality_buckets",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        TextMetrics.qualityBuckets(docs, "doc_id", "text", "lang")
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH toks AS (SELECT doc_id,
+            UNNEST(string_split(text, ' ')) AS tok FROM documents),
+          vocab AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY 1),
+          tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM vocab),
+          lp AS (SELECT t.doc_id,
+            round(ln(CAST(v.c AS DOUBLE) / (SELECT n FROM tot)), 6) AS lp
+            FROM toks t JOIN vocab v USING (tok)),
+          scored AS (SELECT doc_id,
+              ROUND(CAST(SUM(CAST(lp AS DECIMAL(18,9))) AS DOUBLE)
+                / COUNT(*), 6) AS score
+            FROM lp GROUP BY doc_id),
+          sl AS (SELECT s.doc_id, d.lang, s.score
+            FROM scored s JOIN documents d USING (doc_id)),
+          b AS (SELECT lang,
+              ROUND(quantile_cont(score, 1.0/3), 6) AS lo,
+              ROUND(quantile_cont(score, 2.0/3), 6) AS hi
+            FROM sl GROUP BY lang)
+        SELECT sl.doc_id, sl.lang, sl.score,
+          CASE WHEN sl.score >= b.hi THEN 'head'
+               WHEN sl.score >= b.lo THEN 'middle'
+               ELSE 'tail' END AS bucket
+        FROM sl JOIN b USING (lang) ORDER BY sl.doc_id""")),
+
     // ======================= token counting ===============================
     // The budget arithmetic every curation pass starts from: whitespace
     // tokens, the BPE-ish regex-piece count (letter runs split into
