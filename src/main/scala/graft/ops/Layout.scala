@@ -49,4 +49,87 @@ object Layout {
           shiftleft(shiftright(ys, b).bitwiseAND(lit(1L)), 2 * b + 1))
     }.reduce(_ bitwiseOR _)
   }
+
+  /** EXACT global rank (1-based) of every row under (`key`, `id`) order
+    * — without a global-order window. The naive
+    * `row_number().over(Window.orderBy(key, id))` moves the whole
+    * corpus into ONE partition; this is the two-phase range form:
+    *
+    *  - phase 1: bucket every row by the TOP `bucketBits` bits of the
+    *    signed 64-bit key (`key >> (64 - bucketBits)` — arithmetic
+    *    shift, monotone in the signed key, so bucket order IS key
+    *    order) and collect the per-bucket counts — at most
+    *    2^bucketBits rows reach the driver whatever the corpus size
+    *    (the bounded-table idiom);
+    *  - the driver prefix-sums the counts into per-bucket START
+    *    offsets, broadcast back;
+    *  - phase 2: one window per bucket (corpus/2^bucketBits rows per
+    *    partition in expectation for a hash-distributed key) ranks
+    *    within the bucket; bucket offset + within-bucket rank = the
+    *    exact global rank.
+    *
+    * (`key`, `id`) must be unique per row — ranks are undefined under
+    * ties, so a duplicate pair fails LOUDLY via a count window that
+    * shares the bucket exchange (the packSpans guard pattern; the
+    * raise rides inside the output column, so pruning cannot drop
+    * it). A NULL key fails loudly naming the id. */
+  def globalRank(df: DataFrame, id: Column, key: Column,
+                 bucketBits: Int = 12,
+                 outCol: String = "global_rank"): DataFrame = {
+    // lower bound 1: Spark's shiftright masks the shift amount to its
+    // low 6 bits (Java long >>), so bucketBits = 0 would shift by
+    // 64 & 63 = 0 — every key its OWN bucket, i.e. an unbounded
+    // phase-1 collect instead of one bucket
+    require(bucketBits >= 1 && bucketBits <= 20,
+      s"bucketBits must be in [1, 20], got $bucketBits")
+    import org.apache.spark.sql.expressions.Window
+    val k = when(key.isNotNull, key.cast("long"))
+      .otherwise(raise_error(concat(
+        lit("globalRank: NULL key for id "), id.cast("string")))
+        .cast("long"))
+    val withB = df
+      .withColumn("__gr_id", id)
+      .withColumn("__gr_k", k)
+      .withColumn("__gr_b", shiftright(col("__gr_k"), 64 - bucketBits))
+    // phase 1: bounded per-bucket counts -> driver prefix sum
+    val counts = withB.groupBy(col("__gr_b"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = counts.map { case (bk, n) =>
+      val o = (bk, acc); acc += n; o
+    }.toSeq
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offDf = broadcast(offsets.toDF("__gr_b", "__gr_off"))
+    // phase 2: per-bucket rank + offset; the dup guard's window keys
+    // are a superset of the bucket key, so it shares the exchange
+    val w = Window.partitionBy(col("__gr_b"))
+      .orderBy(col("__gr_k"), col("__gr_id"))
+    val dup = count(lit(1)).over(
+      Window.partitionBy(col("__gr_b"), col("__gr_k"), col("__gr_id")))
+    withB.join(offDf, "__gr_b")
+      .withColumn(outCol,
+        when(dup > 1, raise_error(concat(
+          lit("globalRank: duplicate (key, id) pair — ranks are "),
+          lit("undefined under ties (offending id: "),
+          col("__gr_id").cast("string"), lit(")"))).cast("long"))
+          .otherwise(row_number().over(w).cast("long") +
+            col("__gr_off")))
+      .drop("__gr_b", "__gr_k", "__gr_id", "__gr_off")
+  }
+
+  /** Deterministic EPOCH SHUFFLE for training order: every row gets an
+    * exact position in a pseudorandom permutation keyed by
+    * xxhash64(id, epoch) — a different, reproducible permutation per
+    * epoch, with no global sort and no RNG state (re-runs and
+    * re-partitionings give bit-identical positions). This is the
+    * ordering step a training-data pipeline runs after packing:
+    * shuffle the packed sequences differently each epoch, then
+    * range-write by `train_pos`. Returns the input plus `train_pos`
+    * (1-based). */
+  def epochShuffle(df: DataFrame, id: Column, epoch: Int,
+                   bucketBits: Int = 12): DataFrame =
+    globalRank(df, id, xxhash64(id, lit(epoch)), bucketBits,
+      outCol = "train_pos")
 }

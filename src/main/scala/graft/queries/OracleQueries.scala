@@ -162,6 +162,13 @@ object OracleQueries {
     t(s, dir, "embeddings")
       .select(col("vec_id"), xxhash64(col("vec_id")).as("h"))
       .write.mode("overwrite").parquet(s"$AuxDir/vec_bucket")
+    // epoch-salted permutation keys, for the train_order oracle —
+    // xxhash64(doc_id, epoch), exactly what Layout.epochShuffle ranks
+    docs.select(col("doc_id"),
+        explode(array((0 until 3).map(lit): _*)).as("epoch"))
+      .select(col("doc_id"), col("epoch"),
+        xxhash64(col("doc_id"), col("epoch")).as("h"))
+      .write.mode("overwrite").parquet(s"$AuxDir/epoch_hashes")
     // decontamination: distinct shingle hashes for EVERY document (the
     // simhash table above covers only doc_id < 100)
     Dedup.shingleRows(docs, "doc_id", "text", 3)
@@ -3011,6 +3018,27 @@ object OracleQueries {
             AS z
         FROM lineitem WHERE l_orderkey < 2000
         ORDER BY l_orderkey, l_linenumber""")),
+
+    // ============== deterministic epoch shuffle (training order) ==========
+    // The ordering step after packing: every document gets an EXACT
+    // position in a pseudorandom permutation keyed by
+    // xxhash64(doc_id, epoch) — reproducible, RNG-free, a different
+    // permutation per epoch. The rank is the two-phase range form
+    // (bounded per-bucket counts → driver prefix-sum → per-bucket
+    // window + offset), never a single-partition global window. The
+    // oracle ranks the aux-materialized epoch-salted hashes with one
+    // ROW_NUMBER — the semantic, exactly, minus the scale shape.
+    Q("train_order",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        Layout.epochShuffle(docs, col("doc_id"), epoch = 1)
+          .select(col("doc_id"), col("train_pos"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""SELECT doc_id,
+          ROW_NUMBER() OVER (ORDER BY h, doc_id) AS train_pos
+        FROM '$AuxDir/epoch_hashes/*.parquet' WHERE epoch = 1
+        ORDER BY doc_id""")),
 
     // =============== bigram LM quality scoring ============================
     // One rung up the n-gram ladder from text_unigram_logprob: the mean
