@@ -622,4 +622,64 @@ object Dedup {
         col("__sd_dom").isNull.as("kept"),
         coalesce(col("__sd_dom"), lit(-1L)).as("dup_of"))
   }
+
+  /** Duplicated-substring SPAN detection (Lee et al. 2021,
+    * arXiv:2107.06499 "Deduplicating Training Data Makes Language
+    * Models Better" — the ExactSubstr criterion, in its standard
+    * distributed approximation): every maximal token span all of whose
+    * `k`-token windows also occur in at least one OTHER document. The
+    * paper builds a corpus suffix array; the scale-out equivalent is a
+    * shingle-position index — k-gram rows with their start position,
+    * one hash-partitioned aggregation marking k-grams present in >= 2
+    * distinct documents (min(id) <> max(id): one pass with map-side
+    * partials, never count(distinct)), a join-back, and a per-document
+    * gaps-and-islands merge of consecutive duplicated window starts.
+    * A span of length L >= k duplicated verbatim between two documents
+    * produces L-k+1 consecutive duplicated starts and comes back as ONE
+    * row; `minSpanTokens` (the paper uses 50) drops incidental short
+    * matches.
+    *
+    * Two documented deltas from the exact suffix-array semantics, both
+    * standard for the approximation: (1) CROSS-document duplication
+    * only — a k-gram repeated twice inside one document does not mark
+    * it (self-repetition is [[graft.functions.RepetitionSig]]'s
+    * signal); (2) a merged span's windows may be shared with DIFFERENT
+    * partner documents — the span is "every token of this region is
+    * part of some cross-document duplicate", which is exactly the
+    * removal criterion the paper applies.
+    *
+    * Plan shape: one exchange on the k-gram hash for the shared-gram
+    * aggregation, whose output partitioning the join-back reuses on the
+    * build side; one exchange on the doc id for the island window,
+    * whose partitioning the (id, island) groupBy reuses (subset-key
+    * distribution). Nothing driver-side, no distinct, no all-pairs.
+    *
+    * Returns (id, span_start, span_end, span_tokens): 0-based token
+    * positions, both ends inclusive. */
+  def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+                      k: Int = 8, minSpanTokens: Int = 8): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(minSpanTokens >= k,
+      s"minSpanTokens must be >= k ($k), got $minSpanTokens")
+    import org.apache.spark.sql.expressions.Window
+    val rows = shingleRowsPos(df, idCol, textCol, k)
+      .select(col("id"), (col("pos") - lit(k - 1)).as("start"),
+        xxhash64(col("shingle")).as("h"))
+    val shared = rows.groupBy(col("h"))
+      .agg(min(col("id")).as("__ds_a"), max(col("id")).as("__ds_b"))
+      .where(col("__ds_a") =!= col("__ds_b"))
+      .select(col("h"))
+    val dup = rows.join(shared, "h").select(col("id"), col("start"))
+    val w = Window.partitionBy(col("id")).orderBy(col("start"))
+    dup.withColumn("__ds_isl", col("start") - row_number().over(w))
+      .groupBy(col("id"), col("__ds_isl"))
+      .agg(min(col("start")).as("span_start"),
+        (max(col("start")) + lit(k - 1)).as("span_end"))
+      .withColumn("span_tokens",
+        col("span_end") - col("span_start") + lit(1))
+      .where(col("span_tokens") >= minSpanTokens)
+      .select(col("id"), col("span_start").cast("long").as("span_start"),
+        col("span_end").cast("long").as("span_end"),
+        col("span_tokens").cast("long").as("span_tokens"))
+  }
 }

@@ -416,4 +416,41 @@ object Sampling {
       .drop("__tb_b", "__tb_tok", "__tb_p", "__tb_s",
         "__bd_s", "__bd_b", "__bd_r")
   }
+
+  /** Temperature-scaled mixture quotas (the multilingual-LM sampling
+    * standard — mBERT/XLM-R's exponentiated-count smoothing, Conneau &
+    * Lample 2019 §3.1): stratum weights proportional to `count^alpha`,
+    * turned into integer quotas by [[apportion]]. `alpha = 1` reproduces
+    * the corpus proportions, `alpha = 0` is uniform, and the usual
+    * 0.2–0.7 range up-samples low-resource strata without letting the
+    * head stratum drown them.
+    *
+    * One bounded aggregation (a single count per stratum — the
+    * bounded-table collect idiom; strata cardinality is a mixture's
+    * design parameter, never data-sized), driver-side weight arithmetic,
+    * no data movement. Weights are rounded to 4 dp BEFORE apportionment
+    * so the [[apportion]] normalizer is exact by construction (its
+    * conservation guard cannot fire) and an external replay of
+    * `round(pow(n, alpha), 4)` agrees: pow is within 1 ulp across
+    * conforming libms, which a 4-dp rounding only exposes if the true
+    * value sits within that ulp of a .00005 boundary — for integer
+    * counts and the usual alphas that is the measure-zero corner, and
+    * integral results (alpha 0, 1, or 0.5 on perfect squares) are exact
+    * in every engine. Returns the per-stratum quotas, quota sum ==
+    * `total`; feed [[smallestHashSampleQuotas]] for the draw. */
+  def temperatureQuotas(df: DataFrame, stratum: Column, alpha: Double,
+                        total: Int): Seq[(String, Int)] = {
+    require(alpha >= 0.0 && alpha <= 1.0,
+      s"alpha must be in [0, 1], got $alpha")
+    val counts = df.groupBy(stratum.cast("string").as("__tq_s"))
+      .agg(count(lit(1)).as("__tq_n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(_._1)
+    require(counts.nonEmpty, "no strata: input is empty")
+    val weights = counts.toSeq.map { case (s, n) =>
+      (s, BigDecimal(math.pow(n.toDouble, alpha))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    apportion(weights, total)
+  }
 }

@@ -365,4 +365,80 @@ object TextMetrics {
           .when(col("score") >= col("__qb_lo"), "middle")
           .otherwise("tail").as("bucket"))
   }
+
+  /** Words of [[GopherStopwords]] — the eight common-English-word list the
+    * Gopher rules test membership against (Rae et al. 2021 §A1.1). */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-rules document quality filter (Rae et al. 2021,
+    * arXiv:2112.11446 Appendix A1.1 — the MassiveWeb heuristics, the
+    * standard pre-LM hygiene pass): per-document rule flags plus the
+    * conjunctive keep decision. Rules, with the paper's thresholds:
+    *
+    *  - word count in [`minWords`, `maxWords`] (paper: 50..100,000);
+    *  - mean word length in [3, 10] characters;
+    *  - symbol-to-word ratio (`#` or `...` occurrences per word) <= 0.1;
+    *  - < 90% of lines start with a bullet ("- " or "* ") and < 30% end
+    *    with an ellipsis;
+    *  - >= 80% of words contain at least one alphabetic character;
+    *  - at least 2 of the 8 [[GopherStopwords]] occur as words.
+    *
+    * Everything is a pure projection. The words-with-a-letter count uses
+    * `regexp_count` over `(?:^| )[^ ]*[A-Za-z][^ ]*` — no lookarounds,
+    * identical leftmost match semantics in Java regex and RE2, and
+    * codegen'd (no higher-order filter in the per-word rule). The two
+    * LINE rules do use a lambda filter over the (tiny) line array; lines
+    * are bounded by document newlines, not corpus size. Ratios and the
+    * mean are rounded to 6 dp before thresholding so the rule edges are
+    * engine-exact. Assumes [[normalizeWs]]-normalized text for the word
+    * rules (the documented ingest contract); line rules split the RAW
+    * text on newlines, which normalization would erase — callers that
+    * normalize first get the line rules trivially true, callers on raw
+    * text get both families. Returns a struct:
+    * (n_words, mean_word_len, symbol_ratio, alpha_frac, n_stopwords,
+    *  bullet_frac, ellipsis_frac, keep).
+    *
+    * `stopwords` defaults to the paper's English list; a corpus in
+    * another register (or language) passes its own common-word list —
+    * the rule's intent is "looks like running prose in the corpus
+    * language", not those eight literals. */
+  def gopherFlags(text: Column, minWords: Int = 50,
+                  maxWords: Int = 100000,
+                  stopwords: Seq[String] = GopherStopwords): Column = {
+    val ws = tokens(text)
+    val n = size(ws).cast("double")
+    val meanLen =
+      round(length(replace(text, lit(" "), lit(""))).cast("double") / n, 6)
+    val symRatio =
+      round((occ(text, "#") + occ(text, "...")).cast("double") / n, 6)
+    val alphaFrac = round(
+      regexp_count(text, lit("(?:^| )[^ ]*[A-Za-z][^ ]*")).cast("double")
+        / n, 6)
+    require(stopwords.nonEmpty, "stopword list must be non-empty")
+    val nStops = size(array_intersect(array_distinct(ws),
+      array(stopwords.map(lit): _*)))
+    val lines = split(text, "\n")
+    val nLines = size(lines).cast("double")
+    val bulletFrac = round(size(filter(lines,
+      l => l.startsWith("- ") || l.startsWith("* "))).cast("double")
+      / nLines, 6)
+    val ellipsisFrac = round(size(filter(lines,
+      l => l.endsWith("..."))).cast("double") / nLines, 6)
+    val keep = (n >= minWords) && (n <= maxWords) &&
+      (meanLen >= 3.0) && (meanLen <= 10.0) &&
+      (symRatio <= 0.1) &&
+      (bulletFrac < 0.9) && (ellipsisFrac < 0.3) &&
+      (alphaFrac >= 0.8) &&
+      (nStops >= 2)
+    struct(
+      n.cast("long").as("n_words"),
+      meanLen.as("mean_word_len"),
+      symRatio.as("symbol_ratio"),
+      alphaFrac.as("alpha_frac"),
+      nStops.cast("long").as("n_stopwords"),
+      bulletFrac.as("bullet_frac"),
+      ellipsisFrac.as("ellipsis_frac"),
+      keep.as("keep"))
+  }
 }

@@ -3367,7 +3367,135 @@ object OracleQueries {
           GREATEST(st, seq_id * 64) - st AS doc_offset,
           LEAST(st + tk, (seq_id + 1) * 64) - GREATEST(st, seq_id * 64)
             AS span_len
-        FROM sp ORDER BY shard, seq_id, seq_offset"""))
+        FROM sp ORDER BY shard, seq_id, seq_offset""")),
+
+    // ======= dedup: duplicated-substring spans (ExactSubstr approx) ======
+    // Lee et al. 2021's removal criterion, distributed: maximal token
+    // spans all of whose 8-grams occur in >= 2 distinct documents —
+    // shingle-position index, one hash-partitioned shared-gram agg
+    // (min(id) <> max(id), never count-distinct), gaps-and-islands merge
+    // per document. The oracle groups on the raw GRAM STRING where Spark
+    // groups on its xxhash64 — equal modulo a 64-bit collision, the
+    // repo's standing injective-in-practice convention.
+    Q("dedup_substring_spans",
+      (s, dir) => {
+        Dedup.duplicatedSpans(t(s, dir, "documents"), "doc_id", "text",
+            k = 8, minSpanTokens = 12)
+          .withColumnRenamed("id", "doc_id")
+          .orderBy(col("doc_id"), col("span_start"))
+      },
+      Some("""WITH w AS (SELECT doc_id,
+            string_split_regex(lower(text), '\s+') AS ts FROM documents),
+        sh AS (SELECT doc_id, UNNEST(range(0, len(ts) - 7)) AS st, ts
+          FROM w),
+        g AS (SELECT doc_id, st,
+            array_to_string(ts[st+1:st+8], ' ') AS gram FROM sh),
+        dup AS (SELECT gram FROM g GROUP BY gram
+          HAVING MIN(doc_id) <> MAX(doc_id)),
+        hits AS (SELECT doc_id, st FROM g JOIN dup USING (gram)),
+        isl AS (SELECT doc_id, st,
+            st - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY st)
+              AS grp
+          FROM hits)
+        SELECT doc_id, CAST(MIN(st) AS BIGINT) AS span_start,
+          CAST(MAX(st) + 7 AS BIGINT) AS span_end,
+          CAST(MAX(st) - MIN(st) + 8 AS BIGINT) AS span_tokens
+        FROM isl GROUP BY doc_id, grp
+        HAVING CAST(MAX(st) - MIN(st) + 8 AS BIGINT) >= 12
+        ORDER BY doc_id, span_start""")),
+
+    // ============= quality: Gopher rules composite filter ================
+    // Rae et al. 2021 A1.1 — per-document rule flags + the conjunctive
+    // keep. minWords tuned to the corpus length distribution (10-127
+    // words) so both outcomes occur; the stopword list is corpus-register
+    // common words (the documented parameterization) for the same reason.
+    Q("quality_gopher",
+      (s, dir) => {
+        val stops = Seq("the", "a", "value", "table", "key", "row",
+          "data", "query")
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            TextMetrics.gopherFlags(col("text"), minWords = 40,
+              maxWords = 100000, stopwords = stops).as("g"))
+          .select(col("doc_id"), col("g.n_words").as("n_words"),
+            col("g.mean_word_len").as("mean_word_len"),
+            col("g.symbol_ratio").as("symbol_ratio"),
+            col("g.alpha_frac").as("alpha_frac"),
+            col("g.n_stopwords").as("n_stopwords"),
+            col("g.bullet_frac").as("bullet_frac"),
+            col("g.ellipsis_frac").as("ellipsis_frac"),
+            col("g.keep").cast("int").as("keep"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id, text,
+            string_split(text, ' ') AS ws,
+            string_split(text, chr(10)) AS ls FROM documents),
+        f AS (SELECT doc_id,
+            CAST(len(ws) AS BIGINT) AS n_words,
+            round(length(replace(text, ' ', ''))
+              / CAST(len(ws) AS DOUBLE), 6) AS mean_word_len,
+            round(((length(text) - length(replace(text, '#', ''))) / 1.0
+              + (length(text) - length(replace(text, '...', ''))) / 3.0)
+              / len(ws), 6) AS symbol_ratio,
+            round(len(regexp_extract_all(text,
+              '(?:^| )[^ ]*[A-Za-z][^ ]*'))
+              / CAST(len(ws) AS DOUBLE), 6) AS alpha_frac,
+            CAST(len(list_intersect(list_distinct(ws),
+              ['the', 'a', 'value', 'table', 'key', 'row', 'data',
+               'query'])) AS BIGINT) AS n_stopwords,
+            round(len(list_filter(ls, l -> l LIKE '- %' OR l LIKE '* %'))
+              / CAST(len(ls) AS DOUBLE), 6) AS bullet_frac,
+            round(len(list_filter(ls, l -> l LIKE '%...'))
+              / CAST(len(ls) AS DOUBLE), 6) AS ellipsis_frac
+          FROM t)
+        SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac,
+          n_stopwords, bullet_frac, ellipsis_frac,
+          CAST(n_words >= 40 AND n_words <= 100000
+            AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+            AND symbol_ratio <= 0.1
+            AND bullet_frac < 0.9 AND ellipsis_frac < 0.3
+            AND alpha_frac >= 0.8
+            AND n_stopwords >= 2 AS INTEGER) AS keep
+        FROM f ORDER BY doc_id""")),
+
+    // ========== temperature-scaled mixture (alpha-smoothed draw) =========
+    // Conneau & Lample 2019's exponentiated-count language smoothing:
+    // per-language weights count^0.5, rounded to 4 dp (so the Hamilton
+    // normalizer is exact by construction), apportioned to 60 slots,
+    // drawn with the per-stratum quota sampler. The oracle replays the
+    // counts, the pow/round, the apportionment arithmetic, and the
+    // hash-ranked draw from the aux bucket table.
+    Q("mix_temperature",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val quotas = Sampling.temperatureQuotas(docs, col("lang"),
+          alpha = 0.5, total = 60)
+        Sampling.smallestHashSampleQuotas(docs, col("lang"),
+            col("doc_id"), quotas)
+          .select(col("lang"), col("sample_rank"), col("doc_id"))
+          .orderBy(col("lang"), col("sample_rank"))
+      },
+      Some(s"""WITH cnt AS (SELECT lang, COUNT(*) AS n FROM documents
+            GROUP BY lang),
+          w AS (SELECT lang, round(pow(n, 0.5), 4) AS wt FROM cnt),
+          tot AS (SELECT CAST(SUM(CAST(wt AS DECIMAL(18,4))) AS DOUBLE)
+              AS sw FROM w),
+          q AS (SELECT lang, 60 * wt / sw AS x FROM w CROSS JOIN tot),
+          fl AS (SELECT lang, CAST(floor(x) AS INTEGER) AS fq,
+              x - floor(x) AS rem FROM q),
+          need AS (SELECT 60 - SUM(fq) AS extra FROM fl),
+          rk AS (SELECT lang, fq,
+              ROW_NUMBER() OVER (ORDER BY rem DESC, lang) AS r FROM fl),
+          quota AS (SELECT lang, fq + CASE WHEN r <= (SELECT extra
+              FROM need) THEN 1 ELSE 0 END AS n FROM rk),
+          hx AS (SELECT doc_id, h FROM '$AuxDir/doc_bucket/*.parquet'),
+          ranked AS (SELECT d.lang, d.doc_id,
+              CAST(ROW_NUMBER() OVER (PARTITION BY d.lang
+                ORDER BY hx.h, d.doc_id) AS INTEGER) AS sample_rank
+            FROM documents d JOIN hx USING (doc_id))
+        SELECT r.lang, r.sample_rank, r.doc_id
+        FROM ranked r JOIN quota q ON q.lang = r.lang
+        WHERE r.sample_rank <= q.n ORDER BY r.lang, r.sample_rank"""))
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

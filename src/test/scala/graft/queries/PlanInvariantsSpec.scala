@@ -36,7 +36,11 @@ class PlanInvariantsSpec extends SparkSpec {
       // corpus × broadcast k-row centroid table, deliberate
       "cluster_kmeans",
       // same KMeans.fit assignment inside the quota-sampling composition
-      "cluster_quota_sample")
+      "cluster_quota_sample",
+      // same KMeans.fit assignment inside the SemDeDup composition — the
+      // SemDeDup pair join itself is the cid equi-join (SortMergeJoin
+      // Inner in this very plan), never all-pairs
+      "dedup_semantic")
 
   test("no query plans a cartesian product or unexpected nested loop") {
     val names = graft.SparkEntry.queries.keys.toSeq.sorted
