@@ -445,9 +445,12 @@ object Sampling {
     val counts = df.groupBy(stratum.cast("string").as("__tq_s"))
       .agg(count(lit(1)).as("__tq_n"))
       .collect().map(r => (r.getString(0), r.getLong(1)))
-      .sortBy(_._1)
-    require(counts.nonEmpty, "no strata: input is empty")
-    val weights = counts.toSeq.map { case (s, n) =>
+    require(counts.forall(_._1 != null),
+      "NULL stratum value: a row's stratum column is NULL — filter or " +
+        "coalesce it before computing temperature quotas")
+    val sorted = counts.sortBy(_._1)
+    require(sorted.nonEmpty, "no strata: input is empty")
+    val weights = sorted.toSeq.map { case (s, n) =>
       (s, BigDecimal(math.pow(n.toDouble, alpha))
         .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
     }

@@ -374,30 +374,36 @@ object TextMetrics {
   /** Gopher-rules document quality filter (Rae et al. 2021,
     * arXiv:2112.11446 Appendix A1.1 — the MassiveWeb heuristics, the
     * standard pre-LM hygiene pass): per-document rule flags plus the
-    * conjunctive keep decision. Rules, with the paper's thresholds:
+    * conjunctive keep decision. Rules, with the paper's thresholds and
+    * removal sides (a document is REMOVED strictly past each bound, so
+    * keep is inclusive at the boundary):
     *
     *  - word count in [`minWords`, `maxWords`] (paper: 50..100,000);
     *  - mean word length in [3, 10] characters;
-    *  - symbol-to-word ratio (`#` or `...` occurrences per word) <= 0.1;
-    *  - < 90% of lines start with a bullet ("- " or "* ") and < 30% end
-    *    with an ellipsis;
+    *  - `#`-to-word ratio <= 0.1 AND `...`-to-word ratio <= 0.1 (the
+    *    paper removes when EITHER symbol alone exceeds 0.1 — the two
+    *    ratios are independent rules, not a sum);
+    *  - <= 90% of lines start with a bullet ("- " or "* ") and <= 30%
+    *    end with an ellipsis (the paper removes "more than 90%" /
+    *    "more than 30%");
     *  - >= 80% of words contain at least one alphabetic character;
     *  - at least 2 of the 8 [[GopherStopwords]] occur as words.
     *
-    * Everything is a pure projection. The words-with-a-letter count uses
-    * `regexp_count` over `(?:^| )[^ ]*[A-Za-z][^ ]*` — no lookarounds,
-    * identical leftmost match semantics in Java regex and RE2, and
+    * Everything is a pure projection. Word rules split on runs of ANY
+    * whitespace (`\s+` on the trimmed text), so multi-line prose
+    * tokenizes correctly — "sat\nthe" is two words, and a stopword at a
+    * line start still counts; line rules split the same raw text on
+    * newlines, so ONE call returns both rule families on raw document
+    * text. The words-with-a-letter count uses `regexp_count` over
+    * `(?:^|\s)[\S]*[A-Za-z][\S]*` — no lookarounds, identical leftmost
+    * non-overlapping match semantics in Java regex and RE2, and
     * codegen'd (no higher-order filter in the per-word rule). The two
     * LINE rules do use a lambda filter over the (tiny) line array; lines
     * are bounded by document newlines, not corpus size. Ratios and the
     * mean are rounded to 6 dp before thresholding so the rule edges are
-    * engine-exact. Assumes [[normalizeWs]]-normalized text for the word
-    * rules (the documented ingest contract); line rules split the RAW
-    * text on newlines, which normalization would erase — callers that
-    * normalize first get the line rules trivially true, callers on raw
-    * text get both families. Returns a struct:
-    * (n_words, mean_word_len, symbol_ratio, alpha_frac, n_stopwords,
-    *  bullet_frac, ellipsis_frac, keep).
+    * engine-exact. Returns a struct:
+    * (n_words, mean_word_len, hash_ratio, ellipsis_ratio, alpha_frac,
+    *  n_stopwords, bullet_frac, ellipsis_frac, keep).
     *
     * `stopwords` defaults to the paper's English list; a corpus in
     * another register (or language) passes its own common-word list —
@@ -406,18 +412,17 @@ object TextMetrics {
   def gopherFlags(text: Column, minWords: Int = 50,
                   maxWords: Int = 100000,
                   stopwords: Seq[String] = GopherStopwords): Column = {
-    val ws = tokens(text)
+    val ws = split(trim(text), "\\s+")
     val n = size(ws).cast("double")
-    val meanLen =
-      round(length(replace(text, lit(" "), lit(""))).cast("double") / n, 6)
-    val symRatio =
-      round((occ(text, "#") + occ(text, "...")).cast("double") / n, 6)
+    val meanLen = round(
+      length(regexp_replace(text, "\\s+", "")).cast("double") / n, 6)
+    val hashRatio = round(occ(text, "#").cast("double") / n, 6)
+    val ellipsisRatio = round(occ(text, "...").cast("double") / n, 6)
     val alphaFrac = round(
-      regexp_count(text, lit("(?:^| )[^ ]*[A-Za-z][^ ]*")).cast("double")
+      regexp_count(text, lit("(?:^|\\s)[\\S]*[A-Za-z][\\S]*")).cast("double")
         / n, 6)
     require(stopwords.nonEmpty, "stopword list must be non-empty")
-    val nStops = size(array_intersect(array_distinct(ws),
-      array(stopwords.map(lit): _*)))
+    val nStops = size(array_intersect(ws, array(stopwords.map(lit): _*)))
     val lines = split(text, "\n")
     val nLines = size(lines).cast("double")
     val bulletFrac = round(size(filter(lines,
@@ -427,14 +432,15 @@ object TextMetrics {
       l => l.endsWith("..."))).cast("double") / nLines, 6)
     val keep = (n >= minWords) && (n <= maxWords) &&
       (meanLen >= 3.0) && (meanLen <= 10.0) &&
-      (symRatio <= 0.1) &&
-      (bulletFrac < 0.9) && (ellipsisFrac < 0.3) &&
+      (hashRatio <= 0.1) && (ellipsisRatio <= 0.1) &&
+      (bulletFrac <= 0.9) && (ellipsisFrac <= 0.3) &&
       (alphaFrac >= 0.8) &&
       (nStops >= 2)
     struct(
       n.cast("long").as("n_words"),
       meanLen.as("mean_word_len"),
-      symRatio.as("symbol_ratio"),
+      hashRatio.as("hash_ratio"),
+      ellipsisRatio.as("ellipsis_ratio"),
       alphaFrac.as("alpha_frac"),
       nStops.cast("long").as("n_stopwords"),
       bulletFrac.as("bullet_frac"),

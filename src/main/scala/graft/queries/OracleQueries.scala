@@ -3419,7 +3419,8 @@ object OracleQueries {
               maxWords = 100000, stopwords = stops).as("g"))
           .select(col("doc_id"), col("g.n_words").as("n_words"),
             col("g.mean_word_len").as("mean_word_len"),
-            col("g.symbol_ratio").as("symbol_ratio"),
+            col("g.hash_ratio").as("hash_ratio"),
+            col("g.ellipsis_ratio").as("ellipsis_ratio"),
             col("g.alpha_frac").as("alpha_frac"),
             col("g.n_stopwords").as("n_stopwords"),
             col("g.bullet_frac").as("bullet_frac"),
@@ -3428,19 +3429,20 @@ object OracleQueries {
           .orderBy(col("doc_id"))
       },
       Some("""WITH t AS (SELECT doc_id, text,
-            string_split(text, ' ') AS ws,
+            string_split_regex(trim(text), '\s+') AS ws,
             string_split(text, chr(10)) AS ls FROM documents),
         f AS (SELECT doc_id,
             CAST(len(ws) AS BIGINT) AS n_words,
-            round(length(replace(text, ' ', ''))
+            round(length(regexp_replace(text, '\s+', '', 'g'))
               / CAST(len(ws) AS DOUBLE), 6) AS mean_word_len,
-            round(((length(text) - length(replace(text, '#', ''))) / 1.0
-              + (length(text) - length(replace(text, '...', ''))) / 3.0)
-              / len(ws), 6) AS symbol_ratio,
+            round((length(text) - length(replace(text, '#', ''))) / 1.0
+              / len(ws), 6) AS hash_ratio,
+            round((length(text) - length(replace(text, '...', ''))) / 3.0
+              / len(ws), 6) AS ellipsis_ratio,
             round(len(regexp_extract_all(text,
-              '(?:^| )[^ ]*[A-Za-z][^ ]*'))
+              '(?:^|\s)[\S]*[A-Za-z][\S]*'))
               / CAST(len(ws) AS DOUBLE), 6) AS alpha_frac,
-            CAST(len(list_intersect(list_distinct(ws),
+            CAST(len(list_intersect(ws,
               ['the', 'a', 'value', 'table', 'key', 'row', 'data',
                'query'])) AS BIGINT) AS n_stopwords,
             round(len(list_filter(ls, l -> l LIKE '- %' OR l LIKE '* %'))
@@ -3448,12 +3450,12 @@ object OracleQueries {
             round(len(list_filter(ls, l -> l LIKE '%...'))
               / CAST(len(ls) AS DOUBLE), 6) AS ellipsis_frac
           FROM t)
-        SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac,
-          n_stopwords, bullet_frac, ellipsis_frac,
+        SELECT doc_id, n_words, mean_word_len, hash_ratio, ellipsis_ratio,
+          alpha_frac, n_stopwords, bullet_frac, ellipsis_frac,
           CAST(n_words >= 40 AND n_words <= 100000
             AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
-            AND symbol_ratio <= 0.1
-            AND bullet_frac < 0.9 AND ellipsis_frac < 0.3
+            AND hash_ratio <= 0.1 AND ellipsis_ratio <= 0.1
+            AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3
             AND alpha_frac >= 0.8
             AND n_stopwords >= 2 AS INTEGER) AS keep
         FROM f ORDER BY doc_id""")),

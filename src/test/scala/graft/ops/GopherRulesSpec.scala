@@ -43,11 +43,31 @@ class GopherRulesSpec extends SparkSpec {
     assert(!long.getAs[Boolean]("keep"))
   }
 
-  test("symbol ratio counts # and ellipsis per word") {
+  test("# and ellipsis ratios are independent rules, not a sum") {
     val r = flags("the cat ... sat # with # dots ...")
-    // 9 words (the two ... and two # are words), 2 '#' + 2 '...' = 4/9
-    assert(r.getAs[Double]("symbol_ratio") > 0.1)
+    // 9 words, 2 '#' and 2 '...' — each ratio alone is 2/9 > 0.1
+    assert(r.getAs[Double]("hash_ratio") > 0.1)
+    assert(r.getAs[Double]("ellipsis_ratio") > 0.1)
     assert(!r.getAs[Boolean]("keep"))
+    // the paper removes when EITHER symbol ALONE exceeds 0.1: one '#'
+    // and one '...' in 20 words is 0.05 each (keep), even though the
+    // old summed form would have scored 0.1 and sat on the edge
+    val ok = flags("the quick brown foxes jumped with # great vigor " +
+      "over the lazy sleeping dogs ... while the birds sang loudly")
+    assert(ok.getAs[Double]("hash_ratio") === 0.05)
+    assert(ok.getAs[Double]("ellipsis_ratio") === 0.05)
+    assert(ok.getAs[Boolean]("keep"))
+  }
+
+  test("word rules tokenize across newlines (multi-line prose)") {
+    // "sat\nthe" must be TWO words, and the line-start stopword counts
+    val r = flags("the quick cat sat\nthe lazy dog ran")
+    assert(r.getAs[Long]("n_words") == 8L)
+    assert(r.getAs[Long]("n_stopwords") == 1L) // "the" (deduped)
+    assert(r.getAs[Double]("alpha_frac") == 1.0)
+    // mean word length must not count the newline character:
+    // 27 letters / 8 words
+    assert(r.getAs[Double]("mean_word_len") == 3.375)
   }
 
   test("alphabetic-word fraction below 0.8 rejects") {
@@ -68,21 +88,30 @@ class GopherRulesSpec extends SparkSpec {
     assert(r.getAs[Long]("n_stopwords") == 0L)
   }
 
-  test("bullet and ellipsis line rules fire on raw newlines") {
-    // 9 of 10 lines bulleted: 0.9 is NOT < 0.9, so the rule rejects
-    val bullets = (1 to 9).map(i => s"- item number $i with the").mkString("\n")
-    val rb = flags(bullets + "\nthe one plain line with text")
+  test("bullet and ellipsis line rules fire on raw newlines, removal " +
+    "strictly past the paper's bound") {
+    // all-alphabetic bulleted lines so every word rule passes and the
+    // conjunction isolates the LINE rule
+    val line = "- the quick brown foxes jumped with great vigor"
+    // 9 of 10 lines bulleted: 0.9 is the paper's boundary ("more than
+    // 90%" removes) — KEPT
+    val rb = flags((1 to 9).map(_ => line).mkString("\n") +
+      "\nthe one plain line with text here")
     assert(rb.getAs[Double]("bullet_frac") == 0.9)
-    assert(!rb.getAs[Boolean]("keep"))
-    // 8 of 10: 0.8 < 0.9 passes the LINE rule (keep still depends on the
-    // word rules, which the "-" and digit tokens fail — assert the flag,
-    // not the conjunction)
-    val rb2 = flags(bullets.split("\n").take(8).mkString("\n") +
-      "\nthe plain line with text\nthe other plain line here")
-    assert(rb2.getAs[Double]("bullet_frac") == 0.8)
-    val re = flags("the first line trails off...\nthe second also does...\n" +
-      "a plain line with words")
-    assert(math.abs(re.getAs[Double]("ellipsis_frac") - 0.666667) < 1e-6)
-    assert(!re.getAs[Boolean]("keep"))
+    assert(rb.getAs[Boolean]("keep"))
+    // 10 of 10: 1.0 > 0.9 removes
+    val rb2 = flags((1 to 10).map(_ => line).mkString("\n"))
+    assert(rb2.getAs[Double]("bullet_frac") == 1.0)
+    assert(!rb2.getAs[Boolean]("keep"))
+    // ellipsis lines: 3 of 10 (0.3, the boundary) keeps, 4 of 10 removes
+    val plain = "the quick brown foxes jumped with great vigor"
+    def dotted(k: Int) = ((1 to k).map(_ => plain + " off...") ++
+      (1 to (10 - k)).map(_ => plain)).mkString("\n")
+    val re3 = flags(dotted(3))
+    assert(re3.getAs[Double]("ellipsis_frac") == 0.3)
+    assert(re3.getAs[Boolean]("keep"))
+    val re4 = flags(dotted(4))
+    assert(re4.getAs[Double]("ellipsis_frac") == 0.4)
+    assert(!re4.getAs[Boolean]("keep"))
   }
 }

@@ -44,7 +44,7 @@ class TemperatureQuotasSpec extends SparkSpec {
     }
   }
 
-  test("guards: alpha out of range, empty input") {
+  test("guards: alpha out of range, empty input, NULL stratum") {
     intercept[IllegalArgumentException] {
       Sampling.temperatureQuotas(corpus, col("lang"), 1.5, 10)
     }
@@ -52,6 +52,13 @@ class TemperatureQuotasSpec extends SparkSpec {
       Sampling.temperatureQuotas(corpus.where(lit(false)), col("lang"),
         0.5, 10)
     }
+    // a NULL stratum must raise the descriptive guard, not an NPE
+    val withNull = corpus.union(
+      Seq((211L, null.asInstanceOf[String])).toDF("doc_id", "lang"))
+    val e = intercept[IllegalArgumentException] {
+      Sampling.temperatureQuotas(withNull, col("lang"), 0.5, 10)
+    }
+    assert(e.getMessage.contains("NULL stratum"))
   }
 
   test("the quota draw composes: per-stratum counts equal the quotas") {
