@@ -661,15 +661,31 @@ object Dedup {
     require(k >= 1, s"k must be >= 1, got $k")
     require(minSpanTokens >= k,
       s"minSpanTokens must be >= k ($k), got $minSpanTokens")
-    import org.apache.spark.sql.expressions.Window
-    val rows = shingleRowsPos(df, idCol, textCol, k)
-      .select(col("id"), (col("pos") - lit(k - 1)).as("start"),
-        xxhash64(col("shingle")).as("h"))
+    val rows = gramStartRows(df, idCol, textCol, k)
     val shared = rows.groupBy(col("h"))
       .agg(min(col("id")).as("__ds_a"), max(col("id")).as("__ds_b"))
       .where(col("__ds_a") =!= col("__ds_b"))
       .select(col("h"))
     val dup = rows.join(shared, "h").select(col("id"), col("start"))
+    islandsToSpans(dup, k, minSpanTokens)
+  }
+
+  /** k-gram rows keyed by their 0-based START token position:
+    * (id, start, h) with h = xxhash64 of the gram string. The shared
+    * base of [[duplicatedSpans]] and [[decontaminateSpans]]. */
+  private def gramStartRows(df: DataFrame, idCol: String, textCol: String,
+                            k: Int): DataFrame =
+    shingleRowsPos(df, idCol, textCol, k)
+      .select(col("id"), (col("pos") - lit(k - 1)).as("start"),
+        xxhash64(col("shingle")).as("h"))
+
+  /** Gaps-and-islands merge of consecutive duplicated k-gram starts into
+    * maximal (id, span_start, span_end, span_tokens) rows. One doc-id
+    * exchange for the island window, whose partitioning the (id, island)
+    * groupBy reuses (subset-key distribution). */
+  private def islandsToSpans(dup: DataFrame, k: Int,
+                             minSpanTokens: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("id")).orderBy(col("start"))
     dup.withColumn("__ds_isl", col("start") - row_number().over(w))
       .groupBy(col("id"), col("__ds_isl"))
@@ -681,5 +697,36 @@ object Dedup {
       .select(col("id"), col("span_start").cast("long").as("span_start"),
         col("span_end").cast("long").as("span_end"),
         col("span_tokens").cast("long").as("span_tokens"))
+  }
+
+  /** Span-level eval-set decontamination (the ExactSubstr criterion of
+    * [[duplicatedSpans]] pointed at a HELD-OUT set instead of the corpus
+    * itself — the GPT-3/PaLM-style n-gram overlap scrub, Brown et al.
+    * 2020 appendix C, at span rather than whole-document granularity):
+    * every maximal token span of a corpus document all of whose k-token
+    * windows occur verbatim ANYWHERE in the eval set. Document-level
+    * decontamination (the `decontaminate` query) drops whole documents
+    * past a shared-shingle threshold; this returns the exact overlapping
+    * REGIONS, so a pipeline can surgically cut benchmark text out of a
+    * training document instead of discarding it.
+    *
+    * Plan shape for 100 TB corpus vs benchmark-sized eval set: the eval
+    * grams reduce to DISTINCT hashes (bounded by eval-set size, never
+    * corpus size) and BROADCAST into a semi-join against the corpus gram
+    * rows — the corpus side never shuffles before the island window's
+    * doc-id exchange, and only contaminated grams (a vanishing fraction)
+    * reach it. Same output contract as [[duplicatedSpans]]. */
+  def decontaminateSpans(corpus: DataFrame, evalSet: DataFrame,
+                         idCol: String, textCol: String,
+                         k: Int = 8, minSpanTokens: Int = 8): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(minSpanTokens >= k,
+      s"minSpanTokens must be >= k ($k), got $minSpanTokens")
+    val evalH = gramStartRows(evalSet, idCol, textCol, k)
+      .select(col("h")).distinct()
+    val hits = gramStartRows(corpus, idCol, textCol, k)
+      .join(broadcast(evalH), Seq("h"), "leftsemi")
+      .select(col("id"), col("start"))
+    islandsToSpans(hits, k, minSpanTokens)
   }
 }

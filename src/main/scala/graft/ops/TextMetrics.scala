@@ -447,4 +447,45 @@ object TextMetrics {
       ellipsisFrac.as("ellipsis_frac"),
       keep.as("keep"))
   }
+
+  /** Duplicate-line repetition rules (Rae et al. 2021 A1.1, the
+    * within-document half of the Gopher repetition family that
+    * [[repetitionFeatures]]' token/n-gram fractions don't cover):
+    *
+    *  - dup_line_frac: fraction of lines that are repeats of an earlier
+    *    equal line, 1 - distinct/total — removed above 0.30;
+    *  - dup_line_char_frac: fraction of line characters inside those
+    *    repeats, 1 - distinctChars/totalChars — removed above 0.20.
+    *
+    * The paper states the rules for both "lines" and "paragraphs"; this
+    * corpus delimits prose blocks with single newlines, so lines ARE its
+    * paragraphs and one pass covers both. Keep is inclusive at each
+    * boundary (the paper removes strictly above — the gopherFlags
+    * convention). ENTIRELY row-local and O(lines) past array_distinct's
+    * hash set: two aggregates over the line array and its distinct
+    * image, no sort, no explode, no shuffle — the filter rides the scan
+    * at 100 TB. Fractions are rounded to 6 dp (cross-engine float
+    * rule); a single-line document has no possible repeat and scores 0.
+    * Returns (n_lines, dup_line_frac, dup_line_char_frac, keep). */
+  def dupLineFeatures(text: Column): Column = {
+    def totalChars(arr: Column): Column =
+      aggregate(arr, lit(0L), (acc, x) => acc + length(x))
+    val lines = split(text, "\n")
+    val distinctLines = array_distinct(lines)
+    val nLines = size(lines).cast("double")
+    val dupLineFrac = round(
+      (nLines - size(distinctLines)) / nLines, 6)
+    val tot = totalChars(lines)
+    // greatest(tot, 1): a document whose every line is empty has zero
+    // line characters; its char fraction is 0, not 0/0
+    val dupCharFrac = round(
+      (tot - totalChars(distinctLines)).cast("double")
+        / greatest(tot, lit(1L)), 6)
+    val keep = (dupLineFrac <= 0.30) && (dupCharFrac <= 0.20)
+    struct(
+      nLines.cast("long").as("n_lines"),
+      dupLineFrac.as("dup_line_frac"),
+      dupCharFrac.as("dup_line_char_frac"),
+      keep.as("keep"))
+  }
 }

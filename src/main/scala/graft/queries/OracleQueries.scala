@@ -3497,7 +3497,93 @@ object OracleQueries {
             FROM documents d JOIN hx USING (doc_id))
         SELECT r.lang, r.sample_rank, r.doc_id
         FROM ranked r JOIN quota q ON q.lang = r.lang
-        WHERE r.sample_rank <= q.n ORDER BY r.lang, r.sample_rank"""))
+        WHERE r.sample_rank <= q.n ORDER BY r.lang, r.sample_rank""")),
+
+    // ========== decontamination at SPAN granularity (ExactSubstr) ========
+    // duplicatedSpans pointed at the held-out eval slice (doc_id < 50,
+    // the decontaminate convention): the exact overlapping REGIONS of
+    // training documents, so a pipeline can cut benchmark text out of a
+    // document instead of discarding it whole. Eval gram hashes reduce to
+    // a bounded DISTINCT set and broadcast; the corpus side never
+    // shuffles before the island window. Same gram-string-vs-xxhash64
+    // oracle convention as dedup_substring_spans.
+    Q("decontaminate_spans",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        Dedup.decontaminateSpans(
+            docs.where(col("doc_id") >= 50),
+            docs.where(col("doc_id") < 50),
+            "doc_id", "text", k = 8, minSpanTokens = 8)
+          .withColumnRenamed("id", "doc_id")
+          .orderBy(col("doc_id"), col("span_start"))
+      },
+      Some("""WITH w AS (SELECT doc_id,
+            string_split_regex(lower(text), '\s+') AS ts FROM documents),
+        sh AS (SELECT doc_id, UNNEST(range(0, len(ts) - 7)) AS st, ts
+          FROM w),
+        g AS (SELECT doc_id, st,
+            array_to_string(ts[st+1:st+8], ' ') AS gram FROM sh),
+        ev AS (SELECT DISTINCT gram FROM g WHERE doc_id < 50),
+        hits AS (SELECT doc_id, st FROM g
+          WHERE doc_id >= 50 AND gram IN (SELECT gram FROM ev)),
+        isl AS (SELECT doc_id, st,
+            st - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY st)
+              AS grp
+          FROM hits)
+        SELECT doc_id, CAST(MIN(st) AS BIGINT) AS span_start,
+          CAST(MAX(st) + 7 AS BIGINT) AS span_end,
+          CAST(MAX(st) - MIN(st) + 8 AS BIGINT) AS span_tokens
+        FROM isl GROUP BY doc_id, grp
+        HAVING CAST(MAX(st) - MIN(st) + 8 AS BIGINT) >= 8
+        ORDER BY doc_id, span_start""")),
+
+    // ============ quality: duplicate-line repetition rules ===============
+    // The within-document half of the Gopher repetition family. The
+    // corpus stores one prose block per document (no newlines), so the
+    // demonstration table is crawl-shaped: pages of 4 consecutive
+    // documents in which every third record was re-served (appears
+    // twice) — the page text then carries real duplicate lines, and the
+    // 0.30/0.20 removal bounds produce both outcomes (a page with two
+    // re-served records scores 2/6 = 0.333 > 0.30). The metrics are
+    // line-ORDER-invariant, so the collect_list assembly needs no
+    // sort for determinism; the array_sort only pins page_text itself.
+    Q("text_dup_lines",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        val recs = docs.unionAll(docs.where(col("doc_id") % 3 === 0))
+        val pages = recs
+          .groupBy(floor(col("doc_id") / 4.0).cast("long").as("page"))
+          .agg(concat_ws("\n",
+            array_sort(collect_list(col("text")))).as("page_text"))
+        pages
+          .select(col("page"),
+            graft.ops.TextMetrics.dupLineFeatures(col("page_text")).as("f"))
+          .select(col("page"), col("f.n_lines").as("n_lines"),
+            col("f.dup_line_frac").as("dup_line_frac"),
+            col("f.dup_line_char_frac").as("dup_line_char_frac"),
+            col("f.keep").cast("int").as("keep"))
+          .orderBy(col("page"))
+      },
+      Some("""WITH recs AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+        pg AS (SELECT CAST(floor(doc_id / 4.0) AS BIGINT) AS page,
+            list(text) AS ls FROM recs GROUP BY 1),
+        f AS (SELECT page,
+            CAST(len(ls) AS BIGINT) AS n_lines,
+            round((len(ls) - len(list_distinct(ls)))
+              / CAST(len(ls) AS DOUBLE), 6) AS dup_line_frac,
+            round((list_sum(list_transform(ls, l -> length(l)))
+                - list_sum(list_transform(list_distinct(ls),
+                    l -> length(l))))
+              / CAST(greatest(list_sum(list_transform(ls,
+                  l -> length(l))), 1) AS DOUBLE), 6)
+              AS dup_line_char_frac
+          FROM pg)
+        SELECT page, n_lines, dup_line_frac, dup_line_char_frac,
+          CAST(dup_line_frac <= 0.30 AND dup_line_char_frac <= 0.20
+            AS INTEGER) AS keep
+        FROM f ORDER BY page"""))
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
