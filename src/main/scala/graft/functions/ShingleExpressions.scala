@@ -79,6 +79,37 @@ object ShingleExpressions {
   * shuffle the relational shingle builder needs. First-occurrence
   * order; null when the document has fewer than `n` words (explodes to
   * zero rows). */
+/** POSITIONAL shingle hashes of a document as an array — element i is
+  * the xxhash64 (seed 42, bit-compatible with the SQL builtin) of the
+  * n-gram STARTING at 0-based token position i, in document order, one
+  * element per window. The row-local replacement for the
+  * `shingleRowsPos` window-lag builder wherever a consumer needs gram
+  * positions (span detection, decontamination): `posexplode` yields
+  * (start, hash) rows with ZERO shuffles, where the relational builder
+  * pays a per-document window exchange of the whole corpus token
+  * stream before its first filter. Null when the document has fewer
+  * than `n` words (explodes to zero rows, matching the relational
+  * form's empty window). */
+case class PositionalShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "positional_shingle_hashes"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string column")
+
+  override def nullSafeEval(t: Any): Any = {
+    val hs = ShingleExpressions
+      .shingleHashes(t.asInstanceOf[UTF8String], n)
+    if (hs == null) null else new GenericArrayData(hs)
+  }
+
+  override protected def withNewChildInternal(
+      c: Expression): PositionalShingleHashes = copy(child = c)
+}
+
 case class DistinctShingleHashes(child: Expression, n: Int)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

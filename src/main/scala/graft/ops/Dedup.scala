@@ -648,10 +648,12 @@ object Dedup {
     * part of some cross-document duplicate", which is exactly the
     * removal criterion the paper applies.
     *
-    * Plan shape: one exchange on the k-gram hash for the shared-gram
+    * Plan shape: gram rows are ROW-LOCAL (posexplode of a positional
+    * hash array — no window exchange of the token stream), so the only
+    * exchanges are one on the k-gram hash for the shared-gram
     * aggregation, whose output partitioning the join-back reuses on the
-    * build side; one exchange on the doc id for the island window,
-    * whose partitioning the (id, island) groupBy reuses (subset-key
+    * build side, and one on the doc id for the island window, whose
+    * partitioning the (id, island) groupBy reuses (subset-key
     * distribution). Nothing driver-side, no distinct, no all-pairs.
     *
     * Returns (id, span_start, span_end, span_tokens): 0-based token
@@ -672,12 +674,20 @@ object Dedup {
 
   /** k-gram rows keyed by their 0-based START token position:
     * (id, start, h) with h = xxhash64 of the gram string. The shared
-    * base of [[duplicatedSpans]] and [[decontaminateSpans]]. */
+    * base of [[duplicatedSpans]] and [[decontaminateSpans]]. ROW-LOCAL:
+    * posexplode of [[graft.functions.PositionalShingleHashes]] — no
+    * per-document window exchange of the corpus token stream (the
+    * relational `shingleRowsPos` route would shuffle every word row on
+    * the doc id before the first filter); hash values bit-compatible
+    * with xxhash64 over the `shingleRowsPos` gram strings
+    * (spec-pinned). */
   private def gramStartRows(df: DataFrame, idCol: String, textCol: String,
-                            k: Int): DataFrame =
-    shingleRowsPos(df, idCol, textCol, k)
-      .select(col("id"), (col("pos") - lit(k - 1)).as("start"),
-        xxhash64(col("shingle")).as("h"))
+                            k: Int): DataFrame = {
+    import org.apache.spark.sql.graftshim.Internals.{column => toCol, expression => toExpr}
+    df.select(col(idCol).as("id"), posexplode(toCol(
+        graft.functions.PositionalShingleHashes(toExpr(col(textCol)), k)))
+      .as(Seq("start", "h")))
+  }
 
   /** Gaps-and-islands merge of consecutive duplicated k-gram starts into
     * maximal (id, span_start, span_end, span_tokens) rows. One doc-id
@@ -711,19 +721,25 @@ object Dedup {
     * training document instead of discarding it.
     *
     * Plan shape for 100 TB corpus vs benchmark-sized eval set: the eval
-    * grams reduce to DISTINCT hashes (bounded by eval-set size, never
-    * corpus size) and BROADCAST into a semi-join against the corpus gram
-    * rows — the corpus side never shuffles before the island window's
-    * doc-id exchange, and only contaminated grams (a vanishing fraction)
-    * reach it. Same output contract as [[duplicatedSpans]]. */
+    * grams collapse to per-document distinct hashes ROW-LOCALLY
+    * ([[graft.functions.DistinctShingleHashes]], the `decontaminate`
+    * query's idiom), reduce to one DISTINCT set (bounded by eval-set
+    * size, never corpus size) and BROADCAST into a semi-join against
+    * the corpus gram rows, which are themselves row-local (posexplode
+    * of a positional hash array) — the corpus side's ONLY exchange is
+    * the island window's doc-id exchange, and only contaminated grams
+    * (a vanishing fraction) reach it. Same output contract as
+    * [[duplicatedSpans]]. */
   def decontaminateSpans(corpus: DataFrame, evalSet: DataFrame,
                          idCol: String, textCol: String,
                          k: Int = 8, minSpanTokens: Int = 8): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(minSpanTokens >= k,
       s"minSpanTokens must be >= k ($k), got $minSpanTokens")
-    val evalH = gramStartRows(evalSet, idCol, textCol, k)
-      .select(col("h")).distinct()
+    import org.apache.spark.sql.graftshim.Internals.{column => toCol, expression => toExpr}
+    val evalH = evalSet.select(explode(toCol(
+        graft.functions.DistinctShingleHashes(toExpr(col(textCol)), k)))
+      .as("h")).distinct()
     val hits = gramStartRows(corpus, idCol, textCol, k)
       .join(broadcast(evalH), Seq("h"), "leftsemi")
       .select(col("id"), col("start"))

@@ -462,15 +462,26 @@ object TextMetrics {
     * paragraphs and one pass covers both. Keep is inclusive at each
     * boundary (the paper removes strictly above — the gopherFlags
     * convention). ENTIRELY row-local and O(lines) past array_distinct's
-    * hash set: two aggregates over the line array and its distinct
-    * image, no sort, no explode, no shuffle — the filter rides the scan
-    * at 100 TB. Fractions are rounded to 6 dp (cross-engine float
-    * rule); a single-line document has no possible repeat and scores 0.
+    * hash set, with NO higher-order functions in the hot path (the
+    * repo's measured ~10x interpreted-HOF penalty): character totals
+    * come from `length(concat_ws("", ...))` over the line array and its
+    * distinct image — fully codegen'd — so the filter rides the scan at
+    * 100 TB. Fractions are rounded to 6 dp (cross-engine float rule); a
+    * single-line document has no possible repeat and scores 0.
     * Returns (n_lines, dup_line_frac, dup_line_char_frac, keep). */
-  def dupLineFeatures(text: Column): Column = {
+  def dupLineFeatures(text: Column): Column =
+    dupLineFeaturesOfLines(split(text, "\n"))
+
+  /** [[dupLineFeatures]] over an already-assembled line ARRAY — for
+    * callers whose records arrive as rows (a crawl page's member
+    * documents via collect_list, a pre-split ingest) rather than one
+    * newline-joined text. Taking the array directly keeps the line
+    * boundary authoritative: a member string that itself contains a
+    * newline stays ONE line, where a join-then-split round trip would
+    * fracture it. */
+  def dupLineFeaturesOfLines(lines: Column): Column = {
     def totalChars(arr: Column): Column =
-      aggregate(arr, lit(0L), (acc, x) => acc + length(x))
-    val lines = split(text, "\n")
+      length(concat_ws("", arr)).cast("long")
     val distinctLines = array_distinct(lines)
     val nLines = size(lines).cast("double")
     val dupLineFrac = round(

@@ -3544,20 +3544,23 @@ object OracleQueries {
     // documents in which every third record was re-served (appears
     // twice) — the page text then carries real duplicate lines, and the
     // 0.30/0.20 removal bounds produce both outcomes (a page with two
-    // re-served records scores 2/6 = 0.333 > 0.30). The metrics are
-    // line-ORDER-invariant, so the collect_list assembly needs no
-    // sort for determinism; the array_sort only pins page_text itself.
+    // re-served records scores 2/6 = 0.333 > 0.30). The page's member
+    // texts feed dupLineFeaturesOfLines as the ARRAY collect_list
+    // built — the line boundary stays authoritative (a member text
+    // containing a newline would stay one line, exactly like DuckDB's
+    // list(text)), and the metrics are line-ORDER-invariant so the
+    // unordered collect needs no sort for determinism.
     Q("text_dup_lines",
       (s, dir) => {
         val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
         val recs = docs.unionAll(docs.where(col("doc_id") % 3 === 0))
         val pages = recs
           .groupBy(floor(col("doc_id") / 4.0).cast("long").as("page"))
-          .agg(concat_ws("\n",
-            array_sort(collect_list(col("text")))).as("page_text"))
+          .agg(collect_list(col("text")).as("page_lines"))
         pages
           .select(col("page"),
-            graft.ops.TextMetrics.dupLineFeatures(col("page_text")).as("f"))
+            graft.ops.TextMetrics.dupLineFeaturesOfLines(col("page_lines"))
+              .as("f"))
           .select(col("page"), col("f.n_lines").as("n_lines"),
             col("f.dup_line_frac").as("dup_line_frac"),
             col("f.dup_line_char_frac").as("dup_line_char_frac"),

@@ -64,6 +64,24 @@ class ShingleExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("PositionalShingleHashes == relational shingleRowsPos+xxhash64, " +
+    "position for position") {
+    import org.apache.spark.sql.graftshim.Internals.{column => toCol, expression => toExpr}
+    def posMap(df: org.apache.spark.sql.DataFrame): Map[(Long, Int), Long] =
+      df.as[(Long, Int, Long)].collect()
+        .map { case (id, p, h) => (id, p) -> h }.toMap
+    for (d <- Seq(docs.toDF("doc_id", "text"),
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))) {
+      val fast = posMap(d.select(col("doc_id").as("id"), posexplode(toCol(
+        graft.functions.PositionalShingleHashes(toExpr(col("text")), 3)))
+        .as(Seq("start", "h"))))
+      val slow = posMap(Dedup.shingleRowsPos(d, "doc_id", "text", 3)
+        .select(col("id"), (col("pos") - lit(2)).cast("int").as("start"),
+          xxhash64(col("shingle")).as("h")))
+      assert(fast == slow && fast.nonEmpty)
+    }
+  }
+
   test("sub-shingle and no-full-window docs are absent from both forms") {
     val d = docs.toDF("doc_id", "text")
     val sim = Dedup.simhashSignatures(d, "doc_id", "text")
