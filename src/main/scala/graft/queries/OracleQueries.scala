@@ -99,6 +99,58 @@ object OracleQueries {
   private val CmsWidth = 1024
   private val HllP = 8 // m = 256 registers, saturated rank 65-p = 57
 
+  /** Power-iteration count shared by the PCA queries and their oracles. */
+  private val PcaIters = 8
+
+  /** The shared CTE chain replaying [[graft.ops.Pca.fit]] in DuckDB:
+    * floor-fixed-point mean and covariance over identically-derived
+    * doubles (floor at 1e-9 per element/product — floor is
+    * bit-deterministic across engines where decimal half-boundary
+    * rounding is not; the hazard was OBSERVED on both paths at sf0.1),
+    * and `iters` UNROLLED exact-integer power steps
+    * (the pq_train unrolled-Lloyd pattern; recursive CTEs cannot
+    * aggregate): w = C·v as exact HUGEINT sums, renormalize by the
+    * max-|component| with the sign split off so `//` only ever divides
+    * non-negatives (floor == trunc, no engine ambiguity). Every stage is
+    * AS MATERIALIZED: each v step references its w twice (value + the
+    * MAX-|w| divisor), so DuckDB's default CTE inlining would re-execute
+    * the whole upstream chain 2^iters times (measured: the un-hinted
+    * 8-step chain runs minutes; materialized, 0.74 s). Ends with the
+    * CTEs `m` (i, mu) and `v$iters` (i, v) in scope. */
+  private def pcaChainSql(iters: Int): String = {
+    val steps = (1 to iters).map { t =>
+      val pv = if (t == 1) "v0" else s"v${t - 1}"
+      s"""w$t AS MATERIALIZED (SELECT cf.i, SUM(cf.c * $pv.v) AS w
+          FROM cf JOIN $pv ON $pv.i = cf.j GROUP BY cf.i),
+        v$t AS MATERIALIZED (SELECT w.i, (CASE WHEN w.w < 0 THEN -1 ELSE 1 END)
+            * ((abs(w.w) * 1000000) // (SELECT MAX(abs(w)) FROM w$t))
+            AS v FROM w$t w)"""
+    }.mkString(",\n        ")
+    s"""u AS MATERIALIZED (SELECT vec_id,
+            UNNEST(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x,
+            UNNEST(range(len(embedding))) AS i
+          FROM embeddings),
+        m AS MATERIALIZED (SELECT i,
+            CAST(SUM(CAST(floor(x * 1000000000) AS HUGEINT)) AS DOUBLE)
+              / 1000000000 / COUNT(*) AS mu
+          FROM u GROUP BY i),
+        uc AS MATERIALIZED (SELECT u.vec_id, u.i, u.x - m.mu AS cx
+          FROM u JOIN m USING (i)),
+        cu AS MATERIALIZED (SELECT a.i AS i, b.i AS j,
+            SUM(CAST(floor(a.cx * b.cx * 1000000000) AS HUGEINT)) AS c
+          FROM uc a JOIN uc b ON b.vec_id = a.vec_id AND b.i >= a.i
+          GROUP BY 1, 2),
+        cf AS MATERIALIZED (SELECT i, j, c FROM cu
+          UNION ALL SELECT j AS i, i AS j, c FROM cu WHERE i <> j),
+        sd AS (SELECT i AS d FROM cu WHERE i = j ORDER BY c DESC, i
+          LIMIT 1),
+        v0 AS MATERIALIZED (SELECT dims.i, CASE WHEN dims.i = sd.d
+              THEN CAST(1000000 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END
+            AS v
+          FROM (SELECT DISTINCT i FROM cu) dims CROSS JOIN sd),
+        $steps"""
+  }
+
   /** Parameters shared by the PQ queries, their aux codebook, and the
     * oracles — owned by [[PqStage]], which also stages the trained
     * artifacts the search queries consume. */
@@ -3586,7 +3638,81 @@ object OracleQueries {
         SELECT page, n_lines, dup_line_frac, dup_line_char_frac,
           CAST(dup_line_frac <= 0.30 AND dup_line_char_frac <= 0.20
             AS INTEGER) AS keep
-        FROM f ORDER BY page"""))
+        FROM f ORDER BY page""")),
+
+    // ============ PCA: exact covariance of the embedding table ===========
+    // The whitening/rotation primitive's distributed half: upper-triangle
+    // second moments about the decimal-routed mean, each double product
+    // rounded into decimal(18,9) BEFORE the order-independent sum. The
+    // posexplode outer product partial-aggregates to <= D(D+1)/2 groups
+    // per task before its one exchange.
+    Q("embedding_covariance",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val mean = Pca.meanVector(e, "embedding")
+        Pca.covarianceUpper(e, "embedding", mean)
+          .select(col("i").cast("long").as("i"),
+            col("j").cast("long").as("j"),
+            (col("cov_fp").cast("double") / lit(1e9)).as("cov"))
+          .orderBy(col("i"), col("j"))
+      },
+      // the integer fixed point casts to double identically in both
+      // engines (nearest double of the exact integer), then one shared
+      // double division by 1e9
+      Some(s"""WITH ${pcaChainSql(1)}
+        SELECT i, j, CAST(c AS DOUBLE) / 1000000000 AS cov
+        FROM cu ORDER BY i, j""")),
+
+    // ======== PCA: top principal direction, exact-integer iteration ======
+    // The ITERATIVE solve is oracle-gated end-to-end (the pq_train
+    // unrolled-replay pattern): 8 power steps in exact integer
+    // arithmetic — covariance at 1e9 fixed point, the vector at 1e6,
+    // renormalization by max-|component| via sign-split truncating
+    // division — so DuckDB reproduces every bit of every iterate, and
+    // correctness never depends on convergence (which PcaSpec pins
+    // separately against a double-arithmetic reference and a planted
+    // spectrum).
+    Q("embedding_pca",
+      (s, dir) => {
+        import s.implicits._
+        val (_, dirV) = Pca.fit(t(s, dir, "embeddings"), "embedding",
+          PcaIters)
+        dirV.zipWithIndex
+          .map { case (v, i) => (i.toLong, v) }.toSeq
+          .toDF("i", "v_fp")
+          .orderBy(col("i"))
+      },
+      Some(s"""WITH ${pcaChainSql(PcaIters)}
+        SELECT i, CAST(v AS BIGINT) AS v_fp FROM v$PcaIters
+        ORDER BY i""")),
+
+    // ========= PCA: projection + most-extreme documents (use case) =======
+    // Projection onto the fitted direction: codegen'd sequential dot of
+    // the centered vector (DuckDB's list_inner_product accumulates
+    // left-to-right like the DotProduct loop — the sim_lsh_buckets
+    // precedent), 6-dp rounded, top-10 by |score| with vec_id
+    // tie-break. The outlier-trimming / curriculum-ranking shape.
+    Q("embedding_pca_project",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val (mean, dirV) = Pca.fit(e, "embedding", PcaIters)
+        e.select(col("vec_id"), col("label"),
+            Pca.projection(col("embedding"), mean, dirV).as("score"))
+          .orderBy(abs(col("score")).desc, col("vec_id"))
+          .limit(10)
+      },
+      Some(s"""WITH ${pcaChainSql(PcaIters)},
+        ml AS (SELECT list(mu ORDER BY i) AS ml FROM m),
+        dv AS (SELECT list(CAST(v AS DOUBLE) / 1000000 ORDER BY i) AS dv
+          FROM v$PcaIters),
+        sc AS (SELECT vec_id, label,
+            round(list_inner_product(
+              list_transform(range(1, len(embedding) + 1),
+                k -> CAST(embedding[k] AS DOUBLE) - ml[k]),
+              dv), 6) AS score
+          FROM embeddings CROSS JOIN ml CROSS JOIN dv)
+        SELECT vec_id, label, score FROM sc
+        ORDER BY abs(score) DESC, vec_id LIMIT 10"""))
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
