@@ -11,13 +11,13 @@ import org.apache.spark.sql.functions._
   * cross-engine-exact conventions so the whole computation — including
   * the ITERATIVE eigenvector solve — replays bit-exactly in DuckDB:
   *
-  *  - the mean is the `vector_centroids` recipe (per-dimension
-  *    decimal(18,9)-routed sums, exact count division);
-  *  - covariance entries are exact integer sums (1e-9 fixed point,
-  *    floor per product — floor is bit-deterministic on IEEE doubles
-  *    where a decimal cast's half-boundary rounding is not) of double
-  *    products of identically-derived centered values —
-  *    order-independent, so partition layout cannot perturb a bit;
+  *  - the mean and the covariance both live in 1e-9 floor fixed
+  *    point: every element and every centered product is floored into
+  *    an exact integer BEFORE its sum — floor is bit-deterministic on
+  *    IEEE doubles where a decimal cast's half-boundary rounding
+  *    measurably is not (both hazards were observed at sf0.1), and
+  *    integer sums are order-independent, so partition layout cannot
+  *    perturb a bit;
   *  - the power iteration runs in EXACT INTEGER arithmetic (the
   *    `pq_train` unrolled-replay pattern): covariance scaled to
   *    integers at 1e9, the vector at 1e6, matvecs as exact integer
@@ -37,6 +37,23 @@ import org.apache.spark.sql.functions._
   * pays), pipelined straight into the hash aggregate. */
 object Pca {
 
+  /** The fixed-point domain bound: |component| <= 3e4 keeps every
+    * per-element floor (<= 3e13) and every centered-product floor
+    * (< 3.6e18, with |centered| <= 2 * 3e4) inside a signed 64-bit
+    * long — Spark's floor(double) RETURNS a long and would saturate
+    * silently at Long.MaxValue where the DuckDB oracle's HUGEINT keeps
+    * the true value. Checked in-column with raise_error (the packSpans
+    * idiom — column pruning cannot drop it), so out-of-domain
+    * embeddings fail loudly instead of gating FAIL(hash). */
+  private val MaxAbsComponent = 3.0e4
+
+  private def guarded(x: Column): Column =
+    when(abs(x) <= lit(MaxAbsComponent), x)
+      .otherwise(raise_error(concat(
+        lit("Pca: |component| > 3e4 is outside the 1e-9 fixed-point " +
+          "domain (64-bit floor would saturate); rescale the vectors, " +
+          "got "), x.cast("string"))).cast("double"))
+
   /** Per-dimension mean of `vecCol` (array<float>/array<double>) in the
     * same floor fixed-point as the covariance: exact integer sums of
     * floor(x * 1e9), then two deterministic double divisions (by 1e9,
@@ -50,7 +67,7 @@ object Pca {
       .select(posexplode(col(vecCol).cast("array<double>"))
         .as(Seq("i", "x")))
       .groupBy(col("i"))
-      .agg((sum(floor(col("x") * lit(1e9)).cast("decimal(38,0)"))
+      .agg((sum(floor(guarded(col("x")) * lit(1e9)).cast("decimal(38,0)"))
         .cast("double") / lit(1e9) / count(lit(1))).as("mu"))
       .collect()
     require(rows.nonEmpty, "meanVector: input is empty")
@@ -77,7 +94,7 @@ object Pca {
   def covarianceUpper(df: DataFrame, vecCol: String,
                       mean: Array[Double]): DataFrame = {
     val centered = zip_with(col(vecCol).cast("array<double>"),
-      lit(mean), (x, m) => x - m)
+      lit(mean), (x, m) => guarded(x) - m)
     df.select(centered.as("cv"))
       .select(posexplode(col("cv")).as(Seq("i", "xi")), col("cv"))
       .select(col("i"), col("xi"),
@@ -109,8 +126,10 @@ object Pca {
       else covFp.getOrElse((j, i), BigInt(0))
     val startDim = (0 until dim).maxBy(d => (at(d, d), -d))
     require(at(startDim, startDim) > 0,
-      "topDirectionFixedPoint: no positive diagonal entry — the input " +
-        "has zero variance in every dimension")
+      "topDirectionFixedPoint: every diagonal fixed-point entry is " +
+        "zero — the input has no variance RESOLVABLE at 1e-9 (per-row " +
+        "squared deviations below ~3.2e-5 floor to zero; rescale " +
+        "tiny-magnitude embeddings before fitting)")
     var v = Array.tabulate(dim)(d => if (d == startDim) scaleV else BigInt(0))
     for (_ <- 1 to iters) {
       val w = Array.tabulate(dim)(i =>

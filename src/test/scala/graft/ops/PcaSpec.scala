@@ -91,9 +91,22 @@ class PcaSpec extends SparkSpec {
     val constant = (0 until 10)
       .map(t => (t.toLong, Array.fill(Dim)(1.5f)))
       .toDF("vec_id", "embedding")
-    intercept[IllegalArgumentException] {
+    val e = intercept[IllegalArgumentException] {
       Pca.fit(constant, "embedding")
     }
+    assert(e.getMessage.contains("RESOLVABLE at 1e-9"))
+  }
+
+  test("guard: a component outside the fixed-point domain raises " +
+    "loudly instead of saturating the 64-bit floor") {
+    // |x| > 3e4: floor(x*1e9) would exceed Long range in products —
+    // Spark would clamp silently where the HUGEINT oracle would not
+    val big = (0 until 10)
+      .map(t => (t.toLong,
+        Array.fill(Dim)(if (t == 3) 4.0e4f else 1.0f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[Exception] { Pca.meanVector(big, "embedding") }
+    assert(e.getMessage.contains("fixed-point domain"))
   }
 
   test("projection ranks the planted extremes first and centers near 0") {
