@@ -105,6 +105,27 @@ object TextMetrics {
   def idf(df: Column, nDocs: Column): Column =
     round(log((nDocs + 1).cast("double") / (df + 1)) + 1.0, 6)
 
+  /** BM25's smoothed idf, ln(1 + (N - df + 0.5)/(df + 0.5)) (the
+    * Robertson–Spärck Jones form with the +1 that keeps it positive),
+    * ROUNDED to 6 dp — the [[idf]] convention: the single libm `ln` is
+    * pinned before it enters any product, so the downstream BM25
+    * arithmetic (pure IEEE +,*,/ in a fixed association order) replays
+    * bit-exactly in an external engine. */
+  def idfBm25(df: Column, nDocs: Column): Column =
+    round(log(lit(1.0) + (nDocs - df + lit(0.5)) / (df + lit(0.5))), 6)
+
+  /** One BM25 term contribution, k1 = 1.2, b = 0.75 (the Robertson
+    * defaults): idf * tf*(k1+1) / (tf + k1*(1-b + b*dl/avgdl)). The
+    * association order is FIXED — an external oracle must replay
+    * `idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))`
+    * verbatim; every step is then a single correctly-rounded IEEE op on
+    * identical inputs, so the score is bit-deterministic cross-engine
+    * without any intermediate rounding. */
+  def bm25Term(tf: Column, df: Column, nDocs: Column,
+               dl: Column, avgdl: Column): Column =
+    idfBm25(df, nDocs) * (tf * lit(2.2)) /
+      (tf + lit(1.2) * (lit(0.25) + lit(0.75) * dl / avgdl))
+
   /** Repetition-based quality features (the Gopher/C4 family of filters):
     * fraction of repeated tokens, fraction of repeated n-grams, and the
     * corpus share of the single most frequent token — the signals that

@@ -3715,7 +3715,149 @@ object OracleQueries {
               dv), 6) AS score
           FROM embeddings CROSS JOIN ml CROSS JOIN dv)
         SELECT vec_id, label, score FROM sc
-        ORDER BY abs(score) DESC, vec_id LIMIT 10"""))
+        ORDER BY abs(score) DESC, vec_id LIMIT 10""")),
+
+    // ======================= BM25 document ranking ========================
+    // The retrieval-grade scorer over the same fixed query-term set as
+    // text_tfidf: idf_bm25 * tf*(k1+1) / (tf + k1*(1-b + b*dl/avgdl)),
+    // k1=1.2, b=0.75. Scale shape: dl rides the tf GROUPING KEY
+    // (functionally dependent on doc_id), so NO doc-sized join ever
+    // forms — the only corpus-wide work is the scan and the one-row
+    // (n_docs, sum_dl) aggregate, both partial-aggregated map-side; df
+    // and the corpus scalars broadcast back onto the term-filtered tf
+    // table. Determinism: the one ln is 6-dp-pinned (idfBm25), the rest
+    // is IEEE +,*,/ in one fixed association order, and the per-doc sum
+    // crosses engines in 1e-6 floor fixed point (the PCA idiom — a
+    // decimal cast's half-boundary rounding is not cross-engine safe).
+    Q("text_bm25",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val terms = Seq("hash", "join", "scan", "customer", "batch")
+        val tf = docs
+          .select(col("doc_id"),
+            TextMetrics.tokenCount(col("text")).as("dl"),
+            explode(TextMetrics.tokens(col("text"))).as("token"))
+          .where(col("token").isin(terms: _*))
+          .groupBy(col("doc_id"), col("dl"), col("token"))
+          .agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+        val n = docs.agg(count(lit(1)).as("n_docs"),
+          sum(TextMetrics.tokenCount(col("text")).cast("long"))
+            .as("sum_dl"))
+        val score = TextMetrics.bm25Term(col("tf"), col("df"),
+          col("n_docs"), col("dl"),
+          col("sum_dl").cast("double") / col("n_docs"))
+        tf.join(broadcast(dfreq), "token")
+          .crossJoin(broadcast(n))
+          .select(col("doc_id"),
+            floor(score * lit(1000000L)).as("fp"))
+          .groupBy(col("doc_id"))
+          .agg((sum(col("fp")).cast("double") / lit(1000000L))
+            .as("bm25"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH toks AS (SELECT doc_id,
+            len(string_split(text, ' ')) AS dl,
+            unnest(string_split(text, ' ')) AS token FROM documents),
+          tf AS (SELECT doc_id, dl, token, COUNT(*) AS tf FROM toks
+            WHERE token IN ('hash','join','scan','customer','batch')
+            GROUP BY doc_id, dl, token),
+          dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+          n AS (SELECT COUNT(*) AS n_docs,
+            SUM(len(string_split(text, ' '))) AS sum_dl FROM documents)
+        SELECT tf.doc_id,
+          CAST(SUM(CAST(floor(
+            ROUND(LN(1.0 + (n.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5)), 6)
+            * (tf.tf * 2.2)
+            / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl
+                / (CAST(n.sum_dl AS DOUBLE) / n.n_docs)))
+            * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 AS bm25
+        FROM tf JOIN dfreq ON tf.token = dfreq.token CROSS JOIN n
+        GROUP BY tf.doc_id ORDER BY tf.doc_id""")),
+
+    // ================ vocabulary coverage / OOV rate ======================
+    // The tokenizer-planning metric: fix the top-V corpus vocabulary,
+    // then measure per-language what fraction of token OCCURRENCES fall
+    // outside it — the number that tells you whether a vocabulary size
+    // starves a language before you train with it. One (lang, token)
+    // exchange feeds BOTH the vocabulary (a second, vocabulary-sized
+    // aggregate + bounded top-V TakeOrdered) and the coverage join; the
+    // V-row vocab broadcasts back, so no corpus-sized side ever
+    // shuffles twice. The rate is one double division of two exact
+    // integer counts — bit-deterministic cross-engine.
+    Q("vocab_coverage",
+      (s, dir) => {
+        val lc = t(s, dir, "documents")
+          .select(col("lang"),
+            explode(TextMetrics.tokens(col("text"))).as("token"))
+          .groupBy(col("lang"), col("token"))
+          .agg(count(lit(1)).as("c"))
+        val vocab = lc.groupBy(col("token")).agg(sum(col("c")).as("tc"))
+          .orderBy(col("tc").desc, col("token"))
+          .limit(256)
+          .select(col("token"), lit(1).as("in_v"))
+        lc.join(broadcast(vocab), Seq("token"), "left")
+          .groupBy(col("lang"))
+          .agg(sum(col("c")).as("total_tokens"),
+            sum(when(col("in_v").isNull, col("c")).otherwise(lit(0L)))
+              .as("oov_tokens"))
+          .withColumn("oov_rate",
+            col("oov_tokens").cast("double") / col("total_tokens"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH toks AS (SELECT lang,
+            unnest(string_split(text, ' ')) AS token FROM documents),
+          lc AS (SELECT lang, token, COUNT(*) AS c FROM toks
+            GROUP BY lang, token),
+          vocab AS (SELECT token FROM (
+            SELECT token, SUM(c) AS tc FROM lc GROUP BY token
+            ORDER BY tc DESC, token LIMIT 256))
+        SELECT lc.lang,
+          CAST(SUM(lc.c) AS BIGINT) AS total_tokens,
+          CAST(SUM(CASE WHEN vocab.token IS NULL THEN lc.c ELSE 0 END)
+            AS BIGINT) AS oov_tokens,
+          CAST(CAST(SUM(CASE WHEN vocab.token IS NULL THEN lc.c ELSE 0 END)
+              AS BIGINT) AS DOUBLE)
+            / CAST(SUM(lc.c) AS BIGINT) AS oov_rate
+        FROM lc LEFT JOIN vocab ON lc.token = vocab.token
+        GROUP BY lc.lang ORDER BY lc.lang""")),
+
+    // ===================== one-pass column profile ========================
+    // The SUMMARIZE-style data-quality scan over a new drop: per column,
+    // non-null count, exact distinct count, numeric/epoch min-max — ONE
+    // aggregate over one scan (distinct counts via Catalyst's Expand;
+    // the exchange carries per-task distinct values, not xK data rows —
+    // see ops/Profile.scala for the approx_count_distinct trade at
+    // 100 TB). min/max surface as doubles (exact below 2^53), never as
+    // formatted strings (double->string is not cross-engine stable).
+    Q("profile_stats",
+      (s, dir) => Profile.profile(t(s, dir, "orders"))
+        .orderBy(col("col_name")),
+      Some("""SELECT * FROM (
+          SELECT 'o_orderkey' AS col_name, COUNT(o_orderkey) AS n_nonnull,
+            COUNT(DISTINCT o_orderkey) AS n_distinct,
+            CAST(MIN(o_orderkey) AS DOUBLE) AS min_v,
+            CAST(MAX(o_orderkey) AS DOUBLE) AS max_v FROM orders
+          UNION ALL
+          SELECT 'o_custkey', COUNT(o_custkey), COUNT(DISTINCT o_custkey),
+            CAST(MIN(o_custkey) AS DOUBLE), CAST(MAX(o_custkey) AS DOUBLE)
+          FROM orders
+          UNION ALL
+          SELECT 'o_orderstatus', COUNT(o_orderstatus),
+            COUNT(DISTINCT o_orderstatus), NULL, NULL FROM orders
+          UNION ALL
+          SELECT 'o_totalprice', COUNT(o_totalprice),
+            COUNT(DISTINCT o_totalprice),
+            MIN(o_totalprice), MAX(o_totalprice) FROM orders
+          UNION ALL
+          SELECT 'o_orderdate', COUNT(o_orderdate),
+            COUNT(DISTINCT o_orderdate),
+            CAST(epoch_us(MIN(o_orderdate)) AS DOUBLE),
+            CAST(epoch_us(MAX(o_orderdate)) AS DOUBLE) FROM orders
+          UNION ALL
+          SELECT 'o_orderpriority', COUNT(o_orderpriority),
+            COUNT(DISTINCT o_orderpriority), NULL, NULL FROM orders)
+        ORDER BY col_name"""))
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

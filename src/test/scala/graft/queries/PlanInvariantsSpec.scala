@@ -30,6 +30,9 @@ class PlanInvariantsSpec extends SparkSpec {
       // same bounded 50-doc demo slice, same deliberate pair join
       "dedup_containment",
       "a5_global_threshold", "text_tfidf", "sim_ivf_multiprobe",
+      // tfidf's sibling: the same single-row (n_docs, sum_dl) scalar
+      // crossJoin onto the term-filtered tf table
+      "text_bm25",
       // queries × broadcast per-cell centroid table (coarse-quantizer
       // metadata, one row per cell) — the probe ranking, deliberate
       "sim_ivfpq_multiprobe",
