@@ -154,6 +154,43 @@ object Pca {
     (mean, topDirectionFixedPoint(cov, mean.length, iters))
   }
 
+  /** Per-dimension mean + SAMPLE standard deviation — the feature-
+    * standardization table a pipeline fits before z-scoring (and the
+    * diagnostic that catches dead or wild embedding dimensions before
+    * clustering/quantization). sigma_i = sqrt((ss_fp(i)/1e9)/(n-1))
+    * where ss_fp is the floor-fixed-point sum of squared deviations —
+    * the covariance DIAGONAL's arithmetic, but computed in its own
+    * single-posexplode pass (no outer product: D groups per task, not
+    * D(D+1)/2). sqrt, unlike ln/exp, is IEEE-correctly-rounded in both
+    * engines, so no rounding pin is needed anywhere. */
+  def dimStats(df: DataFrame, vecCol: String,
+               mean: Array[Double]): DataFrame = {
+    val centered = zip_with(col(vecCol).cast("array<double>"),
+      lit(mean), (x, m) => guarded(x) - m)
+    df.select(centered.as("cv"))
+      .select(posexplode(col("cv")).as(Seq("i", "cx")))
+      .groupBy(col("i"))
+      .agg(sum(floor(col("cx") * col("cx") * lit(1e9))
+          .cast("decimal(38,0)")).as("ss_fp"),
+        count(lit(1)).as("n"))
+      .select(col("i"),
+        element_at(lit(mean), col("i") + 1).as("mu"),
+        sqrt((col("ss_fp").cast("double") / lit(1e9)) /
+          (col("n") - 1)).as("sigma"))
+  }
+
+  /** z-scored vector: (x - mu)/sigma per element, 6-dp rounded (the
+    * cross-engine float rule). A zero-sigma (constant) dimension
+    * standardizes to 0 — the scikit-learn StandardScaler convention —
+    * instead of the 0/0 NaN the raw division would produce. */
+  def standardize(vecCol: Column, mean: Array[Double],
+                  sigma: Array[Double]): Column = {
+    val centered = zip_with(vecCol.cast("array<double>"),
+      lit(mean), (x, m) => x - m)
+    zip_with(centered, lit(sigma), (c, s) =>
+      when(s === lit(0.0), lit(0.0)).otherwise(round(c / s, 6)))
+  }
+
   /** Projection of each vector onto a fixed-point direction: the
     * codegen'd sequential dot product of the centered vector against
     * the direction rescaled to doubles (exact: the fixed-point longs

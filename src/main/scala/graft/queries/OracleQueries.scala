@@ -117,6 +117,37 @@ object OracleQueries {
     * the covariance prefix only (no start vector, no steps — an
     * unreferenced MATERIALIZED CTE is NOT pruned by DuckDB, so dead
     * iteration SQL would actually execute). */
+  /** The centering prefix shared by every PCA-family oracle: exploded
+    * doubles `u` (vec_id, x, i), floor-fixed-point mean `m` (i, mu),
+    * centered values `uc` (vec_id, i, cx). Kept separate from
+    * [[pcaChainSql]] so oracles that need only the diagonal (dim
+    * stats, standardization) don't drag the D(D+1)/2 outer-product CTE
+    * along — MATERIALIZED CTEs execute even unreferenced. */
+  private val pcaCenteredSql: String =
+    """u AS MATERIALIZED (SELECT vec_id,
+            UNNEST(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x,
+            UNNEST(range(len(embedding))) AS i
+          FROM embeddings),
+        m AS MATERIALIZED (SELECT i,
+            CAST(SUM(CAST(floor(x * 1000000000) AS HUGEINT)) AS DOUBLE)
+              / 1000000000 / COUNT(*) AS mu
+          FROM u GROUP BY i),
+        uc AS MATERIALIZED (SELECT u.vec_id, u.i, u.x - m.mu AS cx
+          FROM u JOIN m USING (i))"""
+
+  /** Per-dimension sample-sigma CTEs over the centered prefix: `ss`
+    * (i, ssf — the floor-fixed-point squared-deviation sums, i.e. the
+    * covariance diagonal's arithmetic) and `sg` (i, sigma). */
+  private val pcaSigmaSql: String =
+    """nn AS (SELECT COUNT(*) AS n FROM embeddings),
+        ss AS (SELECT i, SUM(CAST(floor(cx * cx * 1000000000) AS HUGEINT))
+            AS ssf
+          FROM uc GROUP BY i),
+        sg AS (SELECT ss.i,
+            sqrt((CAST(ss.ssf AS DOUBLE) / 1000000000) / (nn.n - 1))
+              AS sigma
+          FROM ss CROSS JOIN nn)"""
+
   private def pcaChainSql(iters: Int): String = {
     val steps = (1 to iters).map { t =>
       val pv = if (t == 1) "v0" else s"v${t - 1}"
@@ -126,16 +157,7 @@ object OracleQueries {
             * ((abs(w.w) * 1000000) // (SELECT MAX(abs(w)) FROM w$t))
             AS v FROM w$t w)"""
     }.mkString(",\n        ")
-    s"""u AS MATERIALIZED (SELECT vec_id,
-            UNNEST(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x,
-            UNNEST(range(len(embedding))) AS i
-          FROM embeddings),
-        m AS MATERIALIZED (SELECT i,
-            CAST(SUM(CAST(floor(x * 1000000000) AS HUGEINT)) AS DOUBLE)
-              / 1000000000 / COUNT(*) AS mu
-          FROM u GROUP BY i),
-        uc AS MATERIALIZED (SELECT u.vec_id, u.i, u.x - m.mu AS cx
-          FROM u JOIN m USING (i)),
+    s"""$pcaCenteredSql,
         cu AS MATERIALIZED (SELECT a.i AS i, b.i AS j,
             SUM(CAST(floor(a.cx * b.cx * 1000000000) AS HUGEINT)) AS c
           FROM uc a JOIN uc b ON b.vec_id = a.vec_id AND b.i >= a.i
@@ -3716,6 +3738,54 @@ object OracleQueries {
           FROM embeddings CROSS JOIN ml CROSS JOIN dv)
         SELECT vec_id, label, score FROM sc
         ORDER BY abs(score) DESC, vec_id LIMIT 10""")),
+
+    // ============ per-dimension embedding stats (fit table) ==============
+    // The feature-standardization fit: per-dimension mean + sample
+    // sigma. Two corpus passes (mean, squared deviations), each a
+    // posexplode partial-aggregated to <= D groups per task before ONE
+    // exchange — no outer product (that's the covariance row's price).
+    // sqrt is IEEE-correctly-rounded in both engines, so sigma needs no
+    // rounding pin. Trains FRESH (not the PcaStage memo): this row
+    // carries the fit cost in the bench (the pq_train convention).
+    Q("embedding_dim_stats",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val mean = Pca.meanVector(e, "embedding")
+        Pca.dimStats(e, "embedding", mean)
+          .select(col("i").cast("long").as("i"), col("mu"), col("sigma"))
+          .orderBy(col("i"))
+      },
+      Some(s"""WITH $pcaCenteredSql,
+        $pcaSigmaSql
+        SELECT m.i, m.mu, sg.sigma
+        FROM m JOIN sg USING (i) ORDER BY m.i""")),
+
+    // ================= embedding standardization (use) ====================
+    // z-scoring against the staged fit table — what a pipeline runs on
+    // every vector before clustering/quantization when dimensions have
+    // wild scales. Pure zip_with projection (zero shuffles; the fit
+    // table rides in as literals, the collect-route idiom); constant
+    // dimensions standardize to 0 (the StandardScaler convention), not
+    // NaN. Bounded 20-vector presentation slice; the oracle re-derives
+    // mean, sigma AND z from the raw embeddings alone.
+    Q("embedding_standardize",
+      (s, dir) => {
+        val st = PcaStage.dimStats(s, dir)
+        t(s, dir, "embeddings")
+          .where(col("vec_id") < 20)
+          .select(col("vec_id"),
+            posexplode(Pca.standardize(col("embedding"), st.mean,
+              st.sigma)).as(Seq("i", "z")))
+          .select(col("vec_id"), col("i").cast("long").as("i"), col("z"))
+          .orderBy(col("vec_id"), col("i"))
+      },
+      Some(s"""WITH $pcaCenteredSql,
+        $pcaSigmaSql
+        SELECT uc.vec_id, uc.i,
+          CASE WHEN sg.sigma = 0 THEN 0.0
+            ELSE round(uc.cx / sg.sigma, 6) END AS z
+        FROM uc JOIN sg USING (i) WHERE uc.vec_id < 20
+        ORDER BY uc.vec_id, uc.i""")),
 
     // ======================= BM25 document ranking ========================
     // The retrieval-grade scorer over the same fixed query-term set as

@@ -32,4 +32,24 @@ object PcaStage {
       Fitted(mean, d)
     })
   }
+
+  /** Per-dimension (mean, sigma) — the standardization table, staged
+    * like the fit: `embedding_dim_stats` deliberately re-fits fresh
+    * (that row carries the cost in the bench); the USE row
+    * (`embedding_standardize`) reads this memo. */
+  final case class DimStats(mean: Array[Double], sigma: Array[Double])
+
+  private val statsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DimStats]
+
+  def dimStats(s: SparkSession, dir: String): DimStats = {
+    statsCache.filterInPlace { case ((sess, _), _) => sess eq s }
+    statsCache.getOrElseUpdate((s, dir), {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val mean = Pca.meanVector(e, "embedding")
+      val rows = Pca.dimStats(e, "embedding", mean)
+        .orderBy("i").collect()
+      DimStats(mean, rows.map(_.getDouble(2)))
+    })
+  }
 }

@@ -109,6 +109,61 @@ class PcaSpec extends SparkSpec {
     assert(e.getMessage.contains("fixed-point domain"))
   }
 
+  test("dimStats matches a scalar reference (mean + sample sigma)") {
+    val rows = corpus.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getSeq[Float](1).toArray.map(_.toDouble))
+    val mean = Pca.meanVector(corpus, "embedding")
+    val got = Pca.dimStats(corpus, "embedding", mean)
+      .orderBy("i").collect()
+      .map(r => (r.getDouble(1), r.getDouble(2)))
+    (0 until Dim).foreach { d =>
+      val xs = rows.map(_(d))
+      val mu = xs.sum / xs.length
+      val ss = xs.map(x => { val c = x - mean(d); c * c }).sum
+      val sigma = math.sqrt(ss / (xs.length - 1))
+      assert(math.abs(got(d)._1 - mu) < 1e-7, s"mu dim $d")
+      // fixed-point flooring perturbs sigma by < 1e-9 per term
+      assert(math.abs(got(d)._2 - sigma) < 1e-7, s"sigma dim $d")
+    }
+  }
+
+  test("dimStats is partitioning-invariant bit-for-bit") {
+    val mean = Pca.meanVector(corpus, "embedding")
+    val a = Pca.dimStats(corpus, "embedding", mean)
+      .orderBy("i").collect().map(r => (r.getDouble(1), r.getDouble(2)))
+    val b = Pca.dimStats(corpus.repartition(7), "embedding", mean)
+      .orderBy("i").collect().map(r => (r.getDouble(1), r.getDouble(2)))
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("standardize z-scores to mean ~0 / sigma ~1 and zeroes constant " +
+    "dimensions") {
+    // dimension Dim-1 replaced by a constant: sigma = 0 there
+    val fixed = corpus.select(col("vec_id"),
+      concat(slice(col("embedding"), 1, Dim - 1),
+        array(lit(2.5f))).as("embedding"))
+    val mean = Pca.meanVector(fixed, "embedding")
+    val st = Pca.dimStats(fixed, "embedding", mean)
+      .orderBy("i").collect().map(_.getDouble(2))
+    val z = fixed.select(posexplode(
+        Pca.standardize(col("embedding"), mean, st)).as(Seq("i", "z")))
+      .groupBy(col("i"))
+      .agg(avg(col("z")).as("zm"),
+        stddev_samp(col("z")).as("zs"),
+        countDistinct(col("z")).as("nd"))
+      .orderBy("i").collect()
+    (0 until Dim - 1).foreach { d =>
+      assert(math.abs(z(d).getDouble(1)) < 1e-5, s"z-mean dim $d")
+      assert(math.abs(z(d).getDouble(2) - 1.0) < 1e-4, s"z-sigma dim $d")
+    }
+    // the constant dimension: every z is exactly 0, not NaN
+    assert(z(Dim - 1).getLong(3) == 1L)
+    val zLast = fixed.select(element_at(
+        Pca.standardize(col("embedding"), mean, st), Dim).as("z"))
+      .distinct().collect().map(_.getDouble(0)).toSeq
+    assert(zLast == Seq(0.0))
+  }
+
   test("projection ranks the planted extremes first and centers near 0") {
     val (mean, dir) = Pca.fit(corpus, "embedding")
     val scored = corpus.select(col("vec_id"),
