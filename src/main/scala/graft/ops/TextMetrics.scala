@@ -91,6 +91,16 @@ object TextMetrics {
   /** 64-bit rolling content fingerprint (xxhash64 of the text). */
   def fingerprint(text: Column): Column = xxhash64(text)
 
+  /** DEFLATE compression ratio (output/input bytes) — the
+    * vocabulary-free boilerplate/spam/noise signal; see
+    * [[graft.functions.DeflateRatio]] for the determinism contract
+    * (rerun-stable, not cross-engine — spec-gated). Row-local, zero
+    * shuffles. */
+  def compressionRatio(text: Column): Column = {
+    import org.apache.spark.sql.graftshim.Internals.{column => toCol, expression => toExpr}
+    toCol(graft.functions.DeflateRatio(toExpr(text)))
+  }
+
   /** Tokens as an array column: literal single-space split. `split`
     * takes a regex; a lone space is regex-inert, and the same split
     * reproduces in SQL engines' `string_split(text, ' ')`. On

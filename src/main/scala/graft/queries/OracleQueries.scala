@@ -3892,6 +3892,44 @@ object OracleQueries {
         FROM lc LEFT JOIN vocab ON lc.token = vocab.token
         GROUP BY lc.lang ORDER BY lc.lang""")),
 
+    // ==================== tokenizer fertility per language ================
+    // The OTHER tokenizer-planning number next to vocab_coverage:
+    // fertility = subword pieces per whitespace word, and chars per
+    // piece, per language — the signal that a fixed tokenizer
+    // over-fragments some languages (high fertility = more compute per
+    // sentence). Pure projections into ONE bounded aggregate (|lang|
+    // groups); ratios are double divisions of exact integer sums.
+    Q("token_fertility",
+      (s, dir) => {
+        t(s, dir, "documents")
+          .select(col("lang"),
+            TextMetrics.tokenCountBpe(col("text")).as("p"),
+            TextMetrics.tokenCount(col("text")).cast("long").as("w"),
+            length(col("text")).cast("long").as("ch"))
+          .groupBy(col("lang"))
+          .agg(sum(col("p")).as("pieces"),
+            sum(col("w")).as("words"),
+            (sum(col("p")).cast("double") / sum(col("w")))
+              .as("fertility"),
+            (sum(col("ch")).cast("double") / sum(col("p")))
+              .as("chars_per_piece"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH f AS (SELECT lang,
+            len(regexp_extract_all(text,
+              '[A-Za-z]{1,4}|[0-9]{1,3}|[^A-Za-z0-9\s]')) AS p,
+            (length(text) - length(replace(text, ' ', ''))) + 1 AS w,
+            length(text) AS ch
+          FROM documents)
+        SELECT lang,
+          CAST(SUM(p) AS BIGINT) AS pieces,
+          CAST(SUM(w) AS BIGINT) AS words,
+          CAST(CAST(SUM(p) AS BIGINT) AS DOUBLE)
+            / CAST(SUM(w) AS BIGINT) AS fertility,
+          CAST(CAST(SUM(ch) AS BIGINT) AS DOUBLE)
+            / CAST(SUM(p) AS BIGINT) AS chars_per_piece
+        FROM f GROUP BY lang ORDER BY lang""")),
+
     // ===================== one-pass column profile ========================
     // The SUMMARIZE-style data-quality scan over a new drop: per column,
     // non-null count, exact distinct count, numeric/epoch min-max — ONE
