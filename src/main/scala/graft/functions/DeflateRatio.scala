@@ -39,20 +39,30 @@ case class DeflateRatio(child: Expression)
   override protected def nullSafeEval(v: Any): Any = {
     val raw = v.asInstanceOf[UTF8String].getBytes
     if (raw.isEmpty) return 1.0
-    // level 6 (zlib default), nowrap: no 6-byte zlib header/checksum
-    // biasing short documents
-    val d = new Deflater(6, true)
-    try {
-      d.setInput(raw)
-      d.finish()
-      val buf = new Array[Byte](8192)
-      var out = 0L
-      while (!d.finished()) out += d.deflate(buf)
-      java.math.BigDecimal.valueOf(out.toDouble / raw.length)
-        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
-    } finally d.end()
+    // eval is single-threaded per task, so one Deflater + buffer per
+    // thread, reset() between rows — a fresh Deflater per row is a
+    // native malloc/free + zlib stream init that would dominate the
+    // actual compression work on a 100 TB scan
+    val d = DeflateRatio.deflater.get()
+    d.reset()
+    d.setInput(raw)
+    d.finish()
+    val buf = DeflateRatio.buffer.get()
+    var out = 0L
+    while (!d.finished()) out += d.deflate(buf)
+    java.math.BigDecimal.valueOf(out.toDouble / raw.length)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
   }
 
   override protected def withNewChildInternal(c: Expression): DeflateRatio =
     copy(child = c)
+}
+
+object DeflateRatio {
+  // level 6 (zlib default), nowrap: no 6-byte zlib header/checksum
+  // biasing short documents
+  private val deflater: ThreadLocal[Deflater] =
+    ThreadLocal.withInitial(() => new Deflater(6, true))
+  private val buffer: ThreadLocal[Array[Byte]] =
+    ThreadLocal.withInitial(() => new Array[Byte](8192))
 }

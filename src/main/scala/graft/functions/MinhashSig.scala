@@ -50,7 +50,7 @@ case class MinhashSig(child: Expression, n: Int, k: Int)
 
   override def nullSafeEval(t: Any): Any = {
     val words = t.asInstanceOf[UTF8String].toLowerCase.toString
-      .split("\\s+", -1)
+      .split(graft.core.Ws.Plus, -1)
     if (words.length < n) return null
     val sig = Array.fill(k)(Long.MaxValue)
     val sb = new java.lang.StringBuilder

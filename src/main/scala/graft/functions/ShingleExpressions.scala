@@ -21,7 +21,7 @@ object ShingleExpressions {
     * fewer than `n` words. */
   private[functions] def shingleHashes(t: UTF8String,
                                        n: Int): Array[Long] = {
-    val words = t.toLowerCase.toString.split("\\s+", -1)
+    val words = t.toLowerCase.toString.split(graft.core.Ws.Plus, -1)
     if (words.length < n) return null
     val out = new Array[Long](words.length - n + 1)
     val sb = new java.lang.StringBuilder
@@ -46,7 +46,7 @@ object ShingleExpressions {
     * first occurrence; null when fewer than `n` words. */
   private[functions] def distinctShingleHashes(t: UTF8String,
                                                n: Int): Array[Long] = {
-    val words = t.toLowerCase.toString.split("\\s+", -1)
+    val words = t.toLowerCase.toString.split(graft.core.Ws.Plus, -1)
     if (words.length < n) return null
     val seen = new java.util.LinkedHashSet[String]()
     val sb = new java.lang.StringBuilder

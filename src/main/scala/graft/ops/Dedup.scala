@@ -26,7 +26,7 @@ object Dedup {
     * interpreted-HOF re-evaluation pitfall — the naive form re-ran the
     * split once per word per row). */
   def shingles(text: Column, n: Int = 3): Column =
-    Cols.bound(split(lower(text), "\\s+")) { words =>
+    Cols.bound(split(lower(text), graft.core.Ws.Plus)) { words =>
       array_distinct(
         filter(
           transform(words, (_, i) =>
@@ -54,7 +54,8 @@ object Dedup {
                      n: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val words = df.select(col(idCol).as("id"),
-      posexplode(split(lower(col(textCol)), "\\s+")).as(Seq("pos", "w")))
+      posexplode(split(lower(col(textCol)), graft.core.Ws.Plus))
+        .as(Seq("pos", "w")))
     val w = Window.partitionBy(col("id")).orderBy(col("pos"))
     val lags = (n - 1) to 1 by -1
     val parts = lags.map(i => lag(col("w"), i).over(w)) :+ col("w")

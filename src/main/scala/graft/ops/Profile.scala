@@ -32,7 +32,8 @@ object Profile {
 
   /** min/max of `c` as a double, or a typed NULL for types where an
     * order statistic has no deterministic numeric form. Timestamps go
-    * through epoch-micros (exact integer → exact double below 2^53);
+    * through epoch-micros, dates through epoch-days (exact integers →
+    * exact doubles below 2^53);
     * NTZ timestamps (what parquet timestamp-without-timezone infers to)
     * are interpreted in the session timezone — pin it to UTC (as every
     * entry point in this repo does) so the profile is host-invariant. */
@@ -40,6 +41,7 @@ object Profile {
     case _: NumericType => c.cast("double")
     case _: TimestampType => unix_micros(c).cast("double")
     case TimestampNTZType => unix_micros(c.cast("timestamp")).cast("double")
+    case DateType => unix_date(c).cast("double") // epoch-days, exact
     case _ => lit(null).cast("double")
   }
 

@@ -30,7 +30,7 @@ object TextMetrics {
     * arise. Pure codegen'd projection; `string_trim(regexp_replace(...,
     * '\s+', ' ', 'g'))` replays it in an external SQL engine. */
   def normalizeWs(text: Column): Column =
-    trim(regexp_replace(text, "\\s+", " "))
+    trim(regexp_replace(text, graft.core.Ws.Plus, " "))
 
   /** Whitespace token count: the element count of [[tokens]] — by
     * construction the SAME split whose exploded rows feed the
@@ -49,10 +49,12 @@ object TextMetrics {
 
   /** Regex piece pattern for [[tokenCountBpe]]: letter runs split greedily
     * into <=4-char pieces (the BPE-ish subword proxy), digit runs into
-    * <=3-char pieces, any other non-space char its own piece. Valid with
-    * identical greedy semantics in Java regex and RE2, so an external
-    * oracle counts the same pieces. */
-  val BpePieceRe = "[A-Za-z]{1,4}|[0-9]{1,3}|[^A-Za-z0-9\\s]"
+    * <=3-char pieces, any other non-whitespace char its own piece. The
+    * whitespace class is spelled EXPLICITLY ([[graft.core.Ws]]) — Java's
+    * `\s` includes `\x0B` where RE2's does not, so a bare `\s` here
+    * would count vertical-tab characters differently across engines. */
+  val BpePieceRe =
+    s"[A-Za-z]{1,4}|[0-9]{1,3}|[^A-Za-z0-9${graft.core.Ws.Body}]"
 
   /** Token count under the BPE-ish regex: the number of [[BpePieceRe]]
     * matches. Pure projection (regexp_count is codegen'd). A real
@@ -135,6 +137,36 @@ object TextMetrics {
                dl: Column, avgdl: Column): Column =
     idfBm25(df, nDocs) * (tf * lit(2.2)) /
       (tf + lit(1.2) * (lit(0.25) + lit(0.75) * dl / avgdl))
+
+  /** Per-stratum vocabulary coverage: fix the top-`v` corpus vocabulary
+    * by total occurrence count (ties broken on the token), then measure
+    * per stratum what fraction of token OCCURRENCES fall outside it —
+    * the number that tells you whether a vocabulary size starves a
+    * language before you train with it. Returns (stratum, total_tokens,
+    * oov_tokens, oov_rate). ONE (stratum, token) count exchange feeds
+    * BOTH the vocabulary (a second, vocabulary-sized aggregate into a
+    * bounded top-`v` TakeOrdered) and the coverage join; the v-row
+    * vocab broadcasts back; the rate is one double division of two
+    * exact integer counts — bit-deterministic cross-engine. */
+  def vocabCoverage(df: org.apache.spark.sql.DataFrame, stratum: Column,
+                    text: Column, v: Int): org.apache.spark.sql.DataFrame = {
+    require(v >= 1, s"vocabCoverage: v must be >= 1, got $v")
+    val lc = df
+      .select(stratum.as("stratum"), explode(tokens(text)).as("token"))
+      .groupBy(col("stratum"), col("token"))
+      .agg(count(lit(1)).as("c"))
+    val vocab = lc.groupBy(col("token")).agg(sum(col("c")).as("tc"))
+      .orderBy(col("tc").desc, col("token"))
+      .limit(v)
+      .select(col("token"), lit(1).as("in_v"))
+    lc.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(col("stratum"))
+      .agg(sum(col("c")).as("total_tokens"),
+        sum(when(col("in_v").isNull, col("c")).otherwise(lit(0L)))
+          .as("oov_tokens"))
+      .withColumn("oov_rate",
+        col("oov_tokens").cast("double") / col("total_tokens"))
+  }
 
   /** Repetition-based quality features (the Gopher/C4 family of filters):
     * fraction of repeated tokens, fraction of repeated n-grams, and the
@@ -443,14 +475,16 @@ object TextMetrics {
   def gopherFlags(text: Column, minWords: Int = 50,
                   maxWords: Int = 100000,
                   stopwords: Seq[String] = GopherStopwords): Column = {
-    val ws = split(trim(text), "\\s+")
+    val ws = split(trim(text), graft.core.Ws.Plus)
     val n = size(ws).cast("double")
     val meanLen = round(
-      length(regexp_replace(text, "\\s+", "")).cast("double") / n, 6)
+      length(regexp_replace(text, graft.core.Ws.Plus, ""))
+        .cast("double") / n, 6)
     val hashRatio = round(occ(text, "#").cast("double") / n, 6)
     val ellipsisRatio = round(occ(text, "...").cast("double") / n, 6)
     val alphaFrac = round(
-      regexp_count(text, lit("(?:^|\\s)[\\S]*[A-Za-z][\\S]*")).cast("double")
+      regexp_count(text, lit(s"(?:^|${graft.core.Ws.One})" +
+        s"${graft.core.Ws.Not}*[A-Za-z]${graft.core.Ws.Not}*")).cast("double")
         / n, 6)
     require(stopwords.nonEmpty, "stopword list must be non-empty")
     val nStops = size(array_intersect(ws, array(stopwords.map(lit): _*)))

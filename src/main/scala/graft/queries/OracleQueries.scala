@@ -137,16 +137,20 @@ object OracleQueries {
 
   /** Per-dimension sample-sigma CTEs over the centered prefix: `ss`
     * (i, ssf — the floor-fixed-point squared-deviation sums, i.e. the
-    * covariance diagonal's arithmetic) and `sg` (i, sigma). */
+    * covariance diagonal's arithmetic) and `sg` (i, sigma). The
+    * denominator is the PER-DIMENSION exploded row count (exactly what
+    * `Pca.dimStats` aggregates), NOT a global COUNT(*) over the table —
+    * on a corpus with a null or ragged embedding row the two diverge
+    * (the null row explodes to no rows in BOTH engines, so only the
+    * per-dimension count stays consistent with the numerator). */
   private val pcaSigmaSql: String =
-    """nn AS (SELECT COUNT(*) AS n FROM embeddings),
-        ss AS (SELECT i, SUM(CAST(floor(cx * cx * 1000000000) AS HUGEINT))
-            AS ssf
+    """ss AS (SELECT i, SUM(CAST(floor(cx * cx * 1000000000) AS HUGEINT))
+            AS ssf, COUNT(*) AS n
           FROM uc GROUP BY i),
         sg AS (SELECT ss.i,
-            sqrt((CAST(ss.ssf AS DOUBLE) / 1000000000) / (nn.n - 1))
+            sqrt((CAST(ss.ssf AS DOUBLE) / 1000000000) / (ss.n - 1))
               AS sigma
-          FROM ss CROSS JOIN nn)"""
+          FROM ss)"""
 
   private def pcaChainSql(iters: Int): String = {
     val steps = (1 to iters).map { t =>
@@ -1120,7 +1124,7 @@ object OracleQueries {
       Some("""WITH d AS (SELECT doc_id,
             list_distinct([array_to_string(w[i:i+2], ' ')
               FOR i IN range(1, len(w) - 1)]) AS sh
-          FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+          FROM (SELECT doc_id, string_split_regex(lower(text), '[ \t\n\x0B\f\r]+') AS w
                 FROM documents WHERE doc_id < 50)),
         pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
             ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
@@ -2178,7 +2182,7 @@ object OracleQueries {
           (length(text) - length(replace(text, ' ', ''))) + 1
             AS n_ws_tokens,
           len(regexp_extract_all(text,
-            '[A-Za-z]{1,4}|[0-9]{1,3}|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
+            '[A-Za-z]{1,4}|[0-9]{1,3}|[^A-Za-z0-9 \t\n\x0B\f\r]')) AS n_bpe_tokens,
           round((length(text) / 4.0 +
             ((length(text) - length(replace(text, ' ', ''))) + 1)) / 2.0,
             6) AS token_estimate
@@ -3220,7 +3224,7 @@ object OracleQueries {
       Some("""WITH d AS (SELECT doc_id,
             list_distinct([array_to_string(w[i:i+2], ' ')
               FOR i IN range(1, len(w) - 1)]) AS sh
-          FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+          FROM (SELECT doc_id, string_split_regex(lower(text), '[ \t\n\x0B\f\r]+') AS w
                 FROM documents WHERE doc_id < 50)),
         pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
             CASE WHEN len(a.sh) > 0 THEN
@@ -3273,7 +3277,7 @@ object OracleQueries {
           d AS (SELECT doc_id,
               list_distinct([array_to_string(w[i:i+2], ' ')
                 FOR i IN range(1, len(w) - 1)]) AS sh
-            FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w
+            FROM (SELECT doc_id, string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+') AS w
                   FROM documents
                   WHERE doc_id IN (SELECT id FROM cids))),
           sc AS (SELECT p.id_a, p.id_b,
@@ -3459,7 +3463,7 @@ object OracleQueries {
           .orderBy(col("doc_id"), col("span_start"))
       },
       Some("""WITH w AS (SELECT doc_id,
-            string_split_regex(lower(text), '\s+') AS ts FROM documents),
+            string_split_regex(lower(text), '[ \t\n\x0B\f\r]+') AS ts FROM documents),
         sh AS (SELECT doc_id, UNNEST(range(0, len(ts) - 7)) AS st, ts
           FROM w),
         g AS (SELECT doc_id, st,
@@ -3503,18 +3507,18 @@ object OracleQueries {
           .orderBy(col("doc_id"))
       },
       Some("""WITH t AS (SELECT doc_id, text,
-            string_split_regex(trim(text), '\s+') AS ws,
+            string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS ws,
             string_split(text, chr(10)) AS ls FROM documents),
         f AS (SELECT doc_id,
             CAST(len(ws) AS BIGINT) AS n_words,
-            round(length(regexp_replace(text, '\s+', '', 'g'))
+            round(length(regexp_replace(text, '[ \t\n\x0B\f\r]+', '', 'g'))
               / CAST(len(ws) AS DOUBLE), 6) AS mean_word_len,
             round((length(text) - length(replace(text, '#', ''))) / 1.0
               / len(ws), 6) AS hash_ratio,
             round((length(text) - length(replace(text, '...', ''))) / 3.0
               / len(ws), 6) AS ellipsis_ratio,
             round(len(regexp_extract_all(text,
-              '(?:^|\s)[\S]*[A-Za-z][\S]*'))
+              '(?:^|[ \t\n\x0B\f\r])[^ \t\n\x0B\f\r]*[A-Za-z][^ \t\n\x0B\f\r]*'))
               / CAST(len(ws) AS DOUBLE), 6) AS alpha_frac,
             CAST(len(list_intersect(ws,
               ['the', 'a', 'value', 'table', 'key', 'row', 'data',
@@ -3592,7 +3596,7 @@ object OracleQueries {
           .orderBy(col("doc_id"), col("span_start"))
       },
       Some("""WITH w AS (SELECT doc_id,
-            string_split_regex(lower(text), '\s+') AS ts FROM documents),
+            string_split_regex(lower(text), '[ \t\n\x0B\f\r]+') AS ts FROM documents),
         sh AS (SELECT doc_id, UNNEST(range(0, len(ts) - 7)) AS st, ts
           FROM w),
         g AS (SELECT doc_id, st,
@@ -3856,25 +3860,11 @@ object OracleQueries {
     // shuffles twice. The rate is one double division of two exact
     // integer counts — bit-deterministic cross-engine.
     Q("vocab_coverage",
-      (s, dir) => {
-        val lc = t(s, dir, "documents")
-          .select(col("lang"),
-            explode(TextMetrics.tokens(col("text"))).as("token"))
-          .groupBy(col("lang"), col("token"))
-          .agg(count(lit(1)).as("c"))
-        val vocab = lc.groupBy(col("token")).agg(sum(col("c")).as("tc"))
-          .orderBy(col("tc").desc, col("token"))
-          .limit(256)
-          .select(col("token"), lit(1).as("in_v"))
-        lc.join(broadcast(vocab), Seq("token"), "left")
-          .groupBy(col("lang"))
-          .agg(sum(col("c")).as("total_tokens"),
-            sum(when(col("in_v").isNull, col("c")).otherwise(lit(0L)))
-              .as("oov_tokens"))
-          .withColumn("oov_rate",
-            col("oov_tokens").cast("double") / col("total_tokens"))
-          .orderBy(col("lang"))
-      },
+      (s, dir) =>
+        TextMetrics.vocabCoverage(t(s, dir, "documents"), col("lang"),
+            col("text"), v = 256)
+          .withColumnRenamed("stratum", "lang")
+          .orderBy(col("lang")),
       Some("""WITH toks AS (SELECT lang,
             unnest(string_split(text, ' ')) AS token FROM documents),
           lc AS (SELECT lang, token, COUNT(*) AS c FROM toks
@@ -3917,7 +3907,7 @@ object OracleQueries {
       },
       Some("""WITH f AS (SELECT lang,
             len(regexp_extract_all(text,
-              '[A-Za-z]{1,4}|[0-9]{1,3}|[^A-Za-z0-9\s]')) AS p,
+              '[A-Za-z]{1,4}|[0-9]{1,3}|[^A-Za-z0-9 \t\n\x0B\f\r]')) AS p,
             (length(text) - length(replace(text, ' ', ''))) + 1 AS w,
             length(text) AS ch
           FROM documents)

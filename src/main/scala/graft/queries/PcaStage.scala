@@ -4,15 +4,28 @@ import org.apache.spark.sql.SparkSession
 
 import graft.ops.Pca
 
-/** Staged PCA artifacts, computed once per (session, sf-dir) — the
-  * PqStage pattern: a production pipeline fits the direction once and
-  * persists it; queries that USE the fit (covariance presentation,
-  * projection) read the staged artifacts, while `embedding_pca`
-  * deliberately re-fits fresh so the row that carries the training cost
-  * in the bench reports it honestly (the pq_train convention). Entries
-  * keyed by a dead session are evicted on the next call (PqStage's
+/** One session-scoped memo: value computed once per (session, dir),
+  * entries keyed by a DEAD session evicted on the next call (PqStage's
   * retention contract), so a long-lived JVM cycling sessions cannot
-  * accumulate stale fits. */
+  * accumulate stale state. The eviction rule lives HERE, once — the
+  * fitted-direction and dim-stats memos below (and any future staged
+  * artifact) share it instead of copy-pasting it. */
+private[queries] final class SessionMemo[A] {
+  private val cache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), A]
+  def apply(s: SparkSession, dir: String)(compute: => A): A = {
+    cache.filterInPlace { case ((sess, _), _) => sess eq s }
+    cache.getOrElseUpdate((s, dir), compute)
+  }
+}
+
+/** Staged PCA artifacts, computed once per (session, sf-dir) — the
+  * PqStage pattern: a production pipeline fits once and persists;
+  * queries that USE a fit (covariance presentation, projection,
+  * standardization) read the staged artifacts, while the fit rows
+  * (`embedding_pca`, `embedding_dim_stats`) deliberately re-fit fresh
+  * so the rows that carry training cost in the bench report it
+  * honestly (the pq_train convention). */
 object PcaStage {
 
   /** Power-iteration count — single source of truth for the queries and
@@ -21,35 +34,26 @@ object PcaStage {
 
   final case class Fitted(mean: Array[Double], direction: Array[Long])
 
-  private val cache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Fitted]
+  private val fittedMemo = new SessionMemo[Fitted]
 
-  def fitted(s: SparkSession, dir: String): Fitted = {
-    cache.filterInPlace { case ((sess, _), _) => sess eq s }
-    cache.getOrElseUpdate((s, dir), {
+  def fitted(s: SparkSession, dir: String): Fitted =
+    fittedMemo(s, dir) {
       val (mean, d) = Pca.fit(
         s.read.parquet(s"$dir/embeddings.parquet"), "embedding", Iters)
       Fitted(mean, d)
-    })
-  }
+    }
 
-  /** Per-dimension (mean, sigma) — the standardization table, staged
-    * like the fit: `embedding_dim_stats` deliberately re-fits fresh
-    * (that row carries the cost in the bench); the USE row
-    * (`embedding_standardize`) reads this memo. */
+  /** Per-dimension (mean, sigma) — the standardization table. */
   final case class DimStats(mean: Array[Double], sigma: Array[Double])
 
-  private val statsCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DimStats]
+  private val statsMemo = new SessionMemo[DimStats]
 
-  def dimStats(s: SparkSession, dir: String): DimStats = {
-    statsCache.filterInPlace { case ((sess, _), _) => sess eq s }
-    statsCache.getOrElseUpdate((s, dir), {
+  def dimStats(s: SparkSession, dir: String): DimStats =
+    statsMemo(s, dir) {
       val e = s.read.parquet(s"$dir/embeddings.parquet")
       val mean = Pca.meanVector(e, "embedding")
       val rows = Pca.dimStats(e, "embedding", mean)
         .orderBy("i").collect()
       DimStats(mean, rows.map(_.getDouble(2)))
-    })
-  }
+    }
 }

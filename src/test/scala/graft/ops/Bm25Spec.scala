@@ -68,21 +68,27 @@ class Bm25Spec extends SparkSpec {
       ("en", "a a a b b c d"),
       ("en", "a a b c e"),
       ("zh", "a b c d")).toDF("lang", "text")
-    val lc = docs
-      .select(col("lang"), explode(TextMetrics.tokens(col("text")))
-        .as("token"))
-      .groupBy(col("lang"), col("token")).agg(count(lit(1)).as("c"))
-    val vocab = lc.groupBy(col("token")).agg(sum(col("c")).as("tc"))
-      .orderBy(col("tc").desc, col("token")).limit(3)
-      .select(col("token"), lit(1).as("in_v"))
-    val got = lc.join(broadcast(vocab), Seq("token"), "left")
-      .groupBy(col("lang"))
-      .agg(sum(col("c")).as("total"),
-        sum(when(col("in_v").isNull, col("c")).otherwise(lit(0L)))
-          .as("oov"))
-      .orderBy(col("lang"))
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // drives the SHIPPED op (the same call the vocab_coverage query
+    // makes), not a re-implementation of its dataflow
+    val got = TextMetrics.vocabCoverage(docs, col("lang"), col("text"),
+        v = 3)
+      .orderBy(col("stratum"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
       .toSeq
-    assert(got == Seq(("en", 12L, 2L), ("zh", 4L, 1L)))
+    assert(got == Seq(("en", 12L, 2L, 2.0 / 12), ("zh", 4L, 1L, 0.25)))
+  }
+
+  test("vocabulary coverage: a vocab cut at least the vocabulary size " +
+    "covers everything") {
+    val docs = Seq(("en", "a b c"), ("zh", "b c d")).toDF("lang", "text")
+    val got = TextMetrics.vocabCoverage(docs, col("lang"), col("text"),
+        v = 100)
+      .collect().map(r => r.getLong(2)).toSeq
+    assert(got == Seq(0L, 0L))
+    intercept[IllegalArgumentException] {
+      TextMetrics.vocabCoverage(docs, col("lang"), col("text"), v = 0)
+    }
   }
 }

@@ -56,6 +56,13 @@ class ProfileSpec extends SparkSpec {
     assert(e.getMessage.contains("no column nope"))
   }
 
+  test("dates profile as epoch-days doubles") {
+    val d = Seq(java.sql.Date.valueOf("1970-01-11"),
+      java.sql.Date.valueOf("1969-12-31")).toDF("d")
+    val p = Profile.profile(d).collect().head
+    assert(p.getDouble(3) == -1.0 && p.getDouble(4) == 10.0)
+  }
+
   test("column names containing dots profile fine (crawled-corpus " +
     "field names)") {
     val dotted = rows.toDF("meta.id", "x", "s", "ts")

@@ -66,6 +66,26 @@ class TextCurationSpec extends SparkSpec {
     assert(got == Seq(4L, 5L, 5L, 5L, 0L, 0L))
   }
 
+  test("whitespace class: vertical tab is whitespace on BOTH engines' " +
+    "reading (the Ws explicit-class contract)") {
+    // Java \s includes \x0B, RE2's does not -- the repo spells the class
+    // explicitly everywhere (graft.core.Ws) so both engines agree.
+    // Pinned: VT separates pieces/words, it is never counted as one.
+    val vt = "ab\u000Bcd"
+    val pieces = Seq(vt).toDF("t")
+      .select(TextMetrics.tokenCountBpe(col("t")))
+      .collect().head.getLong(0)
+    assert(pieces == 2L) // "ab", "cd" -- the VT itself is NOT a piece
+    val normalized = Seq(vt).toDF("t")
+      .select(TextMetrics.normalizeWs(col("t")))
+      .collect().head.getString(0)
+    assert(normalized == "ab cd")
+    // and the explicit fragments really are Java-\s-equivalent
+    for (c <- Seq(' ', '\t', '\n', '\u000B', '\f', '\r'))
+      assert(c.toString.matches(graft.core.Ws.One), s"char ${c.toInt}")
+    assert(!"x".matches(graft.core.Ws.One))
+  }
+
   test("unigramLogprob: hand-computed tiny corpus") {
     val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
     val got = TextMetrics.unigramLogprob(docs, "doc_id", "text")
