@@ -3538,6 +3538,123 @@ object OracleQueries {
             AND n_stopwords >= 2 AS INTEGER) AS keep
         FROM f ORDER BY doc_id""")),
 
+    // ===================== curation funnel report =========================
+    // The dashboard a curation engineer reads before shipping a filter
+    // config: per RULE, how many documents fail it (marginal counts —
+    // which rule does the work, which is dead weight) plus the
+    // all-rules conjunction. ONE scan, one single-row aggregate of
+    // rule-failure sums (every rule is a row-local projection riding
+    // the scan), exploded to long format driver-side. Fractions are
+    // double divisions of exact integer counts.
+    Q("quality_funnel",
+      (s, dir) => {
+        val stops = Seq("the", "a", "value", "table", "key", "row",
+          "data", "query")
+        val flagged = t(s, dir, "documents").select(
+          TextMetrics.gopherFlags(col("text"), minWords = 40,
+            maxWords = 100000, stopwords = stops).as("g"),
+          TextMetrics.repetitionFeatures(col("text")).as("r"))
+        val rules: Seq[(String, Column)] = Seq(
+          "words_in_range" ->
+            (col("g.n_words") >= 40 && col("g.n_words") <= 100000),
+          "mean_word_len" ->
+            (col("g.mean_word_len") >= 3.0 &&
+              col("g.mean_word_len") <= 10.0),
+          "symbol_ratios" ->
+            (col("g.hash_ratio") <= 0.1 && col("g.ellipsis_ratio") <= 0.1),
+          "line_shapes" ->
+            (col("g.bullet_frac") <= 0.9 && col("g.ellipsis_frac") <= 0.3),
+          "alpha_words" -> (col("g.alpha_frac") >= 0.8),
+          "stopwords" -> (col("g.n_stopwords") >= 2),
+          "repetition" -> (col("r.dup_ngram_frac") < 0.3))
+        val allPass = rules.map(_._2).reduce(_ && _)
+        // a NULL rule outcome (null text) counts as FAIL in both
+        // engines: when/CASE route null conditions to the else branch
+        val aggs = rules.map { case (n, c) =>
+          sum(when(c, lit(0L)).otherwise(lit(1L))).as(s"${n}__f")
+        } ++ Seq(
+          sum(when(allPass, lit(0L)).otherwise(lit(1L)))
+            .as("all_rules__f"),
+          count(lit(1)).as("n_total"))
+        val one = flagged.agg(aggs.head, aggs.tail: _*)
+        val names = rules.map(_._1) :+ "all_rules"
+        one.select(explode(array(names.map(n => struct(
+            lit(n).as("rule"),
+            col(s"${n}__f").as("n_fail"),
+            col("n_total"),
+            (col(s"${n}__f").cast("double") / col("n_total"))
+              .as("fail_frac"))): _*)).as("p"))
+          .select(col("p.*"))
+          .orderBy(col("rule"))
+      },
+      Some("""WITH t AS (SELECT doc_id, text,
+            string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS ws,
+            string_split(text, chr(10)) AS ls,
+            string_split(text, ' ') AS toks FROM documents),
+        f AS (SELECT doc_id,
+            CAST(len(ws) AS BIGINT) AS n_words,
+            round(length(regexp_replace(text, '[ \t\n\x0B\f\r]+', '', 'g'))
+              / CAST(len(ws) AS DOUBLE), 6) AS mean_word_len,
+            round((length(text) - length(replace(text, '#', ''))) / 1.0
+              / len(ws), 6) AS hash_ratio,
+            round((length(text) - length(replace(text, '...', ''))) / 3.0
+              / len(ws), 6) AS ellipsis_ratio,
+            round(len(regexp_extract_all(text,
+              '(?:^|[ \t\n\x0B\f\r])[^ \t\n\x0B\f\r]*[A-Za-z][^ \t\n\x0B\f\r]*'))
+              / CAST(len(ws) AS DOUBLE), 6) AS alpha_frac,
+            CAST(len(list_intersect(ws,
+              ['the', 'a', 'value', 'table', 'key', 'row', 'data',
+               'query'])) AS BIGINT) AS n_stopwords,
+            round(len(list_filter(ls, l -> l LIKE '- %' OR l LIKE '* %'))
+              / CAST(len(ls) AS DOUBLE), 6) AS bullet_frac,
+            round(len(list_filter(ls, l -> l LIKE '%...'))
+              / CAST(len(ls) AS DOUBLE), 6) AS ellipsis_frac,
+            round(CASE WHEN len(toks) - 2 > 0
+              THEN 1.0 - CAST(len(list_distinct(
+                  list_transform(range(0, greatest(len(toks) - 2, 0)),
+                    i -> array_to_string(toks[i + 1 : i + 3], ' '))))
+                AS DOUBLE) / (len(toks) - 2)
+              ELSE 0.0 END, 6) AS dup_ngram_frac
+          FROM t),
+        c AS (SELECT COUNT(*) AS n_total,
+            SUM(CASE WHEN n_words >= 40 AND n_words <= 100000
+              THEN 0 ELSE 1 END) AS r_words,
+            SUM(CASE WHEN mean_word_len >= 3.0 AND mean_word_len <= 10.0
+              THEN 0 ELSE 1 END) AS r_mwl,
+            SUM(CASE WHEN hash_ratio <= 0.1 AND ellipsis_ratio <= 0.1
+              THEN 0 ELSE 1 END) AS r_sym,
+            SUM(CASE WHEN bullet_frac <= 0.9 AND ellipsis_frac <= 0.3
+              THEN 0 ELSE 1 END) AS r_lines,
+            SUM(CASE WHEN alpha_frac >= 0.8 THEN 0 ELSE 1 END) AS r_alpha,
+            SUM(CASE WHEN n_stopwords >= 2 THEN 0 ELSE 1 END) AS r_stop,
+            SUM(CASE WHEN dup_ngram_frac < 0.3 THEN 0 ELSE 1 END) AS r_rep,
+            SUM(CASE WHEN n_words >= 40 AND n_words <= 100000
+              AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+              AND hash_ratio <= 0.1 AND ellipsis_ratio <= 0.1
+              AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3
+              AND alpha_frac >= 0.8 AND n_stopwords >= 2
+              AND dup_ngram_frac < 0.3 THEN 0 ELSE 1 END) AS r_all
+          FROM f)
+        SELECT rule, n_fail, n_total,
+          CAST(n_fail AS DOUBLE) / n_total AS fail_frac FROM (
+          SELECT 'words_in_range' AS rule, CAST(r_words AS BIGINT)
+            AS n_fail, CAST(n_total AS BIGINT) AS n_total FROM c
+          UNION ALL SELECT 'mean_word_len', CAST(r_mwl AS BIGINT),
+            CAST(n_total AS BIGINT) FROM c
+          UNION ALL SELECT 'symbol_ratios', CAST(r_sym AS BIGINT),
+            CAST(n_total AS BIGINT) FROM c
+          UNION ALL SELECT 'line_shapes', CAST(r_lines AS BIGINT),
+            CAST(n_total AS BIGINT) FROM c
+          UNION ALL SELECT 'alpha_words', CAST(r_alpha AS BIGINT),
+            CAST(n_total AS BIGINT) FROM c
+          UNION ALL SELECT 'stopwords', CAST(r_stop AS BIGINT),
+            CAST(n_total AS BIGINT) FROM c
+          UNION ALL SELECT 'repetition', CAST(r_rep AS BIGINT),
+            CAST(n_total AS BIGINT) FROM c
+          UNION ALL SELECT 'all_rules', CAST(r_all AS BIGINT),
+            CAST(n_total AS BIGINT) FROM c)
+        ORDER BY rule""")),
+
     // ========== temperature-scaled mixture (alpha-smoothed draw) =========
     // Conneau & Lample 2019's exponentiated-count language smoothing:
     // per-language weights count^0.5, rounded to 4 dp (so the Hamilton
