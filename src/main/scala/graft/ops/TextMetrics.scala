@@ -151,10 +151,17 @@ object TextMetrics {
   def vocabCoverage(df: org.apache.spark.sql.DataFrame, stratum: Column,
                     text: Column, v: Int): org.apache.spark.sql.DataFrame = {
     require(v >= 1, s"vocabCoverage: v must be >= 1, got $v")
+    // materialized stage boundary: lc is VOCABULARY-sized (strata ×
+    // distinct tokens), and both consumers (the top-V vocabulary and
+    // the coverage join) read it — without the pin, each consumer
+    // re-executes the corpus scan + count exchange (ReuseExchange does
+    // NOT fire across these subtrees; explain-verified), turning one
+    // corpus pass into two
     val lc = df
       .select(stratum.as("stratum"), explode(tokens(text)).as("token"))
       .groupBy(col("stratum"), col("token"))
       .agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = true)
     val vocab = lc.groupBy(col("token")).agg(sum(col("c")).as("tc"))
       .orderBy(col("tc").desc, col("token"))
       .limit(v)

@@ -3924,17 +3924,27 @@ object OracleQueries {
       (s, dir) => {
         val docs = t(s, dir, "documents")
         val terms = Seq("hash", "join", "scan", "customer", "batch")
-        val tf = docs
-          .select(col("doc_id"),
+        // ONE corpus scan: the narrow per-doc projection (doc_id, dl,
+        // query-term hits — the token array filtered ROW-LOCALLY to the
+        // 5 terms, so it is tiny) is materialized once and feeds all
+        // three consumers (tf, df, the corpus scalars). Without the pin
+        // each consumer re-executes the scan — three corpus passes
+        // (explain-verified; ReuseExchange does not fire here). At
+        // 100 TB this stage boundary is the parquet staging table a
+        // production ranker writes.
+        val perDoc = docs.select(col("doc_id"),
             TextMetrics.tokenCount(col("text")).as("dl"),
-            explode(TextMetrics.tokens(col("text"))).as("token"))
-          .where(col("token").isin(terms: _*))
+            filter(TextMetrics.tokens(col("text")),
+              tk => tk.isin(terms: _*)).as("qtoks"))
+          .localCheckpoint(eager = true)
+        val tf = perDoc
+          .select(col("doc_id"), col("dl"),
+            explode(col("qtoks")).as("token"))
           .groupBy(col("doc_id"), col("dl"), col("token"))
           .agg(count(lit(1)).as("tf"))
         val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
-        val n = docs.agg(count(lit(1)).as("n_docs"),
-          sum(TextMetrics.tokenCount(col("text")).cast("long"))
-            .as("sum_dl"))
+        val n = perDoc.agg(count(lit(1)).as("n_docs"),
+          sum(col("dl").cast("long")).as("sum_dl"))
         val score = TextMetrics.bm25Term(col("tf"), col("df"),
           col("n_docs"), col("dl"),
           col("sum_dl").cast("double") / col("n_docs"))
