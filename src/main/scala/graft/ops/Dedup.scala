@@ -605,9 +605,14 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("cid"))
       .orderBy(round(col("d"), 6).desc, col(idCol))
+    // materialized stage boundary: three consumers (both self-join
+    // sides + the final join-back) read the ranked table — unpinned,
+    // each re-executes the join + window lineage from the scan
+    // (ReuseExchange does not fire; ScanCensus/§22)
     val ranked = vectors.join(assigned, idCol)
       .select(col(idCol), col("v"), col("cid"),
         row_number().over(w).as("__sd_r"))
+      .localCheckpoint(eager = true)
     val a = ranked.select(col("cid"), col(idCol).as("__sd_ida"),
       col("v").as("__sd_va"), col("__sd_r").as("__sd_ra"))
     val b = ranked.select(col("cid"), col(idCol).as("__sd_idb"),

@@ -90,12 +90,26 @@ object KMeans {
       vectors.sparkSession.createDataFrame(
         initRows.toSeq.asJava, sel.schema)
     }
+    // every iteration's centroid table is COLLECT-ROUTED into a k-row
+    // LocalRelation (the init/PQ-codebook bounded-table idiom): without
+    // it the returned assignment's lineage embeds the whole iteration
+    // chain, so EVERY downstream consumer re-executes every Lloyd pass
+    // — the ScanCensus/§22 defect class (dedup_semantic re-scanned the
+    // corpus 12x through exactly this). With it, training executes each
+    // pass once and the returned frame is vectors x broadcast(k local
+    // rows): one corpus scan per consumer, and the values are
+    // bit-identical (collecting k rows changes nothing numeric).
+    def localized(cent: DataFrame): DataFrame = {
+      import scala.jdk.CollectionConverters._
+      val rows = cent.collect()
+      vectors.sparkSession.createDataFrame(rows.toSeq.asJava, cent.schema)
+    }
     var cent = init
     var assigned = assign(vectors, cent, idCol)
     (2 to iters).foreach { _ =>
       val updated = recentroid(assigned)
-      cent = updated.unionByName(
-        cent.join(updated.select(col("cid")), Seq("cid"), "left_anti"))
+      cent = localized(updated.unionByName(
+        cent.join(updated.select(col("cid")), Seq("cid"), "left_anti")))
       assigned = assign(vectors, cent, idCol)
     }
     assigned.select(col(idCol), col("cid"), col("d"))

@@ -337,8 +337,15 @@ object TextMetrics {
     val rows = df.select(col(idCol),
         explode(bigrams(col(textCol))).as("b"))
       .select(col(idCol), col("b.bg").as("bg"), col("b.w1").as("w1"))
+    // the bigram count table IS the language model — a materialized
+    // stage boundary (vocabulary-sized, the artifact a production LM
+    // scorer persists): both the conditional denominator and the
+    // scoring join read it, and unpinned each re-executed the corpus
+    // explode+count (ScanCensus/§22). The remaining TWO corpus passes
+    // (count build, scoring) are the honest train-then-score shape.
     val c2 = rows.groupBy(col("bg"), col("w1"))
       .agg(count(lit(1)).as("c2"))
+      .localCheckpoint(eager = true)
     val cp = c2.groupBy(col("w1")).agg(sum(col("c2")).as("cp"))
     rows
       .join(c2.join(cp, "w1").select(col("bg"), col("c2"), col("cp")), "bg")

@@ -114,8 +114,14 @@ object VectorOps {
     require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
     val qr = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       randomProject(col(vecCol), dim, rDim).as("qrv"))
+    // the reduced-space candidate table is a MATERIALIZED stage
+    // boundary (narrow: id + rDim doubles — the staged projection a
+    // production index persists): the shortlist's bounded-agg +
+    // join-back phases both read it, and unpinned each re-derives the
+    // projection from the corpus scan (ScanCensus/§22)
     val cr = candidates.select(col(idCol).as("cand_id"),
-      randomProject(col(vecCol), dim, rDim).as("crv"))
+        randomProject(col(vecCol), dim, rDim).as("crv"))
+      .localCheckpoint(eager = true)
     val scored = cr.join(broadcast(qr.select(col("query_id"), col("qrv"))),
         col("query_id") =!= col("cand_id"))
       .select(col("query_id"), col("cand_id"),

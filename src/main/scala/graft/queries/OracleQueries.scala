@@ -1852,14 +1852,19 @@ object OracleQueries {
       (s, dir) => {
         val docs = t(s, dir, "documents")
         val terms = Seq("hash", "join", "scan", "customer", "batch")
-        val tf = docs
-          .select(col("doc_id"),
-            explode(TextMetrics.tokens(col("text"))).as("token"))
-          .where(col("token").isin(terms: _*))
+        // ONE corpus scan via the staged narrow per-doc projection —
+        // the text_bm25 shape (SCALE_r09 §22): tf, df and N all read
+        // the pinned table instead of re-executing the scan
+        val perDoc = docs.select(col("doc_id"),
+            filter(TextMetrics.tokens(col("text")),
+              tk => tk.isin(terms: _*)).as("qtoks"))
+          .localCheckpoint(eager = true)
+        val tf = perDoc
+          .select(col("doc_id"), explode(col("qtoks")).as("token"))
           .groupBy(col("doc_id"), col("token"))
           .agg(count(lit(1)).as("tf"))
         val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
-        val n = docs.agg(count(lit(1)).as("n_docs"))
+        val n = perDoc.agg(count(lit(1)).as("n_docs"))
         tf.join(broadcast(dfreq), "token")
           .crossJoin(broadcast(n))
           .withColumn("w",
@@ -2437,9 +2442,12 @@ object OracleQueries {
         val ev = t(s, dir, "events")
         val sketch = Sketches.cmsSketch(ev, col("user_id"),
           CmsDepth, CmsWidth)
+        // bounded exact-reference table, pinned: the probe AND the
+        // comparison join both read it (ScanCensus/§22)
         val keys = ev.groupBy(col("user_id"))
           .agg(count(lit(1)).as("n_exact"))
           .where(col("user_id") < 50)
+          .localCheckpoint(eager = true)
         Sketches.cmsEstimate(sketch, keys.select(col("user_id")),
             "user_id", CmsDepth, CmsWidth)
           .join(keys, "user_id")

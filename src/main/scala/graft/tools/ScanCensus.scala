@@ -1,0 +1,37 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Per-query census of parquet-scan leaves in the physical plan — the
+  * §22 class of defect (a multi-consumer subtree silently re-executing
+  * the corpus scan because ReuseExchange does not fire) shows up here
+  * as a scan count higher than the number of DISTINCT tables the query
+  * reads. Self-joins and multi-table joins legitimately scan more than
+  * once; the census surfaces candidates for an explain audit, it does
+  * not judge.
+  *
+  *   sbt "runMain graft.tools.ScanCensus [sfDir]"
+  */
+object ScanCensus {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+        val scans = "Scan parquet".r.findAllIn(plan).length
+        val tables = "Scan parquet [a-zA-Z0-9_./]*".r.findAllIn(plan)
+          .toSet.size
+        println(f"SCANCENSUS $name%-28s scans=$scans tables=$tables")
+      } catch { case e: Throwable =>
+        println(s"SCANCENSUS $name ERROR ${e.getMessage}")
+      }
+    }
+    spark.stop()
+  }
+}
