@@ -55,8 +55,7 @@ object PqStage {
                           codesWithCell: DataFrame,
                           cellCentroids: DataFrame)
 
-  private val cache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Staged]
+  private val memo = new SessionMemo[Staged]
 
   /** The embeddings table in the family's canonical shape:
     * (vec_id, label, v: array<double>). */
@@ -68,9 +67,8 @@ object PqStage {
   /** Trained codebook + staged code tables for `dir`'s embeddings,
     * computed once per (session, sfDir); other sessions' entries are
     * evicted (see the retention contract above). */
-  def staged(s: SparkSession, dir: String): Staged = {
-    cache.filterInPlace { case ((sess, _), _) => sess eq s }
-    cache.getOrElseUpdate((s, dir), {
+  def staged(s: SparkSession, dir: String): Staged =
+    memo(s, dir) {
       val e = embeddings(s, dir)
       val (cb, _) = Pq.train(e, "vec_id", "v", Sub, Dim, K, Iters)
       val codes = Pq.encodeLocal(e, "vec_id", "v", cb, Sub, Dim)
@@ -91,6 +89,5 @@ object PqStage {
           col("c")))), s => s.getField("c")).as("cv"))
         .localCheckpoint(eager = true)
       Staged(cb, codes, withCell, cents)
-    })
-  }
+    }
 }
