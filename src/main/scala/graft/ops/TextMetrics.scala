@@ -309,6 +309,48 @@ object TextMetrics {
         count(lit(1)).as("n_tokens"))
   }
 
+  /** Both halves of the DSIR importance weight in ONE scoring pass:
+    * per document, the source-model average ([[unigramLogprob]]'s
+    * arithmetic — in-corpus vocabulary, no OOV possible by
+    * construction) AND the target-model average
+    * ([[unigramLogprobAgainst]]'s, smoothed-floor OOV) come from a
+    * single token explode joined against BOTH vocabularies. The
+    * separate two-call composition pays the corpus token pass twice
+    * (ScanCensus §23); this pays it once — at 100 TB the corpus scan
+    * IS the cost of DSIR. Every ln rounding, smoothing branch and
+    * decimal-mean step is verbatim from the two parent functions, so
+    * results are bit-identical to the composition. Returns
+    * (idCol, lp_s, lp_t, n_tokens). */
+  def unigramLogRatio(df: org.apache.spark.sql.DataFrame, idCol: String,
+                      textCol: String, ref: org.apache.spark.sql.DataFrame,
+                      refTextCol: String): org.apache.spark.sql.DataFrame = {
+    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+    val svocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cs"))
+    val tvocab = ref.select(explode(tokens(col(refTextCol))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("ct"))
+    val sTotalRow = df
+      .agg(sum(tokenCount(col(textCol)).cast("long"))).collect()(0)
+    val sTotal = if (sTotalRow.isNullAt(0)) 0L else sTotalRow.getLong(0)
+    val tTotalRow = ref
+      .agg(sum(tokenCount(col(refTextCol)).cast("long"))).collect()(0)
+    val tTotal = if (tTotalRow.isNullAt(0)) 0L else tTotalRow.getLong(0)
+    toks
+      .join(svocab, "tok")
+      .join(tvocab, Seq("tok"), "left")
+      .select(col(idCol),
+        round(log(col("cs") / lit(sTotal)), 6).as("lps"),
+        when(col("ct").isNull,
+          round(log(lit(1.0) / (tTotal + 1.0)), 6))
+          .otherwise(round(log(col("ct") / lit(tTotal)), 6)).as("lpt"))
+      .groupBy(col(idCol))
+      .agg(
+        (sum(col("lps").cast("decimal(18,9)")).cast("double") /
+          count(lit(1))).as("lp_s"),
+        (sum(col("lpt").cast("decimal(18,9)")).cast("double") /
+          count(lit(1))).as("lp_t"),
+        count(lit(1)).as("n_tokens"))
+  }
+
   /** Adjacent-token bigrams of a document as (bg = "w1 w2", w1) structs —
     * row-local (two shifted slices zipped; no per-document window, no
     * shuffle). A document of fewer than two tokens yields an empty

@@ -2980,13 +2980,11 @@ object OracleQueries {
       (s, dir) => {
         val docs = t(s, dir, "documents")
         val target = docs.where(col("lang") === "en")
-        val srcLp = TextMetrics.unigramLogprob(docs, "doc_id", "text")
-          .select(col("doc_id"), col("avg_logprob").as("lp_s"),
-            col("n_tokens"))
-        val tgtLp = TextMetrics.unigramLogprobAgainst(docs, "doc_id",
-            "text", target, "text")
-          .select(col("doc_id"), col("avg_logprob").as("lp_t"))
-        val scored = tgtLp.join(srcLp, "doc_id")
+        // one-pass log-ratio scorer (ScanCensus §23): the corpus token
+        // pass runs ONCE for both models, bit-identical to the
+        // unigramLogprob + unigramLogprobAgainst composition
+        val scored = TextMetrics.unigramLogRatio(docs, "doc_id", "text",
+            target, "text")
           .withColumn("lp_diff",
             round((col("lp_t") - col("lp_s")) * col("n_tokens"), 6))
         Sampling.logWeightedSample(scored, col("doc_id"), col("lp_diff"))

@@ -32,6 +32,26 @@ class DsirSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("unigramLogRatio equals the two-call composition bit-for-bit") {
+    val docs = Seq((1L, "x y x q"), (2L, "y z"), (3L, "x z z w"))
+      .toDF("doc_id", "text")
+    val target = Seq((10L, "x y y"), (11L, "z x")).toDF("doc_id", "text")
+    val merged = TextMetrics.unigramLogRatio(docs, "doc_id", "text",
+        target, "text")
+      .select("doc_id", "lp_s", "lp_t", "n_tokens")
+      .orderBy("doc_id").collect().toSeq
+    val src = TextMetrics.unigramLogprob(docs, "doc_id", "text")
+    val tgt = TextMetrics.unigramLogprobAgainst(docs, "doc_id", "text",
+      target, "text")
+    val composed = src.select(col("doc_id"),
+        col("avg_logprob").as("lp_s"), col("n_tokens"))
+      .join(tgt.select(col("doc_id"), col("avg_logprob").as("lp_t")),
+        "doc_id")
+      .select("doc_id", "lp_s", "lp_t", "n_tokens")
+      .orderBy("doc_id").collect().toSeq
+    assert(merged == composed)
+  }
+
   test("bigramLogprob: hand-computed conditional MLE") {
     // corpus bigrams: "a b" x2, "b a" x1, "b c" x1
     //   cPrefix(a)=2, cPrefix(b)=2
