@@ -93,6 +93,15 @@ object TextMetrics {
   /** 64-bit rolling content fingerprint (xxhash64 of the text). */
   def fingerprint(text: Column): Column = xxhash64(text)
 
+  /** Unicode NFC canonicalization — run BEFORE hash-based dedup or
+    * fingerprinting (composed vs decomposed accents are different bytes
+    * to xxhash64/MinHash); see [[graft.functions.NfcNormalize]].
+    * Row-local, zero shuffles; DuckDB's `nfc_normalize` replays it. */
+  def nfc(text: Column): Column = {
+    import org.apache.spark.sql.graftshim.Internals.{column => toCol, expression => toExpr}
+    toCol(graft.functions.NfcNormalize(toExpr(text)))
+  }
+
   /** DEFLATE compression ratio (output/input bytes) — the
     * vocabulary-free boilerplate/spam/noise signal; see
     * [[graft.functions.DeflateRatio]] for the determinism contract

@@ -3544,6 +3544,30 @@ object OracleQueries {
             AND n_stopwords >= 2 AS INTEGER) AS keep
         FROM f ORDER BY doc_id""")),
 
+    // ================== NFC canonicalization audit ========================
+    // The pre-dedup text-canonicalization check: how much of the corpus
+    // is NOT in Unicode NFC (composed vs decomposed accents hash
+    // differently, silently under-deduplicating mixed-source corpora)
+    // — plus length totals of the normalized text, so the oracle pins
+    // the NORMALIZATION OUTPUT cross-engine, not just the changed
+    // count. One scan, one bounded aggregate, all row-local.
+    Q("text_nfc",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        docs.select(
+            (TextMetrics.nfc(col("text")) =!= col("text"))
+              .cast("long").as("changed"),
+            length(TextMetrics.nfc(col("text"))).cast("long").as("nlen"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("changed")).as("n_changed"),
+            sum(col("nlen")).as("nfc_chars"))
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(CASE WHEN nfc_normalize(text) <> text
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+          CAST(SUM(length(nfc_normalize(text))) AS BIGINT) AS nfc_chars
+        FROM documents""")),
+
     // ===================== curation funnel report =========================
     // The dashboard a curation engineer reads before shipping a filter
     // config: per RULE, how many documents fail it (marginal counts —
