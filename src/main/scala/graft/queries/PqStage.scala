@@ -76,10 +76,20 @@ object PqStage {
       val withCell = codes
         .join(e.select(col("vec_id").as("id"), col("label")), "id")
         .localCheckpoint(eager = true)
-      // per-cell centroid table (the coarse-quantizer metadata a real
-      // IVF index stores): decimal-routed per-dim means, one row per
-      // cell — the vector_centroids recipe, tiny and broadcastable
-      val cents = e
+      Staged(cb, codes, withCell, cellCentroids(s, dir))
+    }
+
+  private val centMemo = new SessionMemo[DataFrame]
+
+  /** Per-cell centroid table (label, cv) — the coarse-quantizer
+    * metadata a real IVF index stores: decimal-routed per-dim means,
+    * one row per cell (the vector_centroids recipe, tiny and
+    * broadcastable). Staged on its OWN memo so the plain-IVF probe
+    * rankings (`sim_ivf_multiprobe`) consume it without paying PQ
+    * codebook training; the IVF-PQ stage composes it. */
+  def cellCentroids(s: SparkSession, dir: String): DataFrame =
+    centMemo(s, dir) {
+      embeddings(s, dir)
         .select(col("label"), posexplode(col("v")).as(Seq("i", "x")))
         .groupBy(col("label"), col("i"))
         .agg((sum(col("x").cast("decimal(18,9)")).cast("double") /
@@ -88,6 +98,5 @@ object PqStage {
         .agg(transform(array_sort(collect_list(struct(col("i"),
           col("c")))), s => s.getField("c")).as("cv"))
         .localCheckpoint(eager = true)
-      Staged(cb, codes, withCell, cents)
     }
 }
