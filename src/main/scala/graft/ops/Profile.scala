@@ -37,7 +37,7 @@ object Profile {
     * NTZ timestamps (what parquet timestamp-without-timezone infers to)
     * are interpreted in the session timezone — pin it to UTC (as every
     * entry point in this repo does) so the profile is host-invariant. */
-  private def numeric(c: Column, dt: DataType): Column = dt match {
+  private[graft] def numeric(c: Column, dt: DataType): Column = dt match {
     case _: NumericType => c.cast("double")
     case _: TimestampType => unix_micros(c).cast("double")
     case TimestampNTZType => unix_micros(c.cast("timestamp")).cast("double")

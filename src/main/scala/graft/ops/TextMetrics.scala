@@ -560,12 +560,9 @@ object TextMetrics {
       / nLines, 6)
     val ellipsisFrac = round(size(filter(lines,
       l => l.endsWith("..."))).cast("double") / nLines, 6)
-    val keep = (n >= minWords) && (n <= maxWords) &&
-      (meanLen >= 3.0) && (meanLen <= 10.0) &&
-      (hashRatio <= 0.1) && (ellipsisRatio <= 0.1) &&
-      (bulletFrac <= 0.9) && (ellipsisFrac <= 0.3) &&
-      (alphaFrac >= 0.8) &&
-      (nStops >= 2)
+    val keep = gopherRules(n, meanLen, hashRatio, ellipsisRatio,
+      alphaFrac, nStops, bulletFrac, ellipsisFrac, minWords, maxWords)
+      .map(_._2).reduce(_ && _)
     struct(
       n.cast("long").as("n_words"),
       meanLen.as("mean_word_len"),
@@ -577,6 +574,26 @@ object TextMetrics {
       ellipsisFrac.as("ellipsis_frac"),
       keep.as("keep"))
   }
+
+  /** The named A1.1 rule predicates over [[gopherFlags]]' feature
+    * columns — the SINGLE Spark-side source of the thresholds:
+    * `gopherFlags.keep` is these rules' conjunction, and the
+    * `quality_funnel` report evaluates them one by one over the struct
+    * fields, so a tuned threshold cannot diverge between the filter a
+    * pipeline applies and the funnel it reads. (The DuckDB oracles
+    * restate the literals BY DESIGN — they are independent
+    * re-derivations.) */
+  def gopherRules(nWords: Column, meanLen: Column, hashRatio: Column,
+                  ellipsisRatio: Column, alphaFrac: Column,
+                  nStops: Column, bulletFrac: Column,
+                  ellipsisFrac: Column, minWords: Int,
+                  maxWords: Int): Seq[(String, Column)] = Seq(
+    "words_in_range" -> (nWords >= minWords && nWords <= maxWords),
+    "mean_word_len" -> (meanLen >= 3.0 && meanLen <= 10.0),
+    "symbol_ratios" -> (hashRatio <= 0.1 && ellipsisRatio <= 0.1),
+    "line_shapes" -> (bulletFrac <= 0.9 && ellipsisFrac <= 0.3),
+    "alpha_words" -> (alphaFrac >= 0.8),
+    "stopwords" -> (nStops >= 2))
 
   /** Duplicate-line repetition rules (Rae et al. 2021 A1.1, the
     * within-document half of the Gopher repetition family that

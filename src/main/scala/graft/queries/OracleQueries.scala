@@ -3551,10 +3551,16 @@ object OracleQueries {
     Q("text_nfc",
       (s, dir) => {
         val docs = t(s, dir, "documents")
-        docs.select(
-            (TextMetrics.nfc(col("text")) =!= col("text"))
-              .cast("long").as("changed"),
-            length(TextMetrics.nfc(col("text"))).cast("long").as("nlen"))
+        // nfc computed ONCE per row (a nested select — CodegenFallback
+        // expressions are not guaranteed subexpression elimination);
+        // the changed flag routes NULL text to 0 via when/otherwise,
+        // matching the oracle's CASE (a bare boolean cast would sum to
+        // NULL on an all-null corpus where the oracle sums 0)
+        docs.select(col("text"), TextMetrics.nfc(col("text")).as("nt"))
+          .select(
+            when(col("nt") =!= col("text"), lit(1L)).otherwise(lit(0L))
+              .as("changed"),
+            length(col("nt")).cast("long").as("nlen"))
           .agg(count(lit(1)).as("n_docs"),
             sum(col("changed")).as("n_changed"),
             sum(col("nlen")).as("nfc_chars"))
@@ -3581,19 +3587,15 @@ object OracleQueries {
           TextMetrics.gopherFlags(col("text"), minWords = 40,
             maxWords = 100000, stopwords = stops).as("g"),
           TextMetrics.repetitionFeatures(col("text")).as("r"))
-        val rules: Seq[(String, Column)] = Seq(
-          "words_in_range" ->
-            (col("g.n_words") >= 40 && col("g.n_words") <= 100000),
-          "mean_word_len" ->
-            (col("g.mean_word_len") >= 3.0 &&
-              col("g.mean_word_len") <= 10.0),
-          "symbol_ratios" ->
-            (col("g.hash_ratio") <= 0.1 && col("g.ellipsis_ratio") <= 0.1),
-          "line_shapes" ->
-            (col("g.bullet_frac") <= 0.9 && col("g.ellipsis_frac") <= 0.3),
-          "alpha_words" -> (col("g.alpha_frac") >= 0.8),
-          "stopwords" -> (col("g.n_stopwords") >= 2),
-          "repetition" -> (col("r.dup_ngram_frac") < 0.3))
+        // the SAME predicates gopherFlags.keep conjoins (single Spark-
+        // side source — TextMetrics.gopherRules), evaluated per rule,
+        // plus the repetition rule
+        val rules: Seq[(String, Column)] = TextMetrics.gopherRules(
+          col("g.n_words"), col("g.mean_word_len"), col("g.hash_ratio"),
+          col("g.ellipsis_ratio"), col("g.alpha_frac"),
+          col("g.n_stopwords"), col("g.bullet_frac"),
+          col("g.ellipsis_frac"), minWords = 40, maxWords = 100000) :+
+          ("repetition" -> (col("r.dup_ngram_frac") < 0.3))
         val allPass = rules.map(_._2).reduce(_ && _)
         // a NULL rule outcome (null text) counts as FAIL in both
         // engines: when/CASE route null conditions to the else branch

@@ -49,20 +49,15 @@ object StreamingProfile {
                         min_v: Option[Double], max_v: Option[Double],
                         approx_distinct: Double)
 
-  private def numeric(c: org.apache.spark.sql.Column,
-                      dt: DataType): org.apache.spark.sql.Column = dt match {
-    case _: NumericType => c.cast("double")
-    case _: TimestampType => unix_micros(c).cast("double")
-    case TimestampNTZType => unix_micros(c.cast("timestamp")).cast("double")
-    case DateType => unix_date(c).cast("double")
-    case _ => lit(null).cast("double")
-  }
-
   /** The state-update function, factored out so the unit spec can drive
     * it directly. Null observations count into NOTHING (the batch
     * profiler's semantics: n_nonnull, min/max and distinct are all over
     * observed values); they still arrive so that an all-null batch
-    * refreshes the column's emission. */
+    * refreshes the column's emission. min/max compare with
+    * `java.lang.Double.compare` — Spark's aggregate ordering, where NaN
+    * is GREATER than every value — so a NaN observation leaves min
+    * untouched and wins max, exactly as the batch profiler reports
+    * (math.min/max would instead poison both with NaN forever). */
   private[streaming] def update(p: Int)(
       key: String, rows: Iterator[Obs],
       state: GroupState[ProfState]): ColProfile = {
@@ -71,11 +66,13 @@ object StreamingProfile {
     rows.foreach { o =>
       if (!o.is_null) {
         val mn = o.num match {
-          case Some(x) => Some(st.min_v.fold(x)(math.min(_, x)))
+          case Some(x) => Some(st.min_v.fold(x)(cur =>
+            if (java.lang.Double.compare(x, cur) < 0) x else cur))
           case None => st.min_v
         }
         val mx = o.num match {
-          case Some(x) => Some(st.max_v.fold(x)(math.max(_, x)))
+          case Some(x) => Some(st.max_v.fold(x)(cur =>
+            if (java.lang.Double.compare(x, cur) > 0) x else cur))
           case None => st.max_v
         }
         if (o.rank > st.regs(o.bucket)) st.regs(o.bucket) = o.rank.toByte
@@ -106,7 +103,8 @@ object StreamingProfile {
       struct(
         lit(n).as("col_name"),
         q(n).isNull.as("is_null"),
-        numeric(q(n), dt).as("num"),
+        // the batch profiler's own type routing — one contract, not two
+        graft.ops.Profile.numeric(q(n), dt).as("num"),
         coalesce(bucket, lit(0)).as("bucket"),
         coalesce(rank, lit(0)).as("rank"))
     }

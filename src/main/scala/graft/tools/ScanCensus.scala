@@ -25,7 +25,9 @@ object ScanCensus {
       try {
         val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
         val scans = "Scan parquet".r.findAllIn(plan).length
-        val tables = "Scan parquet [a-zA-Z0-9_./]*".r.findAllIn(plan)
+        // path-based reads carry no table identifier in the scan node —
+        // the distinct TABLE count comes from the Location paths
+        val tables = "file:[^\\],\\s]*\\.parquet".r.findAllIn(plan)
           .toSet.size
         println(f"SCANCENSUS $name%-28s scans=$scans tables=$tables")
       } catch { case e: Throwable =>

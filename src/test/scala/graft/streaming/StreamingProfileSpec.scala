@@ -89,6 +89,21 @@ class StreamingProfileSpec extends SparkSpec {
     assert(got("s").approx_distinct == batchEst(ss))
   }
 
+  test("NaN follows Spark's aggregate ordering: never poisons min, " +
+    "wins max — exact parity with the batch profiler") {
+    val withNan = Seq(
+      (1L, Some(Double.NaN), Some("a")),
+      (2L, Some(1.5), Some("b")),
+      (3L, Some(-2.0), Some("c")))
+    val got = run(Seq(withNan))
+    assert(got("x").min_v.contains(-2.0))
+    assert(got("x").max_v.exists(_.isNaN))
+    val batch = Profile.profile(withNan.toDF("id", "x", "s"), Seq("x"))
+      .collect().head
+    assert(got("x").min_v.contains(batch.getDouble(3)))
+    assert(batch.getDouble(4).isNaN)
+  }
+
   test("estimates are sane on a larger column (within HLL error)") {
     val big = (0 until 2000).map(i =>
       (i.toLong, Some(i % 500 * 1.0), Some(s"v${i % 137}")))
