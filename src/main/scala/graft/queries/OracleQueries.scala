@@ -3541,6 +3541,66 @@ object OracleQueries {
             AND n_stopwords >= 2 AS INTEGER) AS keep
         FROM f ORDER BY doc_id""")),
 
+    // ===================== corpus snapshot diff ===========================
+    // The incremental-crawl primitive: given two corpus versions, how
+    // many documents were added / removed / changed / unchanged, with
+    // character volume per class — what decides whether the next
+    // pipeline run is incremental or full. v2 derives deterministically
+    // from v1 here (modified text for doc_id%7==3, doc_id%11==0
+    // dropped, %13==0 re-added as new ids). Scale shape: each side is
+    // ONE scan projected to (doc_id, fingerprint, length) — 16-byte
+    // rows, never full text — then one doc_id-keyed full outer join and
+    // a 4-group aggregate. Fingerprint equality stands in for text
+    // equality (xxhash64; a 2^-64 collision would misclass one doc as
+    // unchanged — the standard trade); the DuckDB oracle compares the
+    // TEXT itself, so the gate also certifies collision-freeness on
+    // this corpus.
+    Q("corpus_diff",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val v2 = docs
+          .where(col("doc_id") % 11 =!= 0)
+          .select(col("doc_id"),
+            when(col("doc_id") % 7 === 3, concat(col("text"), lit(" v2")))
+              .otherwise(col("text")).as("text"))
+          .unionAll(docs.where(col("doc_id") % 13 === 0)
+            .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        val a = docs.select(col("doc_id"),
+          xxhash64(col("text")).as("fp1"),
+          length(col("text")).cast("long").as("len1"))
+        val b = v2.select(col("doc_id"),
+          xxhash64(col("text")).as("fp2"),
+          length(col("text")).cast("long").as("len2"))
+        a.join(b, Seq("doc_id"), "full_outer")
+          .select(
+            when(col("fp1").isNull, lit("added"))
+              .when(col("fp2").isNull, lit("removed"))
+              .when(col("fp1") =!= col("fp2"), lit("changed"))
+              .otherwise(lit("unchanged")).as("status"),
+            coalesce(col("len2"), col("len1")).as("len"))
+          .groupBy(col("status"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("len")).as("n_chars"))
+          .orderBy(col("status"))
+      },
+      Some("""WITH v2 AS (
+          SELECT doc_id,
+            CASE WHEN doc_id % 7 = 3 THEN text || ' v2' ELSE text END
+              AS text
+          FROM documents WHERE doc_id % 11 <> 0
+          UNION ALL
+          SELECT doc_id + 1000000 AS doc_id, text FROM documents
+          WHERE doc_id % 13 = 0),
+        d AS (SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+            CASE WHEN a.doc_id IS NULL THEN 'added'
+              WHEN b.doc_id IS NULL THEN 'removed'
+              WHEN a.text <> b.text THEN 'changed'
+              ELSE 'unchanged' END AS status,
+            COALESCE(length(b.text), length(a.text)) AS len
+          FROM documents a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id)
+        SELECT status, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(len) AS BIGINT) AS n_chars
+        FROM d GROUP BY status ORDER BY status""")),
+
     // ================== NFC canonicalization audit ========================
     // The pre-dedup text-canonicalization check: how much of the corpus
     // is NOT in Unicode NFC (composed vs decomposed accents hash
