@@ -3174,6 +3174,28 @@ object OracleQueries {
         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         ORDER BY gid, l_returnflag, l_linestatus""")),
 
+    // rollup's sibling: CUBE — every grouping-set combination (per-pair,
+    // per-flag, per-status, grand total) in the same one-pass
+    // grouping-bitmask plan. Same Expand-based execution; the exchange
+    // carries |sets| x |groups| bounded aggregate rows.
+    Q("agg_cube",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        li.cube(col("l_returnflag"), col("l_linestatus"))
+          .agg(grouping_id().as("gid"),
+            count(lit(1)).as("n_rows"),
+            dsum(col("l_quantity")).as("qty_sum"))
+          .select(col("l_returnflag"), col("l_linestatus"),
+            col("gid").cast("long").as("gid"), col("n_rows"),
+            col("qty_sum"))
+          .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
+      },
+      Some(s"""SELECT l_returnflag, l_linestatus,
+          CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+          COUNT(*) AS n_rows, ${sqlDsum("l_quantity")} AS qty_sum
+        FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        ORDER BY gid, l_returnflag, l_linestatus""")),
+
     // ======== weighted exact-N sampling (Efraimidis–Spirakis) ============
     // The canonical distributed weighted without-replacement draw: the
     // N largest u^(1/w) keys per language win, probability proportional
@@ -3540,6 +3562,50 @@ object OracleQueries {
             AND alpha_frac >= 0.8
             AND n_stopwords >= 2 AS INTEGER) AS keep
         FROM f ORDER BY doc_id""")),
+
+    // ============= percentile-tail length filtering =======================
+    // The data-driven length rule (fixed thresholds misfit some
+    // languages): per language, drop documents whose token count falls
+    // outside [p05, p95] — boundaries from the distributed
+    // rank-selection percentile (every stage at data-partition
+    // parallelism), broadcast back onto the corpus as a BOUNDED
+    // |lang|-row table, the filter riding the scan. Output is the
+    // per-language survivor count + the boundaries (6-dp-rounded — the
+    // a12 interpolation parity), so the gate pins boundary arithmetic
+    // AND the filter semantics.
+    Q("filter_length_tails",
+      (s, dir) => {
+        val lens = t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            TextMetrics.tokenCount(col("text")).cast("long").as("n_tok"))
+        val p05 = PercentileAgg.percentileSelect(
+            lens.select(col("lang"), col("n_tok").cast("double")
+              .as("v")), Seq("lang"), "v", 0.05, outCol = "lo_raw")
+          .select(col("lang"), round(col("lo_raw"), 6).as("lo"))
+        val p95 = PercentileAgg.percentileSelect(
+            lens.select(col("lang"), col("n_tok").cast("double")
+              .as("v")), Seq("lang"), "v", 0.95, outCol = "hi_raw")
+          .select(col("lang"), round(col("hi_raw"), 6).as("hi"))
+        val bounds = p05.join(p95, "lang")
+        lens.join(broadcast(bounds), "lang")
+          .where(col("n_tok") >= col("lo") && col("n_tok") <= col("hi"))
+          .groupBy(col("lang"), col("lo"), col("hi"))
+          .agg(count(lit(1)).as("n_kept"))
+          .select(col("lang"), col("lo"), col("hi"), col("n_kept"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH lens AS (SELECT doc_id, lang,
+            (length(text) - length(replace(text, ' ', ''))) + 1 AS n_tok
+          FROM documents),
+        b AS (SELECT lang,
+            ROUND(quantile_cont(CAST(n_tok AS DOUBLE), 0.05), 6) AS lo,
+            ROUND(quantile_cont(CAST(n_tok AS DOUBLE), 0.95), 6) AS hi
+          FROM lens GROUP BY lang)
+        SELECT l.lang, b.lo, b.hi,
+          CAST(COUNT(*) AS BIGINT) AS n_kept
+        FROM lens l JOIN b ON l.lang = b.lang
+        WHERE l.n_tok >= b.lo AND l.n_tok <= b.hi
+        GROUP BY l.lang, b.lo, b.hi ORDER BY l.lang""")),
 
     // ===================== corpus snapshot diff ===========================
     // The incremental-crawl primitive: given two corpus versions, how
