@@ -2638,6 +2638,43 @@ object OracleQueries {
             AS span_len
         FROM e ORDER BY shard, seq_id, seq_offset""")),
 
+    // packing EFFICIENCY: per packed sequence, how many spans/documents
+    // it holds and what fraction of the token budget is filled — the
+    // padding-waste report that decides the budget (only each shard's
+    // LAST sequence can underfill under concat-and-split; everything
+    // else must read fill_frac = 1.0, and the gate pins exactly that).
+    // One aggregate over the span table; same per-shard scale contract.
+    Q("pack_efficiency",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val spans = Packing.packSpans(docs, col("lang"), col("doc_id"),
+          col("doc_id"), TextMetrics.tokenCount(col("text")), budget = 64)
+        Packing.seqStats(spans, budget = 64)
+          .orderBy(col("shard"), col("seq_id"))
+      },
+      Some("""WITH d AS (SELECT lang, doc_id,
+            CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+            FROM documents),
+          c AS (SELECT lang, doc_id, tok,
+            CAST(COALESCE(SUM(tok) OVER (PARTITION BY lang ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS st
+            FROM d),
+          e AS (SELECT lang, doc_id, tok, st,
+            UNNEST(range(st // 64, (st + tok - 1) // 64 + 1)) AS seq_id
+            FROM c),
+          sp AS (SELECT lang AS shard, seq_id, doc_id,
+            LEAST(st + tok, (seq_id + 1) * 64) - GREATEST(st, seq_id * 64)
+              AS span_len
+          FROM e)
+        SELECT shard, seq_id,
+          CAST(COUNT(*) AS BIGINT) AS n_spans,
+          CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+          CAST(SUM(span_len) AS BIGINT) AS filled_tokens,
+          ROUND(CAST(CAST(SUM(span_len) AS BIGINT) AS DOUBLE) / 64, 6)
+            AS fill_frac
+        FROM sp GROUP BY shard, seq_id ORDER BY shard, seq_id""")),
+
     // ============== histogram quantile sketch ============================
     // The mergeable single-pass complement to a12's exact rank-selection
     // percentile: a 128-bucket equi-width histogram over l_extendedprice
