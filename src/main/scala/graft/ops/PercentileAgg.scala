@@ -164,6 +164,188 @@ object PercentileAgg {
     selectLevel(vdf, ranks, keys, outCol, buckets, maxGather, level = 0)
   }
 
+  /** Multi-quantile form of [[percentileSelect]]: ONE routing pass
+    * returning every requested quantile per group.
+    *
+    * Two single-quantile calls over the same table pay the scan-heavy
+    * stages twice — the per-group count/min/max aggregation, the
+    * bucketing join, and the 65536-bucket histogram are IDENTICAL for
+    * every quantile of a group (only the target rank differs). This form
+    * runs those stages once and forks per-quantile only at the
+    * bounded tail: the rank table carries one row per (group, quantile),
+    * the cumulative-histogram join flags each quantile's target
+    * bucket(s), and the final order-statistic passes key on
+    * (group, quantile). The outlier-recursion path folds the quantile
+    * index into the group key and delegates to the single-quantile
+    * routing — each (group, quantile) recursing into an over-populated
+    * bucket is an independent sub-problem.
+    *
+    * Interpolation is the exact formula of [[percentileSelect]], applied
+    * per quantile — results are bit-identical to N single calls
+    * (asserted in PercentileSelectSpec across ties, all-equal, and
+    * 1/2-element groups). Same eager collect-route contract; same
+    * all-null-group behavior (no row).
+    *
+    * Returns ONE row per group: (keys..., outCols...) — quantile i of
+    * `ps` lands in column `outCols(i)`.
+    */
+  def percentileSelectMulti(df: DataFrame, keys: Seq[String],
+                            valueCol: String, ps: Seq[Double],
+                            outCols: Seq[String],
+                            buckets: Int = 65536,
+                            maxGather: Long = 1L << 18): DataFrame = {
+    require(ps.nonEmpty && ps.size == outCols.size,
+      s"need one output column per quantile: ${ps.size} vs ${outCols.size}")
+    require(outCols.distinct.size == outCols.size,
+      s"duplicate output columns: $outCols")
+    ps.foreach(p => require(p >= 0.0 && p <= 1.0,
+      s"percentile p out of [0,1]: $p"))
+    // global path: same non-foldable constant key as percentileSelect
+    if (keys.isEmpty)
+      return percentileSelectMulti(
+        df.withColumn("_pk", spark_partition_id() * 0 + 1), Seq("_pk"),
+        valueCol, ps, outCols, buckets, maxGather).drop("_pk")
+    val kcols = keys.map(col)
+    val vdf = df.where(col(valueCol).isNotNull)
+      .select(kcols :+ col(valueCol).as("_v"): _*)
+    // the ONE shared aggregation pass (count/min/max per group)
+    val ranks0 = vdf.groupBy(kcols: _*)
+      .agg(count(lit(1)).as("_n"), min(col("_v")).as("_mn"),
+        max(col("_v")).as("_mx"))
+      .localCheckpoint(true)
+    // fan the pinned per-group row out to one row per (group, quantile):
+    // rank arithmetic matches percentileSelect exactly — (n-1)*p with the
+    // SAME literal p, so _frac/_klo/_khi are bit-identical per quantile
+    val qArr = array(ps.zipWithIndex.map { case (p, i) =>
+      struct(lit(i).as("_qi"), lit(p).as("_p")) }: _*)
+    val ranksQ = ranks0
+      .select(kcols ++ Seq(col("_n"), col("_mn"), col("_mx"),
+        explode(qArr).as("_q")): _*)
+      .withColumn("_pos", (col("_n") - 1).cast("double") * col("_q._p"))
+      .withColumn("_frac", col("_pos") - floor(col("_pos")))
+      .withColumn("_klo", floor(col("_pos")).cast("long") + 1)
+      .withColumn("_khi", least(col("_klo") + 1, col("_n")))
+      .select(kcols :+ col("_q._qi").as("_qi") :+ col("_klo") :+
+        col("_khi") :+ col("_frac") :+ col("_mn") :+ col("_mx"): _*)
+    val qkeys = keys :+ "_qi"
+    val fracOf = ranksQ.select(kcols :+ col("_qi") :+ col("_frac"): _*)
+    def interp(lohi: DataFrame): DataFrame =
+      lohi.join(broadcast(fracOf), qkeys).select(kcols :+ col("_qi") :+
+        (col("_vlo") * (lit(1.0) - col("_frac")) +
+          col("_vhi") * col("_frac")).as("_out"): _*)
+
+    // the ONE shared bucketing pass + histogram (quantile-independent)
+    val mm = ranks0.select(kcols :+ col("_mn") :+ col("_mx"): _*)
+    val bucketOf = when(col("_mx") <= col("_mn"), lit(0L)).otherwise(
+      least(floor((col("_v") - col("_mn")) /
+          (col("_mx") - col("_mn")) * buckets).cast("long"),
+        lit((buckets - 1).toLong)))
+    val bucketed = vdf.join(broadcast(mm), keys).withColumn("_b", bucketOf)
+    val hist = bucketed.groupBy(kcols :+ col("_b"): _*)
+      .agg(count(lit(1)).as("_c"))
+    val wb = Window.partitionBy(kcols: _*).orderBy(col("_b"))
+    // per (group, quantile): its 1-2 target buckets — same collect-route
+    // bound as the single form, ×|ps|
+    val tdf = hist.withColumn("_cumEnd", sum(col("_c")).over(wb))
+      .withColumn("_cumStart", col("_cumEnd") - col("_c"))
+      .join(broadcast(ranksQ.select(kcols :+ col("_qi") :+ col("_klo") :+
+        col("_khi"): _*)), keys)
+      .withColumn("_isLo", col("_klo") > col("_cumStart") &&
+        col("_klo") <= col("_cumEnd"))
+      .withColumn("_isHi", col("_khi") > col("_cumStart") &&
+        col("_khi") <= col("_cumEnd"))
+      .where(col("_isLo") || col("_isHi"))
+      .select(kcols :+ col("_qi") :+ col("_b") :+ col("_c") :+
+        col("_cumStart") :+ col("_isLo") :+ col("_isHi"): _*)
+    val tschema = tdf.schema
+    val targetRows = tdf.collect()
+    val nk = keys.size // row layout: keys, _qi, _b, _c, _cumStart, _isLo, _isHi
+    def rLo(r: Row) = r.getBoolean(nk + 4)
+    def rHi(r: Row) = r.getBoolean(nk + 5)
+    val (splitRows, oneBucketRows) =
+      targetRows.partition(r => !(rLo(r) && rHi(r)))
+    val (bigRows, smallRows) = oneBucketRows.partition(r =>
+      r.getLong(nk + 2) > maxGather)
+    def proj(rows: Array[Row], idxs: Seq[Int]): DataFrame = {
+      import scala.jdk.CollectionConverters._
+      vdf.sparkSession.createDataFrame(
+        rows.map(r => Row.fromSeq(idxs.map(r.get))).toSeq.asJava,
+        StructType(idxs.map(tschema.fields(_))))
+    }
+    val qkeyIdx = 0 to nk // keys plus _qi
+
+    val parts = Seq.newBuilder[DataFrame]
+    if (splitRows.nonEmpty) {
+      // ranks in different buckets: vlo/vhi are plain bucket extremes.
+      // The join is on (keys, _b) only — a bucket targeted by two
+      // quantiles fans each value row out per _qi, then the (keys, _qi)
+      // groupBy separates them
+      val sel = proj(splitRows, qkeyIdx :+ (nk + 1) :+ (nk + 4) :+ (nk + 5))
+      parts += interp(bucketed.join(broadcast(sel), keys :+ "_b")
+        .groupBy(kcols :+ col("_qi"): _*)
+        .agg(max(when(col("_isLo"), col("_v"))).as("_vlo"),
+          min(when(col("_isHi"), col("_v"))).as("_vhi")))
+    }
+    if (smallRows.nonEmpty) {
+      // both ranks in one bounded bucket: distinct-value rank selection,
+      // windowed per (group, quantile, bucket)
+      val sel = proj(smallRows, qkeyIdx :+ (nk + 1) :+ (nk + 3))
+      val perValue = bucketed.join(broadcast(sel), keys :+ "_b")
+        .groupBy(kcols :+ col("_qi") :+ col("_b") :+ col("_cumStart") :+
+          col("_v"): _*)
+        .agg(count(lit(1)).as("_vc"))
+      val wv = Window.partitionBy(kcols :+ col("_qi") :+ col("_b"): _*)
+        .orderBy(col("_v"))
+      val ranked = perValue
+        .withColumn("_vEnd", col("_cumStart") + sum(col("_vc")).over(wv))
+        .join(broadcast(ranksQ.select(kcols :+ col("_qi") :+ col("_klo") :+
+          col("_khi"): _*)), qkeys)
+      val vlo = ranked.where(col("_klo") > col("_vEnd") - col("_vc") &&
+          col("_klo") <= col("_vEnd"))
+        .select(kcols :+ col("_qi") :+ col("_v").as("_vlo"): _*)
+      val vhi = ranked.where(col("_khi") > col("_vEnd") - col("_vc") &&
+          col("_khi") <= col("_vEnd"))
+        .select(kcols :+ col("_qi") :+ col("_v").as("_vhi"): _*)
+      parts += interp(vlo.join(broadcast(vhi), qkeys))
+    }
+    if (bigRows.nonEmpty) {
+      // outlier-squeezed bucket: each (group, quantile) recurses
+      // independently — fold _qi into the group key and delegate to the
+      // single-quantile routing (its ranks table is already one row per
+      // key, which (keys, _qi) now is)
+      val sel = proj(bigRows, qkeyIdx :+ (nk + 1) :+ (nk + 3))
+      val sub = bucketed.join(broadcast(sel), keys :+ "_b")
+        .select(kcols :+ col("_qi") :+ col("_v") :+ col("_cumStart"): _*)
+        .localCheckpoint(true)
+      val nextVdf = sub.select(kcols :+ col("_qi") :+ col("_v"): _*)
+      val nextRanks = ranksQ
+        .join(broadcast(sub.groupBy(kcols :+ col("_qi"): _*)
+          .agg(first(col("_cumStart")).as("_off"),
+            min(col("_v")).as("_smn"), max(col("_v")).as("_smx"))), qkeys)
+        .select(kcols :+ col("_qi") :+
+          (col("_klo") - col("_off")).as("_klo") :+
+          (col("_khi") - col("_off")).as("_khi") :+ col("_frac") :+
+          col("_smn").as("_mn") :+ col("_smx").as("_mx"): _*)
+        .localCheckpoint(true)
+      parts += selectLevel(nextVdf, nextRanks, qkeys, "_out", buckets,
+        maxGather, level = 1)
+    }
+    val built = parts.result()
+    val long = // (keys, _qi, _out) — one row per (group, quantile)
+      if (built.isEmpty)
+        // empty input: keep the output schema (0 rows)
+        interp(vdf.groupBy(kcols: _*)
+          .agg(min(col("_v")).as("_vlo"), max(col("_v")).as("_vhi"))
+          .withColumn("_qi", lit(0)))
+      else built.reduce(_ unionByName _)
+    // pivot the bounded long form to one row per group — a conditional
+    // aggregate per requested quantile, never a sort
+    long.groupBy(kcols: _*)
+      .agg(max(when(col("_qi") === 0, col("_out"))).as(outCols.head),
+        outCols.zipWithIndex.tail.map { case (name, i) =>
+          max(when(col("_qi") === i, col("_out"))).as(name) }: _*)
+  }
+
   /** `ranks` carries one row per group: (_klo, _khi, _frac) plus the
     * group's value range (_mn, _mx) — already materialized, so no level
     * re-scans its table for bounds. */

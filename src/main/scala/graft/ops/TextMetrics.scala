@@ -464,10 +464,13 @@ object TextMetrics {
     * across languages, so a global cut would misfile whole languages.
     *
     * Determinism/plan shape: the scored table is pinned once
-    * (localCheckpoint — it feeds the two tercile boundary computations
-    * AND the final projection; unpinned, the vocab join would re-execute
-    * three times). Boundaries come from [[PercentileAgg.percentileSelect]]
-    * (the bounded multi-job routing — never a global sort), are rounded
+    * (localCheckpoint — it feeds the tercile boundary computation AND
+    * the final projection; unpinned, the vocab join would re-execute
+    * per consumer). BOTH tercile boundaries come from ONE
+    * [[PercentileAgg.percentileSelectMulti]] routing (the bounded
+    * multi-job rank selection — never a global sort; the shared
+    * count/min/max, bucketing and histogram passes run once, not per
+    * quantile), are rounded
     * to 6 dp, broadcast (one row per language), and compared against the
     * 6-dp-rounded score with `>=` — both sides rounded, so the bucket
     * edge is identical on every engine and partitioning. Returns one row
@@ -480,11 +483,9 @@ object TextMetrics {
       .select(col(idCol), col("lang"),
         round(col("avg_logprob"), 6).as("score"))
       .localCheckpoint(true)
-    val p33 = PercentileAgg.percentileSelect(scored, Seq("lang"),
-      "score", 1.0 / 3, outCol = "__qb_p33")
-    val p67 = PercentileAgg.percentileSelect(scored, Seq("lang"),
-      "score", 2.0 / 3, outCol = "__qb_p67")
-    val bounds = broadcast(p33.join(p67, "lang")
+    val terciles = PercentileAgg.percentileSelectMulti(scored, Seq("lang"),
+      "score", Seq(1.0 / 3, 2.0 / 3), Seq("__qb_p33", "__qb_p67"))
+    val bounds = broadcast(terciles
       .select(col("lang"), round(col("__qb_p33"), 6).as("__qb_lo"),
         round(col("__qb_p67"), 6).as("__qb_hi")))
     scored.join(bounds, "lang")

@@ -3603,9 +3603,10 @@ object OracleQueries {
     // ============= percentile-tail length filtering =======================
     // The data-driven length rule (fixed thresholds misfit some
     // languages): per language, drop documents whose token count falls
-    // outside [p05, p95] — boundaries from the distributed
-    // rank-selection percentile (every stage at data-partition
-    // parallelism), broadcast back onto the corpus as a BOUNDED
+    // outside [p05, p95] — BOTH boundaries from one multi-quantile
+    // rank-selection routing (every stage at data-partition
+    // parallelism; the scan-heavy passes run once, not per tail),
+    // broadcast back onto the corpus as a BOUNDED
     // |lang|-row table, the filter riding the scan. Output is the
     // per-language survivor count + the boundaries (6-dp-rounded — the
     // a12 interpolation parity), so the gate pins boundary arithmetic
@@ -3615,15 +3616,12 @@ object OracleQueries {
         val lens = t(s, dir, "documents")
           .select(col("doc_id"), col("lang"),
             TextMetrics.tokenCount(col("text")).cast("long").as("n_tok"))
-        val p05 = PercentileAgg.percentileSelect(
+        val bounds = PercentileAgg.percentileSelectMulti(
             lens.select(col("lang"), col("n_tok").cast("double")
-              .as("v")), Seq("lang"), "v", 0.05, outCol = "lo_raw")
-          .select(col("lang"), round(col("lo_raw"), 6).as("lo"))
-        val p95 = PercentileAgg.percentileSelect(
-            lens.select(col("lang"), col("n_tok").cast("double")
-              .as("v")), Seq("lang"), "v", 0.95, outCol = "hi_raw")
-          .select(col("lang"), round(col("hi_raw"), 6).as("hi"))
-        val bounds = p05.join(p95, "lang")
+              .as("v")), Seq("lang"), "v", Seq(0.05, 0.95),
+            Seq("lo_raw", "hi_raw"))
+          .select(col("lang"), round(col("lo_raw"), 6).as("lo"),
+            round(col("hi_raw"), 6).as("hi"))
         lens.join(broadcast(bounds), "lang")
           .where(col("n_tok") >= col("lo") && col("n_tok") <= col("hi"))
           .groupBy(col("lang"), col("lo"), col("hi"))
