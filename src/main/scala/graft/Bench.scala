@@ -17,7 +17,35 @@ object Bench {
     try SparkEntry.queries("q1_pricing")(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
+    // Index-build staging as EXPLICIT accounting rows. The sim_pq_* /
+    // sim_ivfpq* and embedding_pca_project/standardize rows consume
+    // session-memoized staged artifacts (PqStage/PcaStage); unstaged,
+    // the one-time build cost lands inside whichever consumer's
+    // iteration populates the memo first — visible in a cold artifact,
+    // invisible in a steady-state one, so the two disagreed 12x on
+    // sim_ivfpq in round 9. Staging eagerly HERE, timed cold, makes
+    // every search row pure search in both artifacts and puts the build
+    // cost on a row of its own: the family ledger reads
+    // pq_stage (train+encode+checkpoint+cells, the index build) +
+    // pq_train (the memo-free training benchmark row) + searches.
+    def timed(body: => Unit): Double = {
+      val t0 = System.nanoTime()
+      try body catch { case e: Throwable =>
+        System.err.println(s"[bench] staging failed: ${e.getMessage}") }
+      (System.nanoTime() - t0) / 1e9
+    }
+    // order matters: stagedOpq composes PcaStage.fitted, so the PCA fit
+    // is staged (and charged) first — pq_stage then carries only the
+    // PQ-family build (plain train+encode+cells, plus the OPQ rotation
+    // and rotated-space train+encode)
+    val stagingRows = Seq(
+      "pca_stage" -> timed {
+        queries.PcaStage.fitted(spark, sfDir)
+        queries.PcaStage.dimStats(spark, sfDir); () },
+      "pq_stage" -> timed {
+        queries.PqStage.staged(spark, sfDir)
+        queries.PqStage.stagedOpq(spark, sfDir); () }).toMap
+    val results = stagingRows ++ SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
         // two iterations, report the SECOND: the first run pays Janino
         // codegen compilation and JIT warm-up, which made round-over-round

@@ -179,6 +179,157 @@ object VectorExpressions {
         newChild: Expression): LshBucket = copy(child = newChild)
   }
 
+  /** Johnson–Lindenstrauss projection onto `rDim` fixed pseudo-random
+    * directions: out[r] = Σ_i v[i]·sin(r·dim + i + 1) — the direction
+    * family of [[LshBucket]] (direction r = plane r), precomputed once
+    * on the driver and shipped as a codegen reference object. Replaces
+    * the per-direction `aggregate(zip_with(...))` HOF form, which ran
+    * rDim interpreted element-wise folds per row in the scan-riding hot
+    * path (~10x the compiled loop; the module's standing measurement).
+    * Accumulation is left-to-right per direction — bit-identical to the
+    * sequential HOF fold it replaces. Inputs shorter than `dim`
+    * truncate the sum at the input length (the DotProduct min-length
+    * rule; well-formed corpora always carry exactly `dim`). */
+  case class RandomProject(child: Expression, dim: Int, rDim: Int)
+      extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkArrays(this, DoubleType, child)
+    override def dataType: DataType =
+      ArrayType(DoubleType, containsNull = false)
+    override def prettyName: String = "vec_random_project"
+
+    private lazy val dirs: Array[Double] =
+      Array.tabulate(rDim * dim)(k => math.sin(k + 1.0))
+
+    override def nullSafeEval(a: Any): Any = {
+      val v = a.asInstanceOf[ArrayData]
+      val n = math.min(v.numElements(), dim)
+      val out = new Array[Double](rDim)
+      var r = 0
+      while (r < rDim) {
+        var s = 0.0; var i = 0
+        while (i < n) { s += v.getDouble(i) * dirs(r * dim + i); i += 1 }
+        out(r) = s; r += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext,
+                                     ev: ExprCode): ExprCode = {
+      val tbl = ctx.addReferenceObj("rpDirs", dirs, "double[]")
+      nullSafeCodeGen(ctx, ev, v => {
+        val n = ctx.freshName("n"); val r = ctx.freshName("r")
+        val i = ctx.freshName("i"); val s = ctx.freshName("s")
+        val out = ctx.freshName("out")
+        s"""
+        final int $n = java.lang.Math.min($v.numElements(), $dim);
+        final double[] $out = new double[$rDim];
+        for (int $r = 0; $r < $rDim; $r++) {
+          double $s = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            $s += $v.getDouble($i) * $tbl[$r * $dim + $i];
+          }
+          $out[$r] = $s;
+        }
+        ${ev.value} =
+          new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+        """
+      })
+    }
+
+    override protected def withNewChildInternal(
+        newChild: Expression): RandomProject = copy(child = newChild)
+  }
+
+  /** Householder reflection of an array<double> vector:
+    * out = v − (2·(u·v)/(u·u))·u for a FIXED reflection vector `u`
+    * (driver-computed, shipped once as a codegen reference object).
+    * An orthogonal transform — pairwise L2 distances are preserved to
+    * fp round-off — used as the OPQ-lite rotation that maps the corpus'
+    * top principal direction onto the first coordinate axis before the
+    * PQ subspace split (Gé et al. 2013 "Optimized Product
+    * Quantization" motivates rotating before quantizing; with the
+    * repo's single staged PCA direction the one-reflection alignment is
+    * the expressible slice of that idea). Empty `u` (the
+    * already-aligned degenerate case) makes this the identity.
+    * Accumulation and subtraction are left-to-right per element —
+    * deterministic, interpreted/codegen identical. */
+  case class HouseholderRotate(child: Expression, u: Array[Double])
+      extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkArrays(this, DoubleType, child)
+    override def dataType: DataType =
+      ArrayType(DoubleType, containsNull = false)
+    override def prettyName: String = "vec_householder"
+
+    // value-equality over the reflection vector so two identical
+    // rotations canonicalize together (the PqEncodeSig rule)
+    override def equals(o: Any): Boolean = o match {
+      case h: HouseholderRotate =>
+        (h.child == child) && java.util.Arrays.equals(h.u, u)
+      case _ => false
+    }
+    override def hashCode(): Int =
+      31 * child.hashCode() + java.util.Arrays.hashCode(u)
+
+    private lazy val uu: Double = { // left-to-right, like the codegen loop
+      var s = 0.0; var i = 0
+      while (i < u.length) { s += u(i) * u(i); i += 1 }
+      s
+    }
+
+    override def nullSafeEval(a: Any): Any = {
+      val v = a.asInstanceOf[ArrayData]
+      val n = v.numElements()
+      if (u.length == 0 || uu == 0.0) return v.copy()
+      val m = math.min(n, u.length)
+      var s = 0.0; var i = 0
+      while (i < m) { s += u(i) * v.getDouble(i); i += 1 }
+      val c = 2.0 * s / uu
+      val out = new Array[Double](n)
+      i = 0
+      while (i < n) {
+        out(i) = if (i < m) v.getDouble(i) - c * u(i) else v.getDouble(i)
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext,
+                                     ev: ExprCode): ExprCode = {
+      val tbl = ctx.addReferenceObj("houseU", u, "double[]")
+      val uuRef = uu // JVM double literal via string interp below
+      nullSafeCodeGen(ctx, ev, v => {
+        val n = ctx.freshName("n"); val m = ctx.freshName("m")
+        val i = ctx.freshName("i"); val s = ctx.freshName("s")
+        val c = ctx.freshName("c"); val out = ctx.freshName("out")
+        s"""
+        final int $n = $v.numElements();
+        final int $m = java.lang.Math.min($n, $tbl.length);
+        final double[] $out = new double[$n];
+        if ($tbl.length == 0 || ${uuRef}D == 0.0D) {
+          for (int $i = 0; $i < $n; $i++) $out[$i] = $v.getDouble($i);
+        } else {
+          double $s = 0.0;
+          for (int $i = 0; $i < $m; $i++) {
+            $s += $tbl[$i] * $v.getDouble($i);
+          }
+          final double $c = 2.0D * $s / ${uuRef}D;
+          for (int $i = 0; $i < $n; $i++) {
+            $out[$i] = $i < $m
+              ? $v.getDouble($i) - $c * $tbl[$i] : $v.getDouble($i);
+          }
+        }
+        ${ev.value} =
+          new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+        """
+      })
+    }
+
+    override protected def withNewChildInternal(
+        newChild: Expression): HouseholderRotate = copy(child = newChild)
+  }
+
   /** Count of positions where two array<long> columns hold equal values
     * (over the shorter length) — the MinHash signature-agreement kernel.
     * Replaces `size(filter(zip_with(a, b, _ === _), identity))`, which

@@ -596,12 +596,27 @@ object Dedup {
     * broadcast the (usually small) dominated set.
     *
     * `vectors` carries (idCol, `v`: array<double>); `assigned` is
-    * [[KMeans.fit]] output (idCol, cid, d). Returns one row per input
-    * vector: (idCol, cid, kept, dup_of) with `dup_of` the EARLIEST-
-    * ranked dominating neighbor, or -1 for kept rows. */
+    * [[KMeans.fit]] output (idCol, cid, d). `idCol` must be a NUMERIC
+    * (integral) column — validated up front, because the kept-row
+    * sentinel `dup_of = -1` only means "no dominator" for numeric ids
+    * (under a string id Spark's coercion would widen the sentinel to
+    * "-1" silently). Returns one row per input vector:
+    * (idCol, cid, kept, dup_of) with `dup_of` the EARLIEST-ranked
+    * dominating neighbor, or -1 for kept rows. */
   def semanticDedup(vectors: DataFrame, assigned: DataFrame,
                     idCol: String, tau: Double): DataFrame = {
     require(tau > 0.0 && tau <= 1.0, s"tau must be in (0, 1], got $tau")
+    val idType = vectors.schema(idCol).dataType
+    val integral = idType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.ByteType => true
+      case _ => false
+    }
+    require(integral,
+      s"semanticDedup: idCol '$idCol' must be integral (the dup_of = -1 " +
+        s"kept-row sentinel assumes a numeric id), got $idType")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("cid"))
       .orderBy(round(col("d"), 6).desc, col(idCol))

@@ -72,7 +72,17 @@ object Layout {
     * ties, so a duplicate pair fails LOUDLY via a count window that
     * shares the bucket exchange (the packSpans guard pattern; the
     * raise rides inside the output column, so pruning cannot drop
-    * it). A NULL key fails loudly naming the id. */
+    * it). A NULL key fails loudly naming the id.
+    *
+    * RERUN-DETERMINISM CONTRACT (the tokenBudgetSample contract): the
+    * input lineage executes TWICE — once for the phase-1 bucket counts,
+    * once under the phase-2 join — so `df` must re-execute to the same
+    * rows (deterministic source + deterministic transforms; no
+    * rand()/monotonically_increasing_id upstream without a checkpoint).
+    * A lineage that GROWS between phases is caught by a riding guard
+    * (any rank exceeding the phase-1 total raises); one that shrinks or
+    * swaps rows within a bucket cannot be detected from inside the plan
+    * — checkpoint nondeterministic inputs first. */
   def globalRank(df: DataFrame, id: Column, key: Column,
                  bucketBits: Int = 12,
                  outCol: String = "global_rank"): DataFrame = {
@@ -108,6 +118,7 @@ object Layout {
       .orderBy(col("__gr_k"), col("__gr_id"))
     val dup = count(lit(1)).over(
       Window.partitionBy(col("__gr_b"), col("__gr_k"), col("__gr_id")))
+    val total = acc // phase-1 row total, closed over as a literal
     withB.join(offDf, "__gr_b")
       .withColumn(outCol,
         when(dup > 1, raise_error(concat(
@@ -116,6 +127,17 @@ object Layout {
           col("__gr_id").cast("string"), lit(")"))).cast("long"))
           .otherwise(row_number().over(w).cast("long") +
             col("__gr_off")))
+      // rerun-determinism guard: a lineage that re-executed LARGER in
+      // phase 2 than phase 1 produces a rank past the phase-1 total —
+      // raise instead of silently emitting ranks that disagree with the
+      // driver offsets (shrinkage is undetectable here; see contract)
+      .withColumn(outCol,
+        when(col(outCol) > total, raise_error(concat(
+          lit("globalRank: rank "), col(outCol).cast("string"),
+          lit(s" exceeds phase-1 row total $total — input lineage is "),
+          lit("not rerun-deterministic (checkpoint the input)")))
+          .cast("long"))
+          .otherwise(col(outCol)))
       .drop("__gr_b", "__gr_k", "__gr_id", "__gr_off")
   }
 

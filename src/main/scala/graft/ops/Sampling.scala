@@ -377,7 +377,16 @@ object Sampling {
     * stratum's boundary bucket pays the exact window (partitioned by
     * stratum — no global order ever forms). Strata absent from
     * `budgets` are excluded, as in [[smallestHashSampleQuotas]]; a NULL
-    * stratum is likewise excluded (it can carry no budget). */
+    * stratum is likewise excluded (it can carry no budget).
+    *
+    * Guard scope, narrower than [[tokenBudgetSample]]'s: the stratum
+    * filter is pushed BELOW the guard projections by Catalyst, so the
+    * priority/token validity guards fire only on rows of BUDGETED
+    * strata — an invalid priority or non-positive token count in an
+    * excluded stratum passes silently (those rows contribute nothing to
+    * any boundary or output, so nothing they carry can corrupt the
+    * draw; validate the whole corpus with the unstratified form if
+    * whole-input validation is the point). */
   def tokenBudgetSampleByStratum(df: DataFrame, stratum: Column, id: Column,
                                  priority: Column, tokens: Column,
                                  budgets: Seq[(String, Long)],

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.graftshim.Internals.{column => toCol, expression => toExpr}
 
-import graft.functions.VectorExpressions.{ArrayEqCount, CosineSim, DotProduct, LshBucket}
+import graft.functions.VectorExpressions.{ArrayEqCount, CosineSim, DotProduct, LshBucket, RandomProject}
 
 /** Dense-vector column operations over `array<double>` columns:
   * dot products, cosine similarity, brute-force and LSH-bucketed
@@ -86,13 +86,15 @@ object VectorOps {
     * instead of 64 floats through the ranking path), then exact
     * re-rank only the shortlist in full dimension — the third classic
     * memory-reduction lever next to IVF (prune by cell) and PQ (prune
-    * by code size). */
+    * by code size). Runs as the codegen'd [[RandomProject]] expression
+    * — one generated nested loop with the direction table shipped once,
+    * replacing rDim interpreted `aggregate(zip_with(...))` folds per
+    * row (the module's HOF-free hot-path convention); accumulation
+    * order is identical, so projections are bit-identical to the HOF
+    * form. */
   def randomProject(vec: Column, dim: Int, rDim: Int): Column = {
     require(rDim > 0 && dim > 0, s"need dim > 0 and rDim > 0, got $dim/$rDim")
-    array((0 until rDim).map { r =>
-      val dir = typedlit((0 until dim).map(i => math.sin(r * dim + i + 1.0)))
-      aggregate(zip_with(vec, dir, (x, w) => x * w), lit(0.0), _ + _)
-    }: _*)
+    toCol(RandomProject(toExpr(vec), dim, rDim))
   }
 
   /** RP-shortlisted exact top-k: rank the whole corpus by cosine in the

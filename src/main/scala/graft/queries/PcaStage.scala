@@ -9,12 +9,22 @@ import graft.ops.Pca
   * retention contract), so a long-lived JVM cycling sessions cannot
   * accumulate stale state. The eviction rule lives HERE, once — the
   * fitted-direction and dim-stats memos below (and any future staged
-  * artifact) share it instead of copy-pasting it. */
+  * artifact) share it instead of copy-pasting it.
+  *
+  * Eviction keeps every LIVE session's entries (isStopped check), not
+  * just the caller's — two concurrently live sessions (a parallel test
+  * runner, a multi-tenant JVM) each keep their staged artifacts instead
+  * of thrashing each other into silent re-training on every call.
+  * getOrElseUpdate on a TrieMap may evaluate `compute` twice under a
+  * concurrent first call for the SAME key (one result wins, the loser's
+  * checkpoint blocks are garbage-collected with its lineage) — a
+  * duplicated one-time staging, never a wrong answer. */
 private[queries] final class SessionMemo[A] {
   private val cache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), A]
   def apply(s: SparkSession, dir: String)(compute: => A): A = {
-    cache.filterInPlace { case ((sess, _), _) => sess eq s }
+    cache.filterInPlace { case ((sess, _), _) =>
+      (sess eq s) || !sess.sparkContext.isStopped }
     cache.getOrElseUpdate((s, dir), compute)
   }
 }
