@@ -282,6 +282,22 @@ object OracleQueries {
       .select(col("sub"), col("code"),
         (col("sub") * (PqDim / PqSub) + col("i")).as("gi"), col("c"))
       .coalesce(1).write.mode("overwrite").parquet(s"$AuxDir/pq_codebook")
+    // OPQ-lite: the Householder-rotated corpus (exact binary doubles —
+    // parquet round-trips them bit-for-bit, so the oracle starts from
+    // the IDENTICAL rotated values with no cross-engine float
+    // accumulation on the rotation; the rotation itself is pinned
+    // bitwise by OpqSpec) and the rotated-space codebook. The
+    // sim_pq_adc_opq oracle re-derives encoding argmin + the whole ADC
+    // ranking from these, like sim_pq_adc does from pq_codebook.
+    val opq = PqStage.stagedOpq(s, dir)
+    opq.rotated
+      .select(col("vec_id"), posexplode(col("v")).as(Seq("gi", "x")))
+      .write.mode("overwrite").parquet(s"$AuxDir/opq_vecs")
+    opq.codebook
+      .select(col("sub"), col("code"), posexplode(col("cv")).as(Seq("i", "c")))
+      .select(col("sub"), col("code"),
+        (col("sub") * (PqDim / PqSub) + col("i")).as("gi"), col("c"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$AuxDir/opq_codebook")
   }
 
   // ---- the inventory -----------------------------------------------------
@@ -2824,6 +2840,50 @@ object OracleQueries {
             UNNEST(range(len(embedding))) AS gi
           FROM embeddings),
         cb AS (SELECT sub, code, gi, c FROM '$AuxDir/pq_codebook/*.parquet'),
+        dist AS (SELECT e.vec_id, cb.sub, cb.code,
+            CAST(SUM(CAST((e.x - cb.c) * (e.x - cb.c) AS DECIMAL(18,9)))
+              AS DOUBLE) AS d
+          FROM e JOIN cb USING (gi) GROUP BY 1, 2, 3),
+        enc AS (SELECT vec_id, sub, code FROM (SELECT vec_id, sub, code,
+            ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d, code)
+              AS r FROM dist) WHERE r = 1),
+        lut AS (SELECT vec_id AS query_id, sub, code, d AS pd
+          FROM dist WHERE vec_id < 5),
+        ad AS (SELECT l.query_id, enc.vec_id AS cand_id,
+            CAST(SUM(CAST(l.pd AS DECIMAL(18,9))) AS DOUBLE) AS adist
+          FROM enc JOIN lut l USING (sub, code)
+          WHERE l.query_id <> enc.vec_id GROUP BY 1, 2)
+        SELECT query_id, rank, cand_id, round(adist, 6) AS adist
+        FROM (SELECT query_id, cand_id, adist,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY adist, cand_id) AS rank FROM ad)
+        WHERE rank <= 5 ORDER BY query_id, rank""")),
+
+    // ============= OPQ-lite: rotated-space encode + ADC ==================
+    // The recall lever BEFORE quantization: one Householder reflection
+    // maps the staged PCA direction onto e1 (Opq — an isometry, exact
+    // ground truth unchanged), so the dominant variance direction lands
+    // inside subspace 0 instead of smearing across all 8 axis-aligned
+    // subspaces. Measured: ADC recall@5 0.142 -> 0.292 on
+    // diagonal-variance geometry, 0.108 -> 0.125 on the sf0.1 corpus
+    // (OpqRecallProbe, SCALE_r10.md). Rotation, training and encoding
+    // are staged (PqStage.stagedOpq, composing PcaStage's direction);
+    // the oracle starts from the DUMPED rotated vectors (parquet
+    // round-trips doubles bit-for-bit; the rotation arithmetic itself
+    // is pinned bitwise by OpqSpec) and re-derives the encoding argmin
+    // and the whole ADC ranking with the same decimal machinery as
+    // sim_pq_adc.
+    Q("sim_pq_adc_opq",
+      (s, dir) => {
+        val st = PqStage.stagedOpq(s, dir)
+        val q = st.rotated.where(col("vec_id") < 5)
+        Pq.searchAdc(q, "vec_id", "v", st.codes, st.codebook,
+            PqStage.Sub, PqStage.Dim, topK = 5)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id, gi, x
+            FROM '$AuxDir/opq_vecs/*.parquet'),
+        cb AS (SELECT sub, code, gi, c FROM '$AuxDir/opq_codebook/*.parquet'),
         dist AS (SELECT e.vec_id, cb.sub, cb.code,
             CAST(SUM(CAST((e.x - cb.c) * (e.x - cb.c) AS DECIMAL(18,9)))
               AS DOUBLE) AS d

@@ -79,6 +79,36 @@ object PqStage {
       Staged(cb, codes, withCell, cellCentroids(s, dir))
     }
 
+  final case class StagedOpq(u: Array[Double], rotated: DataFrame,
+                             codebook: DataFrame, codes: DataFrame)
+
+  private val opqMemo = new SessionMemo[StagedOpq]
+
+  /** OPQ-lite staged artifacts: the corpus rotated by the Householder
+    * reflection that maps the staged PCA direction onto e1
+    * ([[graft.ops.Opq]] — an isometry, so exact-neighbor ground truth
+    * is unchanged), a codebook trained IN THE ROTATED SPACE, and the
+    * rotated-space codes. Measured motive (OpqRecallProbe, SCALE_r10):
+    * ADC recall@5 0.142 -> 0.292 on diagonal-variance geometry, where
+    * an axis-aligned subspace split cannot see the dominant direction.
+    * The rotation composes the two staged families: the reflection
+    * vector derives from [[PcaStage.fitted]]'s fixed-point direction.
+    * Unrounded doubles throughout — the oracle consumes the DUMPED
+    * rotated vectors (exact binary doubles via parquet), so no
+    * cross-engine float accumulation ever happens on the rotation. */
+  def stagedOpq(s: SparkSession, dir: String): StagedOpq =
+    opqMemo(s, dir) {
+      val u = graft.ops.Opq.householderU(PcaStage.fitted(s, dir).direction)
+      val rot = embeddings(s, dir)
+        .select(col("vec_id"), col("label"),
+          graft.ops.Opq.rotate(col("v"), u).as("v"))
+        .localCheckpoint(eager = true)
+      val (cb, _) = Pq.train(rot, "vec_id", "v", Sub, Dim, K, Iters)
+      val codes = Pq.encodeLocal(rot, "vec_id", "v", cb, Sub, Dim)
+        .localCheckpoint(eager = true)
+      StagedOpq(u, rot, cb, codes)
+    }
+
   private val centMemo = new SessionMemo[DataFrame]
 
   /** Per-cell centroid table (label, cv) — the coarse-quantizer
