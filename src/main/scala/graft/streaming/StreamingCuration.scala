@@ -1,0 +1,203 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.StructType
+
+import graft.ops.{Sketches, TextMetrics}
+
+/** The STREAMING curation pipeline as ONE foreachBatch composition — the
+  * streaming twin of the batch `pipeline_curate` row's front half:
+  *
+  *   JSONL line stream → contract parse with quarantine
+  *     → Gopher+repetition admission (the [[StreamingFunnel]] rule set,
+  *       with per-rule fail COUNTERS persisted per batch)
+  *     → online near-dup admission ([[StreamingDedup]]'s LSH store)
+  *     → per-column PROFILE increments over the admitted output
+  *       (the drop monitor).
+  *
+  * Every stage's state is bounded or external-and-idempotent:
+  *  - the parse and the rule evaluation are row-local projections (no
+  *    state at all);
+  *  - funnel counters are |rules| rows of two sums per batch, written
+  *    as `batch=<id>` increments — sums are commutative/associative, so
+  *    the merged totals equal the batch funnel over the union of all
+  *    inputs EXACTLY, whatever the batch boundaries (the parity spec);
+  *  - the near-dup store is the [[StreamingDedup]] contract (band-key
+  *    parquet, per-batch overwrite increments — corpus-sized state
+  *    deliberately lives OUTSIDE GroupState);
+  *  - profile increments carry per-column (n_nonnull, min, max) plus
+  *    HLL registers (≤ 2^p bounded rows per column per batch); every
+  *    merge (sum, min, max, register max) commutes, so the merged
+  *    profile equals the batch sketch over the admitted union
+  *    bit-for-bit ([[StreamingDistinct.estimateOf]], the pinned JVM
+  *    mirror).
+  *
+  * Replay idempotence: every per-batch artifact lands under its own
+  * `batch=<id>` directory with overwrite — a post-crash replayed
+  * micro-batch rewrites the same paths (the StreamingDedup idiom), so
+  * nothing double-counts without a transactional table format.
+  *
+  * Admission-order caveat (inherited from [[StreamingDedup]] and pinned
+  * there): within a batch, a document is rejected against any
+  * smaller-id near-duplicate regardless of that document's own fate —
+  * chains (A~B, B~C, A≁C) reject both B and C where the batch
+  * pipeline's connected-components + canonical pick keeps C. On
+  * chain-free corpora the two admission sets coincide exactly (the
+  * parity spec constructs both cases' honest variant).
+  */
+object StreamingCuration {
+
+  final case class Config(minWords: Int = 50, maxWords: Int = 100000,
+                          stopwords: Seq[String] =
+                            TextMetrics.GopherStopwords,
+                          ngramMax: Double = 0.3,
+                          shingleN: Int = 3, sigK: Int = 32,
+                          bands: Int = 8, minAgree: Int = 16,
+                          hllP: Int = 8)
+
+  /** One micro-batch of the composed pipeline (public so the parity
+    * spec and a backfill driver can run it directly). `lines` carries
+    * raw JSONL in its first column; `schema` is the ingest contract
+    * and must contain `idCol` (long) and `textCol` (string). */
+  def processBatch(spark: SparkSession, lines: DataFrame, batchId: Long,
+                   schema: StructType, idCol: String, textCol: String,
+                   outDir: String, cfg: Config = Config()): Unit = {
+    // stage 1: contract parse; quarantined raw lines persist for replay
+    val (clean, quarantined) =
+      graft.sources.JsonlSource.parseWithQuarantine(lines, schema)
+    quarantined.write.mode("overwrite")
+      .parquet(s"$outDir/quarantine/batch=$batchId")
+
+    // stage 2: rule features bound once; counters + admission share the
+    // SAME rule columns (single-sourced — the funnel cannot disagree
+    // with the filter). The featured batch is pinned: the counter
+    // aggregation and the admission filter both consume it, and the
+    // parse lineage re-executing per consumer would re-read the stream
+    // source's batch twice per stage.
+    val featured = StreamingFunnel.withFeatures(clean, col(textCol),
+        cfg.minWords, cfg.maxWords, cfg.stopwords)
+      .localCheckpoint(true)
+    val rules = StreamingFunnel.rulesOver(col("__qf_g"), col("__qf_r"),
+      cfg.minWords, cfg.maxWords, cfg.ngramMax)
+    val obs = rules.map { case (n, c) =>
+      struct(lit(n).as("rule"),
+        when(c, lit(0L)).otherwise(lit(1L)).as("fail"))
+    }
+    featured
+      .select(explode(array(obs: _*)).as("o"))
+      .select(col("o.*"))
+      .groupBy(col("rule"))
+      .agg(sum(col("fail")).as("n_fail"), count(lit(1)).as("n_docs"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$outDir/funnel/batch=$batchId")
+
+    // stage 3: admission = the all_rules conjunction, then online
+    // near-dup admission against the persistent LSH store
+    val admittedQ = featured.where(rules.last._2)
+      .drop("__qf_g", "__qf_r")
+    val admittedIds = StreamingDedup.processBatch(spark, admittedQ,
+      batchId, idCol, textCol, s"$outDir/store", s"$outDir/admitted",
+      cfg.shingleN, cfg.sigK, cfg.bands, cfg.minAgree)
+
+    // stage 4: profile increment over THIS batch's admitted output (the
+    // drop monitor watches what survived, not what arrived). The
+    // admitted rows come from the pinned featured table semi-joined
+    // against the BOUNDED admitted-id list (one batch's worth — the
+    // processBatch contract), not from re-reading the just-written
+    // parquet: an all-rejected batch would leave a fileless directory
+    // that a read-back cannot infer a schema from.
+    import spark.implicits._
+    val admDf = admittedQ.join(
+      broadcast(admittedIds.toDF("__adm_id")),
+      admittedQ(idCol).cast("long") === col("__adm_id"), "left_semi")
+    profileIncrement(admDf, cfg.hllP)
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$outDir/profile/batch=$batchId")
+  }
+
+  /** Bounded per-column profile partial of one batch: one row per
+    * column WITH OBSERVED VALUES (a column all-null in this batch
+    * contributes no increment — the merged profile reports columns as
+    * of their first observed value, the drop monitor's need) —
+    * (col_name, n_nonnull, min_v, max_v, regs) with `regs`
+    * the column's occupied HLL registers as (bucket, rank) structs
+    * (≤ 2^p entries). Numeric routing is the batch profiler's own
+    * ([[graft.ops.Profile.numeric]]) — one contract, not two. */
+  def profileIncrement(batch: DataFrame, p: Int): DataFrame = {
+    val types = batch.schema.fields.map(f => f.name -> f.dataType).toMap
+    def q(n: String) = col(s"`$n`")
+    val obsRows = batch.schema.fieldNames.toSeq.map { n =>
+      val (bucket, rank) =
+        Sketches.hllBucketRank(xxhash64(q(n).cast("string")), p)
+      struct(
+        lit(n).as("col_name"),
+        q(n).isNull.as("is_null"),
+        graft.ops.Profile.numeric(q(n), types(n)).as("num"),
+        coalesce(bucket, lit(0)).as("bucket"),
+        coalesce(rank, lit(0)).as("rank"))
+    }
+    batch
+      .select(explode(array(obsRows: _*)).as("o"))
+      .select(col("o.*"))
+      .where(!col("is_null"))
+      .groupBy(col("col_name"), col("bucket"))
+      .agg(count(lit(1)).as("n"), min(col("num")).as("mn"),
+        max(col("num")).as("mx"), max(col("rank")).as("rk"))
+      .groupBy(col("col_name"))
+      .agg(sum(col("n")).as("n_nonnull"), min(col("mn")).as("min_v"),
+        max(col("mx")).as("max_v"),
+        collect_list(struct(col("bucket"), col("rk").as("rank")))
+          .as("regs"))
+  }
+
+  /** Merged funnel totals over every batch increment: (rule, n_fail,
+    * n_docs) — exactly the batch funnel over the union of all parsed
+    * inputs (sums commute across batch boundaries). */
+  def funnelTotals(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.parquet(s"$outDir/funnel")
+      .groupBy(col("rule"))
+      .agg(sum(col("n_fail")).as("n_fail"), sum(col("n_docs")).as("n_docs"))
+
+  /** Merged per-column profile over every batch increment:
+    * (col_name, n_nonnull, min_v, max_v, approx_distinct). Register
+    * merge is max-per-bucket — the HLL union — then the estimate is
+    * [[StreamingDistinct.estimateOf]], so the merged number equals the
+    * batch sketch over the union of admitted rows bit-for-bit. The
+    * merge input is bounded (batches × columns × 2^p rows), so the
+    * final estimate step collects only per-column register tables. */
+  def mergedProfile(spark: SparkSession, outDir: String,
+                    p: Int): DataFrame = {
+    import spark.implicits._
+    val inc = spark.read.parquet(s"$outDir/profile")
+    val scalar = inc.groupBy(col("col_name"))
+      .agg(sum(col("n_nonnull")).as("n_nonnull"),
+        min(col("min_v")).as("min_v"), max(col("max_v")).as("max_v"))
+    val regRows = inc
+      .select(col("col_name"), explode(col("regs")).as("r"))
+      .groupBy(col("col_name"), col("r.bucket"))
+      .agg(max(col("r.rank")).as("rank"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2)))
+    val est = regRows.groupBy(_._1).map { case (name, rows) =>
+      val regs = new Array[Byte](1 << p)
+      rows.foreach { case (_, b, rk) =>
+        if (rk > regs(b)) regs(b) = rk.toByte }
+      (name, StreamingDistinct.estimateOf(regs, p))
+    }.toSeq.toDF("col_name", "approx_distinct")
+    scalar.join(est, "col_name")
+  }
+
+  /** Wire the composed pipeline onto a streaming line source. */
+  def start(spark: SparkSession, lines: DataFrame, schema: StructType,
+            idCol: String, textCol: String, outDir: String,
+            checkpointDir: String,
+            cfg: Config = Config()): StreamingQuery =
+    lines.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(spark, batch, batchId, schema, idCol, textCol,
+          outDir, cfg)
+      }
+      .start()
+}

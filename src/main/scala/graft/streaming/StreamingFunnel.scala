@@ -22,26 +22,45 @@ import graft.ops.TextMetrics
   * total. */
 object StreamingFunnel {
 
+  /** The funnel's rule set over a `g`/`r` feature-struct pair — the
+    * single Spark-side source shared by [[funnel]] and the composed
+    * [[StreamingCuration]] admission, so the dashboard and the
+    * admission filter cannot disagree about what a rule means. The
+    * final "all_rules" entry is the admission conjunction. */
+  def rulesOver(g: Column, r: Column, minWords: Int, maxWords: Int,
+                ngramMax: Double): Seq[(String, Column)] = {
+    val rules = TextMetrics.gopherRules(
+      g.getField("n_words"), g.getField("mean_word_len"),
+      g.getField("hash_ratio"), g.getField("ellipsis_ratio"),
+      g.getField("alpha_frac"), g.getField("n_stopwords"),
+      g.getField("bullet_frac"), g.getField("ellipsis_frac"),
+      minWords, maxWords) :+
+      ("repetition" -> (r.getField("dup_ngram_frac") < ngramMax))
+    rules :+ ("all_rules" -> rules.map(_._2).reduce(_ && _))
+  }
+
+  /** The input extended with the bound feature structs `__qf_g` /
+    * `__qf_r` — ONE projection evaluates gopherFlags/repetitionFeatures
+    * per row; rule columns from [[rulesOver]] then read fields of the
+    * bound structs instead of re-evaluating the feature expressions per
+    * rule. */
+  def withFeatures(df: DataFrame, text: Column, minWords: Int,
+                   maxWords: Int, stopwords: Seq[String]): DataFrame =
+    df.withColumn("__qf_g",
+        TextMetrics.gopherFlags(text, minWords, maxWords, stopwords))
+      .withColumn("__qf_r", TextMetrics.repetitionFeatures(text))
+
   /** Running (rule, n_fail, n_docs) per micro-batch. */
   def funnel(stream: DataFrame, text: Column, minWords: Int = 50,
              maxWords: Int = 100000,
              stopwords: Seq[String] = TextMetrics.GopherStopwords,
              ngramMax: Double = 0.3): DataFrame = {
-    val g = TextMetrics.gopherFlags(text, minWords, maxWords, stopwords)
-    val r = TextMetrics.repetitionFeatures(text)
-    val withFeat = stream.select(g.as("g"), r.as("r"))
-    val rules = TextMetrics.gopherRules(
-      col("g.n_words"), col("g.mean_word_len"), col("g.hash_ratio"),
-      col("g.ellipsis_ratio"), col("g.alpha_frac"),
-      col("g.n_stopwords"), col("g.bullet_frac"),
-      col("g.ellipsis_frac"), minWords, maxWords) :+
-      ("repetition" -> (col("r.dup_ngram_frac") < ngramMax))
-    val all = "all_rules" -> rules.map(_._2).reduce(_ && _)
-    val obs = (rules :+ all).map { case (n, c) =>
+    val obs = rulesOver(col("__qf_g"), col("__qf_r"), minWords, maxWords,
+      ngramMax).map { case (n, c) =>
       struct(lit(n).as("rule"),
         when(c, lit(0L)).otherwise(lit(1L)).as("fail"))
     }
-    withFeat
+    withFeatures(stream, text, minWords, maxWords, stopwords)
       .select(explode(array(obs: _*)).as("o"))
       .select(col("o.*"))
       .groupBy(col("rule"))

@@ -1,0 +1,146 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+import graft.SparkSpec
+import graft.ops.{Dedup, Sketches}
+
+/** Cross-batch == batch parity for the COMPOSED streaming curation
+  * pipeline ([[StreamingCuration]]): after N micro-batches,
+  *
+  *  - the merged funnel counters equal the batch funnel over the union
+  *    of all parsed inputs (sums commute across batch boundaries);
+  *  - the quarantine volume equals the batch contract parse's;
+  *  - the admitted set equals the BATCH near-dedup (LSH candidates →
+  *    connected components → min-id canonical) over the union — exact
+  *    on chain-free data, the documented equivalence domain;
+  *  - the merged per-column profile equals the batch computation over
+  *    the admitted union: scalars exactly, approx_distinct ==
+  *    the batch HLL register sketch bit-for-bit.
+  */
+class StreamingCurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("lang", StringType),
+    StructField("text", StringType)))
+
+  private def jline(id: Long, lang: String, text: String): String =
+    s"""{"doc_id": $id, "lang": "$lang", "text": "$text"}"""
+
+  /** ~55 distinct alphabetic words incl. >= 2 Gopher stopwords, mean
+    * length inside [3, 10] — passes every Gopher rule, and `salt`
+    * makes documents mutually non-near-dup. */
+  private def prose(salt: String): String = {
+    val uniq = (1 to 46).map(i => s"$salt${('a' + i % 26).toChar}word$i")
+    (Seq("the", "data", "that", "we", "have", "with", "good", "works",
+      "fine") ++ uniq).mkString(" ")
+  }
+
+  test("composed stream == batch stages over the union, across batches") {
+    val dir = java.nio.file.Files.createTempDirectory("curc_in").toString
+    val out = java.nio.file.Files.createTempDirectory("curc_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("curc_ck").toString
+    val cfg = StreamingCuration.Config()
+
+    val d10 = prose("ax"); val d11 = prose("by"); val d20 = prose("cz")
+    // near-dup of d10: one word mutated out of ~55
+    val d21 = d10.replace("axkword10", "mutatedone")
+    val b0 = Seq(
+      jline(10, "en", d10),
+      jline(11, "en", d11),
+      """{"doc_id": 12, "lang": "en", "text": "trunca""", // quarantined
+      jline(13, "en", "too few words here"), // fails words_in_range
+      jline(14, "en", Seq.fill(60)("spam").mkString(" "))) // repetition
+    val b1 = Seq(
+      jline(20, "fr", d20),
+      jline(21, "en", d21), // cross-batch near-dup of 10 -> rejected
+      "not json at all") // quarantined
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "b0.jsonl"), b0.mkString("\n"))
+
+    val lines = spark.readStream
+      .schema(StructType(Seq(StructField("value", StringType))))
+      .text(dir)
+    val q = StreamingCuration.start(spark, lines, schema, "doc_id",
+      "text", out, ckpt, cfg)
+    try {
+      q.processAllAvailable()
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(dir, "b1.jsonl"), b1.mkString("\n"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // ---- batch legs over the UNION of all input lines ----------------
+    val allLines = (b0 ++ b1).toDF("raw")
+    val (clean, quar) =
+      graft.sources.JsonlSource.parseWithQuarantine(allLines, schema)
+
+    // funnel parity: merged counters == the batch funnel (same rule set)
+    val streamFunnel = StreamingCuration.funnelTotals(spark, out)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val batchFunnel = StreamingFunnel.funnel(clean, col("text"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(streamFunnel == batchFunnel,
+      s"funnel diverged:\n stream $streamFunnel\n batch  $batchFunnel")
+    // 6 parsed docs; all_rules fails: 13 (too few words), 14 (no
+    // stopwords + repetition); the near-dup 21 PASSES quality (it is
+    // dropped later, at admission)
+    assert(streamFunnel.exists { case (r, f, n) =>
+      r == "all_rules" && f == 2L && n == 6L },
+      s"expected known funnel counts, got $streamFunnel")
+
+    // quarantine parity
+    val streamQuar = spark.read.parquet(s"$out/quarantine")
+    assert(streamQuar.count() == quar.count() && quar.count() == 2L)
+
+    // admission parity vs the BATCH near-dedup canonical (chain-free)
+    val rules = StreamingFunnel.rulesOver(col("__qf_g"), col("__qf_r"),
+      cfg.minWords, cfg.maxWords, cfg.ngramMax)
+    val quality = StreamingFunnel.withFeatures(clean, col("text"),
+        cfg.minWords, cfg.maxWords, cfg.stopwords)
+      .where(rules.last._2).drop("__qf_g", "__qf_r")
+    val sigs = Dedup.minhashSignatures(quality, "doc_id", "text",
+      cfg.shingleN, cfg.sigK).localCheckpoint(true)
+    val pairs = Dedup.candidatePairsFromSigs(sigs, cfg.sigK, cfg.bands)
+      .where(col("agree") >= cfg.minAgree)
+    val losers = Dedup.connectedGroups(pairs, "id_a", "id_b")
+      .where(col("id") =!= col("group_id")) // canonical = min reachable id
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    val batchAdmitted = quality.select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet -- losers
+    val streamAdmitted = spark.read.parquet(s"$out/admitted")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(streamAdmitted == batchAdmitted,
+      s"admission diverged: stream $streamAdmitted batch $batchAdmitted")
+    assert(streamAdmitted == Set(10L, 11L, 20L), s"got $streamAdmitted")
+
+    // profile parity over the admitted union: scalars exact,
+    // approx_distinct == the batch register sketch bit-for-bit
+    val admUnion = spark.read.parquet(s"$out/admitted")
+      .select(col("doc_id"), col("lang"), col("text"))
+    val merged = StreamingCuration.mergedProfile(spark, out, cfg.hllP)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), Option(r.get(2)), Option(r.get(3)),
+          r.getDouble(4))).toMap
+    for (c <- Seq("doc_id", "lang", "text")) {
+      val vals = admUnion.select(col(c)).where(col(c).isNotNull)
+      assert(merged(c)._1 == vals.count(), s"n_nonnull($c)")
+      val batchRegs = Sketches.hllRegisters(vals, col(c).cast("string"),
+          cfg.hllP)
+        .collect().map(r => (r.getInt(0), r.getInt(1)))
+      val regs = new Array[Byte](1 << cfg.hllP)
+      batchRegs.foreach { case (b, rk) =>
+        if (rk > regs(b)) regs(b) = rk.toByte }
+      val est = StreamingDistinct.estimateOf(regs, cfg.hllP)
+      assert(java.lang.Double.compare(merged(c)._4, est) == 0,
+        s"approx_distinct($c): ${merged(c)._4} vs $est")
+    }
+    // numeric min/max on the one numeric column
+    assert(merged("doc_id")._2.contains(10.0) &&
+      merged("doc_id")._3.contains(20.0), s"${merged("doc_id")}")
+  }
+}
