@@ -2903,6 +2903,51 @@ object OracleQueries {
               ORDER BY adist, cand_id) AS rank FROM ad)
         WHERE rank <= 5 ORDER BY query_id, rank""")),
 
+    // ================ OPQ-lite composed with IVF-PQ ======================
+    // The full index stack in the rotated space: the coarse cell (the
+    // label — a rotation-INVARIANT key) prunes candidates exactly as in
+    // sim_ivfpq, and the rotated-space byte codes rank what remains.
+    // Rotation composes with cell pruning for free because the cell is
+    // categorical metadata, not geometry — the staged codesWithCell
+    // resolved it at build time. Oracle: the sim_ivfpq re-derivation
+    // over the dumped rotated corpus + rotated-space codebook, with
+    // labels from the embeddings table (unchanged by rotation).
+    Q("sim_ivfpq_opq",
+      (s, dir) => {
+        val st = PqStage.stagedOpq(s, dir)
+        val q = st.rotated.where(col("vec_id") < 5)
+        Pq.searchAdcInCells(q, "vec_id", "v", "label", st.codesWithCell,
+            "label", st.codebook, PqStage.Sub, PqStage.Dim, topK = 3)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id, gi, x
+            FROM '$AuxDir/opq_vecs/*.parquet'),
+        lab AS (SELECT vec_id, label FROM embeddings),
+        cb AS (SELECT sub, code, gi, c FROM '$AuxDir/opq_codebook/*.parquet'),
+        dist AS (SELECT e.vec_id, cb.sub, cb.code,
+            CAST(SUM(CAST((e.x - cb.c) * (e.x - cb.c) AS DECIMAL(18,9)))
+              AS DOUBLE) AS d
+          FROM e JOIN cb USING (gi) GROUP BY 1, 2, 3),
+        enc AS (SELECT vec_id, sub, code FROM (SELECT vec_id, sub, code,
+            ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d, code)
+              AS r FROM dist) WHERE r = 1),
+        lut AS (SELECT d.vec_id AS query_id, ql.label, d.sub, d.code,
+            d.d AS pd
+          FROM dist d JOIN lab ql ON ql.vec_id = d.vec_id
+          WHERE d.vec_id < 5),
+        ad AS (SELECT l.query_id, enc.vec_id AS cand_id,
+            CAST(SUM(CAST(l.pd AS DECIMAL(18,9))) AS DOUBLE) AS adist
+          FROM enc
+          JOIN lab cl ON cl.vec_id = enc.vec_id
+          JOIN lut l ON l.sub = enc.sub AND l.code = enc.code
+            AND l.label = cl.label
+          WHERE l.query_id <> enc.vec_id GROUP BY 1, 2)
+        SELECT query_id, rank, cand_id, round(adist, 6) AS adist
+        FROM (SELECT query_id, cand_id, adist,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY adist, cand_id) AS rank FROM ad)
+        WHERE rank <= 3 ORDER BY query_id, rank""")),
+
     // ============ PQ shortlist + exact re-rank ===========================
     // The way PQ deploys: ADC (codes only) builds a 20-candidate
     // shortlist per query, exact decimal distances re-rank just those —
@@ -3673,9 +3718,14 @@ object OracleQueries {
     // AND the filter semantics.
     Q("filter_length_tails",
       (s, dir) => {
+        // the staged narrow per-doc projection (the text_bm25 idiom):
+        // the routing's eager legs and the final filter all read
+        // (doc_id, lang, n_tok) — 16-byte rows — instead of each
+        // re-tokenizing the text column from the parquet scan
         val lens = t(s, dir, "documents")
           .select(col("doc_id"), col("lang"),
             TextMetrics.tokenCount(col("text")).cast("long").as("n_tok"))
+          .localCheckpoint(true)
         val bounds = PercentileAgg.percentileSelectMulti(
             lens.select(col("lang"), col("n_tok").cast("double")
               .as("v")), Seq("lang"), "v", Seq(0.05, 0.95),

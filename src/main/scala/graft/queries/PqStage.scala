@@ -80,7 +80,8 @@ object PqStage {
     }
 
   final case class StagedOpq(u: Array[Double], rotated: DataFrame,
-                             codebook: DataFrame, codes: DataFrame)
+                             codebook: DataFrame, codes: DataFrame,
+                             codesWithCell: DataFrame)
 
   private val opqMemo = new SessionMemo[StagedOpq]
 
@@ -106,7 +107,13 @@ object PqStage {
       val (cb, _) = Pq.train(rot, "vec_id", "v", Sub, Dim, K, Iters)
       val codes = Pq.encodeLocal(rot, "vec_id", "v", cb, Sub, Dim)
         .localCheckpoint(eager = true)
-      StagedOpq(u, rot, cb, codes)
+      // the rotated-space IVF-PQ index layout: the coarse cell (the
+      // label — a rotation-INVARIANT key, nothing geometric about it)
+      // resolved at build time, riding next to the rotated-space codes
+      val withCell = codes
+        .join(rot.select(col("vec_id").as("id"), col("label")), "id")
+        .localCheckpoint(eager = true)
+      StagedOpq(u, rot, cb, codes, withCell)
     }
 
   private val centMemo = new SessionMemo[DataFrame]

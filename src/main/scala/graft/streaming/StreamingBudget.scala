@@ -1,0 +1,87 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+
+/** Streaming TOKEN-BUDGET admission — the online twin of
+  * [[graft.ops.Sampling.tokenBudgetSampleByStratum]]: documents stream
+  * in, each stratum holds a fixed token budget, and a document is
+  * ADMITTED iff its stratum's running admitted-token total is still
+  * strictly under budget when it arrives (so, like the batch walk, the
+  * boundary document that crosses the budget is kept and everything
+  * after is rejected). The batch form ranks by priority — "the best B
+  * tokens"; a stream cannot rank what has not arrived, so the online
+  * rule is arrival-order prefix admission — "the FIRST B tokens" —
+  * which is the deployment semantics of a budget-capped ingest (stop
+  * pulling a source once its quota fills). The two coincide exactly
+  * when arrival order IS priority order (the spec pins this parity).
+  *
+  * Determinism: within a micro-batch, arrival order of a stratum's
+  * rows is partition-dependent, so the operator imposes its OWN
+  * deterministic order — ascending `order_id` (the caller's arrival
+  * sequence: a file offset, an event time, a monotonic id) — before
+  * the budget walk. Replays of the same batch therefore admit the
+  * same set whatever the shuffle layout (the DeterminismSweep rule
+  * applied to streaming state).
+  *
+  * State per stratum: ONE long (admitted tokens so far) — bounded
+  * forever, the smallest possible admission state. Unknown strata
+  * (no budget entry) are rejected with reason "no_budget", mirroring
+  * the batch form's exclusion of unbudgeted strata.
+  *
+  * Output (Update mode): one row per input document —
+  * (stratum, order_id, tokens, admitted, admitted_tokens_after) —
+  * so the caller both filters admissions and watches each quota fill.
+  */
+object StreamingBudget {
+
+  case class Doc(stratum: String, order_id: Long, tokens: Long)
+
+  case class Decision(stratum: String, order_id: Long, tokens: Long,
+                      admitted: Boolean, admitted_tokens_after: Long)
+
+  /** The per-stratum state-update walk, factored out for the spec.
+    * Docs are walked in ascending order_id; ties break on tokens then
+    * the tuple itself for total determinism. */
+  private[streaming] def update(budgets: Map[String, Long])(
+      stratum: String, rows: Iterator[Doc],
+      state: GroupState[Long]): Iterator[Decision] = {
+    val budget = budgets.get(stratum)
+    var admitted = state.getOption.getOrElse(0L)
+    val out = rows.toSeq.sortBy(d => (d.order_id, d.tokens)).map { d =>
+      val admit = budget.exists(b => admitted < b) && d.tokens > 0
+      if (admit) admitted += d.tokens
+      Decision(stratum, d.order_id, d.tokens, admit, admitted)
+    }
+    state.update(admitted)
+    out.iterator
+  }
+
+  /** Wire the admission walk onto a streaming document frame.
+    * `budgets` must be non-empty with positive budgets (the batch
+    * form's contract). Non-positive token counts are rejected (they
+    * cannot move a budget and the batch form guards them loudly;
+    * a stream must not crash on one poisoned row — reject-and-flow is
+    * the streaming convention, observable in the output). */
+  def admit(stream: DataFrame, stratum: org.apache.spark.sql.Column,
+            orderId: org.apache.spark.sql.Column,
+            tokens: org.apache.spark.sql.Column,
+            budgets: Seq[(String, Long)]): Dataset[Decision] = {
+    require(budgets.nonEmpty, "need at least one stratum budget")
+    require(budgets.forall(_._2 > 0), s"budgets must be positive: $budgets")
+    require(budgets.map(_._1).distinct.size == budgets.size,
+      s"duplicate stratum in $budgets")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream
+      .select(stratum.cast("string").as("stratum"),
+        orderId.cast("long").as("order_id"),
+        tokens.cast("long").as("tokens"))
+      .as[Doc]
+      .groupByKey(_.stratum)
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        GroupStateTimeout.NoTimeout)(update(budgets.toMap))
+  }
+}

@@ -78,10 +78,25 @@ object OpqRecallProbe {
         .localCheckpoint(true), "rotated")
     }
 
+    /** The STANDARDIZED leg is NOT an isometry (per-dim 1/sigma scaling
+      * changes the metric), so its recall is measured against exact
+      * neighbors IN THE STANDARDIZED SPACE — the self-consistent
+      * question "how well does PQ quantize this representation", not
+      * comparable 1:1 against the plain leg's original-space truth. */
+    def stdCorpus(vecs: DataFrame): DataFrame = {
+      val mean = Pca.meanVector(vecs, "v")
+      val sigma = Pca.dimStats(vecs, "v", mean)
+        .orderBy("i").collect().map(_.getDouble(2))
+      vecs.select(col("vec_id"),
+        Pca.standardize(col("v"), mean, sigma).as("v"))
+        .localCheckpoint(true)
+    }
+
     // real corpus
     val real = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     recall(real, "real")
+    recall(stdCorpus(real), "real-std")
 
     // adversarial geometry: cluster centers spread along a DIAGONAL
     // direction (equal energy in every dim — crosses all 8 subspaces),
@@ -100,6 +115,9 @@ object OpqRecallProbe {
       .toDF("vec_id", "v")
       .localCheckpoint(true)
     recall(synth, "diagonal")
+    // std corpus' "rotated" leg = the full standardize -> rotate -> PQ
+    // whitening chain (each leg's truth is its own space's exact top-5)
+    recall(stdCorpus(synth), "diag-std")
 
     spark.stop()
   }

@@ -143,4 +143,37 @@ class StreamingCurationSpec extends SparkSpec {
     assert(merged("doc_id")._2.contains(10.0) &&
       merged("doc_id")._3.contains(20.0), s"${merged("doc_id")}")
   }
+
+  test("a replayed micro-batch rewrites its increments instead of " +
+      "double-counting (funnel, quarantine, admitted, profile)") {
+    val out = java.nio.file.Files.createTempDirectory("curr_out").toString
+    val cfg = StreamingCuration.Config()
+    val b0 = Seq(jline(10, "en", prose("rp")),
+      """{"doc_id": 11, "lang": "en", "text": "trunc""",
+      jline(12, "en", "short")).toDF("raw")
+    val b1 = Seq(jline(20, "en", prose("rq"))).toDF("raw")
+
+    def snapshot(): (Set[(String, Long, Long)], Long, Set[Long],
+                     Seq[(String, Long, Double)]) = (
+      StreamingCuration.funnelTotals(spark, out).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet,
+      spark.read.parquet(s"$out/quarantine").count(),
+      spark.read.parquet(s"$out/admitted")
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSet,
+      StreamingCuration.mergedProfile(spark, out, cfg.hllP).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(4)))
+        .sortBy(_._1).toSeq)
+
+    StreamingCuration.processBatch(spark, b0, 0L, schema, "doc_id",
+      "text", out, cfg)
+    StreamingCuration.processBatch(spark, b1, 1L, schema, "doc_id",
+      "text", out, cfg)
+    val before = snapshot()
+    // the post-crash scenario: batch 0 replays AFTER batch 1 committed
+    StreamingCuration.processBatch(spark, b0, 0L, schema, "doc_id",
+      "text", out, cfg)
+    assert(snapshot() == before,
+      "replaying batch 0 must leave every merged output unchanged")
+    assert(before._3 == Set(10L, 20L))
+  }
 }
