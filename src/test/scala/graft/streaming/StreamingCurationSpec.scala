@@ -176,4 +176,37 @@ class StreamingCurationSpec extends SparkSpec {
       "replaying batch 0 must leave every merged output unchanged")
     assert(before._3 == Set(10L, 20L))
   }
+
+  test("merged outputs are batch-boundary-invariant on chain-free " +
+      "input: one batch == two batches") {
+    val cfg = StreamingCuration.Config()
+    val l1 = jline(10, "en", prose("bv"))
+    val l2 = jline(11, "en", prose("bw"))
+    val l3 = jline(20, "en", prose("bv").replace("bvkword10", "varied"))
+    val l4 = """broken json"""
+    // near-dup pair (10, 20) with the duplicate's id larger and no
+    // chains: the canonical min-id winner is boundary-independent
+    def run(splits: Seq[Seq[String]]): (Set[(String, Long, Long)],
+                                        Long, Set[Long],
+                                        Seq[(String, Long, Double)]) = {
+      val out = java.nio.file.Files.createTempDirectory("bvar").toString
+      splits.zipWithIndex.foreach { case (lines, i) =>
+        StreamingCuration.processBatch(spark, lines.toDF("raw"), i.toLong,
+          schema, "doc_id", "text", out, cfg)
+      }
+      (StreamingCuration.funnelTotals(spark, out).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet,
+        spark.read.parquet(s"$out/quarantine").count(),
+        spark.read.parquet(s"$out/admitted")
+          .select(col("doc_id")).collect().map(_.getLong(0)).toSet,
+        StreamingCuration.mergedProfile(spark, out, cfg.hllP).collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getDouble(4)))
+          .sortBy(_._1).toSeq)
+    }
+    val one = run(Seq(Seq(l1, l2, l3, l4)))
+    val two = run(Seq(Seq(l1, l2), Seq(l3, l4)))
+    assert(one == two,
+      s"boundary split changed the merged outputs:\n one $one\n two $two")
+    assert(one._3 == Set(10L, 11L))
+  }
 }
