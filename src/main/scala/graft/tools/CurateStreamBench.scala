@@ -1,0 +1,71 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+import graft.streaming.StreamingCuration
+
+/** Throughput probe for the COMPOSED streaming curation pipeline
+  * (SCALE_r10 §6): the sf documents table rendered as JSONL files,
+  * streamed through parse→rule-admission→LSH-near-dedup→profile in
+  * `batches` micro-batches, wall-clocked end to end. Reports docs/s
+  * through the whole composition plus the funnel and admission
+  * outcomes (so the number is attributable: how much text survived
+  * each stage). The corpus rendering happens BEFORE the clock starts.
+  *
+  *   sbt "runMain graft.tools.CurateStreamBench [sfDir] [batches]"
+  */
+object CurateStreamBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val batches = if (args.length > 1) args(1).toInt else 4
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val in = java.nio.file.Files.createTempDirectory("csb_in").toString
+    val out = java.nio.file.Files.createTempDirectory("csb_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("csb_ck").toString
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("text"))
+    val nDocs = docs.count()
+    docs.select(to_json(struct(col("doc_id"), col("lang"), col("text")))
+        .as("value"))
+      .repartition(batches)
+      .write.mode("overwrite").text(in)
+
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("lang", StringType), StructField("text", StringType)))
+    // minWords=5: the sf corpus runs 8-100 tokens/doc, the Gopher
+    // default of 50 would reject most of it at the first rule and
+    // starve the dedup stage the probe exists to measure. Stopwords:
+    // the synthetic corpus has its own vocabulary register, so the
+    // rule takes ITS common words (the gopherFlags contract — "looks
+    // like running prose in the corpus language", not eight English
+    // literals).
+    val cfg = StreamingCuration.Config(minWords = 5,
+      stopwords = Seq("small", "join", "filter", "order", "key",
+        "stream", "line", "query"))
+    val lines = spark.readStream
+      .schema(StructType(Seq(StructField("value", StringType))))
+      .option("maxFilesPerTrigger", "1")
+      .text(in)
+    val t0 = System.nanoTime()
+    val q = StreamingCuration.start(spark, lines, schema, "doc_id",
+      "text", out, ckpt, cfg)
+    try q.processAllAvailable() finally q.stop()
+    val sec = (System.nanoTime() - t0) / 1e9
+
+    val admitted = spark.read.parquet(s"$out/admitted").count()
+    val funnel = StreamingCuration.funnelTotals(spark, out)
+      .collect().map(r => s"${r.getString(0)}=${r.getLong(1)}")
+      .sorted.mkString(" ")
+    println(f"CURATESTREAM docs=$nDocs batches=$batches " +
+      f"wall=$sec%.1f s  ${nDocs / sec}%.0f docs/s  admitted=$admitted")
+    println(s"CURATESTREAM fails: $funnel")
+    spark.stop()
+  }
+}
