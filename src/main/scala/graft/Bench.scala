@@ -28,11 +28,18 @@ object Bench {
     // cost on a row of its own: the family ledger reads
     // pq_stage (train+encode+checkpoint+cells, the index build) +
     // pq_train (the memo-free training benchmark row) + searches.
+    // a FAILED staging reports its elapsed time NEGATED: a plausible
+    // positive number here with an unpopulated memo would silently
+    // push the build cost back inside the first consumer's timed
+    // iteration — the exact misattribution these rows exist to fix —
+    // so the artifact must show the failure, not just stderr
     def timed(body: => Unit): Double = {
       val t0 = System.nanoTime()
-      try body catch { case e: Throwable =>
-        System.err.println(s"[bench] staging failed: ${e.getMessage}") }
-      (System.nanoTime() - t0) / 1e9
+      val ok = try { body; true } catch { case e: Throwable =>
+        System.err.println(s"[bench] staging failed: ${e.getMessage}")
+        false }
+      val sec = (System.nanoTime() - t0) / 1e9
+      if (ok) sec else -sec
     }
     // order matters: stagedOpq composes PcaStage.fitted, so the PCA fit
     // is staged (and charged) first — pq_stage then carries only the

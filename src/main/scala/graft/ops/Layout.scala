@@ -79,10 +79,14 @@ object Layout {
     * once under the phase-2 join — so `df` must re-execute to the same
     * rows (deterministic source + deterministic transforms; no
     * rand()/monotonically_increasing_id upstream without a checkpoint).
-    * A lineage that GROWS between phases is caught by a riding guard
-    * (any rank exceeding the phase-1 total raises); one that shrinks or
-    * swaps rows within a bucket cannot be detected from inside the plan
-    * — checkpoint nondeterministic inputs first. */
+    * A riding guard raises when growth pushes any rank PAST the
+    * phase-1 total (growth in the top bucket, or enough anywhere to
+    * overflow the tail) — a partial tripwire, not full detection:
+    * growth absorbed by a non-final bucket emits silently DUPLICATED
+    * ranks, and shrinkage or within-bucket row swaps are likewise
+    * invisible from inside the plan. The guard narrows the silent
+    * window; the CONTRACT is what makes ranks correct — checkpoint
+    * nondeterministic inputs first. */
   def globalRank(df: DataFrame, id: Column, key: Column,
                  bucketBits: Int = 12,
                  outCol: String = "global_rank"): DataFrame = {
@@ -127,10 +131,11 @@ object Layout {
           col("__gr_id").cast("string"), lit(")"))).cast("long"))
           .otherwise(row_number().over(w).cast("long") +
             col("__gr_off")))
-      // rerun-determinism guard: a lineage that re-executed LARGER in
-      // phase 2 than phase 1 produces a rank past the phase-1 total —
-      // raise instead of silently emitting ranks that disagree with the
-      // driver offsets (shrinkage is undetectable here; see contract)
+      // rerun-determinism tripwire: growth that pushes a rank past the
+      // phase-1 total raises instead of silently emitting ranks that
+      // disagree with the driver offsets. PARTIAL by construction —
+      // growth absorbed by a non-final bucket duplicates ranks without
+      // exceeding the total, and shrinkage is invisible (see contract)
       .withColumn(outCol,
         when(col(outCol) > total, raise_error(concat(
           lit("globalRank: rank "), col(outCol).cast("string"),

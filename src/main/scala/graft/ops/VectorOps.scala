@@ -91,7 +91,10 @@ object VectorOps {
     * replacing rDim interpreted `aggregate(zip_with(...))` folds per
     * row (the module's HOF-free hot-path convention); accumulation
     * order is identical, so projections are bit-identical to the HOF
-    * form. */
+    * form ON LENGTH-`dim` INPUT (every corpus here). A malformed
+    * shorter vector now truncates per the DotProduct min-length rule
+    * where the HOF's zip_with null-padding propagated null — validate
+    * vector lengths upstream if malformed rows must surface. */
   def randomProject(vec: Column, dim: Int, rDim: Int): Column = {
     require(rDim > 0 && dim > 0, s"need dim > 0 and rDim > 0, got $dim/$rDim")
     toCol(RandomProject(toExpr(vec), dim, rDim))

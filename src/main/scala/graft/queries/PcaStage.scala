@@ -4,29 +4,49 @@ import org.apache.spark.sql.SparkSession
 
 import graft.ops.Pca
 
-/** One session-scoped memo: value computed once per (session, dir),
-  * entries keyed by a DEAD session evicted on the next call (PqStage's
-  * retention contract), so a long-lived JVM cycling sessions cannot
-  * accumulate stale state. The eviction rule lives HERE, once — the
-  * fitted-direction and dim-stats memos below (and any future staged
-  * artifact) share it instead of copy-pasting it.
+/** One session-scoped memo: value computed once per (session, dir).
+  * The eviction rule lives HERE, once — the fitted-direction and
+  * dim-stats memos below (and any future staged artifact) share it
+  * instead of copy-pasting it. Two retention mechanisms compose:
   *
-  * Eviction keeps every LIVE session's entries (isStopped check), not
-  * just the caller's — two concurrently live sessions (a parallel test
-  * runner, a multi-tenant JVM) each keep their staged artifacts instead
-  * of thrashing each other into silent re-training on every call.
-  * getOrElseUpdate on a TrieMap may evaluate `compute` twice under a
-  * concurrent first call for the SAME key (one result wins, the loser's
-  * checkpoint blocks are garbage-collected with its lineage) — a
-  * duplicated one-time staging, never a wrong answer. */
-private[queries] final class SessionMemo[A] {
+  *  - entries whose session's CONTEXT is stopped are dropped on every
+  *    call (their checkpointed blocks died with the context);
+  *  - a small LRU cap (`maxEntries`) bounds everything the stopped
+  *    check cannot see — sessions discarded while SHARING a live
+  *    SparkContext (`newSession()`/`cloneSession()` cycling: Spark
+  *    allows one active context per JVM, so "dead clone, live
+  *    context" is the common leak shape) age out instead of pinning
+  *    their checkpointed artifacts forever.
+  *
+  * Concurrently live sessions under the cap keep their staged
+  * artifacts (no thrash — the pre-r10 form evicted every other
+  * session's entries on each call); a tenant beyond the cap re-stages
+  * on return, which is a bounded re-compute, never a wrong answer.
+  * Calls are serialized (one driver-side lock per memo): staging is a
+  * one-time cost and a duplicated concurrent compute of the same
+  * artifacts would cost more than the serialization it avoids. */
+private[queries] final class SessionMemo[A](maxEntries: Int = 8) {
   private val cache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), A]
-  def apply(s: SparkSession, dir: String)(compute: => A): A = {
-    cache.filterInPlace { case ((sess, _), _) =>
-      (sess eq s) || !sess.sparkContext.isStopped }
-    cache.getOrElseUpdate((s, dir), compute)
-  }
+    new java.util.LinkedHashMap[(SparkSession, String), A](
+      16, 0.75f, /* access-order = LRU */ true)
+  def apply(s: SparkSession, dir: String)(compute: => A): A =
+    synchronized {
+      cache.keySet().removeIf { case (sess, _) =>
+        sess.sparkContext.isStopped }
+      val k = (s, dir)
+      val hit = cache.get(k)
+      if (hit != null) hit
+      else {
+        val v = compute
+        cache.put(k, v)
+        val it = cache.keySet().iterator()
+        while (cache.size() > maxEntries && it.hasNext) {
+          val eldest = it.next() // access-ordered head = LRU
+          if (eldest != k) it.remove()
+        }
+        v
+      }
+    }
 }
 
 /** Staged PCA artifacts, computed once per (session, sf-dir) — the

@@ -34,11 +34,12 @@ import graft.ops.Pq
   * a rewritten embeddings table needs a fresh SparkSession, exactly as
   * a rebuilt production index needs re-staging — there is no content
   * fingerprinting, the memo IS the staged-index semantics. Retention
-  * is single-session: staging for a session EVICTS every other
-  * session's entries (their checkpointed artifacts die with their
-  * session anyway), so a long-lived multi-session JVM — the test
-  * runner, an embedding host cycling sessions — cannot accumulate
-  * dead-session cache state.
+  * (the shared [[SessionMemo]] rule): stopped-context entries drop on
+  * every call, and an LRU cap bounds entries for sessions discarded
+  * while sharing a live context — so a long-lived multi-session JVM
+  * (the test runner, an embedding host cycling `newSession()`) cannot
+  * accumulate unbounded staged state, while concurrently live
+  * sessions under the cap keep their artifacts without thrash.
   */
 object PqStage {
 

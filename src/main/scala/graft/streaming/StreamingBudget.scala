@@ -26,20 +26,25 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
   * applied to streaming state).
   *
   * State per stratum: ONE long (admitted tokens so far) — bounded
-  * forever, the smallest possible admission state. Unknown strata
-  * (no budget entry) are rejected with reason "no_budget", mirroring
-  * the batch form's exclusion of unbudgeted strata.
+  * forever, the smallest possible admission state.
   *
   * Output (Update mode): one row per input document —
-  * (stratum, order_id, tokens, admitted, admitted_tokens_after) —
-  * so the caller both filters admissions and watches each quota fill.
+  * (stratum, order_id, tokens, admitted, admitted_tokens_after,
+  * reason) — so the caller both filters admissions and watches each
+  * quota fill; `reason` distinguishes "admitted" / "no_budget"
+  * (unknown or NULL stratum — it can carry no budget) /
+  * "invalid_row" (NULL order_id or NULL/non-positive tokens — a
+  * poisoned row must flow through observably, never crash the
+  * stream) / "budget_exhausted".
   */
 object StreamingBudget {
 
-  case class Doc(stratum: String, order_id: Long, tokens: Long)
+  case class Doc(stratum: String, order_id: Long, tokens: Long,
+                 valid: Boolean)
 
   case class Decision(stratum: String, order_id: Long, tokens: Long,
-                      admitted: Boolean, admitted_tokens_after: Long)
+                      admitted: Boolean, admitted_tokens_after: Long,
+                      reason: String)
 
   /** The per-stratum state-update walk, factored out for the spec.
     * Docs are walked in ascending order_id; ties break on tokens then
@@ -47,12 +52,17 @@ object StreamingBudget {
   private[streaming] def update(budgets: Map[String, Long])(
       stratum: String, rows: Iterator[Doc],
       state: GroupState[Long]): Iterator[Decision] = {
-    val budget = budgets.get(stratum)
+    val budget = budgets.get(Option(stratum).getOrElse(""))
     var admitted = state.getOption.getOrElse(0L)
     val out = rows.toSeq.sortBy(d => (d.order_id, d.tokens)).map { d =>
-      val admit = budget.exists(b => admitted < b) && d.tokens > 0
+      val reason =
+        if (!d.valid || d.tokens <= 0) "invalid_row"
+        else if (budget.isEmpty) "no_budget"
+        else if (admitted < budget.get) "admitted"
+        else "budget_exhausted"
+      val admit = reason == "admitted"
       if (admit) admitted += d.tokens
-      Decision(stratum, d.order_id, d.tokens, admit, admitted)
+      Decision(stratum, d.order_id, d.tokens, admit, admitted, reason)
     }
     state.update(admitted)
     out.iterator
@@ -60,10 +70,12 @@ object StreamingBudget {
 
   /** Wire the admission walk onto a streaming document frame.
     * `budgets` must be non-empty with positive budgets (the batch
-    * form's contract). Non-positive token counts are rejected (they
-    * cannot move a budget and the batch form guards them loudly;
-    * a stream must not crash on one poisoned row — reject-and-flow is
-    * the streaming convention, observable in the output). */
+    * form's contract). NULL order_id / NULL or non-positive tokens /
+    * NULL stratum are rejected observably with a `reason` (the batch
+    * form guards them loudly; a stream must not crash on one poisoned
+    * row — reject-and-flow is the streaming convention). A
+    * null-order_id row sorts at Long.MinValue in the walk but can
+    * never be admitted, so it cannot displace a valid row's budget. */
   def admit(stream: DataFrame, stratum: org.apache.spark.sql.Column,
             orderId: org.apache.spark.sql.Column,
             tokens: org.apache.spark.sql.Column,
@@ -74,10 +86,13 @@ object StreamingBudget {
       s"duplicate stratum in $budgets")
     val spark = stream.sparkSession
     import spark.implicits._
+    val oid = orderId.cast("long")
+    val tok = tokens.cast("long")
     stream
-      .select(stratum.cast("string").as("stratum"),
-        orderId.cast("long").as("order_id"),
-        tokens.cast("long").as("tokens"))
+      .select(coalesce(stratum.cast("string"), lit("")).as("stratum"),
+        coalesce(oid, lit(Long.MinValue)).as("order_id"),
+        coalesce(tok, lit(0L)).as("tokens"),
+        (oid.isNotNull && tok.isNotNull).as("valid"))
       .as[Doc]
       .groupByKey(_.stratum)
       .flatMapGroupsWithState(

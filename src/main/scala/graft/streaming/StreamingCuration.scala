@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.types.StructType
 
-import graft.ops.{Sketches, TextMetrics}
+import graft.ops.TextMetrics
 
 /** The STREAMING curation pipeline as ONE foreachBatch composition — the
   * streaming twin of the batch `pipeline_curate` row's front half:
@@ -81,15 +81,8 @@ object StreamingCuration {
       .localCheckpoint(true)
     val rules = StreamingFunnel.rulesOver(col("__qf_g"), col("__qf_r"),
       cfg.minWords, cfg.maxWords, cfg.ngramMax)
-    val obs = rules.map { case (n, c) =>
-      struct(lit(n).as("rule"),
-        when(c, lit(0L)).otherwise(lit(1L)).as("fail"))
-    }
-    featured
-      .select(explode(array(obs: _*)).as("o"))
-      .select(col("o.*"))
-      .groupBy(col("rule"))
-      .agg(sum(col("fail")).as("n_fail"), count(lit(1)).as("n_docs"))
+    StreamingFunnel.failCounters(featured, cfg.minWords, cfg.maxWords,
+        cfg.ngramMax)
       .coalesce(1).write.mode("overwrite")
       .parquet(s"$outDir/funnel/batch=$batchId")
 
@@ -126,20 +119,12 @@ object StreamingCuration {
     * (≤ 2^p entries). Numeric routing is the batch profiler's own
     * ([[graft.ops.Profile.numeric]]) — one contract, not two. */
   def profileIncrement(batch: DataFrame, p: Int): DataFrame = {
-    val types = batch.schema.fields.map(f => f.name -> f.dataType).toMap
-    def q(n: String) = col(s"`$n`")
-    val obsRows = batch.schema.fieldNames.toSeq.map { n =>
-      val (bucket, rank) =
-        Sketches.hllBucketRank(xxhash64(q(n).cast("string")), p)
-      struct(
-        lit(n).as("col_name"),
-        q(n).isNull.as("is_null"),
-        graft.ops.Profile.numeric(q(n), types(n)).as("num"),
-        coalesce(bucket, lit(0)).as("bucket"),
-        coalesce(rank, lit(0)).as("rank"))
-    }
+    // the observation projection is StreamingProfile's — ONE contract
+    // (hashing, null routing, numeric typing) behind both profilers,
+    // which is what makes the merged-estimate bit-parity claim hold
     batch
-      .select(explode(array(obsRows: _*)).as("o"))
+      .select(explode(array(
+        StreamingProfile.obsStructs(batch, Nil, p): _*)).as("o"))
       .select(col("o.*"))
       .where(!col("is_null"))
       .groupBy(col("col_name"), col("bucket"))

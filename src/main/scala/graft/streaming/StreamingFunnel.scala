@@ -50,20 +50,30 @@ object StreamingFunnel {
         TextMetrics.gopherFlags(text, minWords, maxWords, stopwords))
       .withColumn("__qf_r", TextMetrics.repetitionFeatures(text))
 
-  /** Running (rule, n_fail, n_docs) per micro-batch. */
-  def funnel(stream: DataFrame, text: Column, minWords: Int = 50,
-             maxWords: Int = 100000,
-             stopwords: Seq[String] = TextMetrics.GopherStopwords,
-             ngramMax: Double = 0.3): DataFrame = {
+  /** The counting block over an already-[[withFeatures]]-extended
+    * frame: per rule, (rule, n_fail, n_docs). Shared by [[funnel]] and
+    * [[StreamingCuration]]'s persisted per-batch increments — one
+    * counting semantics, not two copies that can drift apart while a
+    * parity spec asserts their outputs equal. */
+  def failCounters(featured: DataFrame, minWords: Int, maxWords: Int,
+                   ngramMax: Double): DataFrame = {
     val obs = rulesOver(col("__qf_g"), col("__qf_r"), minWords, maxWords,
       ngramMax).map { case (n, c) =>
       struct(lit(n).as("rule"),
         when(c, lit(0L)).otherwise(lit(1L)).as("fail"))
     }
-    withFeatures(stream, text, minWords, maxWords, stopwords)
+    featured
       .select(explode(array(obs: _*)).as("o"))
       .select(col("o.*"))
       .groupBy(col("rule"))
       .agg(sum(col("fail")).as("n_fail"), count(lit(1)).as("n_docs"))
   }
+
+  /** Running (rule, n_fail, n_docs) per micro-batch. */
+  def funnel(stream: DataFrame, text: Column, minWords: Int = 50,
+             maxWords: Int = 100000,
+             stopwords: Seq[String] = TextMetrics.GopherStopwords,
+             ngramMax: Double = 0.3): DataFrame =
+    failCounters(withFeatures(stream, text, minWords, maxWords, stopwords),
+      minWords, maxWords, ngramMax)
 }

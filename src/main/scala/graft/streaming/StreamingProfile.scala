@@ -84,18 +84,17 @@ object StreamingProfile {
       StreamingDistinct.estimateOf(st.regs, p))
   }
 
-  /** Wire the profiler onto a streaming DataFrame. Update-mode output:
-    * one row per touched column per micro-batch with its running
-    * profile. `p` is the HLL precision (2^p register bytes per
-    * column). */
-  def profile(stream: DataFrame, cols: Seq[String] = Nil,
-              p: Int = 8): Dataset[ColProfile] = {
-    val spark = stream.sparkSession
-    import spark.implicits._
-    val names = if (cols.nonEmpty) cols else stream.schema.fieldNames.toSeq
-    val types = stream.schema.fields.map(f => f.name -> f.dataType).toMap
+  /** Per-column observation structs (col_name, is_null, num, bucket,
+    * rank) — the ONE projection contract behind this GroupState
+    * profiler AND [[StreamingCuration]]'s per-batch profile increments
+    * (their bit-parity claim depends on both reading the same hashing,
+    * null routing, and numeric typing; a second copy could drift). */
+  private[streaming] def obsStructs(df: DataFrame, cols: Seq[String],
+                                    p: Int): Seq[org.apache.spark.sql.Column] = {
+    val names = if (cols.nonEmpty) cols else df.schema.fieldNames.toSeq
+    val types = df.schema.fields.map(f => f.name -> f.dataType).toMap
     def q(n: String) = col(s"`$n`")
-    val obsRows = names.map { n =>
+    names.map { n =>
       val dt = types.getOrElse(n,
         throw new IllegalArgumentException(s"profile: no column $n"))
       val (bucket, rank) =
@@ -108,8 +107,18 @@ object StreamingProfile {
         coalesce(bucket, lit(0)).as("bucket"),
         coalesce(rank, lit(0)).as("rank"))
     }
+  }
+
+  /** Wire the profiler onto a streaming DataFrame. Update-mode output:
+    * one row per touched column per micro-batch with its running
+    * profile. `p` is the HLL precision (2^p register bytes per
+    * column). */
+  def profile(stream: DataFrame, cols: Seq[String] = Nil,
+              p: Int = 8): Dataset[ColProfile] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
     stream
-      .select(explode(array(obsRows: _*)).as("o"))
+      .select(explode(array(obsStructs(stream, cols, p): _*)).as("o"))
       .select(col("o.*"))
       .as[Obs]
       .groupByKey(_.col_name)

@@ -28,7 +28,8 @@ class StreamingBudgetSpec extends SparkSpec {
       """{"stratum": "en", "order_id": 1, "tokens": 40}""",
       """{"stratum": "en", "order_id": 2, "tokens": 50}""",
       """{"stratum": "fr", "order_id": 3, "tokens": 10}""",
-      """{"stratum": "en", "order_id": 4, "tokens": 0}""").mkString("\n"))
+      """{"stratum": "en", "order_id": 4, "tokens": 0}""",
+      """{"stratum": "en", "order_id": 7}""").mkString("\n"))
 
     val lines = spark.readStream.schema(schema).json(dir)
     val decisions = StreamingBudget.admit(lines, col("stratum"),
@@ -47,15 +48,18 @@ class StreamingBudgetSpec extends SparkSpec {
     } finally q.stop()
 
     val rows = spark.sql("select * from bud_out")
-      .collect().map(r => (r.getLong(1), r.getBoolean(3), r.getLong(4)))
+      .collect().map(r => (r.getLong(1), r.getBoolean(3), r.getLong(4),
+        r.getString(5)))
       .sortBy(_._1)
-    val byId = rows.map(r => r._1 -> ((r._2, r._3))).toMap
-    assert(byId(1L) == ((true, 40L)))
-    assert(byId(2L) == ((true, 90L)))
-    assert(byId(3L)._1 == false) // no fr budget
-    assert(byId(4L)._1 == false) // non-positive tokens
-    assert(byId(5L) == ((true, 120L))) // boundary doc kept (90 < 100)
-    assert(byId(6L) == ((false, 120L))) // budget exhausted
+    val byId = rows.map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(byId(1L) == ((true, 40L, "admitted")))
+    assert(byId(2L) == ((true, 90L, "admitted")))
+    assert(byId(3L) == ((false, 0L, "no_budget"))) // no fr budget
+    assert(byId(4L)._3 == "invalid_row") // non-positive tokens
+    // the tokens-field-less row flows through observably, never crashes
+    assert(byId(7L)._3 == "invalid_row")
+    assert(byId(5L) == ((true, 120L, "admitted"))) // boundary kept (90<100)
+    assert(byId(6L) == ((false, 120L, "budget_exhausted")))
   }
 
   test("in-batch admission is order_id-deterministic, and equals the " +
@@ -69,7 +73,7 @@ class StreamingBudgetSpec extends SparkSpec {
       val it = StreamingBudget.update(Map("en" -> 100L, "de" -> 30L))(
         "en",
         docs.filter(_._1 == "en")
-          .map(d => StreamingBudget.Doc(d._1, d._2, d._3)).iterator,
+          .map(d => StreamingBudget.Doc(d._1, d._2, d._3, valid = true)).iterator,
         new FakeGroupState[Long])
       it.toSeq.map(d => d.order_id -> d.admitted).toMap
     }
@@ -90,7 +94,7 @@ class StreamingBudgetSpec extends SparkSpec {
       StreamingBudget.update(Map("en" -> 100L, "de" -> 30L))(
         s,
         docs.filter(_._1 == s)
-          .map(d => StreamingBudget.Doc(d._1, d._2, d._3)).iterator,
+          .map(d => StreamingBudget.Doc(d._1, d._2, d._3, valid = true)).iterator,
         new FakeGroupState[Long]).toSeq
     }.filter(_.admitted).map(d => (d.stratum, d.order_id)).toSet
     assert(onlineAll == batch,
