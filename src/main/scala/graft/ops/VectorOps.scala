@@ -147,6 +147,73 @@ object VectorOps {
       .select(col("query_id"), col("rank"), col("cand_id"), col("sim"))
   }
 
+  /** Margin-based kNN bitext mining (Artetxe & Schwenk 2019,
+    * arXiv:1811.01136 — the LASER/CCMatrix parallel-corpus recipe):
+    * for every SOURCE-side vector, score each TARGET-side candidate by
+    * the RATIO margin
+    *
+    *   margin(x, y) = cos(x, y) / ((fwd(x) + bwd(y)) / 2)
+    *
+    * where fwd(x) is the mean cosine of x to its k nearest targets and
+    * bwd(y) the mean of y to its k nearest sources — raw cosine
+    * over-selects hub vectors that are near EVERYTHING; dividing by the
+    * neighborhood means cancels hubness, which is the whole point of
+    * margin scoring. Returns the `topM` highest-margin target(s) per
+    * source: (src_id, rank, tgt_id, cos, margin).
+    *
+    * Determinism (the cross-engine rules): cosines are 6-dp-rounded
+    * before ANY use; each k-neighborhood mean is an exact
+    * decimal(18,6) sum of those rounded values divided by k (so
+    * accumulation order cannot perturb a bit); the margin divides
+    * exact-operand doubles and rounds to 6 dp; all ranks tie-break on
+    * the candidate id. A degenerate all-orthogonal neighborhood
+    * (denominator 0) scores margin 0 rather than NaN.
+    *
+    * Scale shape: this is the SCORING stage — at verification scale it
+    * runs over the full src × broadcast(tgt) pair set (the in-repo
+    * oracle form, like `topKCosine`); at corpus scale the pair set
+    * comes from a candidate generator (IVF cells via [[graft.ops.Pq.probeCells]],
+    * or [[lshBuckets]] equi-joins) feeding the same scorer — margins
+    * only ever need the k-neighborhood of each vector, which any
+    * recall-adequate candidate set contains. The scored pair table is
+    * a materialized stage boundary (three consumers: fwd means, bwd
+    * means, the final ranking — unpinned, the cosine cross re-executes
+    * per consumer; ScanCensus/§22). */
+  def marginMine(src: DataFrame, tgt: DataFrame, idCol: String,
+                 vecCol: String, k: Int, topM: Int = 1): DataFrame = {
+    require(k > 0 && topM > 0, s"need k/topM > 0, got $k/$topM")
+    val s = src.select(col(idCol).as("src_id"), col(vecCol).as("__mm_sv"))
+    val t = tgt.select(col(idCol).as("tgt_id"), col(vecCol).as("__mm_tv"))
+    val scored = s.crossJoin(broadcast(t))
+      .select(col("src_id"), col("tgt_id"),
+        round(cosine(col("__mm_sv"), col("__mm_tv")), 6).as("cos"))
+      .localCheckpoint(true)
+    def knnMean(key: String, other: String, out: String) = {
+      val w = Window.partitionBy(col(key))
+        .orderBy(col("cos").desc, col(other))
+      scored.withColumn("__mm_r", row_number().over(w))
+        .where(col("__mm_r") <= k)
+        .groupBy(col(key))
+        .agg((sum(col("cos").cast("decimal(18,6)")).cast("double") /
+          k).as(out))
+    }
+    val fwd = knnMean("src_id", "tgt_id", "__mm_fwd")
+    val bwd = knnMean("tgt_id", "src_id", "__mm_bwd")
+    val denom = (col("__mm_fwd") + col("__mm_bwd")) / 2
+    val wm = Window.partitionBy(col("src_id"))
+      .orderBy(col("margin").desc, col("tgt_id"))
+    scored
+      .join(broadcast(fwd), "src_id")
+      .join(broadcast(bwd), "tgt_id")
+      .withColumn("margin",
+        when(denom === 0, lit(0.0))
+          .otherwise(round(col("cos") / denom, 6)))
+      .withColumn("rank", row_number().over(wm))
+      .where(col("rank") <= topM)
+      .select(col("src_id"), col("rank"), col("tgt_id"), col("cos"),
+        col("margin"))
+  }
+
   /** Random-hyperplane LSH bucket id (SimHash over the embedding): sign bits
     * of dot products with `nPlanes` pseudo-random hyperplanes derived
     * deterministically from the element index — candidates sharing a bucket

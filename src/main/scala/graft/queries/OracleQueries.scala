@@ -737,6 +737,61 @@ object OracleQueries {
         SELECT query_id, rnk, cand_id, sim FROM rk WHERE rnk <= 3
         ORDER BY query_id, rnk""")),
 
+    // ============== margin-based kNN bitext mining ========================
+    // The parallel-corpus mining recipe (Artetxe & Schwenk 2019 — the
+    // LASER/CCMatrix pipeline): even-id vectors play the source
+    // language, odd-id the target; each source is paired with its
+    // highest-MARGIN target, where margin = cos / (mean of the two
+    // k-neighborhood cosines) — raw cosine over-selects hub vectors,
+    // margin cancels hubness. k-neighborhood means are exact
+    // decimal(18,6) sums of 6-dp-rounded cosines (order-independent
+    // cross-engine); the oracle replays cosines, both kNN means, the
+    // margin, and the argmax ranking.
+    Q("mine_bitext",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings").select(
+          col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
+        VectorOps.marginMine(
+            e.where(col("vec_id") % 2 === 0 && col("vec_id") < 200),
+            e.where(col("vec_id") % 2 === 1 && col("vec_id") < 200),
+            "vec_id", "v", k = 4, topM = 1)
+          .withColumnRenamed("rank", "rnk")
+          .orderBy(col("src_id"))
+      },
+      Some("""WITH e AS (SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings WHERE vec_id < 200),
+        s AS (SELECT vec_id AS src_id, v AS sv FROM e WHERE vec_id % 2 = 0),
+        tg AS (SELECT vec_id AS tgt_id, v AS tv FROM e WHERE vec_id % 2 = 1),
+        pairs AS (SELECT src_id, tgt_id, sv, tv FROM s CROSS JOIN tg),
+        u AS (SELECT src_id, tgt_id, UNNEST(sv) AS x, UNNEST(tv) AS y
+              FROM pairs),
+        sc0 AS (SELECT src_id, tgt_id, SUM(x*y) AS dot, SUM(x*x) AS na,
+                  SUM(y*y) AS nb FROM u GROUP BY src_id, tgt_id),
+        sc AS (SELECT src_id, tgt_id,
+                 ROUND(dot/(SQRT(na)*SQRT(nb)), 6) AS cos FROM sc0),
+        fr AS (SELECT src_id, tgt_id, cos, ROW_NUMBER() OVER (
+                 PARTITION BY src_id ORDER BY cos DESC, tgt_id) AS r
+               FROM sc),
+        fwd AS (SELECT src_id,
+                  CAST(SUM(CAST(cos AS DECIMAL(18,6))) AS DOUBLE) / 4
+                    AS f FROM fr WHERE r <= 4 GROUP BY src_id),
+        br AS (SELECT src_id, tgt_id, cos, ROW_NUMBER() OVER (
+                 PARTITION BY tgt_id ORDER BY cos DESC, src_id) AS r
+               FROM sc),
+        bwd AS (SELECT tgt_id,
+                  CAST(SUM(CAST(cos AS DECIMAL(18,6))) AS DOUBLE) / 4
+                    AS b FROM br WHERE r <= 4 GROUP BY tgt_id),
+        m AS (SELECT sc.src_id, sc.tgt_id, sc.cos,
+                CASE WHEN (f + b) / 2 = 0 THEN 0.0
+                  ELSE ROUND(sc.cos / ((f + b) / 2), 6) END AS margin
+              FROM sc JOIN fwd USING (src_id) JOIN bwd USING (tgt_id)),
+        rk AS (SELECT src_id, tgt_id, cos, margin, ROW_NUMBER() OVER (
+                 PARTITION BY src_id ORDER BY margin DESC, tgt_id) AS rnk
+               FROM m)
+        SELECT src_id, rnk, tgt_id, cos, margin FROM rk WHERE rnk <= 1
+        ORDER BY src_id""")),
+
     // ====== embedding near-dup pairs: top-k most similar pairs ============
     // The embedding-cosine near-duplicate sweep: brute-force pair scores on
     // a bounded candidate set, ranked deterministically.

@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Margin-based kNN bitext mining: hand-computed margins, the
+  * hub-demotion property the margin exists for (a hub target with the
+  * HIGHEST raw cosine to a source loses to the source's specific
+  * partner once neighborhood means divide it away), and the degenerate
+  * all-orthogonal case. */
+class MarginMineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hub demotion: raw cosine picks the hub, margin picks the " +
+      "specific partner; margins match hand arithmetic") {
+    // sources: unit axes. targets: a hub near BOTH sources (cos 0.824 /
+    // 0.566), plus one specific partner per source (cos 0.8, orthogonal
+    // to the other source).
+    val src = Seq(
+      (0L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (2L, Seq(0.0, 1.0, 0.0, 0.0))).toDF("vec_id", "v")
+    val tgt = Seq(
+      (1L, Seq(0.8, 0.55, 0.0, 0.0)), // the hub
+      (3L, Seq(0.8, 0.0, 0.6, 0.0)), // partner of src 0
+      (5L, Seq(0.0, 0.8, 0.0, 0.6))) // partner of src 2
+      .toDF("vec_id", "v")
+
+    // raw top-1 for src 0 IS the hub (0.824178 > 0.8)
+    val raw = VectorOps.topKCosine(src.where(col("vec_id") === 0),
+        tgt, "vec_id", "v", 1)
+      .collect()
+    assert(raw.head.getLong(2) == 1L, s"raw cosine should pick the hub")
+
+    val mined = VectorOps.marginMine(src, tgt, "vec_id", "v", k = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    // hand arithmetic (6-dp-rounded cosines, exact decimal k-means;
+    // |hub| = sqrt(0.8^2 + 0.55^2) = sqrt(0.9425)):
+    //   cos(0,hub)=round(0.8/0.970824,6)=0.824042, cos(0,t3)=0.8
+    //   fwd(0)=(0.824042+0.8)/2=0.812021,
+    //   bwd(hub)=(0.824042+0.566529)/2=0.695286 (cos(2,hub)=0.566529),
+    //   bwd(t3)=(0.8+0)/2=0.4
+    //   margin(0,hub)=0.824042/((0.812021+0.695286)/2)=1.093397
+    //   margin(0,t3)=0.8/((0.812021+0.4)/2)=1.320109 -> t3 wins
+    val (t0, c0, m0) = mined(0L)
+    assert(t0 == 3L, s"margin must demote the hub, got target $t0")
+    assert(c0 == 0.8, s"cos $c0")
+    assert(math.abs(m0 - 1.320109) < 1e-6, s"margin $m0")
+    val (t2, _, m2) = mined(2L)
+    assert(t2 == 5L && m2 > 1.0, s"src 2 -> $t2 margin $m2")
+  }
+
+  test("all-orthogonal neighborhoods score margin 0, never NaN") {
+    val src = Seq((0L, Seq(1.0, 0.0))).toDF("vec_id", "v")
+    val tgt = Seq((1L, Seq(0.0, 1.0)), (3L, Seq(0.0, -1.0)))
+      .toDF("vec_id", "v")
+    val rows = VectorOps.marginMine(src, tgt, "vec_id", "v", k = 2)
+      .collect()
+    assert(rows.length == 1)
+    assert(rows.head.getDouble(4) == 0.0) // margin
+    assert(rows.head.getLong(2) == 1L) // tie on margin -> smaller tgt id
+  }
+}
