@@ -256,6 +256,13 @@ object VectorExpressions {
     * deterministic, interpreted/codegen identical. */
   case class HouseholderRotate(child: Expression, u: Array[Double])
       extends UnaryExpression {
+    // uu is embedded into the generated Java as a text literal — a
+    // NaN/Infinity component would interpolate as 'NaND'/'InfinityD'
+    // and fail Janino at runtime, far from the bad input. Reject the
+    // vector at construction instead (a reflection vector is driver
+    // fit output; a non-finite component is always an upstream bug).
+    require(u.forall(java.lang.Double.isFinite),
+      "HouseholderRotate: reflection vector must be finite")
     override def checkInputDataTypes(): TypeCheckResult =
       checkArrays(this, DoubleType, child)
     override def dataType: DataType =
@@ -298,6 +305,11 @@ object VectorExpressions {
     override protected def doGenCode(ctx: CodegenContext,
                                      ev: ExprCode): ExprCode = {
       val tbl = ctx.addReferenceObj("houseU", u, "double[]")
+      // finite by the constructor require on u's components, but the
+      // SUM of squares can still overflow for extreme magnitudes —
+      // catch it here rather than let 'InfinityD' reach Janino
+      require(java.lang.Double.isFinite(uu),
+        "HouseholderRotate: |u|^2 overflows double")
       val uuRef = uu // JVM double literal via string interp below
       nullSafeCodeGen(ctx, ev, v => {
         val n = ctx.freshName("n"); val m = ctx.freshName("m")

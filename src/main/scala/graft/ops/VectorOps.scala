@@ -100,6 +100,21 @@ object VectorOps {
     toCol(RandomProject(toExpr(vec), dim, rDim))
   }
 
+  /** [[randomProject]] with the length contract ENFORCED instead of
+    * assumed: a vector whose length is not exactly `dim` fails loudly
+    * naming the length, rather than silently truncating (the
+    * DotProduct min-length rule) into a finite projection that flows
+    * through shortlisting undetected. Use this form when the corpus
+    * has not been validated upstream; the unguarded form when it has
+    * (the guard is one branch per row — cheap, not free). */
+  def randomProjectStrict(vec: Column, dim: Int, rDim: Int): Column = {
+    require(rDim > 0 && dim > 0, s"need dim > 0 and rDim > 0, got $dim/$rDim")
+    when(size(vec) =!= dim, raise_error(concat(
+      lit(s"randomProjectStrict: expected length $dim, got "),
+      size(vec).cast("string"))).cast("array<double>"))
+      .otherwise(randomProject(vec, dim, rDim))
+  }
+
   /** RP-shortlisted exact top-k: rank the whole corpus by cosine in the
     * [[randomProject]]-reduced space to a per-query shortlist, then
     * exact-cosine re-rank ONLY the shortlist in full dimension — the
@@ -154,39 +169,83 @@ object VectorOps {
     *
     *   margin(x, y) = cos(x, y) / ((fwd(x) + bwd(y)) / 2)
     *
-    * where fwd(x) is the mean cosine of x to its k nearest targets and
-    * bwd(y) the mean of y to its k nearest sources — raw cosine
-    * over-selects hub vectors that are near EVERYTHING; dividing by the
-    * neighborhood means cancels hubness, which is the whole point of
-    * margin scoring. Returns the `topM` highest-margin target(s) per
-    * source: (src_id, rank, tgt_id, cos, margin).
+    * where fwd(x) is the mean cosine of x to its k nearest candidate
+    * targets and bwd(y) the mean of y to its k nearest candidate
+    * sources — raw cosine over-selects hub vectors that are near
+    * EVERYTHING; dividing by the neighborhood means cancels hubness,
+    * which is the whole point of margin scoring.
+    *
+    * This is the ALL-PAIRS verification form (the in-repo oracle, like
+    * `topKCosine` / `Dedup.containment`): candidates are the full
+    * src × broadcast(tgt) id cross, fed to [[marginMineOverPairs]] —
+    * ONE scorer behind both forms, so the equivalence spec is
+    * delegation plus arithmetic, not two implementations. At corpus
+    * scale NEVER call this (O(|src|·|tgt|) scored rows, the whole
+    * target corpus broadcast): generate a bounded candidate pair table
+    * — [[lshBuckets]] equi-joins, IVF cells via
+    * [[graft.ops.Pq.probeCells]] — and feed [[marginMineOverPairs]]
+    * directly, the `Dedup.containmentOverPairs` pattern. */
+  def marginMine(src: DataFrame, tgt: DataFrame, idCol: String,
+                 vecCol: String, k: Int, topM: Int = 1): DataFrame = {
+    val pairs = src.select(col(idCol).as("src_id"))
+      .crossJoin(broadcast(tgt.select(col(idCol).as("tgt_id"))))
+    marginMineOverPairs(pairs, src, tgt, idCol, vecCol, k, topM)
+  }
+
+  /** The margin scorer over a CANDIDATE pair table — the scale form of
+    * [[marginMine]]: `pairs` carries (src_id, tgt_id), typically from
+    * an [[lshBuckets]] equi-join or [[graft.ops.Pq.probeCells]] cell
+    * match, and margins are computed over candidate neighborhoods
+    * (fwd/bwd means over each vector's k best CANDIDATES). On any
+    * candidate set containing each vector's true k-neighborhood the
+    * result is bit-identical to the all-pairs form (margins only ever
+    * read the k-neighborhood; MarginMineSpec pins both the containment
+    * case and the delegation identity).
     *
     * Determinism (the cross-engine rules): cosines are 6-dp-rounded
     * before ANY use; each k-neighborhood mean is an exact
-    * decimal(18,6) sum of those rounded values divided by k (so
-    * accumulation order cannot perturb a bit); the margin divides
+    * decimal(18,6) sum of those rounded values divided by the ACTUAL
+    * neighborhood size min(candidates, k) — the Artetxe & Schwenk
+    * neighborhood mean; dividing by a constant k would underestimate
+    * the means and inflate margins for sparsely-candidated vectors —
+    * (so accumulation order cannot perturb a bit); the margin divides
     * exact-operand doubles and rounds to 6 dp; all ranks tie-break on
     * the candidate id. A degenerate all-orthogonal neighborhood
-    * (denominator 0) scores margin 0 rather than NaN.
+    * (denominator 0) scores margin 0 rather than NaN. Returns the
+    * `topM` highest-margin target(s) per source with ≥1 candidate:
+    * (src_id, rank, tgt_id, cos, margin).
     *
-    * Scale shape: this is the SCORING stage — at verification scale it
-    * runs over the full src × broadcast(tgt) pair set (the in-repo
-    * oracle form, like `topKCosine`); at corpus scale the pair set
-    * comes from a candidate generator (IVF cells via [[graft.ops.Pq.probeCells]],
-    * or [[lshBuckets]] equi-joins) feeding the same scorer — margins
-    * only ever need the k-neighborhood of each vector, which any
-    * recall-adequate candidate set contains. The scored pair table is
-    * a materialized stage boundary (three consumers: fwd means, bwd
-    * means, the final ranking — unpinned, the cosine cross re-executes
-    * per consumer; ScanCensus/§22). */
-  def marginMine(src: DataFrame, tgt: DataFrame, idCol: String,
-                 vecCol: String, k: Int, topM: Int = 1): DataFrame = {
+    * Scale shape: the pair table is candidate-bounded (LSH/IVF
+    * generators emit O(corpus · bucket_occupancy), never all-pairs);
+    * the two vector joins are plain hash equi-joins on the pair
+    * endpoints (corpus never broadcast); the scored pair table is a
+    * MATERIALIZED stage boundary — `localCheckpoint` PINS it because
+    * three consumers read it (fwd means, bwd means, the final ranking)
+    * and unpinned the cosine scoring would re-execute per consumer
+    * (ScanCensus/§22). The fwd/bwd mean tables are per-vector
+    * (bounded by the endpoint counts) and broadcast back onto the
+    * pinned pairs. A pair referencing a vector absent from src/tgt
+    * FAILS LOUDLY naming the pair (the `containmentOverPairs` guard —
+    * an inner join would silently drop candidates and a mined corpus
+    * would ship holes). */
+  def marginMineOverPairs(pairs: DataFrame, src: DataFrame, tgt: DataFrame,
+                          idCol: String, vecCol: String, k: Int,
+                          topM: Int = 1): DataFrame = {
     require(k > 0 && topM > 0, s"need k/topM > 0, got $k/$topM")
     val s = src.select(col(idCol).as("src_id"), col(vecCol).as("__mm_sv"))
     val t = tgt.select(col(idCol).as("tgt_id"), col(vecCol).as("__mm_tv"))
-    val scored = s.crossJoin(broadcast(t))
+    def guarded(side: Column): Column =
+      when(side.isNull, raise_error(concat(
+        lit("marginMineOverPairs: pair ("), col("src_id").cast("string"),
+        lit(", "), col("tgt_id").cast("string"),
+        lit(") references a vector absent from src/tgt")))
+        .cast("array<double>")).otherwise(side)
+    val scored = pairs.select(col("src_id"), col("tgt_id")).distinct()
+      .join(s, Seq("src_id"), "left")
+      .join(t, Seq("tgt_id"), "left")
       .select(col("src_id"), col("tgt_id"),
-        round(cosine(col("__mm_sv"), col("__mm_tv")), 6).as("cos"))
+        round(cosine(guarded(col("__mm_sv")), guarded(col("__mm_tv"))), 6)
+          .as("cos"))
       .localCheckpoint(true)
     def knnMean(key: String, other: String, out: String) = {
       val w = Window.partitionBy(col(key))
@@ -195,7 +254,7 @@ object VectorOps {
         .where(col("__mm_r") <= k)
         .groupBy(col(key))
         .agg((sum(col("cos").cast("decimal(18,6)")).cast("double") /
-          k).as(out))
+          least(count(lit(1)), lit(k))).as(out))
     }
     val fwd = knnMean("src_id", "tgt_id", "__mm_fwd")
     val bwd = knnMean("tgt_id", "src_id", "__mm_bwd")

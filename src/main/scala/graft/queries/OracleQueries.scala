@@ -774,13 +774,88 @@ object OracleQueries {
                  PARTITION BY src_id ORDER BY cos DESC, tgt_id) AS r
                FROM sc),
         fwd AS (SELECT src_id,
-                  CAST(SUM(CAST(cos AS DECIMAL(18,6))) AS DOUBLE) / 4
+                  CAST(SUM(CAST(cos AS DECIMAL(18,6))) AS DOUBLE)
+                    / LEAST(COUNT(*), 4)
                     AS f FROM fr WHERE r <= 4 GROUP BY src_id),
         br AS (SELECT src_id, tgt_id, cos, ROW_NUMBER() OVER (
                  PARTITION BY tgt_id ORDER BY cos DESC, src_id) AS r
                FROM sc),
         bwd AS (SELECT tgt_id,
-                  CAST(SUM(CAST(cos AS DECIMAL(18,6))) AS DOUBLE) / 4
+                  CAST(SUM(CAST(cos AS DECIMAL(18,6))) AS DOUBLE)
+                    / LEAST(COUNT(*), 4)
+                    AS b FROM br WHERE r <= 4 GROUP BY tgt_id),
+        m AS (SELECT sc.src_id, sc.tgt_id, sc.cos,
+                CASE WHEN (f + b) / 2 = 0 THEN 0.0
+                  ELSE ROUND(sc.cos / ((f + b) / 2), 6) END AS margin
+              FROM sc JOIN fwd USING (src_id) JOIN bwd USING (tgt_id)),
+        rk AS (SELECT src_id, tgt_id, cos, margin, ROW_NUMBER() OVER (
+                 PARTITION BY src_id ORDER BY margin DESC, tgt_id) AS rnk
+               FROM m)
+        SELECT src_id, rnk, tgt_id, cos, margin FROM rk WHERE rnk <= 1
+        ORDER BY src_id""")),
+
+    // ====== margin mining, CANDIDATE-FED (the 100 TB form) ===============
+    // The same margin scorer over an LSH-bounded candidate pair table —
+    // what CCMatrix-scale mining actually runs (billions × billions can
+    // never go all-pairs): both corpora are hyperplane-bucketed
+    // (5 sin-planes → 32 buckets) and only bucket-mates are ever scored,
+    // an equi-join, never a cross. Margins use the min(candidates, k)
+    // neighborhood mean (the Artetxe & Schwenk formula; a constant-k
+    // divisor would inflate margins for sparsely-candidated vectors).
+    // The oracle re-derives the buckets from the staged sin-plane table
+    // (left-to-right list_inner_product = the LshBucket codegen loop),
+    // the candidate join, and the whole margin chain.
+    Q("mine_bitext_lsh",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings").where(col("vec_id") < 200)
+          .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
+        val src = e.where(col("vec_id") % 2 === 0)
+        val tgt = e.where(col("vec_id") % 2 === 1)
+        def bucketed(d: DataFrame, out: String) = d.select(
+          col("vec_id").as(out),
+          VectorOps.lshBuckets(col("v"), dim = 64, nPlanes = 5).as("bucket"))
+        val pairs = bucketed(src, "src_id")
+          .join(bucketed(tgt, "tgt_id"), "bucket")
+          .select(col("src_id"), col("tgt_id"))
+        VectorOps.marginMineOverPairs(pairs, src, tgt, "vec_id", "v",
+            k = 4, topM = 1)
+          .withColumnRenamed("rank", "rnk")
+          .orderBy(col("src_id"))
+      },
+      Some(s"""WITH pl AS (SELECT p, list(w ORDER BY j) AS plane
+            FROM '$AuxDir/lsh_planes/*.parquet' WHERE p < 5 GROUP BY p),
+        e AS (SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings WHERE vec_id < 200),
+        bk AS (SELECT vec_id, ANY_VALUE(v) AS v,
+            CAST(SUM(CASE WHEN list_inner_product(v, plane) >= 0
+              THEN 1::BIGINT << p ELSE 0 END) AS BIGINT) AS bucket
+          FROM e CROSS JOIN pl GROUP BY vec_id),
+        s AS (SELECT vec_id AS src_id, v AS sv, bucket FROM bk
+          WHERE vec_id % 2 = 0),
+        tg AS (SELECT vec_id AS tgt_id, v AS tv, bucket FROM bk
+          WHERE vec_id % 2 = 1),
+        pairs AS (SELECT src_id, tgt_id, sv, tv FROM s JOIN tg
+          USING (bucket)),
+        u AS (SELECT src_id, tgt_id, UNNEST(sv) AS x, UNNEST(tv) AS y
+              FROM pairs),
+        sc0 AS (SELECT src_id, tgt_id, SUM(x*y) AS dot, SUM(x*x) AS na,
+                  SUM(y*y) AS nb FROM u GROUP BY src_id, tgt_id),
+        sc AS (SELECT src_id, tgt_id,
+                 ROUND(dot/(SQRT(na)*SQRT(nb)), 6) AS cos FROM sc0),
+        fr AS (SELECT src_id, tgt_id, cos, ROW_NUMBER() OVER (
+                 PARTITION BY src_id ORDER BY cos DESC, tgt_id) AS r
+               FROM sc),
+        fwd AS (SELECT src_id,
+                  CAST(SUM(CAST(cos AS DECIMAL(18,6))) AS DOUBLE)
+                    / LEAST(COUNT(*), 4)
+                    AS f FROM fr WHERE r <= 4 GROUP BY src_id),
+        br AS (SELECT src_id, tgt_id, cos, ROW_NUMBER() OVER (
+                 PARTITION BY tgt_id ORDER BY cos DESC, src_id) AS r
+               FROM sc),
+        bwd AS (SELECT tgt_id,
+                  CAST(SUM(CAST(cos AS DECIMAL(18,6))) AS DOUBLE)
+                    / LEAST(COUNT(*), 4)
                     AS b FROM br WHERE r <= 4 GROUP BY tgt_id),
         m AS (SELECT sc.src_id, sc.tgt_id, sc.cos,
                 CASE WHEN (f + b) / 2 = 0 THEN 0.0

@@ -61,4 +61,85 @@ class MarginMineSpec extends SparkSpec {
     assert(rows.head.getDouble(4) == 0.0) // margin
     assert(rows.head.getLong(2) == 1L) // tie on margin -> smaller tgt id
   }
+
+  // --- the candidate-fed scale form -----------------------------------
+
+  private def corpus(n: Int, d: Int, parity: Int) = {
+    // deterministic spread: vec i = normalized mix of two axes — enough
+    // geometry for distinct cosines, no randomness
+    (0 until n).filter(_ % 2 == parity).map { i =>
+      val v = Array.tabulate(d)(j =>
+        math.sin(i * d + j + 1.0) + (if (j == i % d) 2.0 else 0.0))
+      (i.toLong, v.toSeq)
+    }
+  }
+
+  test("overPairs on the full candidate cross is bit-identical to " +
+      "marginMine (delegation identity)") {
+    val src = corpus(20, 6, 0).toDF("vec_id", "v")
+    val tgt = corpus(20, 6, 1).toDF("vec_id", "v")
+    val pairs = src.select(col("vec_id").as("src_id"))
+      .crossJoin(tgt.select(col("vec_id").as("tgt_id")))
+    val a = VectorOps.marginMine(src, tgt, "vec_id", "v", k = 3, topM = 2)
+      .collect().map(_.toSeq).toSet
+    val b = VectorOps.marginMineOverPairs(pairs, src, tgt, "vec_id", "v",
+      k = 3, topM = 2).collect().map(_.toSeq).toSet
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("a candidate set containing every true k-neighborhood reproduces " +
+      "the all-pairs margins bit-for-bit (LSH-fed equivalence)") {
+    val src = corpus(24, 8, 0).toDF("vec_id", "v")
+    val tgt = corpus(24, 8, 1).toDF("vec_id", "v")
+    val k = 2
+    // build candidates = each src's true top-k targets UNION each tgt's
+    // true top-k sources (ranked by exact cosine on the driver — 24
+    // vectors) — by construction every vector's k-neighborhood is in
+    // the pair set, the containment premise under which
+    // overPairs == all-pairs
+    val all = src.select(col("vec_id").as("src_id"), col("v").as("sv"))
+      .crossJoin(tgt.select(col("vec_id").as("tgt_id"), col("v").as("tv")))
+      .select(col("src_id"), col("tgt_id"),
+        round(VectorOps.cosine(col("sv"), col("tv")), 6).as("cos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val bySrc = all.groupBy(_._1).toSeq.flatMap { case (_, rs) =>
+      rs.sortBy(r => (-r._3, r._2)).take(k).toSeq }
+    val byTgt = all.groupBy(_._2).toSeq.flatMap { case (_, rs) =>
+      rs.sortBy(r => (-r._3, r._1)).take(k).toSeq }
+    val cand = (bySrc ++ byTgt).map(r => (r._1, r._2)).distinct
+      .toDF("src_id", "tgt_id")
+    val full = VectorOps.marginMine(src, tgt, "vec_id", "v", k)
+      .collect().map(_.toSeq).toSet
+    val fed = VectorOps.marginMineOverPairs(cand, src, tgt, "vec_id", "v", k)
+      .collect().map(_.toSeq).toSet
+    assert(fed == full && full.nonEmpty,
+      s"candidate-fed diverged: ${fed.size} vs ${full.size}")
+  }
+
+  test("fewer than k candidates: neighborhood mean divides by the " +
+      "ACTUAL count, not k (Artetxe & Schwenk mean)") {
+    val src = Seq((0L, Seq(1.0, 0.0, 0.0))).toDF("vec_id", "v")
+    val tgt = Seq((1L, Seq(0.8, 0.6, 0.0))).toDF("vec_id", "v")
+    val pairs = Seq((0L, 1L)).toDF("src_id", "tgt_id")
+    val r = VectorOps.marginMineOverPairs(pairs, src, tgt, "vec_id", "v",
+      k = 4).collect().head
+    // cos = 0.8; fwd = bwd = 0.8/1 (ONE candidate, k=4) -> margin 1.0.
+    // a constant-k divisor would give fwd=bwd=0.2 -> margin 4.0.
+    assert(r.getDouble(3) == 0.8 && r.getDouble(4) == 1.0,
+      s"cos ${r.getDouble(3)} margin ${r.getDouble(4)}")
+  }
+
+  test("a pair referencing an absent vector fails loudly, naming it") {
+    val src = Seq((0L, Seq(1.0, 0.0))).toDF("vec_id", "v")
+    val tgt = Seq((1L, Seq(0.0, 1.0))).toDF("vec_id", "v")
+    val pairs = Seq((0L, 99L)).toDF("src_id", "tgt_id")
+    val e = intercept[Exception] {
+      VectorOps.marginMineOverPairs(pairs, src, tgt, "vec_id", "v", k = 1)
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(m => m.contains("absent") && m.contains("99")),
+      s"wanted the loud absent-vector error, got: ${msgs(e)}")
+  }
 }

@@ -100,4 +100,48 @@ class StreamingBudgetSpec extends SparkSpec {
     assert(onlineAll == batch,
       s"online $onlineAll diverged from batch $batch")
   }
+
+  test("unbudgeted strata pin NO state (state bounded by configuration, " +
+      "not by data-derived stratum values)") {
+    val st = new FakeGroupState[Long]
+    val out = StreamingBudget.update(Map("en" -> 100L))(
+      "garbage-stratum-937",
+      Iterator(StreamingBudget.Doc("garbage-stratum-937", 1L, 10L,
+        valid = true)),
+      st).toSeq
+    assert(out.map(_.reason) == Seq("no_budget"))
+    assert(!st.exists,
+      "an unbudgeted stratum must not leave a GroupState entry behind")
+    // ...and a budgeted one does
+    val st2 = new FakeGroupState[Long]
+    StreamingBudget.update(Map("en" -> 100L))(
+      "en", Iterator(StreamingBudget.Doc("en", 1L, 10L, valid = true)),
+      st2).toSeq
+    assert(st2.getOption.contains(10L))
+  }
+
+  test("NULL stratum never admits against a configured \"\" budget, and " +
+      "surfaces as null in decisions") {
+    val dir = Files.createTempDirectory("bud_null_in").toString
+    val ckpt = Files.createTempDirectory("bud_null_ck").toString
+    val schema = StructType(Seq(StructField("stratum", StringType),
+      StructField("order_id", LongType), StructField("tokens", LongType)))
+    Files.writeString(Paths.get(dir, "b0.jsonl"), Seq(
+      """{"order_id": 1, "tokens": 10}""", // NULL stratum
+      """{"stratum": "", "order_id": 2, "tokens": 10}""").mkString("\n"))
+    val lines = spark.readStream.schema(schema).json(dir)
+    val decisions = StreamingBudget.admit(lines, col("stratum"),
+      col("order_id"), col("tokens"), Seq("" -> 100L))
+    val q = decisions.writeStream
+      .option("checkpointLocation", ckpt)
+      .format("memory").queryName("bud_null_out").outputMode("update")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val rows = spark.sql("select * from bud_null_out").collect()
+      .map(r => (r.getLong(1),
+        (if (r.isNullAt(0)) null else r.getString(0), r.getString(5))))
+      .toMap
+    assert(rows(1L) == ((null, "no_budget"))) // NULL stays unbudgetable
+    assert(rows(2L) == (("", "admitted"))) // "" budget serves only ""
+  }
 }
