@@ -1,0 +1,166 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed byte-pair-encoding tokenizer TRAINING (Sennrich et al.
+  * 2016, arXiv:1508.07909 — the subword-nmt recipe): learn a merge
+  * table by repeatedly counting adjacent symbol pairs over the corpus
+  * vocabulary and merging the most frequent pair, lowest-pair
+  * tie-break. The artifact the repo's tokenizer-planning rows
+  * (`vocab_coverage`, `token_fertility`) evaluate but could not
+  * previously produce.
+  *
+  * Scale shape (the whole point): BPE training NEVER iterates over the
+  * corpus — it iterates over the WORD-FREQUENCY table, which is
+  * vocabulary-sized (bounded: natural-language vocabularies grow
+  * ~O(corpus^0.5), Heaps' law; worst case it is capped upstream). The
+  * corpus is scanned EXACTLY ONCE (token explode → groupBy(word)); each
+  * of the N merge iterations is then (a) one bounded groupBy over the
+  * word table's adjacent-pair explosion, (b) a 1-row collect of the
+  * argmax pair (the collect-route idiom — quantile boundaries and
+  * k-means centroids ride the same way), and (c) a row-local fold
+  * rewriting each word's symbol array. At 100 TB the corpus scan is
+  * the cost; the iterations are noise.
+  *
+  * Merge-application semantics (pinned, cross-engine): ONE pair type
+  * (l, r) is applied per iteration, greedy left-to-right
+  * non-overlapping — walking the symbol sequence, (s_i, s_{i+1})
+  * merges iff it equals (l, r) and s_i was not consumed by the
+  * previous merge. This is subword-nmt's regex-substitution semantics.
+  * Greedy needs no lookbehind flag in the fold: a just-merged symbol
+  * is the string l+r, which can never equal l (r is non-empty), so
+  * "last output element == l" already implies it was not merged this
+  * round. The DuckDB oracle replays the same semantics positionally
+  * (matched positions → runs of consecutive matches → keep even
+  * offsets within each run; runs longer than 1 only arise for l == r,
+  * where greedy keeps offsets 0, 2, 4, …).
+  *
+  * Determinism: all arithmetic is INTEGER (pair counts are sums of
+  * word frequencies — no floats anywhere); the argmax tie-breaks on
+  * (l, r) ascending, binary string order in both engines.
+  */
+object Bpe {
+
+  /** One learned merge: at `step`, (lhs, rhs) was the most frequent
+    * adjacent pair, occurring `pair_count` times (weighted by word
+    * frequency, counting overlapping occurrences like subword-nmt). */
+  case class Merge(step: Int, lhs: String, rhs: String, pair_count: Long)
+
+  /** The vocabulary table the iterations run on: (word, freq, syms)
+    * with syms the word split into single characters. One corpus scan;
+    * empty tokens (consecutive separators) are dropped on both the
+    * Spark and oracle sides identically. */
+  def wordTable(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(TextMetrics.tokens(col(textCol))).as("word"))
+      .where(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .withColumn("syms",
+        expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+
+  /** Adjacent symbol pairs of one symbol array as (l, r) structs —
+    * row-local, the bigram slice-zip with overlapping counting (a run
+    * of three identical symbols contributes TWO pairs, the subword-nmt
+    * count). */
+  private def adjacentPairs(syms: Column): Column =
+    zip_with(
+      slice(syms, lit(1), greatest(size(syms) - 1, lit(0))),
+      slice(syms, lit(2), greatest(size(syms) - 1, lit(0))),
+      (a, b) => struct(a.as("l"), b.as("r")))
+
+  /** Apply ONE merge (l, r) to a symbol array, greedy left-to-right —
+    * the flag-free fold (see object doc for why no lookbehind state is
+    * needed). try_element_at keeps the empty-accumulator probe null
+    * (never an ANSI index error). */
+  def applyMerge(syms: Column, l: String, r: String): Column =
+    aggregate(syms, array().cast("array<string>"),
+      (acc, s) =>
+        when(try_element_at(acc, lit(-1)) === lit(l) && s === lit(r),
+          concat(slice(acc, lit(1), size(acc) - 1),
+            array(lit(l + r))))
+          .otherwise(concat(acc, array(s))))
+
+  /** Learn `merges` BPE merge steps over the corpus. Stops early when
+    * no adjacent pair remains (every word fully merged). Returns the
+    * learned merge list (bounded: ≤ merges rows — driver-side by
+    * design, it IS the tokenizer artifact) plus the final word table
+    * (word, freq, syms) for fertility measurement. */
+  def train(df: DataFrame, textCol: String,
+            merges: Int): (Seq[Merge], DataFrame) = {
+    require(merges > 0, s"need merges > 0, got $merges")
+    // each iteration's input is pinned: the pair count and the rewrite
+    // both read it, and unpinned the whole lineage (corpus scan
+    // included) would re-execute once per iteration
+    var words = wordTable(df, textCol).localCheckpoint(eager = true)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var step = 1
+    var exhausted = false
+    while (step <= merges && !exhausted) {
+      val best = words
+        .select(col("freq"), explode(adjacentPairs(col("syms"))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, r, cnt) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        out += Merge(step, l, r, cnt)
+        words = words
+          .withColumn("syms", applyMerge(col("syms"), l, r))
+          .localCheckpoint(eager = true)
+        step += 1
+      }
+    }
+    (out.toSeq, words)
+  }
+
+  /** [[train]] as a query-shaped DataFrame: (step, lhs, rhs,
+    * pair_count), one row per learned merge, ordered by step. */
+  def trainDf(df: DataFrame, textCol: String, merges: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    train(df, textCol, merges)._1.toDF()
+      .select(col("step"), col("lhs"), col("rhs"), col("pair_count"))
+      .orderBy(col("step"))
+  }
+
+  /** Encode a word table against a learned merge list: apply every
+    * merge in training order (BPE's inference rule — training order IS
+    * application priority under one-pair-per-pass greedy semantics).
+    * Chained row-local folds over the vocabulary-sized table; the
+    * corpus is never touched. Returns the input with `syms` rewritten
+    * and `n_sub` = subtoken count — join documents' tokens against
+    * this to measure fertility (mean subtokens per word) with the
+    * LEARNED vocabulary instead of `TextMetrics.tokenCountBpe`'s fixed
+    * regex heuristic.
+    *
+    * Feed CHARACTER-SPLIT symbol arrays ([[wordTable]]'s shape): on
+    * those, the chained folds replay training exactly, so encoding the
+    * training corpus reproduces [[train]]'s final table bit-for-bit
+    * (BpeSpec). Do NOT re-encode an already-encoded table expecting a
+    * no-op — a later merge can mint a symbol equal to an earlier
+    * pair's member, so re-application may merge further. */
+  def encodeWords(words: DataFrame, merges: Seq[Merge]): DataFrame = {
+    val enc = merges.sortBy(_.step).foldLeft(col("syms")) { (c, m) =>
+      applyMerge(c, m.lhs, m.rhs)
+    }
+    words.withColumn("syms", enc).withColumn("n_sub", size(col("syms")))
+  }
+
+  /** Corpus fertility under a learned merge table: mean subtokens per
+    * token occurrence, the number a tokenizer planner actually sizes
+    * budgets with. One corpus token scan joined (broadcast — the word
+    * table is vocabulary-sized) against the encoded vocabulary. */
+  def fertility(df: DataFrame, textCol: String,
+                encodedWords: DataFrame): DataFrame =
+    df.select(explode(TextMetrics.tokens(col(textCol))).as("word"))
+      .where(length(col("word")) > 0)
+      .join(broadcast(encodedWords.select(col("word"), col("n_sub"))),
+        Seq("word"))
+      .agg(
+        (sum(col("n_sub").cast("decimal(18,0)")).cast("double") /
+          count(lit(1))).as("fertility"),
+        count(lit(1)).as("n_tokens"))
+}

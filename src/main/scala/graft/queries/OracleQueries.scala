@@ -177,6 +177,66 @@ object OracleQueries {
         $steps"""}"""
   }
 
+  /** Merge steps learned by the bpe_train row (and replayed by its
+    * oracle chain — each step is one unrolled CTE block). */
+  private val BpeMerges = 8
+
+  /** The CTE chain replaying [[graft.ops.Bpe.train]] in DuckDB: w0 is
+    * the word-frequency table with words split to character symbol
+    * lists, then `steps` UNROLLED merge iterations (the pq_train
+    * unrolled-Lloyd pattern — recursive CTEs cannot aggregate). Per
+    * step t: e$t explodes symbols with positions; b$t is the argmax
+    * adjacent pair (count DESC, pair ASC — all-integer, no float
+    * anywhere); mt$t marks matched positions; kp$t keeps every other
+    * match within each run of CONSECUTIVE matches (runs >1 only arise
+    * for l == r; keeping even offsets is exactly greedy left-to-right
+    * — the Spark fold's semantics, see Bpe.scala); w$t rebuilds each
+    * word, dropping positions consumed by a kept left-neighbor match
+    * and concatenating r onto kept positions (whose symbol IS l).
+    * Every stage is MATERIALIZED — each w$t is read by four consumers
+    * of step t+1, and DuckDB's default CTE inlining would re-execute
+    * the whole upstream chain exponentially (the pcaChainSql lesson).
+    * An exhausted corpus (no pairs left) leaves b$t empty, mt/kp
+    * empty, and w$t = w$t-1 — matching the Spark side's early stop
+    * with no special casing. Leaves b1..b$steps and w$steps in
+    * scope. */
+  private def bpeChainSql(steps: Int): String = {
+    val stepSql = (1 to steps).map { t =>
+      s"""e$t AS MATERIALIZED (SELECT word, freq, UNNEST(syms) AS s,
+            UNNEST(range(len(syms))) AS i FROM w${t - 1}),
+        b$t AS MATERIALIZED (SELECT a.s AS l, n.s AS r,
+            CAST(SUM(a.freq) AS BIGINT) AS cnt
+          FROM e$t a JOIN e$t n ON n.word = a.word AND n.i = a.i + 1
+          GROUP BY 1, 2 ORDER BY cnt DESC, l, r LIMIT 1),
+        mt$t AS (SELECT a.word, a.i
+          FROM e$t a JOIN e$t n ON n.word = a.word AND n.i = a.i + 1
+          JOIN b$t bb ON a.s = bb.l AND n.s = bb.r),
+        kp$t AS MATERIALIZED (SELECT word, i FROM (
+          SELECT word, i,
+            ROW_NUMBER() OVER (PARTITION BY word, grp ORDER BY i) AS o
+          FROM (SELECT word, i,
+              i - ROW_NUMBER() OVER (PARTITION BY word ORDER BY i) AS grp
+            FROM mt$t)) WHERE o % 2 = 1),
+        w$t AS MATERIALIZED (SELECT e.word, ANY_VALUE(e.freq) AS freq,
+            list(CASE WHEN k.i IS NOT NULL
+                THEN e.s || (SELECT r FROM b$t) ELSE e.s END
+              ORDER BY e.i) AS syms
+          FROM e$t e
+          LEFT JOIN kp$t k ON k.word = e.word AND k.i = e.i
+          LEFT JOIN kp$t c ON c.word = e.word AND c.i = e.i - 1
+          WHERE c.i IS NULL
+          GROUP BY e.word)"""
+    }.mkString(",\n        ")
+    s"""w0 AS MATERIALIZED (
+          SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
+            list_transform(range(1, len(word) + 1),
+              i -> substr(word, i, 1)) AS syms
+          FROM (SELECT UNNEST(string_split(text, ' ')) AS word
+                FROM documents)
+          WHERE len(word) > 0 GROUP BY word),
+        $stepSql"""
+  }
+
   /** Parameters shared by the PQ queries, their aux codebook, and the
     * oracles — owned by [[PqStage]], which also stages the trained
     * artifacts the search queries consume. */
@@ -4476,6 +4536,68 @@ object OracleQueries {
           CAST(CAST(SUM(ch) AS BIGINT) AS DOUBLE)
             / CAST(SUM(p) AS BIGINT) AS chars_per_piece
         FROM f GROUP BY lang ORDER BY lang""")),
+
+    // ================= BPE tokenizer training (merge table) ===============
+    // The artifact vocab_coverage/token_fertility evaluate but could not
+    // produce: the learned merge list itself (Sennrich et al. 2016).
+    // ONE corpus scan builds the word-frequency table; each of the 8
+    // iterations is a bounded groupBy over the vocabulary's adjacent
+    // pairs + a 1-row argmax collect + a row-local greedy rewrite — at
+    // 100 TB the corpus scan is the cost, the iterations are noise.
+    // All-integer arithmetic (pair counts = sums of word frequencies),
+    // ties to the lexicographically smallest pair; the oracle replays
+    // all 8 merge steps from raw tokens (the pq_train unrolled pattern).
+    Q("bpe_train",
+      (s, dir) => Bpe.trainDf(t(s, dir, "documents"), "text", BpeMerges),
+      Some(s"""WITH ${bpeChainSql(BpeMerges)}
+        SELECT * FROM (
+          ${(1 to BpeMerges).map(t =>
+            s"SELECT $t AS step, l AS lhs, r AS rhs, cnt AS pair_count FROM b$t")
+            .mkString("\n          UNION ALL ")})
+        ORDER BY step""")),
+
+    // ============= fertility under the LEARNED BPE vocabulary =============
+    // token_fertility's pieces-per-word with the trained merge table in
+    // place of the fixed regex heuristic — the number a tokenizer
+    // planner actually sizes compute budgets with, measured per
+    // language. Spark encodes the VOCABULARY once (row-local folds over
+    // a bounded table, training order = application priority) and
+    // broadcast-joins the corpus token scan against it; the oracle
+    // reads the same final word table its bpe_train chain already
+    // built (w8 IS the encoded vocabulary).
+    Q("bpe_fertility",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        // the training-final word table IS the encoded vocabulary (the
+        // oracle reads its w8 the same way); re-running encodeWords
+        // over it could merge FURTHER — a later step can mint a symbol
+        // equal to an earlier pair's member, making re-application
+        // non-idempotent (BpeSpec pins this asymmetry)
+        val (_, words) = Bpe.train(docs, "text", BpeMerges)
+        val enc = words.select(col("word"), size(col("syms")).as("n_sub"))
+        docs.select(col("lang"),
+            explode(TextMetrics.tokens(col("text"))).as("word"))
+          .where(length(col("word")) > 0)
+          .join(broadcast(enc), "word")
+          .groupBy(col("lang"))
+          .agg(sum(col("n_sub").cast("decimal(18,0)")).cast("long")
+              .as("pieces"),
+            count(lit(1)).as("words"),
+            (sum(col("n_sub").cast("decimal(18,0)")).cast("double") /
+              count(lit(1))).as("fertility"))
+          .orderBy(col("lang"))
+      },
+      Some(s"""WITH ${bpeChainSql(BpeMerges)},
+        toks AS (SELECT lang, UNNEST(string_split(text, ' ')) AS word
+          FROM documents),
+        ft AS (SELECT lang, word FROM toks WHERE len(word) > 0)
+        SELECT ft.lang,
+          CAST(SUM(len(w$BpeMerges.syms)) AS BIGINT) AS pieces,
+          COUNT(*) AS words,
+          CAST(CAST(SUM(len(w$BpeMerges.syms)) AS BIGINT) AS DOUBLE)
+            / COUNT(*) AS fertility
+        FROM ft JOIN w$BpeMerges ON ft.word = w$BpeMerges.word
+        GROUP BY ft.lang ORDER BY ft.lang""")),
 
     // ===================== one-pass column profile ========================
     // The SUMMARIZE-style data-quality scan over a new drop: per column,

@@ -1,0 +1,102 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** BPE tokenizer training: hand-replayed merge choices on a tiny
+  * corpus, greedy left-to-right application (including the l == r run
+  * case the fold and the oracle's parity rule must agree on),
+  * overlapping pair COUNTING, deterministic ties, early exhaustion,
+  * and the encode-reproduces-training identity. */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Reference greedy merge on plain Scala — the independent model the
+    * distributed fold is checked against. */
+  private def refMerge(syms: Seq[String], l: String, r: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+        out += (l + r); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toSeq
+  }
+
+  test("hand-replayed training on a tiny corpus: counts, argmax, ties") {
+    // low lower lowest, weighted by repetition
+    val docs = Seq("low low low lower", "lowest low").toDF("text")
+    val (merges, _) = Bpe.train(docs, "text", merges = 3)
+    // words: low x4, lower x1, lowest x1
+    // pairs: (l,o) 6, (o,w) 6, (w,e) 2, (e,r) 1, (e,s) 1, (s,t) 1
+    // step1: tie (l,o) vs (o,w) at 6 -> lexicographic (l,o)
+    assert(merges(0) == Bpe.Merge(1, "l", "o", 6L))
+    // step2: (lo,w) 6 wins
+    assert(merges(1) == Bpe.Merge(2, "lo", "w", 6L))
+    // step3: (low,e) 2 wins over (e,r)/(e,s)/(s,t) at 1
+    assert(merges(2) == Bpe.Merge(3, "low", "e", 2L))
+  }
+
+  test("overlapping pairs are counted (aaa -> two (a,a)), and greedy " +
+      "application keeps even run offsets (the l == r case)") {
+    val docs = Seq("aaa aaaa").toDF("text")
+    val (merges, words) = Bpe.train(docs, "text", merges = 1)
+    // counts: aaa has 2 (a,a), aaaa has 3 -> 5
+    assert(merges(0) == Bpe.Merge(1, "a", "a", 5L))
+    val syms = words.select(col("word"), col("syms")).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(syms("aaa") == Seq("aa", "a")) // greedy: positions 0-1 merge
+    assert(syms("aaaa") == Seq("aa", "aa"))
+  }
+
+  test("applyMerge matches the reference greedy walk on generated " +
+      "symbol sequences") {
+    val alphabet = Seq("a", "b", "ab", "ba")
+    // all sequences of length 5 over a 4-symbol alphabet where merged
+    // symbols collide textually with pairs — the adversarial space
+    val seqs = (0 until 4 * 4 * 4 * 4 * 4).map { n =>
+      Seq.tabulate(5)(i => alphabet((n / math.pow(4, i).toInt) % 4))
+    }
+    val df = seqs.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("id", "syms")
+    for ((l, r) <- Seq(("a", "b"), ("a", "a"), ("ab", "a"), ("b", "ba"))) {
+      val got = df.select(col("id"), Bpe.applyMerge(col("syms"), l, r)
+          .as("m")).collect()
+        .map(row => row.getLong(0) -> row.getSeq[String](1)).toMap
+      seqs.zipWithIndex.foreach { case (s, i) =>
+        assert(got(i.toLong) == refMerge(s, l, r),
+          s"seq $s pair ($l,$r): ${got(i.toLong)} != ${refMerge(s, l, r)}")
+      }
+    }
+  }
+
+  test("early exhaustion: a corpus of single-char words stops at zero " +
+      "merges; a fully-mergeable one stops when words are single symbols") {
+    val single = Seq("a b c").toDF("text")
+    assert(Bpe.train(single, "text", merges = 5)._1.isEmpty)
+    val tiny = Seq("ab ab").toDF("text")
+    val (m, w) = Bpe.train(tiny, "text", merges = 5)
+    assert(m == Seq(Bpe.Merge(1, "a", "b", 2L))) // then no pairs remain
+    assert(w.select(col("syms")).collect()
+      .forall(_.getSeq[String](0) == Seq("ab")))
+  }
+
+  test("encodeWords on character-split input reproduces the training " +
+      "final table bit-for-bit") {
+    val docs = Seq("low low low lower", "lowest low banana bandana")
+      .toDF("text")
+    val (merges, trained) = Bpe.train(docs, "text", merges = 6)
+    val encoded = Bpe.encodeWords(Bpe.wordTable(docs, "text"), merges)
+    val a = trained.select(col("word"), col("syms")).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    val b = encoded.select(col("word"), col("syms")).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(a == b)
+    // and fertility over the trained vocab is well-formed
+    val f = Bpe.fertility(docs, "text",
+      encoded).collect().head
+    assert(f.getDouble(0) >= 1.0 && f.getLong(1) == 8L)
+  }
+}
