@@ -1,0 +1,132 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Deterministic multinomial Naive Bayes over unigram token counts —
+  * the LEARNED complement to the rule-based quality filters
+  * (`quality_gopher`, `text_repetition`): every production curation
+  * stack runs a fastText-class model classifier next to its heuristics
+  * (CCNet trains one against Wikipedia; Llama/GPT data notes describe
+  * the same shape). Multinomial NB is the expressible-and-exact slice:
+  * training is PURE AGGREGATION (token counts per class + class
+  * totals), scoring is one corpus token pass against a broadcast
+  * model, and every number is replayable cross-engine.
+  *
+  * Model (Laplace-smoothed):
+  *   log_prior(c)  = ln(n_docs_c / n_docs)
+  *   p(t | c)      = (count(t, c) + 1) / (n_tokens_c + V)
+  * with V the training vocabulary size. Scoring uses the SPARSE
+  * decomposition — only nonzero (token, class) counts are ever stored
+  * or joined:
+  *   score(d, c) = log_prior(c) − N_d · ln(n_tokens_c + V)
+  *                 + Σ_{occurrences t ∈ d} ln(count(t, c) + 1)
+  * (a zero-count pair contributes ln(0 + 1) = 0, so the missing rows
+  * of the dense token × class matrix vanish from the sum — the model
+  * table is vocabulary-sized, never vocabulary × classes dense).
+  * Tokens outside the training vocabulary are DROPPED at scoring
+  * (standard multinomial NB inference), which keeps N_d consistent
+  * with the per-class norm.
+  *
+  * Determinism (the cross-engine rules): every ln is rounded to 6 dp
+  * at the model table (so both engines sum IDENTICAL doubles); the
+  * per-document likelihood sum routes through decimal(18,9) — exact,
+  * order-independent; N_d · log_norm is one IEEE product of an integer
+  * and a 6-dp double; the final score is one fixed-shape expression
+  * rounded to 6 dp; the argmax tie-breaks on the class label.
+  *
+  * 100 TB shape: training = one corpus token scan into a
+  * vocabulary-sized (token, class) rollup plus a |classes|-row stats
+  * table (both pinned — they are the model artifact); scoring = one
+  * corpus token scan hash-joined against the model (broadcast when it
+  * fits, plain equi-join otherwise — Spark's call), one bounded
+  * groupBy per document, and a |classes|-wide argmax. No all-pairs
+  * anything, no iteration, no driver data. */
+object NaiveBayes {
+
+  /** The trained model: `classStats` (label, n_docs, n_tokens,
+    * log_prior, log_norm) — one row per class — and `tokenCounts`
+    * (token, label, c, log_lik) — nonzero counts only,
+    * vocabulary-sized. `vocabSize` is V (collect-routed at train time;
+    * it is baked into log_norm, carried for inspection). */
+  case class Model(classStats: DataFrame, tokenCounts: DataFrame,
+                   vocabSize: Long)
+
+  private def toks(df: DataFrame, textCol: String, extra: Column*) =
+    df.select(extra :+ explode(TextMetrics.tokens(col(textCol)))
+        .as("token"): _*)
+      .where(length(col("token")) > 0)
+
+  /** Train on (textCol, labelCol). NULL labels are rejected loudly —
+    * a silent drop would skew the priors against exactly the rows a
+    * broken upstream labeler failed on. */
+  def train(df: DataFrame, textCol: String, labelCol: String): Model = {
+    val lab = df.select(
+      when(col(labelCol).isNull, raise_error(
+        lit("NaiveBayes.train: NULL label")).cast("string"))
+        .otherwise(col(labelCol).cast("string")).as("label"),
+      col(textCol).as("__nb_text"))
+    val tk = toks(lab, "__nb_text", col("label"))
+    // collect-routed scalars (the unigramLogprob idiom): the doc total
+    // and vocabulary size are single bounded numbers
+    val totalDocs = lab.count()
+    require(totalDocs > 0, "NaiveBayes.train: empty corpus")
+    val vocab = tk.select(col("token")).distinct().count()
+    // nonzero (token, class) counts — THE model table, pinned (the
+    // scoring join reads it per consumer; unpinned the corpus
+    // explode+count would re-execute)
+    val tokenCounts = tk.groupBy(col("token"), col("label"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("log_lik", round(log(col("c") + 1), 6))
+      .localCheckpoint(eager = true)
+    val classStats = lab.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_docs"))
+      .join(tk.groupBy(col("label"))
+        .agg(count(lit(1)).as("n_tokens")), Seq("label"), "left")
+      .select(col("label"), col("n_docs"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        round(log(col("n_docs").cast("double") / totalDocs), 6)
+          .as("log_prior"),
+        round(log(coalesce(col("n_tokens"), lit(0L)) + vocab), 6)
+          .as("log_norm"))
+      .localCheckpoint(eager = true)
+    Model(classStats, tokenCounts, vocab)
+  }
+
+  /** Per-document per-class scores: (idCol, label, score), every class
+    * for every document with ≥1 in-vocabulary token. */
+  def scoreAll(df: DataFrame, idCol: String, textCol: String,
+               model: Model): DataFrame = {
+    val tk = toks(df, textCol, col(idCol))
+      // in-vocab occurrences only: semi-join against the vocabulary
+      // (N_d must count exactly the occurrences the likelihood sum
+      // sees, or the per-class norm term goes inconsistent)
+      .join(model.tokenCounts.select(col("token")).distinct(),
+        Seq("token"), "left_semi")
+    val s1 = tk.join(model.tokenCounts.select(col("token"), col("label"),
+        col("log_lik")), Seq("token"))
+      .groupBy(col(idCol), col("label"))
+      .agg(sum(col("log_lik").cast("decimal(18,9)")).cast("double")
+        .as("__nb_s"))
+    val nd = tk.groupBy(col(idCol)).agg(count(lit(1)).as("__nb_n"))
+    nd.crossJoin(broadcast(model.classStats
+        .select(col("label"), col("log_prior"), col("log_norm"))))
+      .join(s1, Seq(idCol, "label"), "left")
+      .select(col(idCol), col("label"),
+        round(col("log_prior") - col("__nb_n") * col("log_norm") +
+          coalesce(col("__nb_s"), lit(0.0)), 6).as("score"))
+  }
+
+  /** Argmax prediction: (idCol, predicted, score) — highest score,
+    * ties to the smaller class label. */
+  def predict(df: DataFrame, idCol: String, textCol: String,
+              model: Model): DataFrame = {
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("label"))
+    scoreAll(df, idCol, textCol, model)
+      .withColumn("__nb_r", row_number().over(w))
+      .where(col("__nb_r") === 1)
+      .select(col(idCol), col("label").as("predicted"), col("score"))
+  }
+}

@@ -237,6 +237,33 @@ object OracleQueries {
         $stepSql"""
   }
 
+  /** The deterministic weak-supervision label both NB rows train on:
+    * ≥ 50 whitespace words AND contains "the" — a Gopher-lite rule,
+    * the known-good/known-bad heuristic labeling production quality
+    * classifiers actually bootstrap from (CCNet's fastText stage).
+    * NULL text labels "drop" on both engines (CASE on NULL → ELSE). */
+  private def nbWeakLabel: Column =
+    when(TextMetrics.tokenCount(col("text")) >= 50 &&
+      col("text").contains("the"), lit("keep")).otherwise(lit("drop"))
+
+  /** Shared NB-model CTE prefix: `lab` (doc_id, label, text) with the
+    * weak label re-derived in SQL ((len − len(replace))+1 counts
+    * split fields exactly like size(split(text,' '))), `f2` the
+    * non-empty token occurrences, `tc` the nonzero (token, class)
+    * counts — the model table. */
+  private val nbModelSql: String =
+    """lab AS (SELECT doc_id,
+          CASE WHEN (length(text) - length(replace(text, ' ', ''))) + 1 >= 50
+            AND text LIKE '%the%' THEN 'keep' ELSE 'drop' END AS label,
+          text FROM documents),
+        ft AS (SELECT doc_id, label,
+            UNNEST(string_split(text, ' ')) AS token FROM lab),
+        f2 AS MATERIALIZED (SELECT doc_id, label, token FROM ft
+          WHERE len(token) > 0),
+        tc AS MATERIALIZED (SELECT token, label,
+            CAST(COUNT(*) AS BIGINT) AS c
+          FROM f2 GROUP BY 1, 2)"""
+
   /** Parameters shared by the PQ queries, their aux codebook, and the
     * oracles — owned by [[PqStage]], which also stages the trained
     * artifacts the search queries consume. */
@@ -4598,6 +4625,72 @@ object OracleQueries {
             / COUNT(*) AS fertility
         FROM ft JOIN w$BpeMerges ON ft.word = w$BpeMerges.word
         GROUP BY ft.lang ORDER BY ft.lang""")),
+
+    // ======== model-based quality classifier: multinomial NB train ========
+    // The learned complement to the rule-based filters (the
+    // fastText-class stage every production curation stack runs next to
+    // its heuristics). Weak supervision exactly as practiced: the label
+    // comes from a deterministic rule (≥50 words and contains "the" —
+    // Gopher-lite; splits this corpus 251/249), the model then
+    // generalizes it. Training is pure aggregation — one corpus token
+    // scan into a vocabulary-sized nonzero (token, class) rollup; this
+    // row emits that rollup (the model table) with its 6-dp-rounded
+    // Laplace log-likelihoods.
+    Q("quality_nb_train",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val m = NaiveBayes.train(docs.withColumn("label", nbWeakLabel),
+          "text", "label")
+        m.tokenCounts.orderBy(col("token"), col("label"))
+      },
+      Some(s"""WITH $nbModelSql
+        SELECT token, label, c, ROUND(LN(c + 1), 6) AS log_lik
+        FROM tc ORDER BY token, label""")),
+
+    // ================ NB quality classifier: score + argmax ===============
+    // Scoring = one corpus token pass against the broadcast model, the
+    // sparse decomposition (zero-count pairs contribute ln(1) = 0, so
+    // only nonzero counts are ever joined):
+    //   score(d,c) = log_prior(c) − N_d·ln(n_tokens_c + V)
+    //                + Σ_occurrences ln(count(t,c)+1)
+    // with the likelihood sum routed through decimal(18,9) and every ln
+    // 6-dp-rounded at the model — the oracle replays priors, norms, the
+    // per-document sums, and the tie-broken argmax.
+    Q("quality_nb_score",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val m = NaiveBayes.train(docs.withColumn("label", nbWeakLabel),
+          "text", "label")
+        NaiveBayes.predict(docs, "doc_id", "text", m)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH $nbModelSql,
+        vs AS (SELECT COUNT(DISTINCT token) AS v FROM f2),
+        td AS (SELECT COUNT(*) AS n FROM lab),
+        cs AS (SELECT l.label,
+            ROUND(LN(CAST(l.nd AS DOUBLE) / td.n), 6) AS log_prior,
+            ROUND(LN(tt.nt + vs.v), 6) AS log_norm
+          FROM (SELECT label, COUNT(*) AS nd FROM lab GROUP BY label) l
+          JOIN (SELECT label, COUNT(*) AS nt FROM f2 GROUP BY label) tt
+            USING (label)
+          CROSS JOIN vs CROSS JOIN td),
+        dt AS (SELECT f2.doc_id, f2.token FROM f2
+          JOIN (SELECT DISTINCT token FROM tc) vt USING (token)),
+        s1 AS (SELECT dt.doc_id, tc.label,
+            CAST(SUM(CAST(ROUND(LN(tc.c + 1), 6) AS DECIMAL(18,9)))
+              AS DOUBLE) AS s
+          FROM dt JOIN tc USING (token) GROUP BY 1, 2),
+        nd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM dt
+          GROUP BY 1),
+        sc AS (SELECT nd.doc_id, cs.label,
+            ROUND(cs.log_prior - nd.n * cs.log_norm
+              + COALESCE(s1.s, 0.0), 6) AS score
+          FROM nd CROSS JOIN cs
+          LEFT JOIN s1 ON s1.doc_id = nd.doc_id AND s1.label = cs.label)
+        SELECT doc_id, label AS predicted, score FROM (
+          SELECT doc_id, label, score, ROW_NUMBER() OVER (
+            PARTITION BY doc_id ORDER BY score DESC, label) AS r
+          FROM sc) WHERE r = 1 ORDER BY doc_id""")),
 
     // ===================== one-pass column profile ========================
     // The SUMMARIZE-style data-quality scan over a new drop: per column,
