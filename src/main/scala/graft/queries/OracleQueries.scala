@@ -264,6 +264,83 @@ object OracleQueries {
             CAST(COUNT(*) AS BIGINT) AS c
           FROM f2 GROUP BY 1, 2)"""
 
+  /** Deterministic messy-URL column for the URL-ops rows (the corpus
+    * carries no URL; both engines CONSTRUCT the identical raw string —
+    * input prep, like mine_bitext's even/odd split — and then each
+    * independently normalizes it, which is the operation under test).
+    * The six variants cover the rule space: uppercase scheme/host +
+    * default port + tracking param + trailing slash (0), second-level
+    * public suffix + :443 + fragment + double slash (1), plain with
+    * trailing slash (2), NON-default port kept + params kept (3),
+    * empty path + fragment (4), unparseable (5). */
+  private def rawUrl: Column = {
+    val m = col("doc_id") % 6
+    val id = col("doc_id").cast("string")
+    when(m === 0, concat(lit("HTTP://WWW."), col("source"),
+        lit(".COM:80/path/a/?utm_source=x&id="), id))
+      .when(m === 1, concat(lit("https://Sub."), col("source"),
+        lit(".co.uk:443/p//?gclid=g&q=1&utm_medium=m#frag")))
+      .when(m === 2, concat(lit("http://"), col("source"),
+        lit(".org/a/b/")))
+      .when(m === 3, concat(lit("https://cdn."), col("source"),
+        lit(".net:8443/x?a=1&b=2")))
+      .when(m === 4, concat(lit("http://"), col("source"), lit(".com#top")))
+      .otherwise(concat(lit("not a url "), id))
+  }
+
+  /** SQL twin of [[rawUrl]] + an independent re-derivation of the
+    * [[graft.ops.UrlOps]] normalization/domain rules (CTEs `u` →
+    * `res` (doc_id, url_norm, domain)). */
+  private val urlNormSql: String =
+    """u AS (SELECT doc_id, CASE CAST(doc_id % 6 AS INTEGER)
+          WHEN 0 THEN 'HTTP://WWW.' || source
+            || '.COM:80/path/a/?utm_source=x&id=' || CAST(doc_id AS VARCHAR)
+          WHEN 1 THEN 'https://Sub.' || source
+            || '.co.uk:443/p//?gclid=g&q=1&utm_medium=m#frag'
+          WHEN 2 THEN 'http://' || source || '.org/a/b/'
+          WHEN 3 THEN 'https://cdn.' || source || '.net:8443/x?a=1&b=2'
+          WHEN 4 THEN 'http://' || source || '.com#top'
+          ELSE 'not a url ' || CAST(doc_id AS VARCHAR) END AS url
+        FROM documents),
+        parts AS (SELECT doc_id, url,
+          lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1))
+            AS sch,
+          lower(regexp_extract(url,
+            '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)) AS auth,
+          regexp_extract(url,
+            '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS pth,
+          regexp_extract(url,
+            '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*[^?#]*\?([^#]*)', 1) AS qry
+        FROM u),
+        norm AS (SELECT doc_id, sch,
+          CASE WHEN sch = 'http' THEN regexp_replace(auth, ':80$', '')
+               WHEN sch = 'https' THEN regexp_replace(auth, ':443$', '')
+               ELSE auth END AS host,
+          CASE WHEN regexp_replace(pth, '/+$', '') = '' THEN '/'
+               ELSE regexp_replace(pth, '/+$', '') END AS pth2,
+          CASE WHEN qry = '' THEN ''
+               ELSE array_to_string(list_filter(string_split(qry, '&'),
+                 p -> NOT regexp_matches(p,
+                   '^(utm_[a-zA-Z0-9]+|gclid|fbclid)=')), '&') END AS q2
+        FROM parts),
+        dom AS (SELECT doc_id, sch, host, pth2, q2,
+          regexp_replace(host, ':[0-9]+$', '') AS hp
+        FROM norm),
+        res AS (SELECT doc_id,
+          CASE WHEN sch = '' THEN NULL
+            ELSE sch || '://' || host || pth2 ||
+              CASE WHEN q2 = '' THEN '' ELSE '?' || q2 END END AS url_norm,
+          CASE WHEN sch = '' THEN NULL
+            WHEN regexp_matches(hp, '^[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+$')
+              THEN hp
+            WHEN regexp_matches(hp,
+                '\.(ac|co|com|edu|gov|net|org)\.(au|br|in|jp|kr|mx|nz|uk|za)$')
+              THEN regexp_extract(hp, '([^.]+\.[^.]+\.[^.]+)$', 1)
+            WHEN regexp_matches(hp, '\.')
+              THEN regexp_extract(hp, '([^.]+\.[^.]+)$', 1)
+            ELSE hp END AS domain
+        FROM dom)"""
+
   /** Parameters shared by the PQ queries, their aux codebook, and the
     * oracles — owned by [[PqStage]], which also stages the trained
     * artifacts the search queries consume. */
@@ -4691,6 +4768,51 @@ object OracleQueries {
           SELECT doc_id, label, score, ROW_NUMBER() OVER (
             PARTITION BY doc_id ORDER BY score DESC, label) AS r
           FROM sc) WHERE r = 1 ORDER BY doc_id""")),
+
+    // ============== URL normalization + registrable domain ================
+    // The keying layer before crawl-corpus dedup/mixing: scheme/host
+    // case, default ports, tracking params, fragments and trailing
+    // slashes all collapse (rules pinned in UrlOps.scala); the
+    // registrable domain is the cap/mix key (PSL-lite: structural
+    // last-two-labels plus the co.uk-class second-level suffixes).
+    // Row-local regex projections in the Java∩RE2 subset — the oracle
+    // re-derives every rule independently. Unparseable rows normalize
+    // to NULL (surface, never key on garbage).
+    Q("url_normalize",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"), UrlOps.normalize(rawUrl).as("url_norm"),
+          UrlOps.urlDomain(rawUrl).as("domain"))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH $urlNormSql
+        SELECT doc_id, url_norm, domain FROM res ORDER BY doc_id""")),
+
+    // ===================== per-domain document caps ========================
+    // The anti-domination rule of a crawl mix (a single crawled site
+    // must not swamp the corpus): cap every registrable domain at N
+    // documents via the deterministic smallest-hash draw — the bounded
+    // two-phase aggregator (pairs through the exchange, never rows; no
+    // per-domain window), keyed on the normalizer's domain. Malformed
+    // URLs (NULL domain) are excluded — they quarantine, they do not
+    // sample. The oracle replays the domain derivation and ranks by
+    // the aux-materialized id hash.
+    Q("mix_domain_caps",
+      (s, dir) => {
+        val withD = t(s, dir, "documents")
+          .select(col("doc_id"), UrlOps.urlDomain(rawUrl).as("domain"))
+          .where(col("domain").isNotNull)
+        Sampling.smallestHashSampleTwoPhase(withD, col("domain"),
+            col("doc_id"), n = 5)
+          .select(col("domain"), col("sample_rank"), col("doc_id"))
+          .orderBy(col("domain"), col("sample_rank"))
+      },
+      Some(s"""WITH $urlNormSql,
+        hx AS (SELECT doc_id, h FROM '$AuxDir/doc_bucket/*.parquet'),
+        rk AS (SELECT res.domain, res.doc_id,
+            CAST(ROW_NUMBER() OVER (PARTITION BY res.domain
+              ORDER BY hx.h, res.doc_id) AS INTEGER) AS sample_rank
+          FROM res JOIN hx USING (doc_id) WHERE res.domain IS NOT NULL)
+        SELECT domain, sample_rank, doc_id FROM rk WHERE sample_rank <= 5
+        ORDER BY domain, sample_rank""")),
 
     // ===================== one-pass column profile ========================
     // The SUMMARIZE-style data-quality scan over a new drop: per column,
