@@ -60,6 +60,22 @@ object Fs {
     fsOf(path, c).exists(path)
   }
 
+  /** True iff `p` exists AND holds at least one parquet DATA file
+    * (recursively). The streaming stores' guard: a batch that admitted
+    * nothing leaves a fileless `batch=<id>` directory, and a bare
+    * directory-existence check would send the next batch's read into
+    * an UNABLE_TO_INFER_SCHEMA crash. */
+  def hasParquetData(p: String, c: Configuration): Boolean = {
+    def hasParquet(fs: FileSystem, path: Path): Boolean =
+      fs.listStatus(path).exists { st =>
+        if (st.isDirectory) hasParquet(fs, st.getPath)
+        else st.getPath.getName.endsWith(".parquet")
+      }
+    val path = new Path(p)
+    val fs = fsOf(path, c)
+    fs.exists(path) && hasParquet(fs, path)
+  }
+
   def mkdirs(p: String, c: Configuration): Unit = {
     val path = new Path(p)
     fsOf(path, c).mkdirs(path)

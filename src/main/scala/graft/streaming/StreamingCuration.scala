@@ -14,6 +14,8 @@ import graft.ops.TextMetrics
   *     → Gopher+repetition admission (the [[StreamingFunnel]] rule set,
   *       with per-rule fail COUNTERS persisted per batch)
   *     → online near-dup admission ([[StreamingDedup]]'s LSH store)
+  *     → token-budget admission (when configured — [[StreamingBudget]]'s
+  *       walk over a parquet-carried per-stratum total)
   *     → per-column PROFILE increments over the admitted output
   *       (the drop monitor).
   *
@@ -49,13 +51,22 @@ import graft.ops.TextMetrics
   */
 object StreamingCuration {
 
+  /** `budgets` non-empty switches on the token-budget admission stage
+    * (stage 3.5): per-`budgetStratum` caps applied AFTER near-dup
+    * admission, with arrival-order prefix semantics
+    * ([[StreamingBudget]]'s rule — the boundary-crossing document is
+    * kept) and the running totals carried across batches through
+    * per-batch parquet increments (the [[StreamingDedup]] state idiom:
+    * replays exclude and overwrite their own partition). */
   final case class Config(minWords: Int = 50, maxWords: Int = 100000,
                           stopwords: Seq[String] =
                             TextMetrics.GopherStopwords,
                           ngramMax: Double = 0.3,
                           shingleN: Int = 3, sigK: Int = 32,
                           bands: Int = 8, minAgree: Int = 16,
-                          hllP: Int = 8)
+                          hllP: Int = 8,
+                          budgets: Seq[(String, Long)] = Nil,
+                          budgetStratum: String = "lang")
 
   /** One micro-batch of the composed pipeline (public so the parity
     * spec and a backfill driver can run it directly). `lines` carries
@@ -105,9 +116,78 @@ object StreamingCuration {
     val admDf = admittedQ.join(
       broadcast(admittedIds.toDF("__adm_id")),
       admittedQ(idCol).cast("long") === col("__adm_id"), "left_semi")
-    profileIncrement(admDf, cfg.hllP)
+
+    // stage 3.5 (when configured): token-budget admission over the
+    // near-dup survivors — the production shape is a budget-CAPPED
+    // curation, and the profile must watch what survives the WHOLE
+    // funnel, so the budget cut runs before the profile increment
+    val surviving =
+      if (cfg.budgets.isEmpty) admDf
+      else budgetStage(spark, admDf, batchId, idCol, textCol, outDir, cfg)
+
+    profileIncrement(surviving, cfg.hllP)
       .coalesce(1).write.mode("overwrite")
       .parquet(s"$outDir/profile/batch=$batchId")
+  }
+
+  /** The token-budget admission stage: [[StreamingBudget.walk]] (the
+    * SAME rule implementation the GroupState operator runs) driven
+    * from a parquet-carried state — per-stratum admitted-token totals
+    * accumulate as `budget_state/batch=<id>` increments; a batch's
+    * carry is the sum over every OTHER batch's increment, so a
+    * post-crash replay neither double-counts its own earlier attempt
+    * nor loses the carry (the [[StreamingDedup]] replay rule). The
+    * full decision log (admitted and rejected, with reasons) persists
+    * under `budget/batch=<id>` — a budget cut a monitor cannot see is
+    * a silent data loss. State and carry are bounded by |budgets|
+    * (only budgeted strata ever admit, so only they ever write an
+    * increment). Returns the surviving rows of `batch`. */
+  private def budgetStage(spark: SparkSession, batch: DataFrame,
+                          batchId: Long, idCol: String, textCol: String,
+                          outDir: String, cfg: Config): DataFrame = {
+    require(cfg.budgets.forall(_._2 > 0),
+      s"budgets must be positive: ${cfg.budgets}")
+    require(cfg.budgets.map(_._1).distinct.size == cfg.budgets.size,
+      s"duplicate stratum in ${cfg.budgets}")
+    require(cfg.budgets.forall(b => b._1 != null &&
+      b._1 != StreamingBudget.NullStratumKey),
+      "null is not a budgetable stratum")
+    import spark.implicits._
+    val stateDir = s"$outDir/budget_state"
+    val carried: Map[String, Long] =
+      if (!graft.core.Fs.hasParquetData(stateDir, graft.core.Fs.conf(spark)))
+        Map.empty
+      else spark.read.parquet(stateDir)
+        .where(col("batch") =!= batchId)
+        .groupBy(col("stratum")).agg(sum(col("tokens")).as("t"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val budgets = cfg.budgets.toMap
+    val docs = batch.select(
+        coalesce(col(cfg.budgetStratum).cast("string"),
+          lit(StreamingBudget.NullStratumKey)).as("stratum"),
+        col(idCol).cast("long").as("order_id"),
+        TextMetrics.tokenCount(col(textCol)).cast("long").as("tokens"),
+        (col(idCol).isNotNull &&
+          TextMetrics.tokenCount(col(textCol)).isNotNull).as("valid"))
+      .as[StreamingBudget.Doc]
+    // the walk runs per stratum on executors (flatMapGroups — batch
+    // twin of the GroupState transport); decisions are pinned: three
+    // consumers (decision log, state increment, admission filter)
+    val dec = docs.groupByKey(_.stratum)
+      .flatMapGroups { (s, it) =>
+        StreamingBudget.walk(budgets.get(s), carried.getOrElse(s, 0L),
+          s, it.toSeq)._1.iterator
+      }
+      .toDF().localCheckpoint(eager = true)
+    dec.coalesce(1).write.mode("overwrite")
+      .parquet(s"$outDir/budget/batch=$batchId")
+    dec.where(col("admitted"))
+      .groupBy(col("stratum")).agg(sum(col("tokens")).as("tokens"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$stateDir/batch=$batchId")
+    batch.join(broadcast(dec.where(col("admitted"))
+        .select(col("order_id").as("__bg_id"))),
+      batch(idCol).cast("long") === col("__bg_id"), "left_semi")
   }
 
   /** Bounded per-column profile partial of one batch: one row per

@@ -67,22 +67,11 @@ object StreamingDedup {
       .select(col("id"), col("bk.band").as("band"),
         col("bk.key").as("key"), col("sig"))
 
-    val conf = Fs.conf(spark)
     // "exists" = holds at least one parquet DATA file: a batch that
     // admitted nothing (or only signature-less short docs) leaves a
     // fileless batch=<id> directory, and a directory-name check alone
     // would send every later batch into an UNABLE_TO_INFER_SCHEMA crash
-    val storeExists = {
-      def hasParquet(fs: org.apache.hadoop.fs.FileSystem,
-                     p: org.apache.hadoop.fs.Path): Boolean =
-        fs.listStatus(p).exists { st =>
-          if (st.isDirectory) hasParquet(fs, st.getPath)
-          else st.getPath.getName.endsWith(".parquet")
-        }
-      val p = new org.apache.hadoop.fs.Path(storeDir)
-      val fs = p.getFileSystem(conf)
-      fs.exists(p) && hasParquet(fs, p)
-    }
+    val storeExists = Fs.hasParquetData(storeDir, Fs.conf(spark))
 
     // ---- cross-store duplicates: batch band rows ⋈ store band rows ----
     val storeDups: DataFrame = if (!storeExists) {

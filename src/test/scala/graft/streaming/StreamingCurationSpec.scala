@@ -209,4 +209,81 @@ class StreamingCurationSpec extends SparkSpec {
       s"boundary split changed the merged outputs:\n one $one\n two $two")
     assert(one._3 == Set(10L, 11L))
   }
+
+  // ---- the budget-capped pipeline (stage 3.5) -------------------------
+
+  /** Five quality-passing, mutually non-dup docs: four en, one fr. */
+  private def budgetLines: Seq[String] = Seq(
+    jline(10, "en", prose("ba")), jline(11, "en", prose("bb")),
+    jline(12, "en", prose("bc")), jline(13, "en", prose("bd")),
+    jline(14, "fr", prose("be")))
+
+  private def budgetCfg = StreamingCuration.Config(
+    budgets = Seq("en" -> 120L), budgetStratum = "lang")
+
+  private def budgetSnapshot(out: String): (Set[Long], Map[Long, String],
+                                            Long, Long) = {
+    val dec = spark.read.parquet(s"$out/budget")
+    (dec.where(col("admitted")).select(col("order_id"))
+       .collect().map(_.getLong(0)).toSet,
+     dec.collect().map(r => r.getLong(1) -> r.getString(5)).toMap,
+     spark.read.parquet(s"$out/budget_state")
+       .agg(sum(col("tokens"))).collect()(0).getLong(0),
+     StreamingCuration.mergedProfile(spark, out, budgetCfg.hllP)
+       .where(col("col_name") === "doc_id").collect()(0).getLong(1))
+  }
+
+  test("budget stage: arrival-order prefix admission carries across " +
+      "batches, boundary doc kept, unbudgeted stratum rejected, and " +
+      "the profile watches the post-budget survivors") {
+    // each prose doc is 55 tokens; en budget 120: 55 -> 110 -> 165
+    // (boundary doc 12 CROSSES and is kept), 13 exhausted; fr: no
+    // budget. Same walk whatever the batch split.
+    def run(splits: Seq[Seq[String]]) = {
+      val out = java.nio.file.Files.createTempDirectory("bgt").toString
+      splits.zipWithIndex.foreach { case (lines, i) =>
+        StreamingCuration.processBatch(spark, lines.toDF("raw"), i.toLong,
+          schema, "doc_id", "text", out, budgetCfg)
+      }
+      budgetSnapshot(out)
+    }
+    val one = run(Seq(budgetLines))
+    val two = run(Seq(budgetLines.take(2), budgetLines.drop(2)))
+    val three = run(Seq(budgetLines.take(1), budgetLines.slice(1, 4),
+      budgetLines.drop(4)))
+    assert(one == two && two == three,
+      s"batch split changed the budget outcome:\n $one\n $two\n $three")
+    val (admitted, reasons, stateTotal, profiled) = one
+    assert(admitted == Set(10L, 11L, 12L), s"admitted $admitted")
+    assert(reasons(12L) == "admitted" && reasons(13L) == "budget_exhausted"
+      && reasons(14L) == "no_budget", s"reasons $reasons")
+    assert(stateTotal == 165L, s"state total $stateTotal")
+    assert(profiled == 3L, s"profile must watch survivors, saw $profiled")
+
+    // ...and the outcome equals the GroupState transport's walk over
+    // the union (one rule implementation, two transports)
+    val docs = Seq((10L, 55L), (11L, 55L), (12L, 55L), (13L, 55L))
+      .map { case (id, tk) => StreamingBudget.Doc("en", id, tk, true) }
+    val (decs, total) = StreamingBudget.walk(Some(120L), 0L, "en", docs)
+    assert(decs.filter(_.admitted).map(_.order_id).toSet == admitted)
+    assert(total == 165L)
+  }
+
+  test("budget stage replay: a re-run batch rewrites its state " +
+      "increment and decisions instead of double-counting the carry") {
+    val out = java.nio.file.Files.createTempDirectory("bgtr").toString
+    val (b0, b1) = (budgetLines.take(2), budgetLines.drop(2))
+    StreamingCuration.processBatch(spark, b0.toDF("raw"), 0L, schema,
+      "doc_id", "text", out, budgetCfg)
+    StreamingCuration.processBatch(spark, b1.toDF("raw"), 1L, schema,
+      "doc_id", "text", out, budgetCfg)
+    val before = budgetSnapshot(out)
+    // post-crash: batch 0 replays after batch 1 committed — its own
+    // earlier increment must not inflate the carry it replays against
+    StreamingCuration.processBatch(spark, b0.toDF("raw"), 0L, schema,
+      "doc_id", "text", out, budgetCfg)
+    assert(budgetSnapshot(out) == before,
+      "replaying batch 0 must leave the budget ledger unchanged")
+    assert(before._1 == Set(10L, 11L, 12L))
+  }
 }
