@@ -283,4 +283,43 @@ object VectorOps {
     // the whole nPlanes x dim projection runs as one generated nested loop
     // with the plane table built once on the driver.
     toCol(LshBucket(toExpr(vec), dim, nPlanes))
+
+  /** BANDED hyperplane-LSH candidate pairs — the minhash-banding recall
+    * lever applied to embedding space: ONE [[lshBuckets]] projection of
+    * `planesPerBand · bands` planes per row, split into
+    * `planesPerBand`-bit bands; a (left, right) pair is a candidate iff
+    * the two vectors agree on ALL planes of AT LEAST ONE band (union of
+    * per-band equi-joins, deduplicated). More bands = higher recall at
+    * linearly more candidate pairs (measured: B=1→4 lifts margin-mining
+    * candidate recall@1 0.33 → 0.63 on adversarial cluster geometry,
+    * SCALE_r11 §1); fewer planes per band = wider buckets. Feed the
+    * result to [[marginMineOverPairs]] / `Dedup.containmentOverPairs` /
+    * any pairs-fed scorer.
+    *
+    * Scale shape: the bucket projection is row-local codegen (zero
+    * shuffles); each band is one equi-join on a `planesPerBand`-bit
+    * key; the union's distinct is bounded by the candidate count —
+    * never all-pairs. Returns (src_id, tgt_id). */
+  def lshBandedPairs(left: DataFrame, right: DataFrame, idCol: String,
+                     vecCol: String, dim: Int, planesPerBand: Int = 5,
+                     bands: Int = 2): DataFrame = {
+    require(planesPerBand > 0 && bands > 0,
+      s"need planesPerBand/bands > 0, got $planesPerBand/$bands")
+    require(planesPerBand * bands <= 62,
+      s"planesPerBand * bands must fit a positive long, " +
+        s"got ${planesPerBand * bands} bits")
+    val mask = (1L << planesPerBand) - 1
+    def bucketed(d: DataFrame, out: String) = d.select(
+      col(idCol).as(out),
+      lshBuckets(col(vecCol), dim, planesPerBand * bands).as("__lb_b"))
+    val l = bucketed(left, "src_id")
+    val r = bucketed(right, "tgt_id")
+    (0 until bands).map { i =>
+      val band = shiftright(col("__lb_b"), planesPerBand * i)
+        .bitwiseAND(lit(mask))
+      l.select(col("src_id"), band.as("__lb_k"))
+        .join(r.select(col("tgt_id"), band.as("__lb_k")), "__lb_k")
+        .select(col("src_id"), col("tgt_id"))
+    }.reduce(_ unionByName _).distinct()
+  }
 }

@@ -975,12 +975,10 @@ object OracleQueries {
           .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
         val src = e.where(col("vec_id") % 2 === 0)
         val tgt = e.where(col("vec_id") % 2 === 1)
-        def bucketed(d: DataFrame, out: String) = d.select(
-          col("vec_id").as(out),
-          VectorOps.lshBuckets(col("v"), dim = 64, nPlanes = 5).as("bucket"))
-        val pairs = bucketed(src, "src_id")
-          .join(bucketed(tgt, "tgt_id"), "bucket")
-          .select(col("src_id"), col("tgt_id"))
+        // the library's banded candidate generator at B=1: one 5-bit
+        // band == the plain 5-plane bucket equi-join the oracle replays
+        val pairs = VectorOps.lshBandedPairs(src, tgt, "vec_id", "v",
+          dim = 64, planesPerBand = 5, bands = 1)
         VectorOps.marginMineOverPairs(pairs, src, tgt, "vec_id", "v",
             k = 4, topM = 1)
           .withColumnRenamed("rank", "rnk")

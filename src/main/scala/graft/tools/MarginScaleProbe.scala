@@ -39,23 +39,11 @@ object MarginScaleProbe {
     def sides(e: DataFrame): (DataFrame, DataFrame) =
       (e.where(col("vec_id") % 2 === 0), e.where(col("vec_id") % 2 === 1))
 
-    // B independent 5-plane bands OR-ed (the minhash-banding recall
-    // lever applied to hyperplane LSH): one 5B-plane bucket computed
-    // per row, split into 5-bit bands; candidates = union of per-band
-    // equi-joins, deduped by marginMineOverPairs' distinct
-    def lshPairs(src: DataFrame, tgt: DataFrame, bands: Int): DataFrame = {
-      def b(d: DataFrame, out: String) = d.select(col("vec_id").as(out),
-        VectorOps.lshBuckets(col("v"), dim = 64, nPlanes = 5 * bands)
-          .as("bucket"))
-      val s = b(src, "src_id"); val t = b(tgt, "tgt_id")
-      (0 until bands).map { i =>
-        val band = (col("bucket") / math.pow(2, 5 * i).toLong)
-          .cast("long") % 32
-        s.select(col("src_id"), band.as("bk"))
-          .join(t.select(col("tgt_id"), band.as("bk")), "bk")
-          .select(col("src_id"), col("tgt_id"))
-      }.reduce(_ unionByName _)
-    }
+    // B independent 5-plane bands OR-ed — the library's banded
+    // candidate generator (VectorOps.lshBandedPairs)
+    def lshPairs(src: DataFrame, tgt: DataFrame, bands: Int): DataFrame =
+      VectorOps.lshBandedPairs(src, tgt, "vec_id", "v", dim = 64,
+        planesPerBand = 5, bands = bands)
 
     def timed(body: => Unit): Double = {
       val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9

@@ -43,7 +43,12 @@ class PlanInvariantsSpec extends SparkSpec {
       // same KMeans.fit assignment inside the SemDeDup composition — the
       // SemDeDup pair join itself is the cid equi-join (SortMergeJoin
       // Inner in this very plan), never all-pairs
-      "dedup_semantic")
+      "dedup_semantic",
+      // per-document scores × broadcast |classes|-row model stats (the
+      // NB prior/norm table — 2 rows here, bounded by the label set) —
+      // the scalar-broadcast class; the vocabulary joins in the same
+      // plan are hash equi-joins
+      "quality_nb_score")
 
   test("no query plans a cartesian product or unexpected nested loop") {
     val names = graft.SparkEntry.queries.keys.toSeq.sorted
