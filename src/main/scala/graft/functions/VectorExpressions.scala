@@ -263,6 +263,14 @@ object VectorExpressions {
     // fit output; a non-finite component is always an upstream bug).
     require(u.forall(java.lang.Double.isFinite),
       "HouseholderRotate: reflection vector must be finite")
+    // ...and the SUM of squares can overflow for extreme finite
+    // magnitudes. Guarding here (not in doGenCode) keeps interpreted
+    // and codegen evaluation consistent: unguarded, nullSafeEval would
+    // silently compute with uu = Infinity (all-NaN rotations) while
+    // codegen failed loudly at Janino — violating the expression's own
+    // interpreted/codegen-identical contract.
+    require(java.lang.Double.isFinite(uu),
+      "HouseholderRotate: |u|^2 overflows double")
     override def checkInputDataTypes(): TypeCheckResult =
       checkArrays(this, DoubleType, child)
     override def dataType: DataType =
@@ -305,12 +313,8 @@ object VectorExpressions {
     override protected def doGenCode(ctx: CodegenContext,
                                      ev: ExprCode): ExprCode = {
       val tbl = ctx.addReferenceObj("houseU", u, "double[]")
-      // finite by the constructor require on u's components, but the
-      // SUM of squares can still overflow for extreme magnitudes —
-      // catch it here rather than let 'InfinityD' reach Janino
-      require(java.lang.Double.isFinite(uu),
-        "HouseholderRotate: |u|^2 overflows double")
-      val uuRef = uu // JVM double literal via string interp below
+      val uuRef = uu // finite by the constructor requires — safe to
+      // embed as a JVM double literal via string interp below
       nullSafeCodeGen(ctx, ev, v => {
         val n = ctx.freshName("n"); val m = ctx.freshName("m")
         val i = ctx.freshName("i"); val s = ctx.freshName("s")

@@ -84,7 +84,18 @@ object Bpe {
     * no adjacent pair remains (every word fully merged). Returns the
     * learned merge list (bounded: ≤ merges rows — driver-side by
     * design, it IS the tokenizer artifact) plus the final word table
-    * (word, freq, syms) for fertility measurement. */
+    * (word, freq, syms) for fertility measurement.
+    *
+    * Merge-count envelope: each iteration is one Spark job plus a
+    * vocabulary-sized checkpoint (the previous iteration's blocks are
+    * released by the ContextCleaner once unreferenced), so the
+    * per-merge cost is scheduler latency, not data. That prices this
+    * loop for hundreds-to-low-thousands of merges per call; a full
+    * 30k-merge production vocabulary wants the standard batched
+    * variant (merge the top-N DISJOINT pairs per round — subword-nmt's
+    * own fast path), which this implementation deliberately omits:
+    * batched merges change the learned table, and the oracle pins the
+    * canonical one-pair-per-round semantics. */
   def train(df: DataFrame, textCol: String,
             merges: Int): (Seq[Merge], DataFrame) = {
     require(merges > 0, s"need merges > 0, got $merges")
@@ -141,26 +152,48 @@ object Bpe {
     * training corpus reproduces [[train]]'s final table bit-for-bit
     * (BpeSpec). Do NOT re-encode an already-encoded table expecting a
     * no-op — a later merge can mint a symbol equal to an earlier
-    * pair's member, so re-application may merge further. */
-  def encodeWords(words: DataFrame, merges: Seq[Merge]): DataFrame = {
-    val enc = merges.sortBy(_.step).foldLeft(col("syms")) { (c, m) =>
-      applyMerge(c, m.lhs, m.rhs)
-    }
-    words.withColumn("syms", enc).withColumn("n_sub", size(col("syms")))
+    * pair's member, so re-application may merge further.
+    *
+    * The fold chain is CHECKPOINT-BATCHED every `checkpointEvery`
+    * merges: a single expression nesting one `aggregate()` per merge
+    * would blow Catalyst analysis/codegen at real vocabulary sizes
+    * (tens of thousands of merges); batching bounds expression depth
+    * while each batch boundary pins a vocabulary-sized table only. */
+  def encodeWords(words: DataFrame, merges: Seq[Merge],
+                  checkpointEvery: Int = 32): DataFrame = {
+    require(checkpointEvery > 0,
+      s"need checkpointEvery > 0, got $checkpointEvery")
+    val enc = merges.sortBy(_.step).grouped(checkpointEvery)
+      .foldLeft(words) { (d, grp) =>
+        d.withColumn("syms", grp.foldLeft(col("syms")) { (c, m) =>
+          applyMerge(c, m.lhs, m.rhs)
+        }).localCheckpoint(eager = true)
+      }
+    enc.withColumn("n_sub", size(col("syms")))
   }
 
   /** Corpus fertility under a learned merge table: mean subtokens per
     * token occurrence, the number a tokenizer planner actually sizes
-    * budgets with. One corpus token scan joined (broadcast — the word
-    * table is vocabulary-sized) against the encoded vocabulary. */
+    * budgets with. One corpus token scan LEFT-joined (broadcast — the
+    * word table is vocabulary-sized) against the encoded vocabulary;
+    * out-of-vocabulary words count their CHARACTER length as pieces
+    * (exactly what a char-fallback BPE tokenizer emits for an unseen
+    * word) rather than silently vanishing from both numerator and
+    * denominator — an inner join would bias fertility low on exactly
+    * the held-out corpora with high OOV rates, under-provisioning the
+    * planner. `n_oov` surfaces how much of the estimate rode the
+    * fallback. */
   def fertility(df: DataFrame, textCol: String,
                 encodedWords: DataFrame): DataFrame =
     df.select(explode(TextMetrics.tokens(col(textCol))).as("word"))
       .where(length(col("word")) > 0)
       .join(broadcast(encodedWords.select(col("word"), col("n_sub"))),
-        Seq("word"))
+        Seq("word"), "left")
+      .select(coalesce(col("n_sub"), length(col("word"))).as("__bp_p"),
+        col("n_sub").isNull.cast("long").as("__bp_oov"))
       .agg(
-        (sum(col("n_sub").cast("decimal(18,0)")).cast("double") /
+        (sum(col("__bp_p").cast("decimal(18,0)")).cast("double") /
           count(lit(1))).as("fertility"),
-        count(lit(1)).as("n_tokens"))
+        count(lit(1)).as("n_tokens"),
+        sum(col("__bp_oov")).as("n_oov"))
 }

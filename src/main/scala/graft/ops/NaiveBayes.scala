@@ -68,22 +68,27 @@ object NaiveBayes {
         .otherwise(col(labelCol).cast("string")).as("label"),
       col(textCol).as("__nb_text"))
     val tk = toks(lab, "__nb_text", col("label"))
-    // collect-routed scalars (the unigramLogprob idiom): the doc total
-    // and vocabulary size are single bounded numbers
-    val totalDocs = lab.count()
-    require(totalDocs > 0, "NaiveBayes.train: empty corpus")
-    val vocab = tk.select(col("token")).distinct().count()
-    // nonzero (token, class) counts — THE model table, pinned (the
-    // scoring join reads it per consumer; unpinned the corpus
-    // explode+count would re-execute)
+    // nonzero (token, class) counts — THE model table, pinned. This is
+    // the ONE corpus token scan of training: the vocabulary size and
+    // the per-class token totals both derive from this vocabulary-sized
+    // table (V = its distinct tokens, n_tokens_c = Σ_t c), never from a
+    // second pass over the corpus explode.
     val tokenCounts = tk.groupBy(col("token"), col("label"))
       .agg(count(lit(1)).as("c"))
       .withColumn("log_lik", round(log(col("c") + 1), 6))
       .localCheckpoint(eager = true)
-    val classStats = lab.groupBy(col("label"))
+    val vocab = tokenCounts.select(col("token")).distinct().count()
+    // priors need one scan of the raw document table (not the token
+    // explode); the doc total collect-routes from its pinned rollup
+    val classDocs = lab.groupBy(col("label"))
       .agg(count(lit(1)).as("n_docs"))
-      .join(tk.groupBy(col("label"))
-        .agg(count(lit(1)).as("n_tokens")), Seq("label"), "left")
+      .localCheckpoint(eager = true)
+    val totalRow = classDocs.agg(sum(col("n_docs"))).collect()(0)
+    val totalDocs = if (totalRow.isNullAt(0)) 0L else totalRow.getLong(0)
+    require(totalDocs > 0, "NaiveBayes.train: empty corpus")
+    val classStats = classDocs
+      .join(tokenCounts.groupBy(col("label"))
+        .agg(sum(col("c")).as("n_tokens")), Seq("label"), "left")
       .select(col("label"), col("n_docs"),
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
         round(log(col("n_docs").cast("double") / totalDocs), 6)
@@ -98,12 +103,17 @@ object NaiveBayes {
     * for every document with ≥1 in-vocabulary token. */
   def scoreAll(df: DataFrame, idCol: String, textCol: String,
                model: Model): DataFrame = {
+    // in-vocab occurrences only: semi-join against the vocabulary
+    // (N_d must count exactly the occurrences the likelihood sum
+    // sees, or the per-class norm term goes inconsistent). The table
+    // is a MATERIALIZED stage boundary (narrow: id + token — the
+    // topKCosineRp rule): the likelihood sum and the occurrence count
+    // both read it, and unpinned each would re-execute the corpus
+    // explode + vocabulary semi-join (ScanCensus/§22)
     val tk = toks(df, textCol, col(idCol))
-      // in-vocab occurrences only: semi-join against the vocabulary
-      // (N_d must count exactly the occurrences the likelihood sum
-      // sees, or the per-class norm term goes inconsistent)
       .join(model.tokenCounts.select(col("token")).distinct(),
         Seq("token"), "left_semi")
+      .localCheckpoint(eager = true)
     val s1 = tk.join(model.tokenCounts.select(col("token"), col("label"),
         col("log_lik")), Seq("token"))
       .groupBy(col(idCol), col("label"))

@@ -261,9 +261,13 @@ object VectorOps {
     val denom = (col("__mm_fwd") + col("__mm_bwd")) / 2
     val wm = Window.partitionBy(col("src_id"))
       .orderBy(col("margin").desc, col("tgt_id"))
+    // no broadcast hint on the mean tables: they carry one row per
+    // DISTINCT pair endpoint — corpus-sized at mining scale, exactly
+    // what must not be forced onto the driver; plain equi-joins let
+    // AQE broadcast them when (and only when) they are actually small
     scored
-      .join(broadcast(fwd), "src_id")
-      .join(broadcast(bwd), "tgt_id")
+      .join(fwd, "src_id")
+      .join(bwd, "tgt_id")
       .withColumn("margin",
         when(denom === 0, lit(0.0))
           .otherwise(round(col("cos") / denom, 6)))

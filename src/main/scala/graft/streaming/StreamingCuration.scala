@@ -139,9 +139,12 @@ object StreamingCuration {
     * nor loses the carry (the [[StreamingDedup]] replay rule). The
     * full decision log (admitted and rejected, with reasons) persists
     * under `budget/batch=<id>` — a budget cut a monitor cannot see is
-    * a silent data loss. State and carry are bounded by |budgets|
-    * (only budgeted strata ever admit, so only they ever write an
-    * increment). Returns the surviving rows of `batch`. */
+    * a silent data loss — and the surviving DOCUMENTS land under
+    * `curated/batch=<id>`, the final corpus output of a budget-capped
+    * pipeline (`admitted/` is the pre-budget stage-3 artifact). State
+    * and carry are bounded by |budgets| (only budgeted strata ever
+    * admit, so only they ever write an increment). Returns the
+    * surviving rows of `batch`. */
   private def budgetStage(spark: SparkSession, batch: DataFrame,
                           batchId: Long, idCol: String, textCol: String,
                           outDir: String, cfg: Config): DataFrame = {
@@ -154,21 +157,34 @@ object StreamingCuration {
       "null is not a budgetable stratum")
     import spark.implicits._
     val stateDir = s"$outDir/budget_state"
+    // carry = PRIOR batches only (batch < id, not batch != id): a
+    // post-crash replay of batch N after batch N+1 committed must
+    // reproduce N's ORIGINAL carry — prefix admission is
+    // order-sensitive, so including a later batch's increment could
+    // flip decisions already emitted downstream (the set-union
+    // StreamingDedup store tolerates != because its membership test is
+    // order-free; a running total does not)
     val carried: Map[String, Long] =
       if (!graft.core.Fs.hasParquetData(stateDir, graft.core.Fs.conf(spark)))
         Map.empty
       else spark.read.parquet(stateDir)
-        .where(col("batch") =!= batchId)
+        .where(col("batch") < batchId)
         .groupBy(col("stratum")).agg(sum(col("tokens")).as("t"))
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val budgets = cfg.budgets.toMap
+    // the same NULL discipline as StreamingBudget.admit: Doc's fields
+    // are primitive longs, so an un-coalesced NULL id/token count would
+    // crash Dataset encoding BEFORE the valid flag could mark the row
+    // invalid_row — reject-and-flow, never crash, even though upstream
+    // stages currently drop such rows
+    val oid = col(idCol).cast("long")
+    val tok = TextMetrics.tokenCount(col(textCol)).cast("long")
     val docs = batch.select(
         coalesce(col(cfg.budgetStratum).cast("string"),
           lit(StreamingBudget.NullStratumKey)).as("stratum"),
-        col(idCol).cast("long").as("order_id"),
-        TextMetrics.tokenCount(col(textCol)).cast("long").as("tokens"),
-        (col(idCol).isNotNull &&
-          TextMetrics.tokenCount(col(textCol)).isNotNull).as("valid"))
+        coalesce(oid, lit(Long.MinValue)).as("order_id"),
+        coalesce(tok, lit(0L)).as("tokens"),
+        (oid.isNotNull && tok.isNotNull).as("valid"))
       .as[StreamingBudget.Doc]
     // the walk runs per stratum on executors (flatMapGroups — batch
     // twin of the GroupState transport); decisions are pinned: three
@@ -185,9 +201,18 @@ object StreamingCuration {
       .groupBy(col("stratum")).agg(sum(col("tokens")).as("tokens"))
       .coalesce(1).write.mode("overwrite")
       .parquet(s"$stateDir/batch=$batchId")
-    batch.join(broadcast(dec.where(col("admitted"))
+    val surviving = batch.join(broadcast(dec.where(col("admitted"))
         .select(col("order_id").as("__bg_id"))),
       batch(idCol).cast("long") === col("__bg_id"), "left_semi")
+      .localCheckpoint(eager = true) // two consumers: curated + profile
+    // the FINAL corpus output when budgets are configured: `admitted/`
+    // is written at stage 3 (before this cut) and still carries
+    // budget-rejected documents — a consumer reading it as the curated
+    // corpus would ship over-budget docs, silently voiding the caps.
+    // Replay-idempotent like every other per-batch artifact.
+    surviving.write.mode("overwrite")
+      .parquet(s"$outDir/curated/batch=$batchId")
+    surviving
   }
 
   /** Bounded per-column profile partial of one batch: one row per

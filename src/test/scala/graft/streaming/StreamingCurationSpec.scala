@@ -239,17 +239,19 @@ class StreamingCurationSpec extends SparkSpec {
     // each prose doc is 55 tokens; en budget 120: 55 -> 110 -> 165
     // (boundary doc 12 CROSSES and is kept), 13 exhausted; fr: no
     // budget. Same walk whatever the batch split.
-    def run(splits: Seq[Seq[String]]) = {
+    val outs = scala.collection.mutable.Buffer.empty[String]
+    def runT(splits: Seq[Seq[String]]) = {
       val out = java.nio.file.Files.createTempDirectory("bgt").toString
+      outs += out
       splits.zipWithIndex.foreach { case (lines, i) =>
         StreamingCuration.processBatch(spark, lines.toDF("raw"), i.toLong,
           schema, "doc_id", "text", out, budgetCfg)
       }
       budgetSnapshot(out)
     }
-    val one = run(Seq(budgetLines))
-    val two = run(Seq(budgetLines.take(2), budgetLines.drop(2)))
-    val three = run(Seq(budgetLines.take(1), budgetLines.slice(1, 4),
+    val one = runT(Seq(budgetLines))
+    val two = runT(Seq(budgetLines.take(2), budgetLines.drop(2)))
+    val three = runT(Seq(budgetLines.take(1), budgetLines.slice(1, 4),
       budgetLines.drop(4)))
     assert(one == two && two == three,
       s"batch split changed the budget outcome:\n $one\n $two\n $three")
@@ -259,6 +261,18 @@ class StreamingCurationSpec extends SparkSpec {
       && reasons(14L) == "no_budget", s"reasons $reasons")
     assert(stateTotal == 165L, s"state total $stateTotal")
     assert(profiled == 3L, s"profile must watch survivors, saw $profiled")
+    // curated/ is the FINAL corpus output: exactly the budget survivors
+    // (admitted/ still carries the pre-budget doc 13 — the stage-3
+    // artifact, not the corpus a consumer should ship)
+    for (out <- outs) {
+      val curated = spark.read.parquet(s"$out/curated")
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+      assert(curated == Set(10L, 11L, 12L), s"curated $curated in $out")
+      val preBudget = spark.read.parquet(s"$out/admitted")
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+      assert(preBudget.contains(13L),
+        "stage-3 admitted/ should still hold the budget-rejected doc")
+    }
 
     // ...and the outcome equals the GroupState transport's walk over
     // the union (one rule implementation, two transports)
@@ -285,5 +299,36 @@ class StreamingCurationSpec extends SparkSpec {
     assert(budgetSnapshot(out) == before,
       "replaying batch 0 must leave the budget ledger unchanged")
     assert(before._1 == Set(10L, 11L, 12L))
+  }
+
+  test("budget stage replay reads PRIOR batches only: a later batch's " +
+      "increment must not flip a replayed batch's original decisions") {
+    // prefix admission is order-sensitive: with a 150-token doc in
+    // batch 1, a carry that (wrongly) summed ALL other batches would
+    // read 150 >= the remaining headroom and rewrite batch 0's second
+    // doc as budget_exhausted — rewriting history for a document
+    // already emitted downstream. The carry must be Σ(batch < id).
+    val big = (Seq("the", "data", "that", "we", "have", "with", "good",
+      "works", "fine") ++ (1 to 141).map(i =>
+        s"bz${('a' + i % 26).toChar}word$i")).mkString(" ") // 150 tokens
+    val cfg = StreamingCuration.Config(
+      budgets = Seq("en" -> 170L), budgetStratum = "lang")
+    val out = java.nio.file.Files.createTempDirectory("bgtp").toString
+    val b0 = Seq(jline(10, "en", prose("pa")), jline(11, "en", prose("pb")))
+    val b1 = Seq(jline(20, "en", big))
+    StreamingCuration.processBatch(spark, b0.toDF("raw"), 0L, schema,
+      "doc_id", "text", out, cfg)
+    StreamingCuration.processBatch(spark, b1.toDF("raw"), 1L, schema,
+      "doc_id", "text", out, cfg)
+    // walk: 10 (0<170, ->55), 11 (55<170, ->110), then 20 crosses the
+    // boundary (110<170, ->260)
+    val before = budgetSnapshot(out)
+    assert(before._1 == Set(10L, 11L, 20L), s"got ${before._1}")
+    StreamingCuration.processBatch(spark, b0.toDF("raw"), 0L, schema,
+      "doc_id", "text", out, cfg)
+    val after = budgetSnapshot(out)
+    assert(after == before,
+      s"replay flipped decisions under a future-batch carry:\n" +
+        s" before $before\n after  $after")
   }
 }
