@@ -51,7 +51,12 @@ object Bench {
         queries.PcaStage.dimStats(spark, sfDir); () },
       "pq_stage" -> timed {
         queries.PqStage.staged(spark, sfDir)
-        queries.PqStage.stagedOpq(spark, sfDir); () }).toMap
+        queries.PqStage.stagedOpq(spark, sfDir); () },
+      // the BPE merge-table train + vocab build the encode/pack/
+      // fertility rows consume (bpe_train itself stays memo-free —
+      // it IS the training benchmark row, like pq_train)
+      "bpe_stage" -> timed {
+        queries.BpeStage.staged(spark, sfDir); () }).toMap
     val results = stagingRows ++ SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
         // two iterations, report the SECOND: the first run pays Janino

@@ -172,6 +172,68 @@ object Bpe {
     enc.withColumn("n_sub", size(col("syms")))
   }
 
+  /** Token-id table of a learned vocabulary, numbered the way real BPE
+    * vocabularies are (subword-nmt/GPT-2): base characters first
+    * (sorted), then one id per merge IN TRAINING ORDER — no ranking
+    * window anywhere, because the id source is DRIVER-SIZED by
+    * construction (the alphabet is bounded, the merge list IS the
+    * tokenizer artifact). Two merges can concat to the same string
+    * (("ab","c") and ("a","bc") both mint "abc"); the FIRST
+    * introduction keeps the id and ids stay dense. Returns
+    * (symbol, token_id), broadcast-join it at encode time. */
+  def vocabIds(df: DataFrame, textCol: String,
+               merges: Seq[Merge]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = wordTable(df, textCol)
+      .select(explode(col("syms")).as("s")).distinct()
+      .collect().map(_.getString(0)).sorted
+    val all = (base ++ merges.sortBy(_.step).map(m => m.lhs + m.rhs))
+      .distinct
+    all.toSeq.zipWithIndex.map { case (sym, i) => (sym, i.toLong) }
+      .toDF("symbol", "token_id")
+  }
+
+  /** Encode documents to token-id sequences under a learned vocabulary
+    * — the pretraining last mile before [[Packing.packSpans]]: one
+    * corpus token scan, each word broadcast-joined to its trained
+    * symbol split (the vocabulary-sized `words` table — encode NEVER
+    * re-runs the merge folds per document; a word's split was fixed at
+    * train time), symbols broadcast-joined to [[vocabIds]], and each
+    * document's ids assembled row-locally (sort_array over
+    * (wpos, spos, id) structs — no per-document window, no shuffle
+    * beyond the final groupBy). Returns (idCol, ids: array<long>).
+    *
+    * A word ABSENT from `words` fails loudly naming it (the
+    * containmentOverPairs guard class): an inner join would silently
+    * drop OOV words from the training stream — truncated documents
+    * shipped as if complete. Cover the corpus (train on it, or extend
+    * the vocabulary) before encoding; [[fertility]]'s char-count
+    * fallback is for MEASUREMENT, not for shipping ids that do not
+    * exist. */
+  def encodeDocs(df: DataFrame, idCol: String, textCol: String,
+                 words: DataFrame, vocab: DataFrame): DataFrame = {
+    val sy = df.select(col(idCol),
+        posexplode(TextMetrics.tokens(col(textCol)))
+          .as(Seq("__bp_wp", "__bp_w")))
+      .where(length(col("__bp_w")) > 0)
+      .join(broadcast(words.select(col("word").as("__bp_w"),
+        col("syms").as("__bp_sy"))), Seq("__bp_w"), "left")
+      .select(col(idCol), col("__bp_wp"),
+        when(col("__bp_sy").isNull, raise_error(concat(
+          lit("encodeDocs: word absent from the trained vocabulary: "),
+          col("__bp_w"))).cast("array<string>"))
+          .otherwise(col("__bp_sy")).as("__bp_sy"))
+      .select(col(idCol), col("__bp_wp"),
+        posexplode(col("__bp_sy")).as(Seq("__bp_sp", "symbol")))
+      .join(broadcast(vocab), Seq("symbol"))
+    sy.groupBy(col(idCol))
+      .agg(transform(
+        array_sort(collect_list(struct(col("__bp_wp"), col("__bp_sp"),
+          col("token_id")))),
+        x => x.getField("token_id")).as("ids"))
+  }
+
   /** Corpus fertility under a learned merge table: mean subtokens per
     * token occurrence, the number a tokenizer planner actually sizes
     * budgets with. One corpus token scan LEFT-joined (broadcast — the

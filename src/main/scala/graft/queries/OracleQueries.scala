@@ -178,8 +178,10 @@ object OracleQueries {
   }
 
   /** Merge steps learned by the bpe_train row (and replayed by its
-    * oracle chain — each step is one unrolled CTE block). */
-  private val BpeMerges = 8
+    * oracle chain — each step is one unrolled CTE block). Owned by
+    * [[BpeStage]], which also stages the trained artifacts the
+    * encode/pack/fertility rows consume. */
+  private val BpeMerges = BpeStage.Merges
 
   /** The CTE chain replaying [[graft.ops.Bpe.train]] in DuckDB: w0 is
     * the word-frequency table with words split to character symbol
@@ -236,6 +238,26 @@ object OracleQueries {
           WHERE len(word) > 0 GROUP BY word),
         $stepSql"""
   }
+
+  /** The token-id vocabulary CTEs appended after [[bpeChainSql]] —
+    * real-BPE numbering (subword-nmt/GPT-2): base characters first
+    * (sorted), then one id per merge in training order; a string two
+    * merges both mint keeps its FIRST id and ids stay dense (the
+    * min-insertion-rank + dense re-rank pair). Leaves `vocab`
+    * (symbol, token_id) in scope. */
+  private def bpeVocabSql(steps: Int): String =
+    s"""mrg AS (${(1 to steps).map(t =>
+          s"SELECT $t AS stp, l, r FROM b$t").mkString("\n          UNION ALL ")}),
+        bases AS (SELECT DISTINCT UNNEST(syms) AS symbol FROM w0),
+        intro AS (SELECT symbol, 0 AS grp, symbol AS bord, 0 AS stp
+            FROM bases
+          UNION ALL SELECT l || r AS symbol, 1 AS grp, '' AS bord, stp
+            FROM mrg),
+        irk AS (SELECT symbol,
+            ROW_NUMBER() OVER (ORDER BY grp, bord, stp) AS rn FROM intro),
+        ifirst AS (SELECT symbol, MIN(rn) AS frn FROM irk GROUP BY symbol),
+        vocab AS (SELECT symbol,
+            ROW_NUMBER() OVER (ORDER BY frn) - 1 AS token_id FROM ifirst)"""
 
   /** The deterministic weak-supervision label both NB rows train on:
     * ≥ 50 whitespace words AND contains "the" — a Gopher-lite rule,
@@ -4674,8 +4696,9 @@ object OracleQueries {
         // oracle reads its w8 the same way); re-running encodeWords
         // over it could merge FURTHER — a later step can mint a symbol
         // equal to an earlier pair's member, making re-application
-        // non-idempotent (BpeSpec pins this asymmetry)
-        val (_, words) = Bpe.train(docs, "text", BpeMerges)
+        // non-idempotent (BpeSpec pins this asymmetry). Staged: the
+        // one-time train cost lives on the bench's bpe_stage row.
+        val words = BpeStage.staged(s, dir).words
         val enc = words.select(col("word"), size(col("syms")).as("n_sub"))
         docs.select(col("lang"),
             explode(TextMetrics.tokens(col("text"))).as("word"))
@@ -4700,6 +4723,91 @@ object OracleQueries {
             / COUNT(*) AS fertility
         FROM ft JOIN w$BpeMerges ON ft.word = w$BpeMerges.word
         GROUP BY ft.lang ORDER BY ft.lang""")),
+
+    // ============ BPE document encoding (tokens → vocab ids) ==============
+    // The pretraining last mile's first half: every document becomes a
+    // token-id sequence under the LEARNED vocabulary (real-BPE
+    // numbering: base chars sorted, then merges in training order).
+    // Encode never re-runs the merge folds — each word broadcast-joins
+    // its trained split (the vocabulary-sized staged table), ids
+    // assemble row-locally (sort_array, no per-document window). The
+    // oracle replays the whole chain: 8 merge steps, the id numbering,
+    // the per-word splits, and the position-ordered flattening.
+    Q("bpe_encode",
+      (s, dir) => {
+        val st = BpeStage.staged(s, dir)
+        Bpe.encodeDocs(
+            t(s, dir, "documents").where(col("doc_id") < 40),
+            "doc_id", "text", st.words, st.vocab)
+          .select(col("doc_id"),
+            posexplode(col("ids")).as(Seq("pos", "token_id")))
+          .select(col("doc_id"), col("pos").cast("long").as("pos"),
+            col("token_id"))
+          .orderBy(col("doc_id"), col("pos"))
+      },
+      Some(s"""WITH ${bpeChainSql(BpeMerges)},
+        ${bpeVocabSql(BpeMerges)},
+        dw AS (SELECT doc_id, word, wpos FROM (
+            SELECT doc_id, UNNEST(string_split(text, ' ')) AS word,
+              UNNEST(range(len(string_split(text, ' ')))) AS wpos
+            FROM documents WHERE doc_id < 40)
+          WHERE len(word) > 0),
+        ds AS (SELECT dw.doc_id, dw.wpos,
+            UNNEST(w$BpeMerges.syms) AS symbol,
+            UNNEST(range(len(w$BpeMerges.syms))) AS spos
+          FROM dw JOIN w$BpeMerges ON dw.word = w$BpeMerges.word),
+        enc AS (SELECT ds.doc_id, ds.wpos, ds.spos, v.token_id
+          FROM ds JOIN vocab v USING (symbol))
+        SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY doc_id
+            ORDER BY wpos, spos) - 1 AS pos, token_id
+        FROM enc ORDER BY doc_id, pos""")),
+
+    // ====== BPE-aware sequence packing (the tokenize→pack composition) ====
+    // The last mile's second half: per-document token counts under the
+    // LEARNED vocabulary (not a whitespace heuristic) feed the
+    // concat-and-split packer — per-language shards, 128-token budget,
+    // exact span layout. Composition of two oracle-gated operators;
+    // the oracle replays the learned counts AND the integer span
+    // arithmetic end-to-end.
+    Q("bpe_pack",
+      (s, dir) => {
+        val words = BpeStage.staged(s, dir).words
+        val docTok = t(s, dir, "documents")
+          .select(col("lang"), col("doc_id"),
+            explode(TextMetrics.tokens(col("text"))).as("word"))
+          .where(length(col("word")) > 0)
+          .join(broadcast(words.select(col("word"),
+            size(col("syms")).as("n_sub"))), Seq("word"))
+          .groupBy(col("lang"), col("doc_id"))
+          .agg(sum(col("n_sub")).as("tok"))
+        Packing.packSpans(docTok, col("lang"), col("doc_id"),
+            col("doc_id"), col("tok"), budget = 128)
+          .orderBy(col("shard"), col("seq_id"), col("seq_offset"))
+      },
+      Some(s"""WITH ${bpeChainSql(BpeMerges)},
+        dw AS (SELECT lang, doc_id, word FROM (
+            SELECT lang, doc_id,
+              UNNEST(string_split(text, ' ')) AS word FROM documents)
+          WHERE len(word) > 0),
+        d AS (SELECT dw.lang, dw.doc_id,
+            CAST(SUM(len(w$BpeMerges.syms)) AS BIGINT) AS tok
+          FROM dw JOIN w$BpeMerges ON dw.word = w$BpeMerges.word
+          GROUP BY 1, 2),
+        c AS (SELECT lang, doc_id, tok,
+          CAST(COALESCE(SUM(tok) OVER (PARTITION BY lang ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS st
+          FROM d),
+        e AS (SELECT lang, doc_id, tok, st,
+          UNNEST(range(st // 128, (st + tok - 1) // 128 + 1)) AS seq_id
+          FROM c)
+        SELECT lang AS shard, seq_id,
+          GREATEST(st, seq_id * 128) - seq_id * 128 AS seq_offset,
+          doc_id,
+          GREATEST(st, seq_id * 128) - st AS doc_offset,
+          LEAST(st + tok, (seq_id + 1) * 128) - GREATEST(st, seq_id * 128)
+            AS span_len
+        FROM e ORDER BY shard, seq_id, seq_offset""")),
 
     // ======== model-based quality classifier: multinomial NB train ========
     // The learned complement to the rule-based filters (the

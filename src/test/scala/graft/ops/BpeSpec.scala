@@ -83,6 +83,52 @@ class BpeSpec extends SparkSpec {
       .forall(_.getSeq[String](0) == Seq("ab")))
   }
 
+  test("vocabIds: base chars sorted first, merges in training order, " +
+      "duplicate-mint keeps the first id, ids dense") {
+    val docs = Seq("ab ab abc c b").toDF("text")
+    // pairs: (a,b) 3 -> merge1 "ab"; then (ab,c) 1 -> merge2 "abc"
+    val (merges, _) = Bpe.train(docs, "text", merges = 2)
+    assert(merges.map(m => (m.lhs, m.rhs)) == Seq(("a", "b"), ("ab", "c")))
+    val v = Bpe.vocabIds(docs, "text", merges).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // base alphabet {a, b, c} sorted = ids 0..2, then merges
+    assert(v == Map("a" -> 0L, "b" -> 1L, "c" -> 2L, "ab" -> 3L,
+      "abc" -> 4L))
+    // duplicate mint: ("ab","c") and ("a","bc") would both make "abc";
+    // simulate with a hand merge list — first introduction keeps the id
+    val dup = Seq(Bpe.Merge(1, "ab", "c", 9L), Bpe.Merge(2, "a", "bc", 5L))
+    val v2 = Bpe.vocabIds(docs, "text", dup).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(v2("abc") == 3L && v2.values.toSeq.sorted == (0L to 3L))
+  }
+
+  test("encodeDocs: ids decode back to the exact documents, and an " +
+      "OOV word fails loudly naming it") {
+    val docs = Seq((0L, "low lower low"), (1L, "lowest low"))
+      .toDF("doc_id", "text")
+    val (merges, words) = Bpe.train(docs, "text", merges = 4)
+    val vocab = Bpe.vocabIds(docs, "text", merges)
+    val enc = Bpe.encodeDocs(docs, "doc_id", "text", words, vocab)
+    val sym = vocab.collect().map(r => r.getLong(1) -> r.getString(0)).toMap
+    val got = enc.collect().map(r => r.getLong(0) ->
+      r.getSeq[Long](1).map(sym).mkString).toMap
+    // decode property: concatenated symbols == the document sans spaces
+    assert(got == Map(0L -> "lowlowerlow", 1L -> "lowestlow"))
+    // and the id stream respects word order (doc 0 starts with "low"'s
+    // split, whatever it merged to)
+    val ids0 = enc.where(col("doc_id") === 0).collect()(0).getSeq[Long](1)
+    assert(ids0.nonEmpty && sym(ids0.head).startsWith("l"))
+
+    val oov = Seq((9L, "unseen low")).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      Bpe.encodeDocs(oov, "doc_id", "text", words, vocab).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(m => m.contains("absent") &&
+      m.contains("unseen")), s"wanted the loud OOV error, got ${msgs(e)}")
+  }
+
   test("encodeWords on character-split input reproduces the training " +
       "final table bit-for-bit") {
     val docs = Seq("low low low lower", "lowest low banana bandana")
