@@ -13,6 +13,8 @@ import graft.ops.TextMetrics
   *   JSONL line stream → contract parse with quarantine
   *     → Gopher+repetition admission (the [[StreamingFunnel]] rule set,
   *       with per-rule fail COUNTERS persisted per batch)
+  *     → learned-quality admission (when configured — the broadcast
+  *       [[graft.ops.NaiveBayes]] model, per-class counts persisted)
   *     → online near-dup admission ([[StreamingDedup]]'s LSH store)
   *     → token-budget admission (when configured — [[StreamingBudget]]'s
   *       walk over a parquet-carried per-stratum total)
@@ -57,7 +59,19 @@ object StreamingCuration {
     * ([[StreamingBudget]]'s rule — the boundary-crossing document is
     * kept) and the running totals carried across batches through
     * per-batch parquet increments (the [[StreamingDedup]] state idiom:
-    * replays exclude and overwrite their own partition). */
+    * replays exclude and overwrite their own partition).
+    *
+    * `nbModel` set switches on the LEARNED quality filter (stage 2.5):
+    * documents surviving the rule conjunction are additionally scored
+    * by the [[graft.ops.NaiveBayes]] model and admitted only when the
+    * argmax class is `nbKeepClass` — the fastText-class model stage a
+    * production funnel runs between its heuristics and its dedup. The
+    * model is a trained session artifact (vocabulary-sized pinned
+    * tables — train it offline, batch-side); the stage itself is
+    * STATELESS (pure scoring against the model), so batch-boundary
+    * invariance is structural. Per-class decision counts persist under
+    * `nbfunnel/batch=<id>` — a learned cut a monitor cannot see is a
+    * silent data loss, same rule as the budget ledger. */
   final case class Config(minWords: Int = 50, maxWords: Int = 100000,
                           stopwords: Seq[String] =
                             TextMetrics.GopherStopwords,
@@ -66,7 +80,10 @@ object StreamingCuration {
                           bands: Int = 8, minAgree: Int = 16,
                           hllP: Int = 8,
                           budgets: Seq[(String, Long)] = Nil,
-                          budgetStratum: String = "lang")
+                          budgetStratum: String = "lang",
+                          nbModel: Option[graft.ops.NaiveBayes.Model] =
+                            None,
+                          nbKeepClass: String = "keep")
 
   /** One micro-batch of the composed pipeline (public so the parity
     * spec and a backfill driver can run it directly). `lines` carries
@@ -97,10 +114,27 @@ object StreamingCuration {
       .coalesce(1).write.mode("overwrite")
       .parquet(s"$outDir/funnel/batch=$batchId")
 
-    // stage 3: admission = the all_rules conjunction, then online
-    // near-dup admission against the persistent LSH store
-    val admittedQ = featured.where(rules.last._2)
+    // stage 2.5 (when configured): the learned quality filter over the
+    // rule survivors — NB argmax == keep class admits; per-class counts
+    // persist so the cut is observable. Stateless: pure scoring
+    // against the broadcast-sized model tables.
+    val ruleAdmitted = featured.where(rules.last._2)
       .drop("__qf_g", "__qf_r")
+    val admittedQ = cfg.nbModel match {
+      case None => ruleAdmitted
+      case Some(m) =>
+        val pred = graft.ops.NaiveBayes
+          .predict(ruleAdmitted, idCol, textCol, m)
+          .localCheckpoint(true) // two consumers: counts + admission
+        pred.groupBy(col("predicted")).agg(count(lit(1)).as("n"))
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/nbfunnel/batch=$batchId")
+        ruleAdmitted.join(
+          broadcast(pred.where(col("predicted") === cfg.nbKeepClass)
+            .select(col(idCol))), Seq(idCol), "left_semi")
+    }
+    // stage 3: online near-dup admission against the persistent LSH
+    // store
     val admittedIds = StreamingDedup.processBatch(spark, admittedQ,
       batchId, idCol, textCol, s"$outDir/store", s"$outDir/admitted",
       cfg.shingleN, cfg.sigK, cfg.bands, cfg.minAgree)

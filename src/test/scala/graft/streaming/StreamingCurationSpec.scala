@@ -301,6 +301,58 @@ class StreamingCurationSpec extends SparkSpec {
     assert(before._1 == Set(10L, 11L, 12L))
   }
 
+  test("NB stage: learned keep-filter between rules and dedup, " +
+      "batch-boundary invariant, per-class counts persisted") {
+    // weak-label a training corpus exactly like the batch composition
+    // spec (NaiveBayesSpec), then run the budget-free pipeline with the
+    // model configured: docs whose text leans 'drop'-ish vocabulary
+    // must be cut AFTER passing the structural rules
+    // class marker words must be IN the training vocabulary when the
+    // eval docs arrive (everything else in prose() is salt-unique, so
+    // OOV at scoring — NB drops it): keep docs carry 'cleanword',
+    // spam docs 'buybuy', at alternating positions (trigrams stay
+    // distinct, so the repetition rule still passes and the cut is
+    // genuinely the MODEL's, not a heuristic's)
+    def doc(salt: String, spammy: Boolean): String = {
+      val marker = if (spammy) "buybuy" else "cleanword"
+      prose(salt).split(" ").zipWithIndex.map { case (w, i) =>
+        if (i >= 9 && i <= 29 && i % 2 == 1) marker else w }.mkString(" ")
+    }
+    import graft.ops.NaiveBayes
+    val trainDocs = (0 until 40).map { i =>
+      val spammy = i % 2 == 1
+      (i.toLong, doc(s"t$i", spammy), if (spammy) "drop" else "keep")
+    }.toDF("doc_id", "text", "label")
+    val model = NaiveBayes.train(trainDocs, "text", "label")
+    val cfg = StreamingCuration.Config(nbModel = Some(model))
+
+    val lines = Seq(
+      jline(10, "en", doc("qa", spammy = false)),
+      jline(11, "en", doc("qb", spammy = true)), // rules pass, NB cuts
+      jline(12, "en", doc("qc", spammy = false)),
+      jline(13, "en", "too few words")) // rules cut before NB
+    def run(splits: Seq[Seq[String]]) = {
+      val out = java.nio.file.Files.createTempDirectory("nbst").toString
+      splits.zipWithIndex.foreach { case (ls, i) =>
+        StreamingCuration.processBatch(spark, ls.toDF("raw"), i.toLong,
+          schema, "doc_id", "text", out, cfg)
+      }
+      (spark.read.parquet(s"$out/admitted").select(col("doc_id"))
+         .collect().map(_.getLong(0)).toSet,
+       spark.read.parquet(s"$out/nbfunnel")
+         .groupBy(col("predicted")).agg(sum(col("n")).as("n"))
+         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
+    }
+    val one = run(Seq(lines))
+    val two = run(Seq(lines.take(2), lines.drop(2)))
+    assert(one == two, s"NB stage boundary-variant: $one vs $two")
+    val (admitted, counts) = one
+    assert(admitted == Set(10L, 12L), s"admitted $admitted")
+    // 3 rule-surviving docs scored: 2 keep, 1 drop; the rules-cut doc
+    // 13 never reaches the model
+    assert(counts == Map("keep" -> 2L, "drop" -> 1L), s"counts $counts")
+  }
+
   test("budget stage replay reads PRIOR batches only: a later batch's " +
       "increment must not flip a replayed batch's original decisions") {
     // prefix admission is order-sensitive: with a 150-token doc in
