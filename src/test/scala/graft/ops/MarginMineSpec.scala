@@ -129,6 +129,46 @@ class MarginMineSpec extends SparkSpec {
       s"cos ${r.getDouble(3)} margin ${r.getDouble(4)}")
   }
 
+  test("IVF-probed candidates feed the same scorer (the second " +
+      "generator next to LSH): within-cluster containment reproduces " +
+      "all-pairs bit-for-bit") {
+    // three tight clusters on orthogonal axes: every vector's true
+    // k-neighborhood on the other side is within its own cluster, so
+    // single-probe IVF candidates satisfy the containment premise
+    def cluster(axis: Int, ids: Seq[Long], mag: Double) = ids.map { i =>
+      (i, Seq.tabulate(6)(j =>
+        (if (j == axis) mag else 0.0) + 0.01 * ((i + j) % 5)))
+    }
+    val tgt = (cluster(0, Seq(1L, 3L, 5L, 7L), 8.0) ++
+      cluster(1, Seq(9L, 11L, 13L, 15L), 8.0) ++
+      cluster(2, Seq(17L, 19L, 21L, 23L), 8.0)).toDF("vec_id", "v")
+    val src = (cluster(0, Seq(0L, 2L, 4L), 9.0) ++
+      cluster(1, Seq(6L, 8L, 10L), 9.0) ++
+      cluster(2, Seq(12L, 14L, 16L), 9.0)).toDF("vec_id", "v")
+    // index metadata as a deployment stages it: one centroid per cell
+    // + the target-side cell assignment (here known by construction;
+    // production derives both from KMeans.fit / PqStage.cellCentroids)
+    val centroids = Seq(
+      (0L, Seq(8.0, 0.0, 0.0, 0.0, 0.0, 0.0)),
+      (1L, Seq(0.0, 8.0, 0.0, 0.0, 0.0, 0.0)),
+      (2L, Seq(0.0, 0.0, 8.0, 0.0, 0.0, 0.0))).toDF("cell", "cv")
+    val tgtCells = tgt.select(col("vec_id").as("tgt_id"),
+      (floor(col("vec_id") / 8)).cast("long").as("cell"))
+    val probed = Pq.probeCells(src, "vec_id", "v", centroids, "cell",
+      probes = 1)
+    val pairs = probed.select(col("id").as("src_id"), col("cell"))
+      .join(tgtCells, "cell").select(col("src_id"), col("tgt_id"))
+    // candidate set = own-cluster targets only: 9 src x 4 = 36 pairs,
+    // not 9 x 12 = 108
+    assert(pairs.count() == 36)
+    val fed = VectorOps.marginMineOverPairs(pairs, src, tgt, "vec_id",
+      "v", k = 2).collect().map(_.toSeq).toSet
+    val full = VectorOps.marginMine(src, tgt, "vec_id", "v", k = 2)
+      .collect().map(_.toSeq).toSet
+    assert(fed == full && full.size == 9,
+      s"IVF-fed diverged: ${fed.size} vs ${full.size}")
+  }
+
   test("a pair referencing an absent vector fails loudly, naming it") {
     val src = Seq((0L, Seq(1.0, 0.0))).toDF("vec_id", "v")
     val tgt = Seq((1L, Seq(0.0, 1.0))).toDF("vec_id", "v")
