@@ -1051,6 +1051,80 @@ object OracleQueries {
         SELECT src_id, rnk, tgt_id, cos, margin FROM rk WHERE rnk <= 1
         ORDER BY src_id""")),
 
+    // ======= margin mining over BANDED LSH candidates (B = 2) ============
+    // The recall lever under the oracle gate: two independent 5-plane
+    // bands OR-ed (lshBandedPairs — candidates agree on ALL planes of
+    // AT LEAST ONE band; measured B=1→4 lifts candidate recall@1
+    // 0.33→0.63, SCALE_r11 §1). One 10-plane bucket per row, split
+    // into 5-bit bands; the oracle re-derives both band keys from the
+    // staged sin-plane table, the OR-union candidate join, and the
+    // full margin chain.
+    Q("mine_bitext_lsh2",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings").where(col("vec_id") < 200)
+          .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
+        val src = e.where(col("vec_id") % 2 === 0)
+        val tgt = e.where(col("vec_id") % 2 === 1)
+        val pairs = VectorOps.lshBandedPairs(src, tgt, "vec_id", "v",
+          dim = 64, planesPerBand = 5, bands = 2)
+        VectorOps.marginMineOverPairs(pairs, src, tgt, "vec_id", "v",
+            k = 4, topM = 1)
+          .withColumnRenamed("rank", "rnk")
+          .orderBy(col("src_id"))
+      },
+      Some(s"""WITH pl AS (SELECT p, list(w ORDER BY j) AS plane
+            FROM '$AuxDir/lsh_planes/*.parquet' WHERE p < 10 GROUP BY p),
+        e AS (SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings WHERE vec_id < 200),
+        bk AS (SELECT vec_id, ANY_VALUE(v) AS v,
+            CAST(SUM(CASE WHEN list_inner_product(v, plane) >= 0
+              AND p < 5 THEN 1::BIGINT << p ELSE 0 END) AS BIGINT) AS b0,
+            CAST(SUM(CASE WHEN list_inner_product(v, plane) >= 0
+              AND p >= 5 THEN 1::BIGINT << (p - 5) ELSE 0 END)
+              AS BIGINT) AS b1
+          FROM e CROSS JOIN pl GROUP BY vec_id),
+        s AS (SELECT vec_id AS src_id, v AS sv, b0, b1 FROM bk
+          WHERE vec_id % 2 = 0),
+        tg AS (SELECT vec_id AS tgt_id, v AS tv, b0, b1 FROM bk
+          WHERE vec_id % 2 = 1),
+        pairs AS (SELECT src_id, tgt_id, ANY_VALUE(sv) AS sv,
+            ANY_VALUE(tv) AS tv FROM (
+          SELECT s.src_id, tg.tgt_id, s.sv, tg.tv FROM s
+            JOIN tg ON s.b0 = tg.b0
+          UNION
+          SELECT s.src_id, tg.tgt_id, s.sv, tg.tv FROM s
+            JOIN tg ON s.b1 = tg.b1) GROUP BY 1, 2),
+        u AS (SELECT src_id, tgt_id, UNNEST(sv) AS x, UNNEST(tv) AS y
+              FROM pairs),
+        sc0 AS (SELECT src_id, tgt_id, SUM(x*y) AS dot, SUM(x*x) AS na,
+                  SUM(y*y) AS nb FROM u GROUP BY src_id, tgt_id),
+        sc AS (SELECT src_id, tgt_id,
+                 ROUND(dot/(SQRT(na)*SQRT(nb)), 6) AS cos FROM sc0),
+        fr AS (SELECT src_id, tgt_id, cos, ROW_NUMBER() OVER (
+                 PARTITION BY src_id ORDER BY cos DESC, tgt_id) AS r
+               FROM sc),
+        fwd AS (SELECT src_id,
+                  CAST(SUM(CAST(cos AS DECIMAL(18,6))) AS DOUBLE)
+                    / LEAST(COUNT(*), 4)
+                    AS f FROM fr WHERE r <= 4 GROUP BY src_id),
+        br AS (SELECT src_id, tgt_id, cos, ROW_NUMBER() OVER (
+                 PARTITION BY tgt_id ORDER BY cos DESC, src_id) AS r
+               FROM sc),
+        bwd AS (SELECT tgt_id,
+                  CAST(SUM(CAST(cos AS DECIMAL(18,6))) AS DOUBLE)
+                    / LEAST(COUNT(*), 4)
+                    AS b FROM br WHERE r <= 4 GROUP BY tgt_id),
+        m AS (SELECT sc.src_id, sc.tgt_id, sc.cos,
+                CASE WHEN (f + b) / 2 = 0 THEN 0.0
+                  ELSE ROUND(sc.cos / ((f + b) / 2), 6) END AS margin
+              FROM sc JOIN fwd USING (src_id) JOIN bwd USING (tgt_id)),
+        rk AS (SELECT src_id, tgt_id, cos, margin, ROW_NUMBER() OVER (
+                 PARTITION BY src_id ORDER BY margin DESC, tgt_id) AS rnk
+               FROM m)
+        SELECT src_id, rnk, tgt_id, cos, margin FROM rk WHERE rnk <= 1
+        ORDER BY src_id""")),
+
     // ====== embedding near-dup pairs: top-k most similar pairs ============
     // The embedding-cosine near-duplicate sweep: brute-force pair scores on
     // a bounded candidate set, ranked deterministically.
