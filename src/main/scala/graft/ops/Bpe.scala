@@ -182,12 +182,39 @@ object Bpe {
     * introduction keeps the id and ids stay dense. Returns
     * (symbol, token_id), broadcast-join it at encode time. */
   def vocabIds(df: DataFrame, textCol: String,
-               merges: Seq[Merge]): DataFrame = {
-    val spark = df.sparkSession
+               merges: Seq[Merge]): DataFrame =
+    vocabIdsFromWords(wordTable(df, textCol), merges)
+
+  /** [[vocabIds]] from an already-built word table (any shape with a
+    * `word` column — [[wordTable]]'s, or [[train]]'s final table) — the
+    * staging path: the alphabet is the distinct CHARACTERS of the word
+    * strings, so no corpus re-scan is ever needed to number a
+    * vocabulary whose word table already exists (BpeStage pays zero
+    * extra corpus passes).
+    *
+    * Base characters sort in UTF-8 BYTE order (unsigned), not Java's
+    * UTF-16 code-unit order: byte order is what DuckDB's binary
+    * collation and Spark's own UTF8String comparison use, and the two
+    * orders diverge on supplementary-plane characters (a surrogate
+    * pair's 0xD800 unit sorts below U+E000..U+FFFF while its UTF-8
+    * bytes 0xF0.. sort above) — the repo's cross-engine tie-break
+    * convention is binary order everywhere. */
+  def vocabIdsFromWords(words: DataFrame,
+                        merges: Seq[Merge]): DataFrame = {
+    val spark = words.sparkSession
     import spark.implicits._
-    val base = wordTable(df, textCol)
-      .select(explode(col("syms")).as("s")).distinct()
-      .collect().map(_.getString(0)).sorted
+    val utf8 = Ordering.comparatorToOrdering(
+      new java.util.Comparator[String] {
+        def compare(a: String, b: String): Int =
+          java.util.Arrays.compareUnsigned(
+            a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+            b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      })
+    val base = words
+      .select(explode(expr(
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+        .as("s")).distinct()
+      .collect().map(_.getString(0)).sorted(utf8)
     val all = (base ++ merges.sortBy(_.step).map(m => m.lhs + m.rhs))
       .distinct
     all.toSeq.zipWithIndex.map { case (sym, i) => (sym, i.toLong) }
@@ -226,12 +253,27 @@ object Bpe {
           .otherwise(col("__bp_sy")).as("__bp_sy"))
       .select(col(idCol), col("__bp_wp"),
         posexplode(col("__bp_sy")).as(Seq("__bp_sp", "symbol")))
-      .join(broadcast(vocab), Seq("symbol"))
-    sy.groupBy(col(idCol))
+      // LEFT join + loud guard, same rule as the word join above: an
+      // inner join would silently drop a symbol absent from a
+      // mismatched vocab table (one built over a different corpus than
+      // the words table's), shipping ids missing mid-word
+      .join(broadcast(vocab), Seq("symbol"), "left")
+      .select(col(idCol), col("__bp_wp"), col("__bp_sp"),
+        when(col("token_id").isNull, raise_error(concat(
+          lit("encodeDocs: symbol absent from the vocab table: "),
+          col("symbol"))).cast("long"))
+          .otherwise(col("token_id")).as("token_id"))
+    val grouped = sy.groupBy(col(idCol))
       .agg(transform(
         array_sort(collect_list(struct(col("__bp_wp"), col("__bp_sp"),
           col("token_id")))),
         x => x.getField("token_id")).as("ids"))
+    // a token-less document (empty/whitespace text) emits ids = [],
+    // never silently vanishes — downstream counts must reconcile
+    df.select(col(idCol)).distinct()
+      .join(grouped, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("ids"), array().cast("array<long>")).as("ids"))
   }
 
   /** Corpus fertility under a learned merge table: mean subtokens per

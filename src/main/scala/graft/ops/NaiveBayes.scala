@@ -100,7 +100,12 @@ object NaiveBayes {
   }
 
   /** Per-document per-class scores: (idCol, label, score), every class
-    * for every document with ≥1 in-vocabulary token. */
+    * for EVERY document — a document with zero in-vocabulary tokens
+    * (N_d = 0) scores its prior alone, the standard multinomial-NB
+    * fallback. Dropping such documents instead would make a
+    * composed admission stage cut them INVISIBLY (no decision row for
+    * the monitor), exactly the silent-loss class the curation funnel
+    * forbids. */
   def scoreAll(df: DataFrame, idCol: String, textCol: String,
                model: Model): DataFrame = {
     // in-vocab occurrences only: semi-join against the vocabulary
@@ -119,7 +124,13 @@ object NaiveBayes {
       .groupBy(col(idCol), col("label"))
       .agg(sum(col("log_lik").cast("decimal(18,9)")).cast("double")
         .as("__nb_s"))
-    val nd = tk.groupBy(col(idCol)).agg(count(lit(1)).as("__nb_n"))
+    // N_d over ALL documents (a narrow id-projection scan of df, not
+    // the token explode): zero for the all-OOV document, which then
+    // rides the prior-only leg instead of vanishing from the output
+    val nd = df.select(col(idCol)).distinct()
+      .join(tk.groupBy(col(idCol)).agg(count(lit(1)).as("__nb_n0")),
+        Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("__nb_n0"), lit(0L)).as("__nb_n"))
     nd.crossJoin(broadcast(model.classStats
         .select(col("label"), col("log_prior"), col("log_norm"))))
       .join(s1, Seq(idCol, "label"), "left")

@@ -38,6 +38,8 @@ object BpeStage {
     memo(s, dir) {
       val docs = s.read.parquet(s"$dir/documents.parquet")
       val (merges, words) = Bpe.train(docs, "text", Merges)
-      Staged(merges, words, Bpe.vocabIds(docs, "text", merges))
+      // the vocabulary numbers off the PINNED word table's word
+      // strings — zero extra corpus scans beyond train's own
+      Staged(merges, words, Bpe.vocabIdsFromWords(words, merges))
     }
 }

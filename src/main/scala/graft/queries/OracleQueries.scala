@@ -4774,29 +4774,42 @@ object OracleQueries {
         // one-time train cost lives on the bench's bpe_stage row.
         val words = BpeStage.staged(s, dir).words
         val enc = words.select(col("word"), size(col("syms")).as("n_sub"))
+        // LEFT join + char-count fallback (Bpe.fertility's rule): an
+        // OOV word counts its character length as pieces — what a
+        // char-fallback tokenizer emits — instead of silently dropping
+        // from numerator AND denominator (low-bias on held-out
+        // corpora); n_oov surfaces how much rode the fallback (0 here:
+        // the training corpus covers itself)
         docs.select(col("lang"),
             explode(TextMetrics.tokens(col("text"))).as("word"))
           .where(length(col("word")) > 0)
-          .join(broadcast(enc), "word")
+          .join(broadcast(enc), Seq("word"), "left")
+          .select(col("lang"),
+            coalesce(col("n_sub"), length(col("word"))).as("p"),
+            col("n_sub").isNull.cast("long").as("oov"))
           .groupBy(col("lang"))
-          .agg(sum(col("n_sub").cast("decimal(18,0)")).cast("long")
+          .agg(sum(col("p").cast("decimal(18,0)")).cast("long")
               .as("pieces"),
             count(lit(1)).as("words"),
-            (sum(col("n_sub").cast("decimal(18,0)")).cast("double") /
-              count(lit(1))).as("fertility"))
+            (sum(col("p").cast("decimal(18,0)")).cast("double") /
+              count(lit(1))).as("fertility"),
+            sum(col("oov")).as("n_oov"))
           .orderBy(col("lang"))
       },
       Some(s"""WITH ${bpeChainSql(BpeMerges)},
         toks AS (SELECT lang, UNNEST(string_split(text, ' ')) AS word
           FROM documents),
-        ft AS (SELECT lang, word FROM toks WHERE len(word) > 0)
-        SELECT ft.lang,
-          CAST(SUM(len(w$BpeMerges.syms)) AS BIGINT) AS pieces,
+        ft AS (SELECT lang, word FROM toks WHERE len(word) > 0),
+        j AS (SELECT ft.lang,
+            COALESCE(len(w$BpeMerges.syms), len(ft.word)) AS p,
+            CASE WHEN w$BpeMerges.word IS NULL THEN 1 ELSE 0 END AS oov
+          FROM ft LEFT JOIN w$BpeMerges ON ft.word = w$BpeMerges.word)
+        SELECT lang,
+          CAST(SUM(p) AS BIGINT) AS pieces,
           COUNT(*) AS words,
-          CAST(CAST(SUM(len(w$BpeMerges.syms)) AS BIGINT) AS DOUBLE)
-            / COUNT(*) AS fertility
-        FROM ft JOIN w$BpeMerges ON ft.word = w$BpeMerges.word
-        GROUP BY ft.lang ORDER BY ft.lang""")),
+          CAST(CAST(SUM(p) AS BIGINT) AS DOUBLE) / COUNT(*) AS fertility,
+          CAST(SUM(oov) AS BIGINT) AS n_oov
+        FROM j GROUP BY lang ORDER BY lang""")),
 
     // ============ BPE document encoding (tokens → vocab ids) ==============
     // The pretraining last mile's first half: every document becomes a
@@ -4937,8 +4950,10 @@ object OracleQueries {
             CAST(SUM(CAST(ROUND(LN(tc.c + 1), 6) AS DECIMAL(18,9)))
               AS DOUBLE) AS s
           FROM dt JOIN tc USING (token) GROUP BY 1, 2),
-        nd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM dt
-          GROUP BY 1),
+        nd AS (SELECT lab.doc_id,
+            CAST(COALESCE(n0.n, 0) AS BIGINT) AS n
+          FROM lab LEFT JOIN (SELECT doc_id, COUNT(*) AS n FROM dt
+            GROUP BY 1) n0 ON n0.doc_id = lab.doc_id),
         sc AS (SELECT nd.doc_id, cs.label,
             ROUND(cs.log_prior - nd.n * cs.log_norm
               + COALESCE(s1.s, 0.0), 6) AS score

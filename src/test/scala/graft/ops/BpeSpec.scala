@@ -127,6 +127,43 @@ class BpeSpec extends SparkSpec {
       if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
     assert(msgs(e).exists(m => m.contains("absent") &&
       m.contains("unseen")), s"wanted the loud OOV error, got ${msgs(e)}")
+
+    // token-less documents emit ids = [], never vanish
+    val withEmpty = Seq((20L, "low"), (21L, "")).toDF("doc_id", "text")
+    val encE = Bpe.encodeDocs(withEmpty, "doc_id", "text", words, vocab)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(encE.keySet == Set(20L, 21L) && encE(21L).isEmpty)
+
+    // a vocab table missing a symbol of some word's trained split
+    // fails loudly naming the symbol (mismatched-corpora guard)
+    val holed = vocab.where(col("symbol") =!= "low")
+    val e2 = intercept[Exception] {
+      Bpe.encodeDocs(Seq((30L, "low")).toDF("doc_id", "text"),
+        "doc_id", "text", words, holed).collect()
+    }
+    assert(msgs(e2).exists(m => m.contains("symbol absent")),
+      s"wanted the loud symbol error, got ${msgs(e2)}")
+  }
+
+  test("vocabIdsFromWords numbers off an existing word table (no " +
+      "corpus), identically to the corpus form; base sort is UTF-8 " +
+      "byte order") {
+    val docs = Seq("low lower").toDF("text")
+    val (merges, words) = Bpe.train(docs, "text", merges = 2)
+    val a = Bpe.vocabIds(docs, "text", merges).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val b = Bpe.vocabIdsFromWords(words, merges).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a == b)
+    // supplementary-plane char (UTF-8 F0 90 80 80) must sort AFTER
+    // U+FFFD (EF BF BD) — byte order, not Java's UTF-16 unit order
+    // (where the surrogate 0xD800 would sort below 0xFFFD)
+    val ud = Seq("� " + new String(Character.toChars(0x10000)))
+      .toDF("text")
+    val v = Bpe.vocabIds(ud, "text", Nil).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(v("�") < v(new String(Character.toChars(0x10000))),
+      s"UTF-8 byte order violated: $v")
   }
 
   test("encodeWords on character-split input reproduces the training " +

@@ -74,6 +74,20 @@ class NaiveBayesSpec extends SparkSpec {
     assert(alone == mixed)
   }
 
+  test("a document with ZERO in-vocabulary tokens scores its prior " +
+      "alone and is EMITTED, never silently dropped") {
+    val m = NaiveBayes.train(docs, "text", "label")
+    val oovDoc = Seq((7L, "zzz qqq unknownwords")).toDF("doc_id", "text")
+    val scores = NaiveBayes.scoreAll(oovDoc, "doc_id", "text", m)
+      .collect().map(r => r.getString(1) -> r.getDouble(2)).toMap
+    // N_d = 0: score = log_prior exactly (both classes ln 0.5 here)
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(scores == Map("bad" -> r6(math.log(0.5)),
+      "good" -> r6(math.log(0.5))), s"got $scores")
+    val p = NaiveBayes.predict(oovDoc, "doc_id", "text", m).collect()
+    assert(p.length == 1 && p.head.getString(1) == "bad") // label tie-break
+  }
+
   test("NULL labels fail loudly at training") {
     val bad = Seq((0L, "a b", "x"), (1L, "c d", null))
       .toDF("doc_id", "text", "label")
