@@ -46,9 +46,30 @@ object CurateStreamBench {
     // rule takes ITS common words (the gopherFlags contract — "looks
     // like running prose in the corpus language", not eight English
     // literals).
-    val cfg = StreamingCuration.Config(minWords = 5,
+    val baseCfg = StreamingCuration.Config(minWords = 5,
       stopwords = Seq("small", "join", "filter", "order", "key",
         "stream", "line", "query"))
+    // mode "full": the FIVE-stage composition — the base funnel plus
+    // the learned NB keep-filter (trained before the clock on the
+    // quality_nb weak-label shape) and per-language token budgets set
+    // to ~60% of each language's token mass (so the budget stage
+    // genuinely cuts). Model training and budget sizing are
+    // BUILD-time artifacts, excluded from the wall like the corpus
+    // rendering.
+    val full = args.length > 2 && args(2) == "full"
+    val cfg = if (!full) baseCfg else {
+      val label = when(graft.ops.TextMetrics.tokenCount(col("text")) >= 50
+        && col("text").contains("the"), lit("keep")).otherwise(lit("drop"))
+      val model = graft.ops.NaiveBayes.train(
+        docs.withColumn("label", label), "text", "label")
+      val budgets = docs.select(col("lang"),
+          graft.ops.TextMetrics.tokenCount(col("text")).cast("long")
+            .as("t"))
+        .groupBy(col("lang")).agg(sum(col("t")).as("t"))
+        .collect().map(r => r.getString(0) ->
+          math.max(1L, (r.getLong(1) * 6) / 10)).toSeq
+      baseCfg.copy(nbModel = Some(model), budgets = budgets)
+    }
     val lines = spark.readStream
       .schema(StructType(Seq(StructField("value", StringType))))
       .option("maxFilesPerTrigger", "1")
@@ -63,9 +84,21 @@ object CurateStreamBench {
     val funnel = StreamingCuration.funnelTotals(spark, out)
       .collect().map(r => s"${r.getString(0)}=${r.getLong(1)}")
       .sorted.mkString(" ")
-    println(f"CURATESTREAM docs=$nDocs batches=$batches " +
+    val mode = if (full) "full5" else "base3"
+    println(f"CURATESTREAM[$mode] docs=$nDocs batches=$batches " +
       f"wall=$sec%.1f s  ${nDocs / sec}%.0f docs/s  admitted=$admitted")
-    println(s"CURATESTREAM fails: $funnel")
+    println(s"CURATESTREAM[$mode] fails: $funnel")
+    if (full) {
+      val nb = spark.read.parquet(s"$out/nbfunnel")
+        .groupBy(col("predicted")).agg(sum(col("n")).as("n"))
+        .collect().map(r => s"${r.getString(0)}=${r.getLong(1)}")
+        .sorted.mkString(" ")
+      val curated = spark.read.parquet(s"$out/curated").count()
+      val budgetAdm = spark.read.parquet(s"$out/budget")
+        .where(col("admitted")).count()
+      println(s"CURATESTREAM[full5] nb: $nb  budget_admitted=$budgetAdm" +
+        s"  curated=$curated")
+    }
     spark.stop()
   }
 }
