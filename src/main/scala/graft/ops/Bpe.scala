@@ -73,12 +73,68 @@ object Bpe {
     * needed). try_element_at keeps the empty-accumulator probe null
     * (never an ANSI index error). */
   def applyMerge(syms: Column, l: String, r: String): Column =
+    applyMerges(syms, Seq((l, r)))
+
+  /** Apply a MUTUALLY-DISJOINT set of merges in ONE greedy
+    * left-to-right fold pass — the batched-round rewrite.
+    * Disjointness is [[selectRoundPairs]]' invariant (no member or
+    * concatenation shared between pairs), which is what keeps the
+    * single pass deterministic and the flag-free argument intact:
+    *  - at any position, AT MOST ONE pair can match (the (left, right)
+    *    string pair determines the rule);
+    *  - a just-merged output symbol is some l+r, and no pair's left
+    *    member equals any selected pair's concatenation, so "last
+    *    output element == l" still implies it was not minted by a
+    *    merge this pass — no lookbehind flag, no cascade where one
+    *    pair's output feeds another pair in the same pass;
+    *  - runs of consecutive matched positions still only arise for a
+    *    single l == r pair (two adjacent matches from DIFFERENT pairs
+    *    would force A.r == B.l, a shared member), so the oracle's
+    *    keep-every-other-match replay carries over unchanged. */
+  def applyMerges(syms: Column, pairs: Seq[(String, String)]): Column = {
+    require(pairs.nonEmpty, "applyMerges: empty pair set")
     aggregate(syms, array().cast("array<string>"),
-      (acc, s) =>
-        when(try_element_at(acc, lit(-1)) === lit(l) && s === lit(r),
-          concat(slice(acc, lit(1), size(acc) - 1),
-            array(lit(l + r))))
-          .otherwise(concat(acc, array(s))))
+      (acc, s) => {
+        val last = try_element_at(acc, lit(-1))
+        pairs.foldRight(concat(acc, array(s)): Column) {
+          case ((l, r), els) =>
+            when(last === lit(l) && s === lit(r),
+              concat(slice(acc, lit(1), size(acc) - 1),
+                array(lit(l + r)))).otherwise(els)
+        }
+      })
+  }
+
+  /** Diff-and-release checkpoint hygiene (the Dedup.connectedGroups
+    * idiom): localCheckpoint pins blocks that only the ContextCleaner
+    * would otherwise release, and a tight hundreds-of-merges loop with
+    * little driver garbage can accumulate superseded vocabulary-sized
+    * tables in executor storage before a GC ever runs. Tracking the
+    * context's persistent-RDD set around each checkpoint and releasing
+    * the superseded pins bounds storage deterministically at two
+    * vocabulary-sized tables. Same caveat as connectedGroups: assumes
+    * no CONCURRENT persist/checkpoint activity on the SparkContext —
+    * true for this engine's single-threaded driver paths. */
+  private def ckpt(df: DataFrame): (DataFrame, Set[Int]) = {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet.toSet
+    val pinned = df.localCheckpoint(eager = true)
+    (pinned, sc.getPersistentRDDs.keySet.toSet -- before)
+  }
+
+  private def release(df: DataFrame, ids: Set[Int]): Unit = {
+    val sc = df.sparkSession.sparkContext
+    ids.foreach(id => sc.getPersistentRDDs.get(id)
+      .foreach(_.unpersist(blocking = false)))
+  }
+
+  /** The per-round adjacent-pair count table over a word table —
+    * (l, r, cnt), pair-vocabulary-sized, all-integer. */
+  private def pairCounts(words: DataFrame): DataFrame =
+    words
+      .select(col("freq"), explode(adjacentPairs(col("syms"))).as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum(col("freq")).as("cnt"))
 
   /** Learn `merges` BPE merge steps over the corpus. Stops early when
     * no adjacent pair remains (every word fully merged). Returns the
@@ -87,30 +143,28 @@ object Bpe {
     * (word, freq, syms) for fertility measurement.
     *
     * Merge-count envelope: each iteration is one Spark job plus a
-    * vocabulary-sized checkpoint (the previous iteration's blocks are
-    * released by the ContextCleaner once unreferenced), so the
-    * per-merge cost is scheduler latency, not data. That prices this
-    * loop for hundreds-to-low-thousands of merges per call; a full
-    * 30k-merge production vocabulary wants the standard batched
-    * variant (merge the top-N DISJOINT pairs per round — subword-nmt's
-    * own fast path), which this implementation deliberately omits:
-    * batched merges change the learned table, and the oracle pins the
-    * canonical one-pair-per-round semantics. */
+    * vocabulary-sized checkpoint (superseded checkpoints released
+    * explicitly — storage is bounded at two vocabulary-sized tables,
+    * not O(merges)), so the per-merge cost is scheduler latency, not
+    * data. That prices this loop for hundreds-to-low-thousands of
+    * merges per call; a full 30k-merge production vocabulary runs
+    * [[trainBatched]] (top-N disjoint merges per round — subword-nmt's
+    * own fast path). The two learn DIFFERENT tables in general — this
+    * one-pair-per-round form is the canonical semantics the
+    * `bpe_train` oracle pins; the batched form carries its own oracle
+    * row. */
   def train(df: DataFrame, textCol: String,
             merges: Int): (Seq[Merge], DataFrame) = {
     require(merges > 0, s"need merges > 0, got $merges")
     // each iteration's input is pinned: the pair count and the rewrite
     // both read it, and unpinned the whole lineage (corpus scan
     // included) would re-execute once per iteration
-    var words = wordTable(df, textCol).localCheckpoint(eager = true)
+    var (words, pins) = ckpt(wordTable(df, textCol))
     val out = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var step = 1
     var exhausted = false
     while (step <= merges && !exhausted) {
-      val best = words
-        .select(col("freq"), explode(adjacentPairs(col("syms"))).as("p"))
-        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-        .agg(sum(col("freq")).as("cnt"))
+      val best = pairCounts(words)
         .orderBy(col("cnt").desc, col("l"), col("r"))
         .limit(1).collect()
       if (best.isEmpty) exhausted = true
@@ -118,13 +172,175 @@ object Bpe {
         val (l, r, cnt) =
           (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         out += Merge(step, l, r, cnt)
-        words = words
-          .withColumn("syms", applyMerge(col("syms"), l, r))
-          .localCheckpoint(eager = true)
+        val (next, nextPins) = ckpt(
+          words.withColumn("syms", applyMerge(col("syms"), l, r)))
+        release(words, pins)
+        words = next; pins = nextPins
         step += 1
       }
     }
     (out.toSeq, words)
+  }
+
+  /** One merge learned by [[trainBatched]]: global `step` (the id/
+    * priority order), the `round_no` it was selected in, and
+    * `pair_count` — the pair's frequency in the word table AS OF THE
+    * START OF ITS ROUND (batched counts are per-round snapshots; a
+    * same-round earlier merge cannot have changed them because the
+    * selected pairs share no symbols). */
+  case class BatchedMerge(step: Int, round_no: Int, lhs: String,
+                          rhs: String, pair_count: Long)
+
+  /** Greedy top-`n` MUTUALLY-DISJOINT pairs of one round, walking the
+    * (cnt DESC, l, r) ranking: a pair is selected iff none of
+    * {l, r, l+r} was already used by a higher-ranked selected pair,
+    * where "used" accumulates the members AND the concatenation of
+    * every selected pair. Members must be disjoint so the single-pass
+    * fold is deterministic (at most one rule matches per position, no
+    * run ambiguity); concatenations must stay out of the member set —
+    * in BOTH directions — so no pair's output can feed another pair in
+    * the same pass (a symbol like "abbc" minted earlier via ("a","bbc")
+    * can coexist with a live pair ("ab","bc") whose concat collides
+    * with it: selecting both would make the fold's output depend on
+    * application order).
+    *
+    * Execution shape: ONE top-(8n) prefix collect (bounded — pairs
+    * carry two symbols and a count), walked greedily on the driver;
+    * the greedy walk over a rank prefix equals pick-by-pick filtered
+    * argmax as long as it completes inside the prefix (every argmax is
+    * the highest-ranked non-conflicting candidate, which the walk
+    * visits in rank order). Only when n picks cannot be filled from
+    * the prefix AND the table may extend past it does it fall back to
+    * per-pick filtered argmax jobs over the pinned pair table — exact,
+    * never an arbitrary candidate cap. Returns ≤ n (lhs, rhs, cnt)
+    * triples in selection order; fewer than n means every remaining
+    * pair conflicted or the table ran out. */
+  def selectRoundPairs(pc: DataFrame,
+                       n: Int): Seq[(String, String, Long)] = {
+    require(n > 0, s"need n > 0, got $n")
+    val ranked = pc.orderBy(col("cnt").desc, col("l"), col("r"))
+    val prefixCap = 8 * n
+    val prefix = ranked.limit(prefixCap).collect()
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var used = Set.empty[String]
+    def tryPick(l: String, r: String, cnt: Long): Unit =
+      if (!used.contains(l) && !used.contains(r) &&
+          !used.contains(l + r)) {
+        out += ((l, r, cnt))
+        used = used + l + r + (l + r)
+      }
+    prefix.iterator.takeWhile(_ => out.size < n).foreach(row =>
+      tryPick(row.getString(0), row.getString(1), row.getLong(2)))
+    // prefix shorter than the cap == the whole table was walked
+    var mayHaveMore = prefix.length == prefixCap
+    while (out.size < n && mayHaveMore) {
+      val usedSeq = used.toSeq
+      val next = pc.where(!col("l").isInCollection(usedSeq) &&
+          !col("r").isInCollection(usedSeq) &&
+          !concat(col("l"), col("r")).isInCollection(usedSeq))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (next.isEmpty) mayHaveMore = false
+      else tryPick(next(0).getString(0), next(0).getString(1),
+        next(0).getLong(2))
+    }
+    out.toSeq
+  }
+
+  /** Batched-disjoint BPE training — the production fast path for real
+    * 30k–50k-merge vocabularies, where [[train]]'s one-pair-per-round
+    * loop prices out on scheduler latency: each round counts adjacent
+    * pairs ONCE, selects the top-N mutually-disjoint pairs
+    * ([[selectRoundPairs]] — subword-nmt's batched fast path), and
+    * applies them all in ONE fold pass ([[applyMerges]]). Iterations
+    * collapse from `merges` to ~`merges / batchN` (measured: SCALE_r12)
+    * while every per-round cost stays what [[train]]'s was — one
+    * bounded pair-count groupBy, one bounded argmax collect, one
+    * row-local rewrite of the vocabulary-sized word table.
+    *
+    * The learned table DIFFERS from [[train]]'s in general (every pair
+    * of a round is counted and ranked against the round-START word
+    * table; sequential training re-counts after every single merge) —
+    * the two coincide exactly when each round's selections cannot
+    * affect each other's counts (disjoint pairs in disjoint words, or
+    * batchN = 1, which reproduces [[train]] bit-for-bit; BpeSpec pins
+    * both). The final round selects min(batchN, merges − done) pairs —
+    * a PREFIX of the full-round selection, so an oracle replaying
+    * whole rounds and cutting at `merges` steps sees identical rows.
+    *
+    * Returns the merge list (step = global priority order, round_no =
+    * the selection round) plus the final word table. Stops early when
+    * no adjacent pair remains. */
+  def trainBatched(df: DataFrame, textCol: String, merges: Int,
+                   batchN: Int): (Seq[BatchedMerge], DataFrame) = {
+    require(merges > 0, s"need merges > 0, got $merges")
+    require(batchN > 0, s"need batchN > 0, got $batchN")
+    var (words, pins) = ckpt(wordTable(df, textCol))
+    val out = scala.collection.mutable.ArrayBuffer.empty[BatchedMerge]
+    var round = 1
+    var exhausted = false
+    while (out.size < merges && !exhausted) {
+      // the pair-count table is pinned for the round: the prefix
+      // collect and any fallback argmax jobs all read it, and unpinned
+      // each would re-run the word-table explosion
+      val (pc, pcPins) = ckpt(pairCounts(words))
+      val picks = selectRoundPairs(pc, math.min(batchN, merges - out.size))
+      if (picks.isEmpty) exhausted = true
+      else {
+        val base = out.size
+        picks.zipWithIndex.foreach { case ((l, r, cnt), i) =>
+          out += BatchedMerge(base + i + 1, round, l, r, cnt)
+        }
+        val (next, nextPins) = ckpt(words.withColumn("syms",
+          applyMerges(col("syms"), picks.map(p => (p._1, p._2)))))
+        release(words, pins)
+        words = next; pins = nextPins
+        round += 1
+      }
+      release(pc, pcPins)
+    }
+    (out.toSeq, words)
+  }
+
+  /** [[trainBatched]] as a query-shaped DataFrame: (step, round_no,
+    * lhs, rhs, pair_count), ordered by step. */
+  def trainBatchedDf(df: DataFrame, textCol: String, merges: Int,
+                     batchN: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    trainBatched(df, textCol, merges, batchN)._1.toDF()
+      .select(col("step"), col("round_no"), col("lhs"), col("rhs"),
+        col("pair_count"))
+      .orderBy(col("step"))
+  }
+
+  /** Encode a word table against a BATCHED merge list: each round's
+    * pairs are applied as ONE fold pass, rounds in order — exactly how
+    * [[trainBatched]] built its table, so encoding the training
+    * corpus's character-split words reproduces the final word table
+    * bit-for-bit (the [[encodeWords]] replay property, batched form;
+    * applying a batched table one pair at a time in step order is NOT
+    * equivalent — a round's later pair must not see its earlier pairs'
+    * outputs). Checkpoint-batched every `checkpointEvery` rounds. */
+  def encodeWordsBatched(words: DataFrame, merges: Seq[BatchedMerge],
+                         checkpointEvery: Int = 32): DataFrame = {
+    require(checkpointEvery > 0,
+      s"need checkpointEvery > 0, got $checkpointEvery")
+    val rounds = merges.groupBy(_.round_no).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_.step).map(m => (m.lhs, m.rhs)))
+    var pins = Set.empty[Int]
+    val enc = rounds.grouped(checkpointEvery).foldLeft(words) {
+      (d, grp) =>
+        val staged = d.withColumn("syms",
+          grp.foldLeft(col("syms"))((c, ps) => applyMerges(c, ps)))
+        val (next, nextPins) = ckpt(staged)
+        // release only OUR superseded checkpoints — the caller owns
+        // the input table's pins
+        release(d, pins)
+        pins = nextPins
+        next
+    }
+    enc.withColumn("n_sub", size(col("syms")))
   }
 
   /** [[train]] as a query-shaped DataFrame: (step, lhs, rhs,
@@ -163,11 +379,18 @@ object Bpe {
                   checkpointEvery: Int = 32): DataFrame = {
     require(checkpointEvery > 0,
       s"need checkpointEvery > 0, got $checkpointEvery")
+    var pins = Set.empty[Int]
     val enc = merges.sortBy(_.step).grouped(checkpointEvery)
       .foldLeft(words) { (d, grp) =>
-        d.withColumn("syms", grp.foldLeft(col("syms")) { (c, m) =>
-          applyMerge(c, m.lhs, m.rhs)
-        }).localCheckpoint(eager = true)
+        val staged = d.withColumn("syms", grp.foldLeft(col("syms")) {
+          (c, m) => applyMerge(c, m.lhs, m.rhs)
+        })
+        val (next, nextPins) = ckpt(staged)
+        // release only OUR superseded batch boundaries — the caller
+        // owns the input table's pins
+        release(d, pins)
+        pins = nextPins
+        next
       }
     enc.withColumn("n_sub", size(col("syms")))
   }

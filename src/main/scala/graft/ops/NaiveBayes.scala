@@ -105,7 +105,14 @@ object NaiveBayes {
     * fallback. Dropping such documents instead would make a
     * composed admission stage cut them INVISIBLY (no decision row for
     * the monitor), exactly the silent-loss class the curation funnel
-    * forbids. */
+    * forbids.
+    *
+    * `idCol` must be UNIQUE per document and the guard is LOUD: a
+    * duplicated id would merge both documents' in-vocab token streams
+    * into one N_d and one likelihood sum — a single blended score
+    * shipped as if it were a real document. The check rides the N_d
+    * aggregation itself (the id rollup was already a groupBy), so it
+    * costs no extra pass. */
   def scoreAll(df: DataFrame, idCol: String, textCol: String,
                model: Model): DataFrame = {
     // in-vocab occurrences only: semi-join against the vocabulary
@@ -126,11 +133,18 @@ object NaiveBayes {
         .as("__nb_s"))
     // N_d over ALL documents (a narrow id-projection scan of df, not
     // the token explode): zero for the all-OOV document, which then
-    // rides the prior-only leg instead of vanishing from the output
-    val nd = df.select(col(idCol)).distinct()
+    // rides the prior-only leg instead of vanishing from the output.
+    // The duplicate-id guard rides the consumed __nb_n column — hung
+    // off an unused column, Catalyst would prune it away with the
+    // projection
+    val nd = df.groupBy(col(idCol)).agg(count(lit(1)).as("__nb_dup"))
       .join(tk.groupBy(col(idCol)).agg(count(lit(1)).as("__nb_n0")),
         Seq(idCol), "left")
-      .select(col(idCol), coalesce(col("__nb_n0"), lit(0L)).as("__nb_n"))
+      .select(col(idCol),
+        when(col("__nb_dup") > 1, raise_error(concat(
+          lit("NaiveBayes.scoreAll: duplicate id: "),
+          col(idCol).cast("string"))).cast("long"))
+          .otherwise(coalesce(col("__nb_n0"), lit(0L))).as("__nb_n"))
     nd.crossJoin(broadcast(model.classStats
         .select(col("label"), col("log_prior"), col("log_norm"))))
       .join(s1, Seq(idCol, "label"), "left")

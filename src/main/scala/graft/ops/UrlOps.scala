@@ -85,15 +85,22 @@ object UrlOps {
     * expressible-and-honest slice is the structural rule (last two
     * labels) plus the high-traffic second-level public suffixes
     * (co.uk-class), which covers the overwhelming mass of crawl URLs.
-    * Swap in a broadcast PSL join where exactness matters — the
-    * CALLING shape (domain as a groupBy/cap key) is unchanged. An IPv4
-    * literal is its own domain; a single-label host (localhost) too;
-    * port, if present, is stripped first. */
+    * [[registrableDomainPsl]] is the broadcast-PSL upgrade where
+    * exactness matters — the CALLING shape (domain as a groupBy/cap
+    * key) is unchanged. An IPv4 literal is its own domain; a
+    * single-label host (localhost) too; port, if present, is stripped
+    * first, then a trailing FQDN dot ('example.com.' is the same zone
+    * as 'example.com' — left in place it would defeat every suffix
+    * regex and key all such hosts under one garbage group). A host
+    * that is EMPTY after the strips yields NULL — quarantine, never
+    * key on garbage. */
   def registrableDomain(host: Column): Column = {
-    val h = regexp_replace(lower(host), ":[0-9]+$", "")
+    val h = regexp_replace(
+      regexp_replace(lower(host), ":[0-9]+$", ""), "\\.$", "")
     val sld = "(ac|co|com|edu|gov|net|org)"
     val cc = "(au|br|in|jp|kr|mx|nz|uk|za)"
-    when(h.rlike("^[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+$"), h)
+    when(h === "", lit(null).cast("string"))
+      .when(h.rlike("^[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+$"), h)
       .when(h.rlike("\\." + sld + "\\." + cc + "$"),
         regexp_extract(h, "([^.]+\\.[^.]+\\.[^.]+)$", 1))
       .when(h.rlike("\\."), regexp_extract(h, "([^.]+\\.[^.]+)$", 1))

@@ -316,8 +316,18 @@ object VectorOps {
     def bucketed(d: DataFrame, out: String) = d.select(
       col(idCol).as(out),
       lshBuckets(col(vecCol), dim, planesPerBand * bands).as("__lb_b"))
-    val l = bucketed(left, "src_id")
-    val r = bucketed(right, "tgt_id")
+    // multi-band = multi-consumer: each band's equi-join reads both
+    // bucketed projections, so unpinned the per-side corpus scan +
+    // LshBucket projection re-runs B times per side (2·B scans at B
+    // bands — negligible at B=2, real money at the B=4–8 recall
+    // settings). Pinning the two narrow (id, bucket) tables makes the
+    // leaf-scan count flat in B (the topKCosineRp multi-consumer rule;
+    // ScanCensus). At B=1 there is exactly one consumer — skip the
+    // materialization and let the projection ride the scan.
+    def pinned(d: DataFrame) =
+      if (bands == 1) d else d.localCheckpoint(eager = true)
+    val l = pinned(bucketed(left, "src_id"))
+    val r = pinned(bucketed(right, "tgt_id"))
     (0 until bands).map { i =>
       val band = shiftright(col("__lb_b"), planesPerBand * i)
         .bitwiseAND(lit(mask))

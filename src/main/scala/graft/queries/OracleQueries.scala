@@ -239,6 +239,90 @@ object OracleQueries {
         $stepSql"""
   }
 
+  /** Rounds and per-round pick width of the `bpe_train_batched` row —
+    * 12 merges at batchN = 4. The oracle unrolls [[BpeBatchedRounds]]
+    * WHOLE rounds and cuts the output at [[BpeBatchedMerges]] steps;
+    * that replays Spark exactly because greedy disjoint selection is
+    * prefix-consistent (the trainer's truncated final round selects a
+    * prefix of the full round's picks — Bpe.trainBatched scaladoc).
+    * Probed at sf0.001/0.01/0.1: every round fills all 4 picks, so 3
+    * rounds cover 12 steps; were the data ever to conflict harder, the
+    * oracle would come up SHORT of 12 rows — a loud rows mismatch,
+    * never a silent wrong table. */
+  private val BpeBatchedMerges = 12
+  private val BpeBatchedN = 4
+  private val BpeBatchedRounds = 3
+
+  /** The CTE chain replaying [[graft.ops.Bpe.trainBatched]] in DuckDB —
+    * the [[bpeChainSql]] pattern with each round carrying its greedy
+    * disjoint SELECTION unrolled pick by pick: bp{t}_k is the
+    * (cnt DESC, l, r) argmax over the round's pair counts EXCLUDING
+    * any candidate that shares a member or a concatenation with a
+    * higher pick (the NOT EXISTS re-derives Bpe.selectRoundPairs' used
+    * set: members AND concats of every prior pick, checked against the
+    * candidate's members AND concat). The apply half is the
+    * single-pair chain's positional replay with the matched pair's
+    * right member riding the keep table (runs of consecutive matches
+    * still only arise for one l == r pair — selected pairs share no
+    * members, so adjacent matches from two different pairs are
+    * impossible). Leaves bsel1..bsel$rounds (rk, l, r, cnt) and
+    * bw$rounds in scope. */
+  private def bpeBatchedChainSql(rounds: Int, n: Int): String = {
+    val roundSql = (1 to rounds).map { t =>
+      val picks = (1 to n).map { k =>
+        if (k == 1)
+          s"""bp${t}_1 AS MATERIALIZED (SELECT l, r, cnt FROM bpc$t
+          ORDER BY cnt DESC, l, r LIMIT 1)"""
+        else {
+          val prior = (1 until k).map(j => s"SELECT l, r FROM bp${t}_$j")
+            .mkString("\n              UNION ALL ")
+          s"""bp${t}_$k AS MATERIALIZED (SELECT c.l, c.r, c.cnt FROM bpc$t c
+          WHERE NOT EXISTS (SELECT 1 FROM ($prior) p
+            WHERE c.l IN (p.l, p.r, p.l || p.r)
+               OR c.r IN (p.l, p.r, p.l || p.r)
+               OR (c.l || c.r) IN (p.l, p.r, p.l || p.r))
+          ORDER BY c.cnt DESC, c.l, c.r LIMIT 1)"""
+        }
+      }.mkString(",\n        ")
+      val selUnion = (1 to n).map(k =>
+        s"SELECT $k AS rk, l, r, cnt FROM bp${t}_$k")
+        .mkString("\n          UNION ALL ")
+      s"""be$t AS MATERIALIZED (SELECT word, freq, UNNEST(syms) AS s,
+            UNNEST(range(len(syms))) AS i FROM bw${t - 1}),
+        bpc$t AS MATERIALIZED (SELECT a.s AS l, n.s AS r,
+            CAST(SUM(a.freq) AS BIGINT) AS cnt
+          FROM be$t a JOIN be$t n ON n.word = a.word AND n.i = a.i + 1
+          GROUP BY 1, 2),
+        $picks,
+        bsel$t AS MATERIALIZED ($selUnion),
+        bmt$t AS (SELECT a.word, a.i, sel.r AS mr
+          FROM be$t a JOIN be$t n ON n.word = a.word AND n.i = a.i + 1
+          JOIN bsel$t sel ON a.s = sel.l AND n.s = sel.r),
+        bkp$t AS MATERIALIZED (SELECT word, i, mr FROM (
+          SELECT word, i, mr,
+            ROW_NUMBER() OVER (PARTITION BY word, grp ORDER BY i) AS o
+          FROM (SELECT word, i, mr,
+              i - ROW_NUMBER() OVER (PARTITION BY word ORDER BY i) AS grp
+            FROM bmt$t)) WHERE o % 2 = 1),
+        bw$t AS MATERIALIZED (SELECT e.word, ANY_VALUE(e.freq) AS freq,
+            list(CASE WHEN k.i IS NOT NULL THEN e.s || k.mr ELSE e.s END
+              ORDER BY e.i) AS syms
+          FROM be$t e
+          LEFT JOIN bkp$t k ON k.word = e.word AND k.i = e.i
+          LEFT JOIN bkp$t c ON c.word = e.word AND c.i = e.i - 1
+          WHERE c.i IS NULL
+          GROUP BY e.word)"""
+    }.mkString(",\n        ")
+    s"""bw0 AS MATERIALIZED (
+          SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
+            list_transform(range(1, len(word) + 1),
+              i -> substr(word, i, 1)) AS syms
+          FROM (SELECT UNNEST(string_split(text, ' ')) AS word
+                FROM documents)
+          WHERE len(word) > 0 GROUP BY word),
+        $roundSql"""
+  }
+
   /** The token-id vocabulary CTEs appended after [[bpeChainSql]] —
     * real-BPE numbering (subword-nmt/GPT-2): base characters first
     * (sorted), then one id per merge in training order; a string two
@@ -346,13 +430,15 @@ object OracleQueries {
                    '^(utm_[a-zA-Z0-9]+|gclid|fbclid)=')), '&') END AS q2
         FROM parts),
         dom AS (SELECT doc_id, sch, host, pth2, q2,
-          regexp_replace(host, ':[0-9]+$', '') AS hp
+          regexp_replace(regexp_replace(host, ':[0-9]+$', ''), '\.$', '')
+            AS hp
         FROM norm),
         res AS (SELECT doc_id,
           CASE WHEN sch = '' THEN NULL
             ELSE sch || '://' || host || pth2 ||
               CASE WHEN q2 = '' THEN '' ELSE '?' || q2 END END AS url_norm,
           CASE WHEN sch = '' THEN NULL
+            WHEN hp = '' THEN NULL
             WHEN regexp_matches(hp, '^[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+$')
               THEN hp
             WHEN regexp_matches(hp,
@@ -4754,6 +4840,31 @@ object OracleQueries {
             .mkString("\n          UNION ALL ")})
         ORDER BY step""")),
 
+    // =============== batched-disjoint BPE tokenizer training ==============
+    // The production fast path to a real 30k-merge vocabulary: each
+    // round counts adjacent pairs ONCE, greedily selects the top-4
+    // mutually-disjoint pairs (no shared member or concatenation —
+    // subword-nmt's batched trick), and applies them all in one fold
+    // pass — iterations collapse from `merges` to ~merges/4 while the
+    // per-round cost stays one bounded groupBy + one bounded argmax +
+    // one row-local rewrite. A DIFFERENT learned table from bpe_train's
+    // canonical one-pair-per-round form (batched counts are round-start
+    // snapshots), so it gates as its own row: the oracle replays all 3
+    // rounds INCLUDING the greedy disjoint selection, pick by pick.
+    Q("bpe_train_batched",
+      (s, dir) => Bpe.trainBatchedDf(t(s, dir, "documents"), "text",
+        BpeBatchedMerges, BpeBatchedN),
+      Some(s"""WITH ${bpeBatchedChainSql(BpeBatchedRounds, BpeBatchedN)},
+        sel AS (${(1 to BpeBatchedRounds).map(t =>
+          s"SELECT $t AS round_no, rk, l, r, cnt FROM bsel$t")
+          .mkString("\n          UNION ALL ")})
+        SELECT * FROM (
+          SELECT CAST(ROW_NUMBER() OVER (ORDER BY round_no, rk)
+              AS INTEGER) AS step,
+            round_no, l AS lhs, r AS rhs, cnt AS pair_count
+          FROM sel)
+        WHERE step <= $BpeBatchedMerges ORDER BY step""")),
+
     // ============= fertility under the LEARNED BPE vocabulary =============
     // token_fertility's pieces-per-word with the trained merge table in
     // place of the fixed regex heuristic — the number a tokenizer
@@ -4939,9 +5050,9 @@ object OracleQueries {
         td AS (SELECT COUNT(*) AS n FROM lab),
         cs AS (SELECT l.label,
             ROUND(LN(CAST(l.nd AS DOUBLE) / td.n), 6) AS log_prior,
-            ROUND(LN(tt.nt + vs.v), 6) AS log_norm
+            ROUND(LN(COALESCE(tt.nt, 0) + vs.v), 6) AS log_norm
           FROM (SELECT label, COUNT(*) AS nd FROM lab GROUP BY label) l
-          JOIN (SELECT label, COUNT(*) AS nt FROM f2 GROUP BY label) tt
+          LEFT JOIN (SELECT label, COUNT(*) AS nt FROM f2 GROUP BY label) tt
             USING (label)
           CROSS JOIN vs CROSS JOIN td),
         dt AS (SELECT f2.doc_id, f2.token FROM f2

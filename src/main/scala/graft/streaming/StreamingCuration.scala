@@ -229,7 +229,13 @@ object StreamingCuration {
           s, it.toSeq)._1.iterator
       }
       .toDF().localCheckpoint(eager = true)
-    dec.coalesce(1).write.mode("overwrite")
+    // NO coalesce(1) here, unlike the funnel counters (|rules| rows)
+    // and the state increments (|budgets| rows): the decision log
+    // carries ONE ROW PER INPUT DOCUMENT, so a single writer would
+    // serialize an O(batch) artifact — a backfill-sized micro-batch
+    // pays a one-task wall for a monitor file. Content is pinned by
+    // the spec; file count is not.
+    dec.write.mode("overwrite")
       .parquet(s"$outDir/budget/batch=$batchId")
     dec.where(col("admitted"))
       .groupBy(col("stratum")).agg(sum(col("tokens")).as("tokens"))

@@ -166,6 +166,117 @@ class BpeSpec extends SparkSpec {
       s"UTF-8 byte order violated: $v")
   }
 
+  /** Reference multi-pair greedy walk — the [[refMerge]] model extended
+    * to a disjoint pair set (at most one rule can match per position,
+    * the applyMerges precondition). */
+  private def refMergeSet(syms: Seq[String],
+                          pairs: Seq[(String, String)]): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length &&
+          pairs.exists(p => syms(i) == p._1 && syms(i + 1) == p._2)) {
+        out += (syms(i) + syms(i + 1)); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toSeq
+  }
+
+  test("trainBatched at batchN=1 reproduces sequential train " +
+      "bit-for-bit (merge list and final word table)") {
+    val docs = Seq("low low low lower", "lowest low banana bandana")
+      .toDF("text")
+    val (seqM, seqW) = Bpe.train(docs, "text", merges = 6)
+    val (batM, batW) = Bpe.trainBatched(docs, "text", merges = 6,
+      batchN = 1)
+    assert(batM.map(m => (m.step, m.lhs, m.rhs, m.pair_count)) ==
+      seqM.map(m => (m.step, m.lhs, m.rhs, m.pair_count)))
+    assert(batM.map(_.round_no) == (1 to 6)) // one pick per round
+    val a = seqW.select(col("word"), col("syms")).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    val b = batW.select(col("word"), col("syms")).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(a == b)
+  }
+
+  test("trainBatched equals sequential when the round's picks live in " +
+      "disjoint words (the equivalence corpus), in ONE round") {
+    // ab x10, cd x9, ef x8 — three disjoint-alphabet words
+    val docs = Seq((("ab " * 10) + ("cd " * 9) + ("ef " * 8)).trim)
+      .toDF("text")
+    val (seqM, _) = Bpe.train(docs, "text", merges = 3)
+    val (batM, _) = Bpe.trainBatched(docs, "text", merges = 3, batchN = 3)
+    assert(batM.map(m => (m.step, m.lhs, m.rhs, m.pair_count)) ==
+      seqM.map(m => (m.step, m.lhs, m.rhs, m.pair_count)))
+    assert(batM.forall(_.round_no == 1))
+  }
+
+  test("a member conflict defers the lower-ranked pair to the NEXT " +
+      "round (greedy disjoint selection)") {
+    // (a,b)=10 and (b,c)=9 share b: round 1 takes only (a,b)
+    val docs = Seq((("ab " * 10) + ("bc " * 9)).trim).toDF("text")
+    val (m, _) = Bpe.trainBatched(docs, "text", merges = 2, batchN = 2)
+    assert(m == Seq(
+      Bpe.BatchedMerge(1, 1, "a", "b", 10L),
+      Bpe.BatchedMerge(2, 2, "b", "c", 9L)))
+  }
+
+  test("selectRoundPairs: concat collisions are excluded in BOTH " +
+      "directions, and the fallback argmax path is exact past the " +
+      "prefix cap") {
+    // member == earlier pick's concatenation
+    val pc1 = Seq(("ab", "bc", 10L), ("abbc", "x", 9L), ("q", "z", 8L))
+      .toDF("l", "r", "cnt")
+    assert(Bpe.selectRoundPairs(pc1, 3) ==
+      Seq(("ab", "bc", 10L), ("q", "z", 8L)))
+    // concat == earlier pick's member
+    val pc2 = Seq(("abbc", "x", 10L), ("ab", "bc", 9L), ("q", "z", 8L))
+      .toDF("l", "r", "cnt")
+    assert(Bpe.selectRoundPairs(pc2, 3) ==
+      Seq(("abbc", "x", 10L), ("q", "z", 8L)))
+    // fallback: n=2 -> prefix cap 16; rows 2..16 all conflict with the
+    // top pick, the only disjoint partner sits PAST the cap — the
+    // fallback filtered argmax must find it (never an arbitrary cap)
+    val rows = ("a", "b", 100L) +:
+      (1 to 15).map(i => ("b", s"x$i", 100L - i)) :+ ("q", "z", 1L)
+    val pc3 = rows.toDF("l", "r", "cnt")
+    assert(Bpe.selectRoundPairs(pc3, 2) ==
+      Seq(("a", "b", 100L), ("q", "z", 1L)))
+  }
+
+  test("applyMerges (multi-pair single pass) matches the reference " +
+      "greedy walk on generated sequences") {
+    val alphabet = Seq("a", "b", "c", "d")
+    val seqs = (0 until 4 * 4 * 4 * 4 * 4).map { n =>
+      Seq.tabulate(5)(i => alphabet((n / math.pow(4, i).toInt) % 4))
+    }
+    val df = seqs.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("id", "syms")
+    val pairs = Seq(("a", "b"), ("c", "d")) // disjoint members + concats
+    val got = df.select(col("id"), Bpe.applyMerges(col("syms"), pairs)
+        .as("m")).collect()
+      .map(row => row.getLong(0) -> row.getSeq[String](1)).toMap
+    seqs.zipWithIndex.foreach { case (s, i) =>
+      assert(got(i.toLong) == refMergeSet(s, pairs),
+        s"seq $s: ${got(i.toLong)} != ${refMergeSet(s, pairs)}")
+    }
+  }
+
+  test("encodeWordsBatched replays a batched table round-by-round, " +
+      "reproducing the training final table bit-for-bit") {
+    val docs = Seq("low low low lower", "lowest low banana bandana")
+      .toDF("text")
+    val (merges, trained) = Bpe.trainBatched(docs, "text", merges = 6,
+      batchN = 3)
+    val encoded = Bpe.encodeWordsBatched(Bpe.wordTable(docs, "text"),
+      merges, checkpointEvery = 1)
+    val a = trained.select(col("word"), col("syms")).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    val b = encoded.select(col("word"), col("syms")).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(a == b)
+  }
+
   test("encodeWords on character-split input reproduces the training " +
       "final table bit-for-bit") {
     val docs = Seq("low low low lower", "lowest low banana bandana")

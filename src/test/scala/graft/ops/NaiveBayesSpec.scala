@@ -99,6 +99,21 @@ class NaiveBayesSpec extends SparkSpec {
     assert(msgs(e).exists(_.contains("NULL label")))
   }
 
+  test("duplicate ids fail loudly at scoring (a duplicated id would " +
+      "blend two documents into one shipped score)") {
+    val train = Seq((0L, "a b", "x"), (1L, "c d", "y"))
+      .toDF("doc_id", "text", "label")
+    val m = NaiveBayes.train(train, "text", "label")
+    val dup = Seq((7L, "a b"), (7L, "c d"), (8L, "a d"))
+      .toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      NaiveBayes.scoreAll(dup, "doc_id", "text", m).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("duplicate id")), s"got ${msgs(e)}")
+  }
+
   test("composed as a curation admission rule: NB keep-filter over the " +
       "rule-passing set, weak labels from the rules themselves") {
     // weak-supervision loop exactly as the curation stack runs it:
