@@ -112,4 +112,104 @@ object UrlOps {
   def urlDomain(url: Column): Column =
     when(scheme(url) === "", lit(null).cast("string"))
       .otherwise(registrableDomain(normHost(url)))
+
+  /** One Public Suffix List rule: `suffix` holds the rule's labels
+    * with the `*.` / `!` markers stripped; a wildcard rule's suffix is
+    * the PARENT (the labels after the `*`). */
+  final case class PslRule(suffix: String, wildcard: Boolean,
+                           exception: Boolean) {
+    def labels: Int = suffix.count(_ == '.') + 1
+  }
+
+  /** Parse Public Suffix List syntax (publicsuffix.org/list/ — the
+    * real artifact's format, so the full list drops in with zero code
+    * change): one rule per line, `//` comments and blank lines
+    * skipped, `*.` = wildcard, `!` = exception. */
+  def parsePsl(lines: Iterator[String]): Seq[PslRule] =
+    lines.map(_.trim).filter(l => l.nonEmpty && !l.startsWith("//"))
+      .map { l =>
+        if (l.startsWith("!")) PslRule(l.drop(1), wildcard = false,
+          exception = true)
+        else if (l.startsWith("*.")) PslRule(l.drop(2), wildcard = true,
+          exception = false)
+        else PslRule(l, wildcard = false, exception = false)
+      }.toSeq
+
+  /** The committed PSL fixture (resources/psl/public_suffix_fixture
+    * .dat) — a slice of the real list covering every rule class; swap
+    * the file for the full 10k-line artifact to go exact. Loaded once;
+    * the rule set is driver-side data either way (the real list is
+    * ~250 KB — comfortably a generated expression or a broadcast). */
+  lazy val PslFixture: Seq[PslRule] = {
+    val in = getClass.getResourceAsStream("/psl/public_suffix_fixture.dat")
+    require(in != null, "psl fixture resource missing")
+    try parsePsl(scala.io.Source.fromInputStream(in, "UTF-8").getLines())
+    finally in.close()
+  }
+
+  /** Registrable domain under the Public Suffix List algorithm
+    * (publicsuffix.org/list/, pinned):
+    *  1. candidate rules are those whose labels right-align with the
+    *     host's (a wildcard's `*` consumes exactly one extra label);
+    *  2. an EXCEPTION rule prevails over everything, and names a
+    *     public suffix one label SHORTER than itself;
+    *  3. otherwise the matching rule with the MOST labels prevails
+    *     (wildcard counting its `*`);
+    *  4. no match falls to the default rule `*` (public suffix = the
+    *     rightmost label);
+    *  5. registrable domain = public suffix + one host label; a host
+    *     that IS a public suffix has none → NULL (so `localhost` is
+    *     NULL here where PSL-lite keys it on itself — the PSL-exact
+    *     posture; bare-suffix hosts quarantine).
+    * An IPv4 literal stays its own domain (the [[registrableDomain]]
+    * extension — PSL is not defined over IPs, crawl corpora carry
+    * them); port and trailing FQDN dot are stripped first; empty → NULL.
+    *
+    * Shape: the rule set is DRIVER-SIDE data, so the whole match
+    * GENERATES into one row-local expression — per rule one
+    * endswith/equality probe, the prevailing length a greatest() over
+    * the probes, the slice arithmetic on the label array. Zero
+    * shuffles, zero joins, rides the scan like the lite form; the
+    * expression grows linearly in |rules| (fine for the committed
+    * slice; the full 10k-rule list wants the same logic behind a
+    * broadcast longest-suffix join — the calling shape is unchanged
+    * either way). */
+  def registrableDomainPsl(host: Column,
+                           rules: Seq[PslRule] = PslFixture): Column = {
+    val h = regexp_replace(
+      regexp_replace(lower(host), ":[0-9]+$", ""), "\\.$", "")
+    def ends(s: String): Column =
+      (h === s) || h.endsWith("." + s)
+    // candidate public-suffix label counts; 1 = the default rule. A
+    // wildcard's star must consume a REAL label, so its probe is
+    // endsWith-only — the bare parent (host == 'kawasaki.jp' under
+    // '*.kawasaki.jp') is NOT matched by the wildcard
+    val normal = rules.filterNot(_.exception).map { r =>
+      if (r.wildcard)
+        when(h.endsWith("." + r.suffix), lit(r.labels + 1))
+          .otherwise(lit(1))
+      else when(ends(r.suffix), lit(r.labels)).otherwise(lit(1))
+    }
+    val best = greatest(lit(1) +: normal: _*)
+    // exceptions prevail; ties (nested exceptions) to the longest
+    val exc = rules.filter(_.exception).map(r =>
+      when(ends(r.suffix), lit(r.labels - 1)).otherwise(lit(null)))
+    val psLabels =
+      if (exc.isEmpty) best
+      else coalesce(greatest(exc :+ lit(null).cast("int"): _*), best)
+    val labels = split(h, "\\.")
+    val n = size(labels)
+    when(h === "", lit(null).cast("string"))
+      .when(h.rlike("^[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+$"), h)
+      .when(n <= psLabels, lit(null).cast("string"))
+      .otherwise(array_join(
+        slice(labels, n - psLabels, psLabels + lit(1)), "."))
+  }
+
+  /** [[registrableDomainPsl]] straight from a raw URL (NULL when the
+    * URL does not parse). */
+  def urlDomainPsl(url: Column,
+                   rules: Seq[PslRule] = PslFixture): Column =
+    when(scheme(url) === "", lit(null).cast("string"))
+      .otherwise(registrableDomainPsl(normHost(url), rules))
 }

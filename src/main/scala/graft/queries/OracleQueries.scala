@@ -397,7 +397,9 @@ object OracleQueries {
   /** SQL twin of [[rawUrl]] + an independent re-derivation of the
     * [[graft.ops.UrlOps]] normalization/domain rules (CTEs `u` →
     * `res` (doc_id, url_norm, domain)). */
-  private val urlNormSql: String =
+  // def, not val: it references urlChainSql below — a val here would
+  // capture null during object init (declaration order)
+  private def urlNormSql: String =
     """u AS (SELECT doc_id, CASE CAST(doc_id % 6 AS INTEGER)
           WHEN 0 THEN 'HTTP://WWW.' || source
             || '.COM:80/path/a/?utm_source=x&id=' || CAST(doc_id AS VARCHAR)
@@ -408,7 +410,14 @@ object OracleQueries {
           WHEN 4 THEN 'http://' || source || '.com#top'
           ELSE 'not a url ' || CAST(doc_id AS VARCHAR) END AS url
         FROM documents),
-        parts AS (SELECT doc_id, url,
+        """ + urlChainSql
+
+  /** The parse/normalize/domain chain shared by every URL-ops oracle:
+    * expects a CTE `u` (doc_id, url) in scope, leaves `parts` → `norm`
+    * → `dom` (…, hp = the port- and trailing-dot-stripped lowercase
+    * host) → `res` (doc_id, url_norm, domain). */
+  private val urlChainSql: String =
+    """parts AS (SELECT doc_id, url,
           lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1))
             AS sch,
           lower(regexp_extract(url,
@@ -448,6 +457,82 @@ object OracleQueries {
               THEN regexp_extract(hp, '([^.]+\.[^.]+)$', 1)
             ELSE hp END AS domain
         FROM dom)"""
+
+  /** Messy-URL column for the `url_psl_domain` row — a SEPARATE
+    * generator from [[rawUrl]] (whose rows are already gated) covering
+    * the rule classes only a real PSL resolves: a private multi-label
+    * suffix (blogspot.com), wildcard (*.ck, *.kawasaki.jp), exception
+    * (!www.ck, !city.kawasaki.jp), a 3-label private suffix
+    * (s3.amazonaws.com), a trailing FQDN dot + port, an IPv4 literal,
+    * an unlisted TLD (the PSL default rule), and an unparseable
+    * string. */
+  private def rawUrlPsl: Column = {
+    val m = col("doc_id") % 10
+    val id = col("doc_id").cast("string")
+    when(m === 0, concat(lit("https://"), col("source"),
+        lit(".blogspot.com/post/"), id))
+      .when(m === 1, concat(lit("http://shop."), col("source"),
+        lit(".co.uk/x")))
+      .when(m === 2, concat(lit("https://a.b."), col("source"),
+        lit(".ck/x")))
+      .when(m === 3, lit("http://www.ck/x"))
+      .when(m === 4, lit("https://media.city.kawasaki.jp/x"))
+      .when(m === 5, concat(lit("http://img."), col("source"),
+        lit(".kawasaki.jp/x")))
+      .when(m === 6, concat(lit("HTTP://CDN."), col("source"),
+        lit(".COM.:80/x")))
+      .when(m === 7, lit("http://10.2.3.4:8080/x"))
+      .when(m === 8, concat(lit("https://assets."), col("source"),
+        lit(".s3.amazonaws.com/k")))
+      .otherwise(concat(lit("not a url "), id))
+  }
+
+  /** SQL twin of [[rawUrlPsl]] (CTE `u`). */
+  private val rawUrlPslSql: String =
+    """u AS (SELECT doc_id, CASE CAST(doc_id % 10 AS INTEGER)
+          WHEN 0 THEN 'https://' || source || '.blogspot.com/post/'
+            || CAST(doc_id AS VARCHAR)
+          WHEN 1 THEN 'http://shop.' || source || '.co.uk/x'
+          WHEN 2 THEN 'https://a.b.' || source || '.ck/x'
+          WHEN 3 THEN 'http://www.ck/x'
+          WHEN 4 THEN 'https://media.city.kawasaki.jp/x'
+          WHEN 5 THEN 'http://img.' || source || '.kawasaki.jp/x'
+          WHEN 6 THEN 'HTTP://CDN.' || source || '.COM.:80/x'
+          WHEN 7 THEN 'http://10.2.3.4:8080/x'
+          WHEN 8 THEN 'https://assets.' || source || '.s3.amazonaws.com/k'
+          ELSE 'not a url ' || CAST(doc_id AS VARCHAR) END AS url
+        FROM documents)"""
+
+  /** The committed PSL fixture rendered as a DuckDB VALUES table —
+    * (rule, nlab, wild, exc) — plus an independent replay of the PSL
+    * algorithm over `dom.hp`: per (host, rule) suffix probe, exception
+    * prevails at (labels − 1), else max labels (wildcard counting its
+    * star), else the default rule's 1; registrable = suffix + one
+    * label, NULL when the host IS a public suffix. One source of truth
+    * for the rules (the parsed fixture), two engines deriving the
+    * match independently. Leaves `psl` (doc_id, psl_l) in scope;
+    * expects `dom`. */
+  private def pslChainSql: String = {
+    val rows = UrlOps.PslFixture.map { r =>
+      val esc = r.suffix.replace("'", "''")
+      s"('$esc', ${r.labels}, ${r.wildcard}, ${r.exception})"
+    }.mkString(",\n          ")
+    s"""rules AS (SELECT * FROM (VALUES
+          $rows) AS t(rule, nlab, wild, exc)),
+        probes AS (SELECT d.doc_id,
+            MAX(CASE WHEN NOT r.exc AND NOT r.wild
+                  AND (d.hp = r.rule OR ends_with(d.hp, '.' || r.rule))
+                THEN r.nlab
+              WHEN r.wild AND ends_with(d.hp, '.' || r.rule)
+                THEN r.nlab + 1
+              ELSE NULL END) AS norm_l,
+            MAX(CASE WHEN r.exc
+                  AND (d.hp = r.rule OR ends_with(d.hp, '.' || r.rule))
+                THEN r.nlab - 1 ELSE NULL END) AS exc_l
+          FROM dom d CROSS JOIN rules r GROUP BY d.doc_id),
+        psl AS (SELECT doc_id,
+            COALESCE(exc_l, norm_l, 1) AS psl_l FROM probes)"""
+  }
 
   /** Parameters shared by the PQ queries, their aux codebook, and the
     * oracles — owned by [[PqStage]], which also stages the trained
@@ -5119,6 +5204,41 @@ object OracleQueries {
           FROM res JOIN hx USING (doc_id) WHERE res.domain IS NOT NULL)
         SELECT domain, sample_rank, doc_id FROM rk WHERE sample_rank <= 5
         ORDER BY domain, sample_rank""")),
+
+    // ========== Public-Suffix-List registrable domains (exact) ============
+    // The PSL-exact upgrade of the lite domain key: the committed
+    // fixture (real publicsuffix.org syntax — the full list drops in
+    // with zero code change) resolves the rule classes the structural
+    // heuristic cannot — private multi-label suffixes (blogspot.com,
+    // s3.amazonaws.com), wildcards (*.ck, *.kawasaki.jp) and their
+    // exceptions (!www.ck, !city.kawasaki.jp), bare-suffix hosts
+    // (NULL — quarantine, never key on a public suffix). The rule set
+    // is driver-side data, so the match GENERATES into one row-local
+    // expression (zero joins/shuffles, rides the scan); the oracle
+    // re-derives the whole PSL algorithm from the same fixture as a
+    // VALUES table with per-rule suffix probes. Both the lite and the
+    // exact key are emitted — the rows where they diverge are the
+    // fixture's reason to exist.
+    Q("url_psl_domain",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"),
+          UrlOps.urlDomain(rawUrlPsl).as("domain_lite"),
+          UrlOps.urlDomainPsl(rawUrlPsl).as("domain_psl"))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH $rawUrlPslSql,
+        $urlChainSql,
+        $pslChainSql
+        SELECT d.doc_id, res.domain AS domain_lite,
+          CASE WHEN d.sch = '' THEN NULL
+            WHEN d.hp = '' THEN NULL
+            WHEN regexp_matches(d.hp,
+              '^[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+$$') THEN d.hp
+            WHEN len(string_split(d.hp, '.')) <= p.psl_l THEN NULL
+            ELSE array_to_string(list_slice(string_split(d.hp, '.'),
+              len(string_split(d.hp, '.')) - p.psl_l,
+              len(string_split(d.hp, '.'))), '.') END AS domain_psl
+        FROM dom d JOIN psl p USING (doc_id) JOIN res USING (doc_id)
+        ORDER BY doc_id""")),
 
     // ===================== one-pass column profile ========================
     // The SUMMARIZE-style data-quality scan over a new drop: per column,

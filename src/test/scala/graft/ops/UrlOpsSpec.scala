@@ -54,6 +54,64 @@ class UrlOpsSpec extends SparkSpec {
     assert(dom("bad") == null)
   }
 
+  private def pslDom(u: String): String = {
+    val r = Seq(u).toDF("url")
+      .select(UrlOps.urlDomainPsl(col("url"))).collect()
+    if (r.head.isNullAt(0)) null else r.head.getString(0)
+  }
+
+  test("PSL registrable domain: every rule class of the fixture, " +
+      "hand-checked against the publicsuffix.org algorithm") {
+    // private multi-label suffixes the lite heuristic cannot see
+    assert(pslDom("https://myblog.blogspot.com/p") ==
+      "myblog.blogspot.com")
+    assert(pslDom("https://assets.bucket.s3.amazonaws.com/k") ==
+      "bucket.s3.amazonaws.com")
+    // plain 2-level ccTLD suffix (lite agrees here)
+    assert(pslDom("http://a.b.example.co.uk/") == "example.co.uk")
+    // wildcard *.ck: one extra label joins the public suffix
+    assert(pslDom("http://shop.anything.ck/") == "shop.anything.ck")
+    assert(pslDom("http://x.shop.anything.ck/") == "shop.anything.ck")
+    // exception !www.ck prevails over the wildcard
+    assert(pslDom("http://www.ck/") == "www.ck")
+    assert(pslDom("http://sub.www.ck/") == "www.ck")
+    // *.kawasaki.jp with !city.kawasaki.jp
+    assert(pslDom("https://media.city.kawasaki.jp/") ==
+      "city.kawasaki.jp")
+    assert(pslDom("http://a.ward.kawasaki.jp/") == "a.ward.kawasaki.jp")
+    // kawasaki.jp itself: the wildcard needs a label before it, so the
+    // 'jp' rule prevails and kawasaki.jp is the registrable domain
+    assert(pslDom("http://kawasaki.jp/") == "kawasaki.jp")
+    // unlisted TLD -> the PSL default rule (rightmost label)
+    assert(pslDom("http://intra.corp.example/") == "corp.example")
+    // a host that IS a public suffix has no registrable domain
+    assert(pslDom("http://com/") == null)
+    assert(pslDom("http://co.uk/") == null)
+    // single unlisted label = a public suffix under the default rule
+    // (PSL-exact posture; the lite form keys localhost on itself)
+    assert(pslDom("http://localhost/") == null)
+    // IPv4 stays its own domain; port and trailing dot stripped
+    assert(pslDom("http://10.1.2.3:8080/x") == "10.1.2.3")
+    assert(pslDom("HTTP://WWW.Example.COM.:80/x") == "example.com")
+    // unparseable -> NULL
+    assert(pslDom("nonsense") == null)
+  }
+
+  test("PSL parser: comments, blanks, wildcard and exception markers") {
+    val rules = UrlOps.parsePsl(Iterator(
+      "// comment", "", "com", "  co.uk  ", "*.ck", "!www.ck"))
+    assert(rules == Seq(
+      UrlOps.PslRule("com", wildcard = false, exception = false),
+      UrlOps.PslRule("co.uk", wildcard = false, exception = false),
+      UrlOps.PslRule("ck", wildcard = true, exception = false),
+      UrlOps.PslRule("www.ck", wildcard = false, exception = true)))
+    assert(rules.map(_.labels) == Seq(1, 2, 1, 2))
+    // the committed fixture loads and carries every rule class
+    val fx = UrlOps.PslFixture
+    assert(fx.exists(_.wildcard) && fx.exists(_.exception) &&
+      fx.exists(r => r.labels >= 3 && !r.exception))
+  }
+
   test("composition: normalized URL as the canonical exact-dedup key " +
       "merges raw variants of one resource") {
     val docs = Seq(
