@@ -41,14 +41,26 @@ object CurateStages {
         "definitely not json", "").toDF("raw"))
     val (clean, _) =
       graft.sources.JsonlSource.parseWithQuarantine(lines, IngestSchema)
+    qualityDedup(clean, "doc_id", "text")
+  }
+
+  /** Stages 2–3 alone, over ANY contract-parsed corpus (the ingest
+    * seam is pluggable: the JSONL render above, a
+    * [[graft.sources.WarcSource.documents]] view, a parquet slice):
+    * quality admission (≥ 5 tokens, repeated-token fraction ≤ 0.7),
+    * then exact dedup as ONE min(struct) hash aggregation with idCol
+    * leading the struct — the min-id row of each content hash wins,
+    * duplicates collapse MAP-SIDE, no keeper join-back, no second
+    * scan. Column set is preserved. */
+  def qualityDedup(clean: DataFrame, idCol: String,
+                   textCol: String): DataFrame = {
     val q = clean.where(
-      TextMetrics.tokenCount(col("text")) >= 5 &&
-        TextMetrics.repetitionFeatures(col("text"))
+      TextMetrics.tokenCount(col(textCol)) >= 5 &&
+        TextMetrics.repetitionFeatures(col(textCol))
           .getField("dup_token_frac") <= 0.7)
-    q.groupBy(md5(col("text")).as("__h"))
-      .agg(min(struct(col("doc_id"), col("lang"), col("text"),
-        col("n_chars"))).as("__r"))
-      .select(col("__r.doc_id").as("doc_id"), col("__r.lang").as("lang"),
-        col("__r.text").as("text"), col("__r.n_chars").as("n_chars"))
+    val cols = idCol +: clean.columns.filterNot(_ == idCol).toSeq
+    q.groupBy(md5(col(textCol)).as("__h"))
+      .agg(min(struct(cols.map(col): _*)).as("__r"))
+      .select(cols.map(c => col("__r").getField(c).as(c)): _*)
   }
 }

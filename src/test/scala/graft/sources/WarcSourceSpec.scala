@@ -1,0 +1,117 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** WARC ingest against the COMMITTED fixtures (test/resources/warc):
+  * clean/corrupt split, byte-exact round-trip, gzip-member streams,
+  * quarantine resync, and the composition into the curation funnel's
+  * ingest seam (UrlOps keying + CurateStages.qualityDedup). */
+class WarcSourceSpec extends SparkSpec {
+
+  private def res(name: String): String =
+    getClass.getResource(s"/warc/$name").getPath
+
+  private def fileBytes(name: String): Array[Byte] =
+    java.nio.file.Files.readAllBytes(java.nio.file.Path.of(res(name)))
+
+  test("clean fixture: five records parse with headers in order, " +
+      "offsets match the byte layout, payloads are length-exact") {
+    val recs = WarcSource.parseStream("f",
+      new java.io.ByteArrayInputStream(fileBytes("fixture_clean.warc")))
+      .toSeq
+    assert(recs.length == 5 && recs.forall(!_.corrupt))
+    val types = recs.map(_.headers.find(_.name == "WARC-Type").get.value)
+    assert(types == Seq("warcinfo", "request", "response", "response",
+      "metadata"))
+    // offsets are cumulative record sizes
+    val sizes = recs.map(r =>
+      WarcSource.render(r.version, r.headers, r.payload).length.toLong)
+    assert(recs.map(_.offset) == sizes.scanLeft(0L)(_ + _).init)
+    // declared length == payload length
+    assert(recs.forall(r => r.headers
+      .find(_.name == "Content-Length").get.value.toInt
+        == r.payload.length))
+    // the response payload carries its HTTP envelope intact
+    assert(new String(recs(2).payload, "ISO-8859-1")
+      .startsWith("HTTP/1.1 200 OK\r\n"))
+  }
+
+  test("round-trip: rendering the parsed records reproduces the " +
+      "fixture file bit-for-bit") {
+    val bytes = fileBytes("fixture_clean.warc")
+    val recs = WarcSource.parseStream("f",
+      new java.io.ByteArrayInputStream(bytes)).toSeq
+    val rebuilt = recs.flatMap(r =>
+      WarcSource.render(r.version, r.headers, r.payload)).toArray
+    assert(java.util.Arrays.equals(rebuilt, bytes))
+  }
+
+  test("corrupt fixture: bad regions quarantine with raw bytes and " +
+      "named errors, the parser resyncs, clean records survive") {
+    val (clean, quarantine) = WarcSource.read(spark,
+      res("fixture_corrupt.warc"))
+    val c = clean.orderBy(col("offset")).collect()
+    val q = quarantine.orderBy(col("offset")).collect()
+    // layout: valid r3, garbage, bad content-length, valid r4, truncated
+    assert(c.length == 2)
+    assert(c.map(_.getAs[String]("record_id")).toSeq == Seq(
+      "<urn:uuid:00000000-0000-0000-0000-000000000003>",
+      "<urn:uuid:00000000-0000-0000-0000-000000000004>"))
+    assert(q.length == 3)
+    val errs = q.map(_.getAs[String]("err")).toSeq
+    assert(errs.exists(_.contains("expected WARC/ version line")))
+    assert(errs.exists(_.contains("invalid Content-Length")))
+    assert(errs.exists(_.contains("payload truncated")))
+    // raw bytes preserved: the garbage region is intact
+    val garbage = q.find(_.getAs[String]("err")
+      .contains("expected WARC/")).get.getAs[Array[Byte]]("raw")
+    assert(new String(garbage, "ISO-8859-1")
+      .startsWith("this is not a warc record at all"))
+    // quarantine never swallows a following valid record: the
+    // bad-length record's raw stops before r4's version line
+    assert(q.forall(r => !new String(r.getAs[Array[Byte]]("raw"),
+      "ISO-8859-1").contains("000000000004>")))
+  }
+
+  test("gzip member-per-record stream (the Common Crawl layout) " +
+      "parses identically to the plain file") {
+    val plain = WarcSource.read(spark, res("fixture_clean.warc"))._1
+      .select(col("record_id"), col("warc_type"), col("content_length"))
+      .collect().map(_.toSeq).toSet
+    val gz = WarcSource.read(spark, res("fixture_clean.warc.gz"))._1
+      .select(col("record_id"), col("warc_type"), col("content_length"))
+      .collect().map(_.toSeq).toSet
+    assert(gz == plain && gz.size == 5)
+  }
+
+  test("documents view + the curation ingest seam: response records " +
+      "become (url, text) rows, URL keying normalizes, qualityDedup " +
+      "admits prose and cuts the repetition page") {
+    val docs = WarcSource.documents(spark, res("fixture_clean.warc"))
+    val rows = docs.orderBy(col("record_id")).collect()
+    assert(rows.length == 2) // responses only
+    // the HTTP envelope is stripped from text
+    assert(rows(0).getAs[String]("text").startsWith("the quick brown"))
+    // the same keying layer pipeline_curate's ingest feeds: raw crawl
+    // URL -> canonical key + PSL domain
+    val keyed = docs.select(col("record_id"),
+      graft.ops.UrlOps.normalize(col("url")).as("url_norm"),
+      graft.ops.UrlOps.urlDomainPsl(col("url")).as("domain"))
+      .orderBy(col("record_id")).collect()
+    assert(keyed(0).getAs[String]("url_norm")
+      == "http://www.example.com/a?id=1")
+    assert(keyed(0).getAs[String]("domain") == "example.com")
+    assert(keyed(1).getAs[String]("domain") == "myblog.blogspot.com")
+    // and the funnel's quality/dedup stage runs unchanged on the view
+    val curated = graft.queries.CurateStages
+      .qualityDedup(docs, "record_id", "text")
+    val kept = curated.select(col("record_id")).collect()
+      .map(_.getString(0)).toSeq
+    // the prose page survives; the spam-repetition page is cut
+    assert(kept == Seq("<urn:uuid:00000000-0000-0000-0000-000000000003>"))
+    assert(curated.columns.toSeq ==
+      Seq("record_id", "url", "warc_date", "text"))
+  }
+}
