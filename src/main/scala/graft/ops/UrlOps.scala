@@ -176,8 +176,19 @@ object UrlOps {
     * either way). */
   def registrableDomainPsl(host: Column,
                            rules: Seq[PslRule] = PslFixture): Column = {
-    val h = regexp_replace(
+    val h0 = regexp_replace(
       regexp_replace(lower(host), ":[0-9]+$", ""), "\\.$", "")
+    // LET-BIND the stripped host before the probe fan-out: the match
+    // references the host ~2|rules| times, and inlining the caller's
+    // host expression (often itself a regex parse chain) into every
+    // probe multiplies both the optimizer's tree and the per-row work
+    // by |rules| — measured 54 s → 1.0 s at sf0.01. A one-element
+    // transform() makes the host a bound lambda variable, evaluated
+    // once per row whatever the caller passed.
+    element_at(transform(array(h0), h => pslMatch(h, rules)), 1)
+  }
+
+  private def pslMatch(h: Column, rules: Seq[PslRule]): Column = {
     def ends(s: String): Column =
       (h === s) || h.endsWith("." + s)
     // candidate public-suffix label counts; 1 = the default rule. A

@@ -5240,6 +5240,46 @@ object OracleQueries {
         FROM dom d JOIN psl p USING (doc_id) JOIN res USING (doc_id)
         ORDER BY doc_id""")),
 
+    // ============== per-domain caps on the PSL-exact key ==================
+    // mix_domain_caps re-keyed on the PSL registrable domain (the
+    // VERDICT r11 #3 option): same bounded two-phase smallest-hash
+    // sampler, but the cap key now resolves private suffixes and
+    // wildcards — under the lite key every *.blogspot.com blog counts
+    // against ONE domain's cap (the whole platform throttled as one
+    // site); under PSL each blog is its own registrable domain, which
+    // is the anti-domination rule's actual intent. NULL domains (bare
+    // public suffixes, unparseable URLs) quarantine, never sample.
+    Q("mix_domain_caps_psl",
+      (s, dir) => {
+        val withD = t(s, dir, "documents")
+          .select(col("doc_id"), UrlOps.urlDomainPsl(rawUrlPsl).as("domain"))
+          .where(col("domain").isNotNull)
+        Sampling.smallestHashSampleTwoPhase(withD, col("domain"),
+            col("doc_id"), n = 3)
+          .select(col("domain"), col("sample_rank"), col("doc_id"))
+          .orderBy(col("domain"), col("sample_rank"))
+      },
+      Some(s"""WITH $rawUrlPslSql,
+        $urlChainSql,
+        $pslChainSql,
+        pd AS (SELECT d.doc_id,
+            CASE WHEN d.sch = '' THEN NULL
+              WHEN d.hp = '' THEN NULL
+              WHEN regexp_matches(d.hp,
+                '^[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+$$') THEN d.hp
+              WHEN len(string_split(d.hp, '.')) <= p.psl_l THEN NULL
+              ELSE array_to_string(list_slice(string_split(d.hp, '.'),
+                len(string_split(d.hp, '.')) - p.psl_l,
+                len(string_split(d.hp, '.'))), '.') END AS domain
+          FROM dom d JOIN psl p USING (doc_id)),
+        hx AS (SELECT doc_id, h FROM '$AuxDir/doc_bucket/*.parquet'),
+        rk AS (SELECT pd.domain, pd.doc_id,
+            CAST(ROW_NUMBER() OVER (PARTITION BY pd.domain
+              ORDER BY hx.h, pd.doc_id) AS INTEGER) AS sample_rank
+          FROM pd JOIN hx USING (doc_id) WHERE pd.domain IS NOT NULL)
+        SELECT domain, sample_rank, doc_id FROM rk WHERE sample_rank <= 3
+        ORDER BY domain, sample_rank""")),
+
     // ===================== one-pass column profile ========================
     // The SUMMARIZE-style data-quality scan over a new drop: per column,
     // non-null count, exact distinct count, numeric/epoch min-max — ONE
