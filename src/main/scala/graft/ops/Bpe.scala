@@ -93,6 +93,19 @@ object Bpe {
     *    keep-every-other-match replay carries over unchanged. */
   def applyMerges(syms: Column, pairs: Seq[(String, String)]): Column = {
     require(pairs.nonEmpty, "applyMerges: empty pair set")
+    // the single-pass proof RESTS on this invariant — an unguarded
+    // conflicting pair set (hand-built or reordered by a caller) would
+    // silently produce order-dependent merges, so misuse fails loudly
+    // like every other pinned precondition in the repo. O(|pairs|²)
+    // driver-side, |pairs| is a round's batch (small by construction)
+    for (i <- pairs.indices; j <- 0 until i) {
+      val a = Set(pairs(i)._1, pairs(i)._2, pairs(i)._1 + pairs(i)._2)
+      val b = Set(pairs(j)._1, pairs(j)._2, pairs(j)._1 + pairs(j)._2)
+      require((a & b).isEmpty,
+        s"applyMerges: pairs ${pairs(j)} and ${pairs(i)} share a " +
+          s"member or concatenation (${(a & b).mkString(",")}) — " +
+          "a single pass over a conflicting set is order-dependent")
+    }
     aggregate(syms, array().cast("array<string>"),
       (acc, s) => {
         val last = try_element_at(acc, lit(-1))
@@ -205,16 +218,19 @@ object Bpe {
     * application order).
     *
     * Execution shape: ONE top-(8n) prefix collect (bounded — pairs
-    * carry two symbols and a count), walked greedily on the driver;
-    * the greedy walk over a rank prefix equals pick-by-pick filtered
-    * argmax as long as it completes inside the prefix (every argmax is
-    * the highest-ranked non-conflicting candidate, which the walk
-    * visits in rank order). Only when n picks cannot be filled from
-    * the prefix AND the table may extend past it does it fall back to
-    * per-pick filtered argmax jobs over the pinned pair table — exact,
-    * never an arbitrary candidate cap. Returns ≤ n (lhs, rhs, cnt)
-    * triples in selection order; fewer than n means every remaining
-    * pair conflicted or the table ran out. */
+    * carry two symbols and a count) off the UNPINNED plan (the common
+    * case pays exactly what sequential train's argmax job paid — no
+    * materialization), walked greedily on the driver; the greedy walk
+    * over a rank prefix equals pick-by-pick filtered argmax as long as
+    * it completes inside the prefix (every argmax is the
+    * highest-ranked non-conflicting candidate, which the walk visits
+    * in rank order). Only when n picks cannot be filled from the
+    * prefix AND the table may extend past it does it fall back to
+    * per-pick filtered argmax jobs — the pair table is pinned ONCE at
+    * fallback entry (multiple argmax consumers) and released on exit.
+    * Exact either way, never an arbitrary candidate cap. Returns ≤ n
+    * (lhs, rhs, cnt) triples in selection order; fewer than n means
+    * every remaining pair conflicted or the table ran out. */
   def selectRoundPairs(pc: DataFrame,
                        n: Int): Seq[(String, String, Long)] = {
     require(n > 0, s"need n > 0, got $n")
@@ -232,17 +248,22 @@ object Bpe {
     prefix.iterator.takeWhile(_ => out.size < n).foreach(row =>
       tryPick(row.getString(0), row.getString(1), row.getLong(2)))
     // prefix shorter than the cap == the whole table was walked
-    var mayHaveMore = prefix.length == prefixCap
-    while (out.size < n && mayHaveMore) {
-      val usedSeq = used.toSeq
-      val next = pc.where(!col("l").isInCollection(usedSeq) &&
-          !col("r").isInCollection(usedSeq) &&
-          !concat(col("l"), col("r")).isInCollection(usedSeq))
-        .orderBy(col("cnt").desc, col("l"), col("r"))
-        .limit(1).collect()
-      if (next.isEmpty) mayHaveMore = false
-      else tryPick(next(0).getString(0), next(0).getString(1),
-        next(0).getLong(2))
+    if (out.size < n && prefix.length == prefixCap) {
+      val (pinned, pins) = ckpt(pc)
+      try {
+        var mayHaveMore = true
+        while (out.size < n && mayHaveMore) {
+          val usedSeq = used.toSeq
+          val next = pinned.where(!col("l").isInCollection(usedSeq) &&
+              !col("r").isInCollection(usedSeq) &&
+              !concat(col("l"), col("r")).isInCollection(usedSeq))
+            .orderBy(col("cnt").desc, col("l"), col("r"))
+            .limit(1).collect()
+          if (next.isEmpty) mayHaveMore = false
+          else tryPick(next(0).getString(0), next(0).getString(1),
+            next(0).getLong(2))
+        }
+      } finally release(pinned, pins)
     }
     out.toSeq
   }
@@ -280,10 +301,12 @@ object Bpe {
     var round = 1
     var exhausted = false
     while (out.size < merges && !exhausted) {
-      // the pair-count table is pinned for the round: the prefix
-      // collect and any fallback argmax jobs all read it, and unpinned
-      // each would re-run the word-table explosion
-      val (pc, pcPins) = ckpt(pairCounts(words))
+      // the pair-count plan reads the PINNED word table, so the common
+      // case (selection completes inside the prefix collect) pays ONE
+      // bounded job per round — exactly sequential train's argmax
+      // cost; selectRoundPairs pins the pair table itself only if its
+      // multi-job fallback actually fires
+      val pc = pairCounts(words)
       val picks = selectRoundPairs(pc, math.min(batchN, merges - out.size))
       if (picks.isEmpty) exhausted = true
       else {
@@ -297,7 +320,6 @@ object Bpe {
         words = next; pins = nextPins
         round += 1
       }
-      release(pc, pcPins)
     }
     (out.toSeq, words)
   }

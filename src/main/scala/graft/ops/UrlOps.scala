@@ -96,7 +96,7 @@ object UrlOps {
     * key on garbage. */
   def registrableDomain(host: Column): Column = {
     val h = regexp_replace(
-      regexp_replace(lower(host), ":[0-9]+$", ""), "\\.$", "")
+      regexp_replace(lower(host), ":[0-9]+$", ""), "\\.+$", "")
     val sld = "(ac|co|com|edu|gov|net|org)"
     val cc = "(au|br|in|jp|kr|mx|nz|uk|za)"
     when(h === "", lit(null).cast("string"))
@@ -177,7 +177,7 @@ object UrlOps {
   def registrableDomainPsl(host: Column,
                            rules: Seq[PslRule] = PslFixture): Column = {
     val h0 = regexp_replace(
-      regexp_replace(lower(host), ":[0-9]+$", ""), "\\.$", "")
+      regexp_replace(lower(host), ":[0-9]+$", ""), "\\.+$", "")
     // LET-BIND the stripped host before the probe fan-out: the match
     // references the host ~2|rules| times, and inlining the caller's
     // host expression (often itself a regex parse chain) into every

@@ -439,7 +439,7 @@ object OracleQueries {
                    '^(utm_[a-zA-Z0-9]+|gclid|fbclid)=')), '&') END AS q2
         FROM parts),
         dom AS (SELECT doc_id, sch, host, pth2, q2,
-          regexp_replace(regexp_replace(host, ':[0-9]+$', ''), '\.$', '')
+          regexp_replace(regexp_replace(host, ':[0-9]+$', ''), '\.+$', '')
             AS hp
         FROM norm),
         res AS (SELECT doc_id,

@@ -83,34 +83,64 @@ object WarcSource {
       if (end > 0 && raw(end - 1) == '\r') end -= 1
       Some((new String(raw, 0, end, Ascii), raw))
     }
-    /** Up to n bytes (short at EOF). */
+    /** Up to n bytes (short at EOF), read in bounded chunks —
+      * allocation tracks bytes ACTUALLY READ, never the declared
+      * length, so a corrupt multi-GB Content-Length in a 1 KB file
+      * costs 1 KB, not an executor OOM. */
     def readUpTo(n: Long): Array[Byte] = {
-      require(n <= Int.MaxValue, s"payload over 2 GiB: $n")
-      val out = new Array[Byte](n.toInt)
-      var got = 0
-      var r = 0
-      while (got < n && r >= 0) {
-        r = buf.read(out, got, n.toInt - got)
-        if (r > 0) got += r
+      val chunks = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      var remaining = n
+      var short = false
+      while (remaining > 0 && !short) {
+        val want = math.min(remaining, 1L << 16).toInt
+        val chunk = new Array[Byte](want)
+        var got = 0
+        var r = 0
+        while (got < want && r >= 0) {
+          r = buf.read(chunk, got, want - got)
+          if (r > 0) got += r
+        }
+        if (got > 0)
+          chunks += (if (got == want) chunk
+                     else java.util.Arrays.copyOf(chunk, got))
+        if (got < want) short = true
+        remaining -= got
       }
-      pos += got
-      if (got == n) out else java.util.Arrays.copyOf(out, got)
+      val total = chunks.iterator.map(_.length.toLong).sum
+      pos += total
+      val out = new Array[Byte](total.toInt)
+      var at = 0
+      chunks.foreach { c =>
+        System.arraycopy(c, 0, out, at, c.length); at += c.length
+      }
+      out
     }
   }
 
-  /** Capped capture buffer for one quarantine region. */
+  /** Capped capture buffer for one quarantine region. Holds
+    * REFERENCES (the parser never mutates a consumed array) and
+    * assembles only when the quarantine path actually reads `bytes` —
+    * the overwhelmingly common clean record pays one list cons per
+    * line, not a memcpy of its whole body. */
   private final class Capture {
-    private val out = new ByteArrayOutputStream(256)
+    private val parts = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    private var kept = 0
     private var dropped = 0L
     def note(bytes: Array[Byte]): Unit = {
-      val room = QuarantineCap - out.size
-      if (room >= bytes.length) out.write(bytes, 0, bytes.length)
+      val room = QuarantineCap - kept
+      if (room >= bytes.length) { parts += bytes; kept += bytes.length }
       else {
-        if (room > 0) out.write(bytes, 0, room)
+        if (room > 0) {
+          parts += java.util.Arrays.copyOf(bytes, room); kept += room
+        }
         dropped += bytes.length - math.max(room, 0)
       }
     }
-    def bytes: Array[Byte] = out.toByteArray
+    def bytes: Array[Byte] = {
+      val out = new ByteArrayOutputStream(kept)
+      parts.foreach(p => out.write(p, 0, p.length))
+      out.toByteArray
+    }
     def truncationNote: String =
       if (dropped == 0) "" else s" (raw truncated, $dropped bytes dropped)"
   }
@@ -160,16 +190,25 @@ object WarcSource {
         if (!version.startsWith("WARC/"))
           return Some(quarantine(start, cap,
             s"expected WARC/ version line, got '${version.take(40)}'"))
+        // an offending line that is itself a WARC/ version line belongs
+        // to the NEXT record: carry it instead of capturing it, or the
+        // quarantine's resync would swallow that whole (possibly valid)
+        // record — violating "one bad record costs one quarantine row"
+        def offending(l: (String, Array[Byte], Long)): Unit =
+          if (l._1.startsWith("WARC/")) carried = Some(l)
+          else cap.note(l._2)
         // headers until the blank line
         val hdrs = scala.collection.mutable.ArrayBuffer.empty[Hdr]
         var line = nextLine()
         while (line.isDefined && line.get._1.nonEmpty) {
           val (t, raw, _) = line.get
-          cap.note(raw)
           val i = t.indexOf(':')
-          if (i <= 0)
+          if (i <= 0) {
+            offending(line.get)
             return Some(quarantine(start, cap,
               s"malformed header line '${t.take(40)}'"))
+          }
+          cap.note(raw)
           hdrs += Hdr(t.substring(0, i).trim, t.substring(i + 1).trim)
           line = nextLine()
         }
@@ -178,7 +217,8 @@ object WarcSource {
         cap.note(line.get._2)
         val lenStr = hdrs.find(_.name.equalsIgnoreCase("Content-Length"))
           .map(_.value)
-        val len = lenStr.flatMap(_.toLongOption).filter(_ >= 0)
+        val len = lenStr.flatMap(_.toLongOption)
+          .filter(l => l >= 0 && l < Int.MaxValue)
         if (len.isEmpty)
           return Some(quarantine(start, cap,
             s"missing/invalid Content-Length '${lenStr.getOrElse("")}'"))
@@ -191,7 +231,7 @@ object WarcSource {
         for (_ <- 1 to 2) {
           val t = nextLine()
           if (t.isEmpty || t.get._1.nonEmpty) {
-            t.foreach(l => cap.note(l._2))
+            t.foreach(offending)
             return Some(quarantine(start, cap,
               "missing record terminator after payload"))
           }

@@ -262,6 +262,20 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("applyMerges rejects a conflicting pair set loudly (the " +
+      "single-pass proof's precondition is guarded, not assumed)") {
+    // shared member
+    val e1 = intercept[IllegalArgumentException] {
+      Bpe.applyMerges(col("syms"), Seq(("a", "b"), ("b", "c")))
+    }
+    assert(e1.getMessage.contains("share a member or concatenation"))
+    // concatenation colliding with a member
+    val e2 = intercept[IllegalArgumentException] {
+      Bpe.applyMerges(col("syms"), Seq(("ab", "bc"), ("abbc", "x")))
+    }
+    assert(e2.getMessage.contains("abbc"))
+  }
+
   test("encodeWordsBatched replays a batched table round-by-round, " +
       "reproducing the training final table bit-for-bit") {
     val docs = Seq("low low low lower", "lowest low banana bandana")

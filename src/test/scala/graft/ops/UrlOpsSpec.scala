@@ -93,6 +93,13 @@ class UrlOpsSpec extends SparkSpec {
     // IPv4 stays its own domain; port and trailing dot stripped
     assert(pslDom("http://10.1.2.3:8080/x") == "10.1.2.3")
     assert(pslDom("HTTP://WWW.Example.COM.:80/x") == "example.com")
+    // REPEATED trailing dots strip too (one-dot-only stripping would
+    // leave 'example.com.' keying on garbage); an all-dots host is
+    // empty after the strip -> NULL, both forms
+    assert(pslDom("http://www.example.com../x") == "example.com")
+    assert(dom("http://www.example.com../x") == "example.com")
+    assert(pslDom("http://../x") == null)
+    assert(dom("http://../x") == null)
     // unparseable -> NULL
     assert(pslDom("nonsense") == null)
   }

@@ -86,6 +86,41 @@ class WarcSourceSpec extends SparkSpec {
     assert(gz == plain && gz.size == 5)
   }
 
+  test("a corrupt record whose offending line IS the next record's " +
+      "version line does not swallow that record; an absurd " +
+      "Content-Length quarantines without killing the parse or " +
+      "allocating the declared size") {
+    def rec(id: String, body: String, terminator: String = "\r\n\r\n") =
+      s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: $id\r\n" +
+        s"Content-Length: ${body.length}\r\n\r\n$body" + terminator
+    // record A is missing its blank-line terminator entirely — record
+    // B's version line is the first thing after A's payload
+    val missingTerm = rec("<a>", "aaaa", terminator = "") + rec("<b>", "bbbb")
+    val out1 = WarcSource.parseStream("f",
+      new java.io.ByteArrayInputStream(
+        missingTerm.getBytes("ISO-8859-1"))).toSeq
+    assert(out1.count(_.corrupt) == 1 &&
+      out1.filter(!_.corrupt).flatMap(_.headers)
+        .exists(h => h.value == "<b>"),
+      s"record B must survive A's missing terminator: $out1")
+    // declared length of 3 GB in a tiny stream: quarantined as
+    // invalid, never thrown, never allocated
+    val huge = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "Content-Length: 3000000000\r\n\r\nxy").getBytes("ISO-8859-1")
+    val out2 = WarcSource.parseStream("f",
+      new java.io.ByteArrayInputStream(huge)).toSeq
+    assert(out2.length == 1 && out2.head.corrupt &&
+      out2.head.err.contains("Content-Length"))
+    // a plausible-but-lying length (1 MB declared, bytes absent) reads
+    // only what exists — the truncation error names the real count
+    val lying = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "Content-Length: 1048576\r\n\r\nonly this").getBytes("ISO-8859-1")
+    val out3 = WarcSource.parseStream("f",
+      new java.io.ByteArrayInputStream(lying)).toSeq
+    assert(out3.length == 1 && out3.head.corrupt &&
+      out3.head.err.contains("payload truncated: 9 of 1048576"))
+  }
+
   test("documents view + the curation ingest seam: response records " +
       "become (url, text) rows, URL keying normalizes, qualityDedup " +
       "admits prose and cuts the repetition page") {
