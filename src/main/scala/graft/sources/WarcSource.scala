@@ -291,19 +291,17 @@ object WarcSource {
     spark.createDataset(rdd)(Encoders.product[WarcRec]).toDF()
   }
 
-  /** (clean, quarantine): clean carries (file, offset, version,
-    * headers, payload) plus the convenience extracts (warc_type,
-    * record_id, target_uri, warc_date, content_type, content_length);
-    * quarantine carries (file, offset, raw, err) with the offending
-    * bytes intact — same contract as JsonlSource's corrupt output. */
-  def read(spark: SparkSession,
-           path: String): (DataFrame, DataFrame) = {
-    val all = readRaw(spark, path)
+  /** The clean-record projection over a [[readRaw]]-shaped frame:
+    * (file, offset, version, headers) plus the convenience extracts
+    * (warc_type, record_id, target_uri, warc_date, content_type,
+    * content_length) and the payload. Pure column logic — shared by
+    * the batch and streaming paths. */
+  private def cleanView(all: DataFrame): DataFrame = {
     def h(name: String): Column =
       try_element_at(filter(col("headers"),
         x => lower(x.getField("name")) === name), lit(1))
         .getField("value")
-    val clean = all.where(!col("corrupt"))
+    all.where(!col("corrupt"))
       .select(col("file"), col("offset"), col("version"), col("headers"),
         h("warc-type").as("warc_type"),
         h("warc-record-id").as("record_id"),
@@ -312,9 +310,17 @@ object WarcSource {
         h("content-type").as("content_type"),
         h("content-length").cast("long").as("content_length"),
         col("payload"))
+  }
+
+  /** (clean, quarantine): clean carries [[cleanView]]'s columns;
+    * quarantine carries (file, offset, raw, err) with the offending
+    * bytes intact — same contract as JsonlSource's corrupt output. */
+  def read(spark: SparkSession,
+           path: String): (DataFrame, DataFrame) = {
+    val all = readRaw(spark, path)
     val quarantine = all.where(col("corrupt"))
       .select(col("file"), col("offset"), col("raw"), col("err"))
-    (clean, quarantine)
+    (cleanView(all), quarantine)
   }
 
   /** Body of an `application/http` payload: everything past the HTTP
@@ -326,18 +332,89 @@ object WarcSource {
     when(at > 0, s.substr(at + lit(4), length(s))).otherwise(s)
   }
 
-  /** The curation-funnel ingest view: response records as (record_id,
-    * url, warc_date, text) — text via [[httpBody]] for HTTP payloads,
-    * raw payload text otherwise. Feed it `UrlOps.normalize` /
-    * `CurateStages.qualityDedup` — the same seam `pipeline_curate`'s
-    * JSONL ingest uses (WarcSourceSpec composes it end to end). */
-  def documents(spark: SparkSession, path: String): DataFrame = {
-    val (clean, _) = read(spark, path)
+  /** The curation-funnel ingest projection over a [[cleanView]] frame:
+    * response records as (record_id, url, warc_date, text) — text via
+    * [[httpBody]] for HTTP payloads, raw payload text otherwise. */
+  private def documentsView(clean: DataFrame): DataFrame =
     clean.where(lower(col("warc_type")) === "response")
       .select(col("record_id"), col("target_uri").as("url"),
         col("warc_date"),
         when(col("content_type").startsWith("application/http"),
           httpBody(col("payload")))
           .otherwise(col("payload").cast("string")).as("text"))
+
+  /** The curation-funnel ingest view of `path`: response records as
+    * (record_id, url, warc_date, text). Feed it `UrlOps.normalize` /
+    * `CurateStages.qualityDedup` — the same seam `pipeline_curate`'s
+    * JSONL ingest uses (WarcSourceSpec composes it end to end). */
+  def documents(spark: SparkSession, path: String): DataFrame =
+    documentsView(read(spark, path)._1)
+
+  /** Record rows from ANY frame carrying (path, content) columns —
+    * the seam between Spark's `binaryFile` source (batch or
+    * streaming) and the record parser. Each file-row parses through
+    * the same [[parseStream]] the batch reader uses; memory here is
+    * bounded per FILE-ROW (the binaryFile source materializes whole
+    * files — Spark's contract for that source), vs [[readRaw]]'s
+    * per-record bound. Use readRaw for huge batch segments; use this
+    * where binaryFile is the only transport (streaming). */
+  def parseBinary(files: DataFrame): DataFrame =
+    files.select(col("path"), col("content"))
+      .as[(String, Array[Byte])](
+        Encoders.tuple(Encoders.STRING, Encoders.BINARY))
+      .flatMap { case (f, bytes) =>
+        val base = new java.io.ByteArrayInputStream(bytes)
+        val in =
+          if (f.endsWith(".gz")) new GZIPInputStream(base, 1 << 16)
+          else base
+        parseStream(f, in)
+      }(Encoders.product[WarcRec]).toDF()
+
+  /** STREAMING WARC ingest → the curation funnel, with zero funnel
+    * changes: crawl segments landing in the watched `dir` parse
+    * per micro-batch (quarantine-and-resync semantics identical to
+    * batch), the response documents project through [[documentsView]],
+    * and each document re-renders as ONE JSONL line — exactly the
+    * line contract `StreamingCuration.start` already ingests, so the
+    * five-stage funnel (contract parse → rules → NB → near-dedup →
+    * budget → profile) runs on crawl drops unchanged. `doc_id` is
+    * xxhash64 of the WARC record id (the funnel keys on a long id;
+    * 64-bit collisions are the standard fingerprint trade, same as
+    * the corpus-diff row). Schema for the funnel side:
+    * (doc_id long, record_id string, url string, text string).
+    *
+    * NOTHING is silently lost: a corrupt WARC region renders as a
+    * deliberately NON-JSON line (`WARC-QUARANTINE\t<file>\t<offset>\t
+    * <base64 raw>\t<err>`), which the funnel's own stage-1 contract
+    * parse quarantines — so WARC-level corruption lands in the same
+    * observable `quarantine/batch=<id>` ledger as malformed JSONL,
+    * raw bytes preserved, with zero funnel changes. */
+  def streamDocumentLines(spark: SparkSession, dir: String,
+                          glob: String = "*.warc*",
+                          options: Map[String, String] = Map.empty)
+      : DataFrame = {
+    // binaryFile's schema is FIXED by the source; the streaming reader
+    // still demands it be stated (no inference pass on a stream)
+    val binarySchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("path",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("modificationTime",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("length",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content",
+        org.apache.spark.sql.types.BinaryType)))
+    val recs = parseBinary(
+      spark.readStream.format("binaryFile").schema(binarySchema)
+        .option("pathGlobFilter", glob).options(options).load(dir))
+    val docs = documentsView(cleanView(recs))
+      .select(to_json(struct(
+        xxhash64(col("record_id")).as("doc_id"),
+        col("record_id"), col("url"), col("text"))).as("value"))
+    val quarantined = recs.where(col("corrupt"))
+      .select(concat(lit("WARC-QUARANTINE\t"), col("file"), lit("\t"),
+        col("offset").cast("string"), lit("\t"), base64(col("raw")),
+        lit("\t"), col("err")).as("value"))
+    docs.unionByName(quarantined)
   }
 }

@@ -121,6 +121,57 @@ class WarcSourceSpec extends SparkSpec {
       out3.head.err.contains("payload truncated: 9 of 1048576"))
   }
 
+  test("LIVE streaming composition: WARC segment drops feed the " +
+      "curation funnel end to end — clean docs admit/cut per the " +
+      "rules, duplicate drops dedup, corrupt regions land in the " +
+      "funnel's own quarantine ledger") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val in = java.nio.file.Files.createTempDirectory("warc_in")
+    val out = java.nio.file.Files.createTempDirectory("warc_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("warc_ck").toString
+    // two drops: the clean fixture, then the corrupt one (which
+    // carries duplicate copies of records 3/4 plus 3 corrupt regions)
+    java.nio.file.Files.copy(java.nio.file.Path.of(res("fixture_clean.warc")),
+      in.resolve("drop1.warc"))
+    java.nio.file.Files.copy(java.nio.file.Path.of(res("fixture_corrupt.warc")),
+      in.resolve("drop2.warc"))
+    val lines = WarcSource.streamDocumentLines(spark, in.toString,
+      options = Map("maxFilesPerTrigger" -> "1")) // one drop per batch
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("record_id", StringType), StructField("url", StringType),
+      StructField("text", StringType)))
+    val cfg = graft.streaming.StreamingCuration.Config(minWords = 5,
+      stopwords = Seq("the", "and", "over"))
+    val q = graft.streaming.StreamingCuration.start(spark, lines, schema,
+      "doc_id", "text", out, ckpt, cfg)
+    try q.processAllAvailable() finally q.stop()
+    // the prose response (record 3) admits ONCE — its drop2 duplicate
+    // is cut by the near-dup store; the spam response (record 4) is
+    // cut by the rules (zero stopwords, saturated repetition)
+    val admitted = spark.read.parquet(s"$out/admitted")
+    assert(admitted.count() == 1)
+    val expectedId = spark.range(1).select(xxhash64(
+      lit("<urn:uuid:00000000-0000-0000-0000-000000000003>")))
+      .collect()(0).getLong(0)
+    assert(admitted.collect()(0).getLong(0) == expectedId)
+    // WARC-level corruption rides the funnel's OWN stage-1 quarantine:
+    // 3 corrupt regions, raw bytes recoverable from the marker lines
+    val quar = spark.read.parquet(s"$out/quarantine").collect()
+      .map(_.getString(0))
+    assert(quar.length == 3 &&
+      quar.forall(_.startsWith("WARC-QUARANTINE\t")))
+    assert(quar.exists(l => new String(
+      java.util.Base64.getDecoder.decode(l.split("\t")(3)), "ISO-8859-1")
+      .startsWith("this is not a warc record")))
+    // the funnel countered every parsed document (2 responses per
+    // drop = 4 docs; the two spam instances fail the rule conjunction,
+    // both prose instances pass it — the SECOND prose copy is cut
+    // later, by the near-dup store, where it is also observable)
+    val funnel = graft.streaming.StreamingCuration.funnelTotals(spark, out)
+      .where(col("rule") === "all_rules").collect()(0)
+    assert(funnel.getLong(2) == 4 && funnel.getLong(1) == 2)
+  }
+
   test("documents view + the curation ingest seam: response records " +
       "become (url, text) rows, URL keying normalizes, qualityDedup " +
       "admits prose and cuts the repetition page") {
