@@ -63,57 +63,92 @@ object WarcSource {
 
   private val Ascii = java.nio.charset.StandardCharsets.ISO_8859_1
 
+  /** A "line" longer than this retains only its prefix (consumption
+    * continues to the newline, position stays exact) — no legal WARC
+    * version/header line approaches it, and an unbounded retain would
+    * let newline-free garbage (the resync path's input) allocate the
+    * rest of the stream into one buffer before any cap applied. */
+  val LineCap: Int = 1 << 20
+
   /** Byte-stream cursor: position tracking + line reads that hand back
     * the RAW bytes consumed (terminator included), so a failed record
     * can be quarantined byte-exact. */
   private final class Cursor(in: InputStream) {
     private val buf = new BufferedInputStream(in, 1 << 16)
     var pos: Long = 0L
-    /** (text sans `\r?\n`, raw bytes consumed) — None at EOF. */
+    /** True when the last [[readLine]] retained only a prefix. */
+    var lastLineTruncated: Boolean = false
+    /** (text sans `\r?\n`, raw bytes retained) — None at EOF. */
     def readLine(): Option[(String, Array[Byte])] = {
       val out = new ByteArrayOutputStream(80)
+      lastLineTruncated = false
+      var consumed = 0L
       var b = buf.read()
       if (b < 0) return None
-      while (b >= 0 && b != '\n') { out.write(b); b = buf.read() }
-      if (b >= 0) out.write(b)
+      while (b >= 0 && b != '\n') {
+        if (out.size < LineCap) out.write(b)
+        else lastLineTruncated = true
+        consumed += 1
+        b = buf.read()
+      }
+      if (b >= 0) { consumed += 1; if (!lastLineTruncated) out.write(b) }
       val raw = out.toByteArray
-      pos += raw.length
+      pos += consumed
       var end = raw.length
       if (end > 0 && raw(end - 1) == '\n') end -= 1
       if (end > 0 && raw(end - 1) == '\r') end -= 1
       Some((new String(raw, 0, end, Ascii), raw))
     }
-    /** Up to n bytes (short at EOF), read in bounded chunks —
-      * allocation tracks bytes ACTUALLY READ, never the declared
-      * length, so a corrupt multi-GB Content-Length in a 1 KB file
-      * costs 1 KB, not an executor OOM. */
+    /** Up to n bytes (short at EOF). Small/moderate declared lengths
+      * (the legitimate-record mass) get ONE exact-size allocation;
+      * above 64 MiB the read is chunked so allocation tracks bytes
+      * ACTUALLY PRESENT — a corrupt multi-GB Content-Length in a 1 KB
+      * file costs 1 KB, not an executor OOM — and a sole chunk is
+      * returned without re-assembly (no doubled transient peak on the
+      * clean path). */
     def readUpTo(n: Long): Array[Byte] = {
-      val chunks = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
-      var remaining = n
-      var short = false
-      while (remaining > 0 && !short) {
-        val want = math.min(remaining, 1L << 16).toInt
-        val chunk = new Array[Byte](want)
+      val direct = 64L << 20
+      if (n <= direct) {
+        val out = new Array[Byte](n.toInt)
         var got = 0
         var r = 0
-        while (got < want && r >= 0) {
-          r = buf.read(chunk, got, want - got)
+        while (got < n && r >= 0) {
+          r = buf.read(out, got, n.toInt - got)
           if (r > 0) got += r
         }
-        if (got > 0)
-          chunks += (if (got == want) chunk
-                     else java.util.Arrays.copyOf(chunk, got))
-        if (got < want) short = true
-        remaining -= got
+        pos += got
+        if (got == n) out else java.util.Arrays.copyOf(out, got)
+      } else {
+        val chunks = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+        var remaining = n
+        var short = false
+        while (remaining > 0 && !short) {
+          val want = math.min(remaining, direct).toInt
+          val chunk = new Array[Byte](want)
+          var got = 0
+          var r = 0
+          while (got < want && r >= 0) {
+            r = buf.read(chunk, got, want - got)
+            if (r > 0) got += r
+          }
+          if (got > 0)
+            chunks += (if (got == want) chunk
+                       else java.util.Arrays.copyOf(chunk, got))
+          if (got < want) short = true
+          remaining -= got
+        }
+        val total = chunks.iterator.map(_.length.toLong).sum
+        pos += total
+        if (chunks.length == 1) chunks.head
+        else {
+          val out = new Array[Byte](total.toInt)
+          var at = 0
+          chunks.foreach { c =>
+            System.arraycopy(c, 0, out, at, c.length); at += c.length
+          }
+          out
+        }
       }
-      val total = chunks.iterator.map(_.length.toLong).sum
-      pos += total
-      val out = new Array[Byte](total.toInt)
-      var at = 0
-      chunks.foreach { c =>
-        System.arraycopy(c, 0, out, at, c.length); at += c.length
-      }
-      out
     }
   }
 
@@ -153,25 +188,35 @@ object WarcSource {
                                    in: InputStream): Iterator[WarcRec] =
     new Iterator[WarcRec] {
       private val cur = new Cursor(in)
+      /** One read line: text, retained raw bytes, start offset, and
+        * whether retention was LineCap-truncated — the flag travels
+        * WITH the line so a carried line keeps its own truth. */
+      private case class Line(text: String, raw: Array[Byte],
+                              at: Long, truncated: Boolean) {
+        /** A line that can legitimately open the next record. */
+        def isVersion: Boolean = text.startsWith("WARC/") && !truncated
+      }
       // a resync line belongs to the NEXT record — carry it across
-      private var carried: Option[(String, Array[Byte], Long)] = None
+      private var carried: Option[Line] = None
       private var pending: Option[WarcRec] = None
       private var eof = false
 
-      private def nextLine(): Option[(String, Array[Byte], Long)] =
+      private def nextLine(): Option[Line] =
         carried match {
           case Some(l) => carried = None; Some(l)
           case None =>
             val at = cur.pos
-            cur.readLine().map { case (t, raw) => (t, raw, at) }
+            cur.readLine().map { case (t, raw) =>
+              Line(t, raw, at, cur.lastLineTruncated)
+            }
         }
 
       private def quarantine(start: Long, cap: Capture,
                              err: String): WarcRec = {
         // resync: skip to the next WARC/ line (carried) or EOF
         var line = nextLine()
-        while (line.isDefined && !line.get._1.startsWith("WARC/")) {
-          cap.note(line.get._2)
+        while (line.isDefined && !line.get.isVersion) {
+          cap.note(line.get.raw)
           line = nextLine()
         }
         carried = line
@@ -182,31 +227,33 @@ object WarcSource {
       private def parseOne(): Option[WarcRec] = {
         // tolerate blank padding between records
         var first = nextLine()
-        while (first.isDefined && first.get._1.isEmpty) first = nextLine()
+        while (first.isDefined && first.get.text.isEmpty)
+          first = nextLine()
         if (first.isEmpty) return None
-        val (version, vRaw, start) = first.get
+        val Line(version, vRaw, start, vTrunc) = first.get
         val cap = new Capture
         cap.note(vRaw)
-        if (!version.startsWith("WARC/"))
+        if (!version.startsWith("WARC/") || vTrunc)
           return Some(quarantine(start, cap,
             s"expected WARC/ version line, got '${version.take(40)}'"))
-        // an offending line that is itself a WARC/ version line belongs
-        // to the NEXT record: carry it instead of capturing it, or the
-        // quarantine's resync would swallow that whole (possibly valid)
-        // record — violating "one bad record costs one quarantine row"
-        def offending(l: (String, Array[Byte], Long)): Unit =
-          if (l._1.startsWith("WARC/")) carried = Some(l)
-          else cap.note(l._2)
+        // an offending line that can open the NEXT record is carried,
+        // not captured — or the quarantine's resync would swallow that
+        // whole (possibly valid) record, violating "one bad record
+        // costs one quarantine row"
+        def offending(l: Line): Unit =
+          if (l.isVersion) carried = Some(l)
+          else cap.note(l.raw)
         // headers until the blank line
         val hdrs = scala.collection.mutable.ArrayBuffer.empty[Hdr]
         var line = nextLine()
-        while (line.isDefined && line.get._1.nonEmpty) {
-          val (t, raw, _) = line.get
+        while (line.isDefined && line.get.text.nonEmpty) {
+          val Line(t, raw, _, trunc) = line.get
           val i = t.indexOf(':')
-          if (i <= 0) {
+          if (i <= 0 || trunc) {
             offending(line.get)
             return Some(quarantine(start, cap,
-              s"malformed header line '${t.take(40)}'"))
+              if (trunc) s"header line exceeds $LineCap bytes"
+              else s"malformed header line '${t.take(40)}'"))
           }
           cap.note(raw)
           hdrs += Hdr(t.substring(0, i).trim, t.substring(i + 1).trim)
@@ -214,7 +261,7 @@ object WarcSource {
         }
         if (line.isEmpty)
           return Some(quarantine(start, cap, "EOF inside header block"))
-        cap.note(line.get._2)
+        cap.note(line.get.raw)
         val lenStr = hdrs.find(_.name.equalsIgnoreCase("Content-Length"))
           .map(_.value)
         val len = lenStr.flatMap(_.toLongOption)
@@ -230,12 +277,12 @@ object WarcSource {
         // the record terminator: two empty lines (CRLF CRLF)
         for (_ <- 1 to 2) {
           val t = nextLine()
-          if (t.isEmpty || t.get._1.nonEmpty) {
+          if (t.isEmpty || t.get.text.nonEmpty) {
             t.foreach(offending)
             return Some(quarantine(start, cap,
               "missing record terminator after payload"))
           }
-          cap.note(t.get._2)
+          cap.note(t.get.raw)
         }
         Some(WarcRec(file, start, version, hdrs.toSeq, payload,
           corrupt = false, Array.emptyByteArray, null))
@@ -243,7 +290,22 @@ object WarcSource {
 
       def hasNext: Boolean = {
         if (pending.isEmpty && !eof) {
-          pending = parseOne()
+          // a stream-layer failure (truncated gzip member from a
+          // mid-copy drop, a decompressor error) is a QUARANTINE
+          // event, not a task death: surface one corrupt row naming
+          // it, end the file — "nothing kills the batch" holds at the
+          // transport layer too
+          pending =
+            try parseOne()
+            catch {
+              case e: java.io.IOException =>
+                eof = true
+                try in.close() catch { case _: java.io.IOException => () }
+                Some(WarcRec(file, cur.pos, null, Nil,
+                  Array.emptyByteArray, corrupt = true,
+                  Array.emptyByteArray,
+                  s"unreadable stream at byte ${cur.pos}: ${e.getMessage}"))
+            }
           if (pending.isEmpty) { eof = true; in.close() }
         }
         pending.isDefined
@@ -296,11 +358,16 @@ object WarcSource {
     * (warc_type, record_id, target_uri, warc_date, content_type,
     * content_length) and the payload. Pure column logic — shared by
     * the batch and streaming paths. */
+  /** First value of the named header (case-insensitive) from the
+    * `headers` column; NULL when absent (including corrupt rows' empty
+    * header lists). */
+  private def headerVal(name: String): Column =
+    try_element_at(filter(col("headers"),
+      x => lower(x.getField("name")) === name), lit(1))
+      .getField("value")
+
   private def cleanView(all: DataFrame): DataFrame = {
-    def h(name: String): Column =
-      try_element_at(filter(col("headers"),
-        x => lower(x.getField("name")) === name), lit(1))
-        .getField("value")
+    def h(name: String): Column = headerVal(name)
     all.where(!col("corrupt"))
       .select(col("file"), col("offset"), col("version"), col("headers"),
         h("warc-type").as("warc_type"),
@@ -367,6 +434,13 @@ object WarcSource {
         val in =
           if (f.endsWith(".gz")) new GZIPInputStream(base, 1 << 16)
           else base
+        // same early-stop hygiene as readRaw: a partially-consumed
+        // iterator (task failure, downstream limit) must not leak the
+        // decompressor's native Inflater until GC
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit] { _ =>
+            try in.close() catch { case _: java.io.IOException => () }
+          })
         parseStream(f, in)
       }(Encoders.product[WarcRec]).toDF()
 
@@ -378,19 +452,32 @@ object WarcSource {
     * line contract `StreamingCuration.start` already ingests, so the
     * five-stage funnel (contract parse → rules → NB → near-dedup →
     * budget → profile) runs on crawl drops unchanged. `doc_id` is
-    * xxhash64 of the WARC record id (the funnel keys on a long id;
-    * 64-bit collisions are the standard fingerprint trade, same as
-    * the corpus-diff row). Schema for the funnel side:
-    * (doc_id long, record_id string, url string, text string).
+    * xxhash64 of the WARC record id, falling back to the unique
+    * `<file>:<offset>` when a record carries no WARC-Record-ID header
+    * (hashing a NULL would collapse every id-less record onto the
+    * hash seed — systematic collisions that break the funnel's
+    * id-keyed joins; 64-bit collisions otherwise are the standard
+    * fingerprint trade, same as the corpus-diff row). Schema for the
+    * funnel side: (doc_id long, record_id string, url string,
+    * text string).
     *
     * NOTHING is silently lost: a corrupt WARC region renders as a
     * deliberately NON-JSON line (`WARC-QUARANTINE\t<file>\t<offset>\t
     * <base64 raw>\t<err>`), which the funnel's own stage-1 contract
     * parse quarantines — so WARC-level corruption lands in the same
     * observable `quarantine/batch=<id>` ledger as malformed JSONL,
-    * raw bytes preserved, with zero funnel changes. */
+    * raw bytes preserved, with zero funnel changes. Docs and
+    * quarantine render as ONE projection over one parse (a two-branch
+    * union would parse every segment twice per plan execution — and
+    * the funnel's stage-1 actions execute the plan more than once).
+    *
+    * The default glob matches only FINISHED segment names (`*.warc` /
+    * `*.warc.gz`) — a `*.warc*` glob would pick up mid-copy temp
+    * names like `x.warc.gz.tmp`; a file truncated mid-gzip-member
+    * still quarantines rather than killing the query (the parser's
+    * stream-error row). */
   def streamDocumentLines(spark: SparkSession, dir: String,
-                          glob: String = "*.warc*",
+                          glob: String = "*.{warc,warc.gz}",
                           options: Map[String, String] = Map.empty)
       : DataFrame = {
     // binaryFile's schema is FIXED by the source; the streaming reader
@@ -404,17 +491,30 @@ object WarcSource {
         org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("content",
         org.apache.spark.sql.types.BinaryType)))
-    val recs = parseBinary(
+    documentLines(parseBinary(
       spark.readStream.format("binaryFile").schema(binarySchema)
-        .option("pathGlobFilter", glob).options(options).load(dir))
-    val docs = documentsView(cleanView(recs))
-      .select(to_json(struct(
-        xxhash64(col("record_id")).as("doc_id"),
-        col("record_id"), col("url"), col("text"))).as("value"))
-    val quarantined = recs.where(col("corrupt"))
-      .select(concat(lit("WARC-QUARANTINE\t"), col("file"), lit("\t"),
-        col("offset").cast("string"), lit("\t"), base64(col("raw")),
-        lit("\t"), col("err")).as("value"))
-    docs.unionByName(quarantined)
+        .option("pathGlobFilter", glob).options(options).load(dir)))
+  }
+
+  /** The funnel-line projection over a [[parseBinary]]/[[readRaw]]
+    * frame (batch or streaming) — see [[streamDocumentLines]] for the
+    * contract. One projection, one parse. */
+  def documentLines(recs: DataFrame): DataFrame = {
+    val rid = headerVal("warc-record-id")
+    val docJson = to_json(struct(
+      xxhash64(coalesce(rid,
+        concat(col("file"), lit(":"), col("offset")))).as("doc_id"),
+      rid.as("record_id"),
+      headerVal("warc-target-uri").as("url"),
+      headerVal("warc-date").as("warc_date"),
+      when(headerVal("content-type").startsWith("application/http"),
+        httpBody(col("payload")))
+        .otherwise(col("payload").cast("string")).as("text")))
+    val marker = concat(lit("WARC-QUARANTINE\t"), col("file"), lit("\t"),
+      col("offset").cast("string"), lit("\t"), base64(col("raw")),
+      lit("\t"), col("err"))
+    recs
+      .where(col("corrupt") || lower(headerVal("warc-type")) === "response")
+      .select(when(col("corrupt"), marker).otherwise(docJson).as("value"))
   }
 }

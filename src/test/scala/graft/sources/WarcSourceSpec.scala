@@ -121,6 +121,64 @@ class WarcSourceSpec extends SparkSpec {
       out3.head.err.contains("payload truncated: 9 of 1048576"))
   }
 
+  test("transport-layer failures quarantine instead of killing the " +
+      "task: a truncated gzip member, and newline-free garbage that " +
+      "could only resync at EOF") {
+    // cut the gz fixture mid-member: records before the cut parse,
+    // then ONE stream-error quarantine row ends the file
+    val gz = fileBytes("fixture_clean.warc.gz")
+    val cut = java.util.Arrays.copyOf(gz, (gz.length * 3) / 5)
+    val out = WarcSource.parseStream("f",
+      new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(cut))).toSeq
+    assert(out.nonEmpty && out.count(r =>
+      r.corrupt && r.err.contains("unreadable stream")) == 1)
+    assert(out.last.corrupt && out.exists(!_.corrupt))
+    // 2 MB of newline-free garbage after a valid record: the line
+    // reader retains at most LineCap, the capture at most
+    // QuarantineCap — bounded memory, one quarantine row, and the
+    // valid record before it still parses
+    val rec = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Record-ID: <ok>\r\nContent-Length: 2\r\n\r\nhi\r\n\r\n")
+      .getBytes("ISO-8859-1")
+    val garbage = Array.fill[Byte](2 << 20)('x')
+    val out2 = WarcSource.parseStream("f",
+      new java.io.ByteArrayInputStream(rec ++ garbage)).toSeq
+    assert(out2.length == 2 && !out2.head.corrupt && out2(1).corrupt)
+    assert(out2(1).raw.length <= WarcSource.QuarantineCap)
+  }
+
+  test("documentLines: id-less records fall back to file:offset ids " +
+      "(never the hash of NULL), corrupt rows render as marker lines " +
+      "in the SAME single projection") {
+    import org.apache.spark.sql.functions.from_json
+    // two records WITHOUT WARC-Record-ID + one corrupt region
+    def rec(body: String) =
+      ("WARC/1.0\r\nWARC-Type: response\r\n" +
+        "Content-Type: text/plain\r\n" +
+        s"Content-Length: ${body.length}\r\n\r\n$body\r\n\r\n")
+    val bytes = (rec("alpha") + "garbage line\r\n" + rec("beta"))
+      .getBytes("ISO-8859-1")
+    val tmp = java.nio.file.Files.createTempDirectory("warc_idless")
+    java.nio.file.Files.write(tmp.resolve("x.warc"), bytes)
+    val lines = WarcSource.documentLines(WarcSource.parseBinary(
+        spark.read.format("binaryFile").load(tmp.toString)))
+      .collect().map(_.getString(0))
+    val docs = lines.filterNot(_.startsWith("WARC-QUARANTINE\t"))
+    val quar = lines.filter(_.startsWith("WARC-QUARANTINE\t"))
+    assert(docs.length == 2 && quar.length == 1)
+    // distinct non-seed ids for the two id-less records
+    val ids = docs.map { l =>
+      spark.range(1).select(from_json(lit(l),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType))))
+        .getField("doc_id")).collect()(0).getLong(0)
+    }
+    assert(ids.distinct.length == 2,
+      s"id-less records must get DISTINCT ids, got ${ids.toSeq}")
+  }
+
   test("LIVE streaming composition: WARC segment drops feed the " +
       "curation funnel end to end — clean docs admit/cut per the " +
       "rules, duplicate drops dedup, corrupt regions land in the " +
