@@ -35,6 +35,14 @@ import org.apache.spark.sql.functions._
   * never silently key on garbage). */
 object UrlOps {
 
+  /** Let-bind `c` as a lambda variable before a fan-out of references
+    * (a one-element transform — the [[registrableDomainPsl]] lesson,
+    * SCALE_r12 §6): a parse-chain input referenced N times would
+    * otherwise inline N copies of itself; Catalyst's subexpression
+    * elimination does not reach across conditional branches. */
+  private def bind1(c: Column)(f: Column => Column): Column =
+    element_at(transform(array(c), f), 1)
+
   private val SchemeRe = "^([a-zA-Z][a-zA-Z0-9+.-]*)://"
   private val AuthRe = "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)"
   private val PathRe = "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)"
@@ -71,12 +79,16 @@ object UrlOps {
         filter(split(q, "&"), p => !p.rlike(TrackRe)), "&"))
   }
 
-  /** The normalized URL (rules above), NULL for unparseable input. */
-  def normalize(url: Column): Column = {
-    val q = normQuery(url)
-    when(scheme(url) === "", lit(null).cast("string"))
+  /** The normalized URL (rules above), NULL for unparseable input.
+    * The raw url binds ONCE — the rule pieces reference it ~10 times
+    * (each a regex extraction), and an expression-valued caller (a
+    * generated messy-URL CASE, a decoded WARC header) would otherwise
+    * re-evaluate per reference. */
+  def normalize(url: Column): Column = bind1(url) { u =>
+    val q = normQuery(u)
+    when(scheme(u) === "", lit(null).cast("string"))
       .otherwise(concat(
-        scheme(url), lit("://"), normHost(url), normPath(url),
+        scheme(u), lit("://"), normHost(u), normPath(u),
         when(q === "", lit("")).otherwise(concat(lit("?"), q))))
   }
 
@@ -94,24 +106,26 @@ object UrlOps {
     * regex and key all such hosts under one garbage group). A host
     * that is EMPTY after the strips yields NULL — quarantine, never
     * key on garbage. */
-  def registrableDomain(host: Column): Column = {
-    val h = regexp_replace(
-      regexp_replace(lower(host), ":[0-9]+$", ""), "\\.+$", "")
-    val sld = "(ac|co|com|edu|gov|net|org)"
-    val cc = "(au|br|in|jp|kr|mx|nz|uk|za)"
-    when(h === "", lit(null).cast("string"))
-      .when(h.rlike("^[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+$"), h)
-      .when(h.rlike("\\." + sld + "\\." + cc + "$"),
-        regexp_extract(h, "([^.]+\\.[^.]+\\.[^.]+)$", 1))
-      .when(h.rlike("\\."), regexp_extract(h, "([^.]+\\.[^.]+)$", 1))
-      .otherwise(h)
-  }
+  def registrableDomain(host: Column): Column =
+    // the stripped host binds once; the match references it 8 times
+    bind1(regexp_replace(
+        regexp_replace(lower(host), ":[0-9]+$", ""), "\\.+$", "")) { h =>
+      val sld = "(ac|co|com|edu|gov|net|org)"
+      val cc = "(au|br|in|jp|kr|mx|nz|uk|za)"
+      when(h === "", lit(null).cast("string"))
+        .when(h.rlike("^[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+$"), h)
+        .when(h.rlike("\\." + sld + "\\." + cc + "$"),
+          regexp_extract(h, "([^.]+\\.[^.]+\\.[^.]+)$", 1))
+        .when(h.rlike("\\."), regexp_extract(h, "([^.]+\\.[^.]+)$", 1))
+        .otherwise(h)
+    }
 
   /** [[registrableDomain]] straight from a raw URL (NULL when the URL
     * does not parse) — the per-domain cap / mixing key. */
-  def urlDomain(url: Column): Column =
-    when(scheme(url) === "", lit(null).cast("string"))
-      .otherwise(registrableDomain(normHost(url)))
+  def urlDomain(url: Column): Column = bind1(url) { u =>
+    when(scheme(u) === "", lit(null).cast("string"))
+      .otherwise(registrableDomain(normHost(u)))
+  }
 
   /** One Public Suffix List rule: `suffix` holds the rule's labels
     * with the `*.` / `!` markers stripped; a wildcard rule's suffix is
@@ -221,6 +235,8 @@ object UrlOps {
     * URL does not parse). */
   def urlDomainPsl(url: Column,
                    rules: Seq[PslRule] = PslFixture): Column =
-    when(scheme(url) === "", lit(null).cast("string"))
-      .otherwise(registrableDomainPsl(normHost(url), rules))
+    bind1(url) { u =>
+      when(scheme(u) === "", lit(null).cast("string"))
+        .otherwise(registrableDomainPsl(normHost(u), rules))
+    }
 }
