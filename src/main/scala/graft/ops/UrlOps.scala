@@ -80,16 +80,23 @@ object UrlOps {
   }
 
   /** The normalized URL (rules above), NULL for unparseable input.
-    * The raw url binds ONCE — the rule pieces reference it ~10 times
-    * (each a regex extraction), and an expression-valued caller (a
-    * generated messy-URL CASE, a decoded WARC header) would otherwise
-    * re-evaluate per reference. */
+    * TWO binds: the raw url (the rule pieces reference it ~10 times —
+    * an expression-valued caller would re-evaluate per reference),
+    * then the four parsed pieces as one struct (the assembly
+    * references scheme and query twice each, and conditional-branch
+    * CSE would not merge them). The inner lambda references only its
+    * own variable; the struct construction referencing `u` sits in
+    * the OUTER body, so no cross-lambda variable reference exists. */
   def normalize(url: Column): Column = bind1(url) { u =>
-    val q = normQuery(u)
-    when(scheme(u) === "", lit(null).cast("string"))
-      .otherwise(concat(
-        scheme(u), lit("://"), normHost(u), normPath(u),
-        when(q === "", lit("")).otherwise(concat(lit("?"), q))))
+    bind1(struct(scheme(u).as("sch"), normHost(u).as("host"),
+        normPath(u).as("path"), normQuery(u).as("q"))) { s =>
+      val q = s.getField("q")
+      when(s.getField("sch") === "", lit(null).cast("string"))
+        .otherwise(concat(
+          s.getField("sch"), lit("://"), s.getField("host"),
+          s.getField("path"),
+          when(q === "", lit("")).otherwise(concat(lit("?"), q))))
+    }
   }
 
   /** Registrable domain of a normalized-or-raw host column — PSL-lite:
@@ -196,10 +203,8 @@ object UrlOps {
     // references the host ~2|rules| times, and inlining the caller's
     // host expression (often itself a regex parse chain) into every
     // probe multiplies both the optimizer's tree and the per-row work
-    // by |rules| — measured 54 s → 1.0 s at sf0.01. A one-element
-    // transform() makes the host a bound lambda variable, evaluated
-    // once per row whatever the caller passed.
-    element_at(transform(array(h0), h => pslMatch(h, rules)), 1)
+    // by |rules| — measured 54 s → 1.0 s at sf0.01.
+    bind1(h0)(h => pslMatch(h, rules))
   }
 
   private def pslMatch(h: Column, rules: Seq[PslRule]): Column = {
