@@ -324,6 +324,18 @@ object Bpe {
     (out.toSeq, words)
   }
 
+  /** A batched merge list in [[Merge]] shape (step order = the global
+    * priority order batched selection assigned) — the adapter that
+    * lets a [[trainBatched]] artifact ride the id-numbering path
+    * unchanged: [[vocabIdsFromWords]] needs only (step, lhs, rhs), and
+    * duplicate-mint/first-introduction semantics carry over verbatim.
+    * Do NOT feed the result to [[encodeWords]] — one-pair-at-a-time
+    * replay is not equivalent for a batched table (a round's later
+    * pair must not see its earlier pairs' outputs); word encoding for
+    * batched tables is [[encodeWordsBatched]]. */
+  def asMerges(batched: Seq[BatchedMerge]): Seq[Merge] =
+    batched.map(b => Merge(b.step, b.lhs, b.rhs, b.pair_count))
+
   /** [[trainBatched]] as a query-shaped DataFrame: (step, round_no,
     * lhs, rhs, pair_count), ordered by step. */
   def trainBatchedDf(df: DataFrame, textCol: String, merges: Int,

@@ -291,6 +291,22 @@ class BpeSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("a batched table completes the full id pipeline: asMerges -> " +
+      "vocabIdsFromWords -> encodeDocs decodes back exactly") {
+    val docs = Seq((0L, "low lower low"), (1L, "lowest low"))
+      .toDF("doc_id", "text")
+    val (merges, words) = Bpe.trainBatched(docs, "text", merges = 4,
+      batchN = 2)
+    val vocab = Bpe.vocabIdsFromWords(words, Bpe.asMerges(merges))
+    val sym = vocab.collect().map(r => r.getLong(1) -> r.getString(0)).toMap
+    // dense ids, base chars first
+    assert(sym.keySet == (0L until sym.size).toSet)
+    val got = Bpe.encodeDocs(docs, "doc_id", "text", words, vocab)
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Long](1).map(sym).mkString).toMap
+    assert(got == Map(0L -> "lowlowerlow", 1L -> "lowestlow"))
+  }
+
   test("encodeWords on character-split input reproduces the training " +
       "final table bit-for-bit") {
     val docs = Seq("low low low lower", "lowest low banana bandana")
