@@ -96,15 +96,26 @@ object Bpe {
     // the single-pass proof RESTS on this invariant — an unguarded
     // conflicting pair set (hand-built or reordered by a caller) would
     // silently produce order-dependent merges, so misuse fails loudly
-    // like every other pinned precondition in the repo. O(|pairs|²)
-    // driver-side, |pairs| is a round's batch (small by construction)
-    for (i <- pairs.indices; j <- 0 until i) {
-      val a = Set(pairs(i)._1, pairs(i)._2, pairs(i)._1 + pairs(i)._2)
-      val b = Set(pairs(j)._1, pairs(j)._2, pairs(j)._1 + pairs(j)._2)
-      require((a & b).isEmpty,
-        s"applyMerges: pairs ${pairs(j)} and ${pairs(i)} share a " +
-          s"member or concatenation (${(a & b).mkString(",")}) — " +
-          "a single pass over a conflicting set is order-dependent")
+    // like every other pinned precondition in the repo. Hash-set
+    // membership, O(|pairs|) driver-side: two pairs conflict iff they
+    // share a STRING among {l, r, l+r}, so one element→first-owner map
+    // catches every pairwise intersection the old quadratic scan did —
+    // linear keeps deep-merge batches (N≥256) off a driver wall.
+    // Within ONE pair l == r is legal (an "aa" run rule), so only a
+    // DIFFERENT prior owner trips the guard.
+    val owner = scala.collection.mutable.HashMap.empty[String, Int]
+    for (i <- pairs.indices) {
+      val (l, r) = pairs(i)
+      Seq(l, r, l + r).foreach { s =>
+        owner.get(s) match {
+          case Some(j) if j != i =>
+            require(requirement = false,
+              s"applyMerges: pairs ${pairs(j)} and ${pairs(i)} share a " +
+                s"member or concatenation ($s) — a single pass over a " +
+                "conflicting set is order-dependent")
+          case _ => owner(s) = i
+        }
+      }
     }
     aggregate(syms, array().cast("array<string>"),
       (acc, s) => {

@@ -324,16 +324,38 @@ object VectorOps {
     // leaf-scan count flat in B (the topKCosineRp multi-consumer rule;
     // ScanCensus). At B=1 there is exactly one consumer — skip the
     // materialization and let the projection ride the scan.
-    def pinned(d: DataFrame) =
-      if (bands == 1) d else d.localCheckpoint(eager = true)
-    val l = pinned(bucketed(left, "src_id"))
-    val r = pinned(bucketed(right, "tgt_id"))
-    (0 until bands).map { i =>
-      val band = shiftright(col("__lb_b"), planesPerBand * i)
-        .bitwiseAND(lit(mask))
-      l.select(col("src_id"), band.as("__lb_k"))
-        .join(r.select(col("tgt_id"), band.as("__lb_k")), "__lb_k")
-        .select(col("src_id"), col("tgt_id"))
-    }.reduce(_ unionByName _).distinct()
+    def bandUnion(l: DataFrame, r: DataFrame) =
+      (0 until bands).map { i =>
+        val band = shiftright(col("__lb_b"), planesPerBand * i)
+          .bitwiseAND(lit(mask))
+        l.select(col("src_id"), band.as("__lb_k"))
+          .join(r.select(col("tgt_id"), band.as("__lb_k")), "__lb_k")
+          .select(col("src_id"), col("tgt_id"))
+      }.reduce(_ unionByName _).distinct()
+    if (bands == 1) bandUnion(bucketed(left, "src_id"),
+      bucketed(right, "tgt_id"))
+    else {
+      // ckpt/release hygiene (the Bpe.ckpt idiom): the two side pins
+      // exist only to serve the band joins, and relying on the
+      // ContextCleaner to drop them accumulates superseded
+      // corpus-projection blocks across repeated calls in a long
+      // session. Materialize the (candidate-bounded) pair table, then
+      // release the side pins deterministically; the single returned
+      // pin replaces two corpus-sided ones and is the caller's
+      // consumable (their contract — same as any localCheckpoint'd
+      // return in this repo).
+      val sc = left.sparkSession.sparkContext
+      def pinTracked(d: DataFrame): (DataFrame, Set[Int]) = {
+        val before = sc.getPersistentRDDs.keySet.toSet
+        val p = d.localCheckpoint(eager = true)
+        (p, sc.getPersistentRDDs.keySet.toSet -- before)
+      }
+      val (l, lIds) = pinTracked(bucketed(left, "src_id"))
+      val (r, rIds) = pinTracked(bucketed(right, "tgt_id"))
+      val (pairs, _) = pinTracked(bandUnion(l, r))
+      (lIds ++ rIds).foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+      pairs
+    }
   }
 }

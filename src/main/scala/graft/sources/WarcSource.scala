@@ -22,10 +22,14 @@ import org.apache.spark.sql.functions._
   *  - after a corrupt record the parser RESYNCS at the next line
   *    starting with `WARC/` and continues — one bad record costs one
   *    quarantine row, not the rest of the file;
-  *  - headers are preserved IN ORDER and byte-exact (ISO-8859-1 — the
-  *    identity byte↔char map; header names per spec are ASCII), so a
-  *    clean parse round-trips: [[render]] of the parsed records
-  *    reproduces the input file bit-for-bit (WarcSourceSpec).
+  *  - headers are preserved IN ORDER and value-exact (ISO-8859-1 — the
+  *    identity byte↔char map; header names per spec are ASCII); name
+  *    and value are TRIMMED on parse and [[render]] emits the canonical
+  *    `name: value` form, so a CANONICALLY-FORMATTED file (what real
+  *    WARC writers emit, and what the fixtures are) round-trips
+  *    bit-for-bit (WarcSourceSpec) — a file with non-canonical header
+  *    spacing (`Name:value`, trailing blanks) parses clean but
+  *    re-renders canonical, not byte-identical.
   *
   * Scale shape: WARC's production layout is many ~1 GB segment files,
   * each gzip-compressed PER RECORD (gzip members concatenate, and
@@ -152,32 +156,38 @@ object WarcSource {
     }
   }
 
-  /** Capped capture buffer for one quarantine region. Holds
-    * REFERENCES (the parser never mutates a consumed array) and
-    * assembles only when the quarantine path actually reads `bytes` —
-    * the overwhelmingly common clean record pays one list cons per
-    * line, not a memcpy of its whole body. */
+  /** Capped capture buffer for one quarantine region. Holds only
+    * REFERENCES (the parser never mutates a consumed array) plus a
+    * byte count; ALL copying and cap-truncation defers to [[bytes]],
+    * which runs only on the quarantine path — a clean record (the
+    * overwhelming mass, whatever its payload size) pays one list cons
+    * per part and zero memcpy. Retained references stop once noted
+    * bytes reach [[QuarantineCap]] (at most one part straddles the
+    * cap — and the straddling part is usually the record's own
+    * payload array, alive regardless), so a quarantine region's
+    * retained-set stays cap-bounded while it accumulates. */
   private final class Capture {
     private val parts = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
-    private var kept = 0
-    private var dropped = 0L
+    private var noted = 0L
     def note(bytes: Array[Byte]): Unit = {
-      val room = QuarantineCap - kept
-      if (room >= bytes.length) { parts += bytes; kept += bytes.length }
-      else {
-        if (room > 0) {
-          parts += java.util.Arrays.copyOf(bytes, room); kept += room
-        }
-        dropped += bytes.length - math.max(room, 0)
-      }
+      if (noted < QuarantineCap) parts += bytes
+      noted += bytes.length
     }
     def bytes: Array[Byte] = {
-      val out = new ByteArrayOutputStream(kept)
-      parts.foreach(p => out.write(p, 0, p.length))
+      val keep = math.min(noted, QuarantineCap.toLong).toInt
+      val out = new ByteArrayOutputStream(keep)
+      var room = keep
+      parts.foreach { p =>
+        val w = math.min(p.length, room)
+        if (w > 0) out.write(p, 0, w)
+        room -= w
+      }
       out.toByteArray
     }
-    def truncationNote: String =
+    def truncationNote: String = {
+      val dropped = noted - math.min(noted, QuarantineCap.toLong)
       if (dropped == 0) "" else s" (raw truncated, $dropped bytes dropped)"
+    }
   }
 
   /** Streaming record parse of one (decompressed) WARC byte stream —
@@ -306,7 +316,13 @@ object WarcSource {
                   Array.emptyByteArray,
                   s"unreadable stream at byte ${cur.pos}: ${e.getMessage}"))
             }
-          if (pending.isEmpty) { eof = true; in.close() }
+          // normal EOF: close failure (an HDFS stream teardown error)
+          // must not kill the task either — same posture as the
+          // IOException handler above and the task-completion listener
+          if (pending.isEmpty) {
+            eof = true
+            try in.close() catch { case _: java.io.IOException => () }
+          }
         }
         pending.isDefined
       }
