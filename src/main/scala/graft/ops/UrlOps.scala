@@ -2,6 +2,9 @@ package graft.ops
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.Internals.{column => toCol, expression => toExpr}
+
+import graft.functions.{PslDomain, PslTrie}
 
 /** URL normalization and registrable-domain extraction — the keying
   * layer every crawl-corpus curation stack runs BEFORE dedup and
@@ -156,17 +159,37 @@ object UrlOps {
         else PslRule(l, wildcard = false, exception = false)
       }.toSeq
 
-  /** The committed PSL fixture (resources/psl/public_suffix_fixture
-    * .dat) — a slice of the real list covering every rule class; swap
-    * the file for the full 10k-line artifact to go exact. Loaded once;
-    * the rule set is driver-side data either way (the real list is
-    * ~250 KB — comfortably a generated expression or a broadcast). */
-  lazy val PslFixture: Seq[PslRule] = {
-    val in = getClass.getResourceAsStream("/psl/public_suffix_fixture.dat")
-    require(in != null, "psl fixture resource missing")
+  private def loadPslResource(path: String): Seq[PslRule] = {
+    val in = getClass.getResourceAsStream(path)
+    require(in != null, s"psl resource missing: $path")
     try parsePsl(scala.io.Source.fromInputStream(in, "UTF-8").getLines())
     finally in.close()
   }
+
+  /** The committed PSL fixture (resources/psl/public_suffix_fixture
+    * .dat) — a slice of the real list covering every rule class. Kept
+    * for the generated-expression form's specs and the |rules|-scaling
+    * measurement; production keying uses [[PslFull]]. */
+  lazy val PslFixture: Seq[PslRule] = loadPslResource(
+    "/psl/public_suffix_fixture.dat")
+
+  /** The FULL committed Public Suffix List (resources/psl/
+    * public_suffix_list.dat — the pristine publicsuffix.org artifact,
+    * ~9.5k rules, ICANN + private sections): the production rule set.
+    * Driver-side data, loaded once. */
+  lazy val PslFull: Seq[PslRule] = loadPslResource(
+    "/psl/public_suffix_list.dat")
+
+  /** [[PslFull]] compiled once into the reversed-label trie the scale
+    * path evaluates — O(host labels) per row whatever |rules| is. */
+  lazy val PslFullTrie: PslTrie = trieOf(PslFull)
+
+  /** Compile a rule set for [[registrableDomainPsl]]. One trie per
+    * DISTINCT rule set per session is the intended shape (the lazy
+    * vals above) — the build is cheap but the compiled object is what
+    * ships to executors as a plan reference. */
+  def trieOf(rules: Seq[PslRule]): PslTrie =
+    PslTrie.build(rules.map(r => (r.suffix, r.wildcard, r.exception)))
 
   /** Registrable domain under the Public Suffix List algorithm
     * (publicsuffix.org/list/, pinned):
@@ -186,17 +209,33 @@ object UrlOps {
     * extension — PSL is not defined over IPs, crawl corpora carry
     * them); port and trailing FQDN dot are stripped first; empty → NULL.
     *
-    * Shape: the rule set is DRIVER-SIDE data, so the whole match
-    * GENERATES into one row-local expression — per rule one
-    * endswith/equality probe, the prevailing length a greatest() over
-    * the probes, the slice arithmetic on the label array. Zero
-    * shuffles, zero joins, rides the scan like the lite form; the
-    * expression grows linearly in |rules| (fine for the committed
-    * slice; the full 10k-rule list wants the same logic behind a
-    * broadcast longest-suffix join — the calling shape is unchanged
-    * either way). */
+    * Shape: the rule set is DRIVER-SIDE data compiled once into a
+    * reversed-label trie ([[graft.functions.PslTrie]]) that ships as
+    * ONE plan reference object; the match is a single row-local
+    * codegen'd expression resolving a host in O(host labels) hash
+    * probes. Zero shuffles, zero joins, rides the scan like the lite
+    * form — and neither the Catalyst tree nor the per-row cost grows
+    * with |rules|, which is what makes the full ~9.5k-rule list safe
+    * where the generated form ([[registrableDomainPslGen]]) cliffs
+    * (the SCALE_r13 §1 curve). */
   def registrableDomainPsl(host: Column,
-                           rules: Seq[PslRule] = PslFixture): Column = {
+                           trie: PslTrie = PslFullTrie): Column =
+    toCol(PslDomain(toExpr(regexp_replace(
+      regexp_replace(lower(host), ":[0-9]+$", ""), "\\.+$", "")), trie))
+
+  /** The GENERATED-EXPRESSION form of [[registrableDomainPsl]]: per
+    * rule one endswith/equality probe, the prevailing length a
+    * greatest() over the probes, the slice arithmetic on the label
+    * array — one row-local expression, zero joins. Semantically
+    * identical to the trie form (the parity spec drives both over
+    * every rule class); the expression grows LINEARLY in |rules|, so
+    * it is honest only at fixture-sized rule sets — at the full list's
+    * ~9.5k rules the tree is ~40k nodes, past the optimizer-cost and
+    * 64KB-codegen territory (measured, SCALE_r13 §1). Kept as the
+    * measurement baseline and the independent second implementation
+    * backing the spec. */
+  def registrableDomainPslGen(host: Column,
+                              rules: Seq[PslRule] = PslFixture): Column = {
     val h0 = regexp_replace(
       regexp_replace(lower(host), ":[0-9]+$", ""), "\\.+$", "")
     // LET-BIND the stripped host before the probe fan-out: the match
@@ -237,11 +276,12 @@ object UrlOps {
   }
 
   /** [[registrableDomainPsl]] straight from a raw URL (NULL when the
-    * URL does not parse). */
+    * URL does not parse) — the PSL-exact per-domain cap / mixing key,
+    * on the FULL committed list by default. */
   def urlDomainPsl(url: Column,
-                   rules: Seq[PslRule] = PslFixture): Column =
+                   trie: PslTrie = PslFullTrie): Column =
     bind1(url) { u =>
       when(scheme(u) === "", lit(null).cast("string"))
-        .otherwise(registrableDomainPsl(normHost(u), rules))
+        .otherwise(registrableDomainPsl(normHost(u), trie))
     }
 }

@@ -503,36 +503,46 @@ object OracleQueries {
           ELSE 'not a url ' || CAST(doc_id AS VARCHAR) END AS url
         FROM documents)"""
 
-  /** The committed PSL fixture rendered as a DuckDB VALUES table —
-    * (rule, nlab, wild, exc) — plus an independent replay of the PSL
-    * algorithm over `dom.hp`: per (host, rule) suffix probe, exception
-    * prevails at (labels − 1), else max labels (wildcard counting its
-    * star), else the default rule's 1; registrable = suffix + one
-    * label, NULL when the host IS a public suffix. One source of truth
-    * for the rules (the parsed fixture), two engines deriving the
-    * match independently. Leaves `psl` (doc_id, psl_l) in scope;
-    * expects `dom`. */
-  private def pslChainSql: String = {
-    val rows = UrlOps.PslFixture.map { r =>
-      val esc = r.suffix.replace("'", "''")
-      s"('$esc', ${r.labels}, ${r.wildcard}, ${r.exception})"
-    }.mkString(",\n          ")
-    s"""rules AS (SELECT * FROM (VALUES
-          $rows) AS t(rule, nlab, wild, exc)),
-        probes AS (SELECT d.doc_id,
-            MAX(CASE WHEN NOT r.exc AND NOT r.wild
-                  AND (d.hp = r.rule OR ends_with(d.hp, '.' || r.rule))
-                THEN r.nlab
-              WHEN r.wild AND ends_with(d.hp, '.' || r.rule)
-                THEN r.nlab + 1
-              ELSE NULL END) AS norm_l,
-            MAX(CASE WHEN r.exc
-                  AND (d.hp = r.rule OR ends_with(d.hp, '.' || r.rule))
-                THEN r.nlab - 1 ELSE NULL END) AS exc_l
-          FROM dom d CROSS JOIN rules r GROUP BY d.doc_id),
-        psl AS (SELECT doc_id,
-            COALESCE(exc_l, norm_l, 1) AS psl_l FROM probes)"""
-  }
+  /** The FULL committed Public Suffix List, re-parsed by DuckDB from
+    * the verbatim artifact bytes (Verify copies the classpath resource
+    * to `$AuxDir/psl_list.dat` — one source of truth, two independent
+    * parsers) — plus an independent replay of the PSL algorithm over
+    * `dom.hp`. At ~9.5k rules the r12 per-rule CROSS JOIN probe would
+    * be |docs|·|rules| rows, so the replay is the SUFFIX-JOIN form:
+    * every suffix of a host (≤ its label count) equi-joins the rule
+    * table — a rule matches iff one of the host's suffixes IS the
+    * rule's text, a wildcard additionally needs the suffix PROPER
+    * (i > 1: the star consumed a real label). Exception prevails at
+    * (labels − 1), else max labels (wildcard counting its star), else
+    * the default rule's 1; registrable = suffix + one label, NULL when
+    * the host IS a public suffix. Leaves `psl` (doc_id, psl_l) in
+    * scope; expects `dom`. */
+  private def pslChainSql: String =
+    s"""psl_lines AS (SELECT trim(line) AS line
+          FROM read_csv('$AuxDir/psl_list.dat', header=false,
+            sep='\\t', quote='', columns={'line': 'VARCHAR'})),
+        rules AS (SELECT
+            CASE WHEN line LIKE '!%' THEN substr(line, 2)
+                 WHEN line LIKE '*.%' THEN substr(line, 3)
+                 ELSE line END AS rule,
+            line LIKE '*.%' AS wild, line LIKE '!%' AS exc
+          FROM psl_lines WHERE line <> '' AND line NOT LIKE '//%'),
+        rules2 AS (SELECT rule, len(string_split(rule, '.')) AS nlab,
+            wild, exc FROM rules),
+        hsuf AS (SELECT doc_id, i,
+            array_to_string(list_slice(labs, i, nl), '.') AS suf
+          FROM (SELECT doc_id, labs, nl, unnest(range(1, nl + 1)) AS i
+                FROM (SELECT doc_id, string_split(hp, '.') AS labs,
+                        len(string_split(hp, '.')) AS nl FROM dom))),
+        probes AS (SELECT h.doc_id,
+            MAX(CASE WHEN NOT r.exc AND NOT r.wild THEN r.nlab
+                  WHEN r.wild AND h.i > 1 THEN r.nlab + 1
+                  ELSE NULL END) AS norm_l,
+            MAX(CASE WHEN r.exc THEN r.nlab - 1 ELSE NULL END) AS exc_l
+          FROM hsuf h JOIN rules2 r ON h.suf = r.rule
+          GROUP BY h.doc_id),
+        psl AS (SELECT d.doc_id, COALESCE(p.exc_l, p.norm_l, 1) AS psl_l
+          FROM dom d LEFT JOIN probes p USING (doc_id))"""
 
   /** Parameters shared by the PQ queries, their aux codebook, and the
     * oracles — owned by [[PqStage]], which also stages the trained
@@ -547,6 +557,16 @@ object OracleQueries {
   def writeOracleAux(s: SparkSession, dir: String,
                      auxDir: String = DefaultAuxDir): Unit = {
     val AuxDir = auxDir // shadow the token for the writes below
+    // the full Public Suffix List, byte-verbatim from the classpath
+    // resource the Spark trie compiles from — the PSL oracles re-parse
+    // and re-derive the whole algorithm from the same artifact
+    val pslIn = getClass.getResourceAsStream("/psl/public_suffix_list.dat")
+    require(pslIn != null, "psl list resource missing")
+    val pslBytes =
+      try pslIn.readAllBytes()
+      finally pslIn.close()
+    graft.core.Fs.write(s"$AuxDir/psl_list.dat", pslBytes,
+      graft.core.Fs.conf(s))
     val docs = t(s, dir, "documents")
     // minhash: one row per (doc, shingle occurrence, hash family) with the
     // family hash fh = xxhash64(xxhash64(shingle), seed) — exactly the
@@ -5206,19 +5226,20 @@ object OracleQueries {
         ORDER BY domain, sample_rank""")),
 
     // ========== Public-Suffix-List registrable domains (exact) ============
-    // The PSL-exact upgrade of the lite domain key: the committed
-    // fixture (real publicsuffix.org syntax — the full list drops in
-    // with zero code change) resolves the rule classes the structural
-    // heuristic cannot — private multi-label suffixes (blogspot.com,
-    // s3.amazonaws.com), wildcards (*.ck, *.kawasaki.jp) and their
-    // exceptions (!www.ck, !city.kawasaki.jp), bare-suffix hosts
-    // (NULL — quarantine, never key on a public suffix). The rule set
-    // is driver-side data, so the match GENERATES into one row-local
-    // expression (zero joins/shuffles, rides the scan); the oracle
-    // re-derives the whole PSL algorithm from the same fixture as a
-    // VALUES table with per-rule suffix probes. Both the lite and the
-    // exact key are emitted — the rows where they diverge are the
-    // fixture's reason to exist.
+    // The PSL-exact upgrade of the lite domain key, on the FULL
+    // committed publicsuffix.org list (~9.5k rules): resolves the rule
+    // classes the structural heuristic cannot — private multi-label
+    // suffixes (blogspot.com, s3.amazonaws.com), wildcards (*.ck,
+    // *.kawasaki.jp) and their exceptions (!www.ck, !city.kawasaki.jp),
+    // bare-suffix hosts (NULL — quarantine, never key on a public
+    // suffix). The rule set compiles driver-side into ONE trie-backed
+    // row-local expression (zero joins/shuffles, rides the scan,
+    // O(host labels) per row — the r12 generated form cliffed at full
+    // rule count, SCALE_r13 §1); the oracle re-parses the same
+    // verbatim artifact and re-derives the whole algorithm as a
+    // host-suffix equi-join against the rule table. Both the lite and
+    // the exact key are emitted — the rows where they diverge are the
+    // list's reason to exist.
     Q("url_psl_domain",
       (s, dir) => t(s, dir, "documents")
         .select(col("doc_id"),

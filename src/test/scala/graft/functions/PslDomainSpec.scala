@@ -1,0 +1,91 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.ops.UrlOps
+
+/** The trie-compiled PSL expression vs the generated-expression form:
+  * two independent implementations of the pinned publicsuffix.org
+  * algorithm, driven over a host battery SYNTHESIZED FROM EVERY
+  * FIXTURE RULE (suffix itself, one and two extra labels, star-fed
+  * variants) plus the garbage classes — bit-identical or the spec
+  * names the host. Plus full-list hand-checks, the build-time
+  * envelope, and the IPv4 probe's regex parity. */
+class PslDomainSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val fixtureTrie = UrlOps.trieOf(UrlOps.PslFixture)
+
+  test("trie ≡ generated expression on every fixture rule's host family") {
+    // per rule: the bare suffix, +1 label, +2 labels — covers rule-is-
+    // host (NULL), plain registrable, and sub-registrable for normal,
+    // wildcard (star consuming the extra label) and exception classes
+    val hosts = UrlOps.PslFixture.flatMap { r =>
+      Seq(r.suffix, s"alpha.${r.suffix}", s"beta.alpha.${r.suffix}")
+    } ++ Seq(
+      "", "localhost", "corp.example", "a.corp.example",
+      "10.1.2.3", "999.1.2.3", "1.2.3.4.5", "10.1.2",
+      "a..com", ".com", "x.y.z.w.v.co.uk")
+    val df = hosts.distinct.toDF("host")
+    val out = df.select(col("host"),
+        UrlOps.registrableDomainPslGen(col("host"), UrlOps.PslFixture)
+          .as("gen"),
+        UrlOps.registrableDomainPsl(col("host"), fixtureTrie).as("trie"))
+      .collect()
+    val diffs = out.filter(r =>
+      Option(r.getString(1)) != Option(r.getString(2)))
+    assert(diffs.isEmpty, diffs.map(r =>
+      s"${r.getString(0)}: gen=${r.getString(1)} trie=${r.getString(2)}")
+      .mkString("; "))
+    assert(out.length == hosts.distinct.size)
+  }
+
+  test("full list: hand-checked hosts incl. a unicode (IDN) rule") {
+    def d(h: String): String = {
+      val r = Seq(h).toDF("host")
+        .select(UrlOps.registrableDomainPsl(col("host"))).collect()
+      if (r.head.isNullAt(0)) null else r.head.getString(0)
+    }
+    assert(d("myblog.blogspot.com") == "myblog.blogspot.com")
+    assert(d("assets.b.s3.amazonaws.com") == "b.s3.amazonaws.com")
+    assert(d("a.b.example.co.uk") == "example.co.uk")
+    assert(d("x.shop.anything.ck") == "shop.anything.ck")
+    assert(d("sub.www.ck") == "www.ck")
+    assert(d("media.city.kawasaki.jp") == "city.kawasaki.jp")
+    assert(d("a.ward.kawasaki.jp") == "a.ward.kawasaki.jp")
+    assert(d("kawasaki.jp") == "kawasaki.jp")
+    assert(d("co.uk") == null)
+    assert(d("com") == null)
+    // the list carries IDN rules as unicode labels (公司.cn is a real
+    // ICANN rule) — matched as-is, per the declared envelope
+    assert(d("foo.公司.cn") == "foo.公司.cn")
+    assert(d("公司.cn") == null)
+  }
+
+  test("build envelope: full list loads; non-leading star rejected") {
+    assert(UrlOps.PslFull.size > 9000)
+    assert(UrlOps.PslFull.count(_.wildcard) > 50)
+    assert(UrlOps.PslFull.count(_.exception) > 0)
+    // every star in the published artifact is leftmost — the build
+    // asserts it, so a future list revision that breaks the envelope
+    // fails loudly at compile-the-trie time, not silently at match time
+    UrlOps.PslFullTrie // builds without throwing
+    val ex = intercept[IllegalArgumentException] {
+      PslTrie.build(Seq(("a.*.b", false, false)))
+    }
+    assert(ex.getMessage.contains("non-leading"))
+  }
+
+  test("IPv4 probe matches the generated form's anchored regex") {
+    val cases = Seq("1.2.3.4" -> true, "999.888.77.6" -> true,
+      "1.2.3" -> false, "1.2.3.4.5" -> false, "a.2.3.4" -> false,
+      "1..3.4" -> false, "1.2.3." -> false, ".1.2.3" -> false,
+      "" -> false, "1234" -> false, "01.02.03.04" -> true)
+    cases.foreach { case (h, want) =>
+      assert(PslTrie.isIpv4(h) == want, h)
+      assert(h.matches("[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+") == want,
+        s"regex twin disagrees on $h")
+    }
+  }
+}
