@@ -433,14 +433,44 @@ object WarcSource {
   def documents(spark: SparkSession, path: String): DataFrame =
     documentsView(read(spark, path)._1)
 
+  /** Record rows from a frame carrying file PATHS only — the
+    * RECORD-BOUNDED streaming transport (and the batch twin the spec
+    * equates with [[readRaw]]): a segment's bytes never materialize
+    * as a row; each path opens via the Hadoop FileSystem INSIDE the
+    * task and flows through the same per-record [[parseStream]] the
+    * batch reader uses, so task memory is one record (the batch
+    * bound) whatever the segment size. This is what lets the
+    * streaming path ride Spark's `binaryFile` source LISTING (new-file
+    * discovery, checkpointed offsets) while skipping its content
+    * materialization — selecting only `path` prunes `content` out of
+    * the scan entirely (the source reads file STATUS for the pruned
+    * schema; the spec pins the read schema), which also lifts the
+    * source's 2 GiB per-file content ceiling off the streaming path.
+    * `hc` is the driver conf captured outside the closure
+    * ([[graft.core.Fs.onExecutors]]) — executor-built configurations
+    * would drop cluster fs settings. */
+  def parsePaths(files: DataFrame,
+                 hc: graft.core.Fs.HadoopConf): DataFrame =
+    files.select(col("path")).as[String](Encoders.STRING)
+      .flatMap { p =>
+        val path = new org.apache.hadoop.fs.Path(p)
+        val base = path.getFileSystem(hc.value).open(path)
+        val in =
+          if (p.endsWith(".gz")) new GZIPInputStream(base, 1 << 16)
+          else base
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit] { _ =>
+            try in.close() catch { case _: java.io.IOException => () }
+          })
+        parseStream(p, in)
+      }(Encoders.product[WarcRec]).toDF()
+
   /** Record rows from ANY frame carrying (path, content) columns —
-    * the seam between Spark's `binaryFile` source (batch or
-    * streaming) and the record parser. Each file-row parses through
-    * the same [[parseStream]] the batch reader uses; memory here is
-    * bounded per FILE-ROW (the binaryFile source materializes whole
-    * files — Spark's contract for that source), vs [[readRaw]]'s
-    * per-record bound. Use readRaw for huge batch segments; use this
-    * where binaryFile is the only transport (streaming). */
+    * the seam for callers that already hold bytes in rows. Each
+    * file-row parses through the same [[parseStream]]; memory here is
+    * bounded per FILE-ROW (the caller materialized the file), vs the
+    * per-record bound of [[readRaw]] and [[parsePaths]] — prefer
+    * those everywhere a path or a stream is available. */
   def parseBinary(files: DataFrame): DataFrame =
     files.select(col("path"), col("content"))
       .as[(String, Array[Byte])](
@@ -491,7 +521,12 @@ object WarcSource {
     * `*.warc.gz`) — a `*.warc*` glob would pick up mid-copy temp
     * names like `x.warc.gz.tmp`; a file truncated mid-gzip-member
     * still quarantines rather than killing the query (the parser's
-    * stream-error row). */
+    * stream-error row).
+    *
+    * Transport is [[parsePaths]] — the stream carries segment PATHS,
+    * never segment bytes, so streaming memory is bounded per RECORD
+    * exactly like the batch reader (r12 declared the segment-sized
+    * binaryFile-content envelope; this closes it). */
   def streamDocumentLines(spark: SparkSession, dir: String,
                           glob: String = "*.{warc,warc.gz}",
                           options: Map[String, String] = Map.empty)
@@ -507,9 +542,11 @@ object WarcSource {
         org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("content",
         org.apache.spark.sql.types.BinaryType)))
-    documentLines(parseBinary(
+    documentLines(parsePaths(
       spark.readStream.format("binaryFile").schema(binarySchema)
-        .option("pathGlobFilter", glob).options(options).load(dir)))
+        .option("pathGlobFilter", glob).options(options).load(dir)
+        .select(col("path")),
+      graft.core.Fs.onExecutors(spark)))
   }
 
   /** The funnel-line projection over a [[parseBinary]]/[[readRaw]]

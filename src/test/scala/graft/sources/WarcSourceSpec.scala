@@ -179,6 +179,56 @@ class WarcSourceSpec extends SparkSpec {
       s"id-less records must get DISTINCT ids, got ${ids.toSeq}")
   }
 
+  test("path transport (parsePaths): record-identical to readRaw over " +
+      "the same files — clean, corrupt and gzip — and the file scan " +
+      "reads ONLY the path (segment bytes never enter a row)") {
+    val dir = java.nio.file.Files.createTempDirectory("warc_paths")
+    for (f <- Seq("fixture_clean.warc", "fixture_corrupt.warc",
+        "fixture_clean.warc.gz"))
+      java.nio.file.Files.copy(java.nio.file.Path.of(res(f)),
+        dir.resolve(f))
+    def canon(df: org.apache.spark.sql.DataFrame) = df.select(
+        element_at(split(col("file"), "/"), -1).as("f"), col("offset"),
+        col("version"), col("corrupt"), col("err"),
+        length(col("payload")).as("plen"), to_json(col("headers")).as("h"))
+      .collect().map(_.toSeq).toSet
+    val byPath = WarcSource.parsePaths(
+      spark.read.format("binaryFile").load(dir.toString)
+        .select(col("path")),
+      graft.core.Fs.onExecutors(spark))
+    val byStream = WarcSource.readRaw(spark, dir.toString + "/*")
+    assert(canon(byPath) == canon(byStream))
+    assert(byPath.count() == 15) // 5 clean + 5 gz + (2 clean + 3 quar)
+    // the per-record memory bound rests on the transport never
+    // materializing content: the binaryFile scan must prune to path
+    val plan = byPath.queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<path:string>"),
+      s"binaryFile scan must carry only path, got:\n$plan")
+  }
+
+  test("path transport handles a record far beyond every line/buffer " +
+      "cap (a multi-MB payload) — the record-sized bound is the only " +
+      "bound, batch and streaming alike") {
+    val dir = java.nio.file.Files.createTempDirectory("warc_big")
+    val big = Array.tabulate[Byte](8 << 20)(i => (i % 251).toByte)
+    val head = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Record-ID: <big>\r\n" +
+      s"Content-Length: ${big.length}\r\n\r\n").getBytes("ISO-8859-1")
+    val tail = "\r\n\r\n".getBytes("ISO-8859-1")
+    val small = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Record-ID: <small>\r\nContent-Length: 2\r\n\r\nok\r\n\r\n")
+      .getBytes("ISO-8859-1")
+    java.nio.file.Files.write(dir.resolve("big.warc"),
+      head ++ big ++ tail ++ small)
+    val recs = WarcSource.parsePaths(
+      spark.read.format("binaryFile").load(dir.toString)
+        .select(col("path")),
+      graft.core.Fs.onExecutors(spark))
+      .select(col("corrupt"), length(col("payload")).as("n"))
+      .collect().map(r => (r.getBoolean(0), r.getInt(1))).toSet
+    assert(recs == Set((false, big.length), (false, 2)))
+  }
+
   test("LIVE streaming composition: WARC segment drops feed the " +
       "curation funnel end to end — clean docs admit/cut per the " +
       "rules, duplicate drops dedup, corrupt regions land in the " +
