@@ -72,27 +72,42 @@ object StreamingBudget {
     out.iterator
   }
 
-  /** The PURE admission walk — one rule implementation behind both
-    * state transports: [[update]] drives it from GroupState, the
-    * composed curation pipeline ([[StreamingCuration]]) from its
-    * per-batch parquet carry. `carried` is the stratum's admitted-token
-    * total BEFORE this batch; returns the decisions and the total
-    * AFTER. The sentinel stratum surfaces as NULL in decisions —
-    * transport only. */
+  /** ONE document's admission decision — THE rule implementation, the
+    * single place both state transports and both walk shapes evaluate:
+    * given the stratum's budget and its running admitted-token total,
+    * returns the decision row and the total after it. The sentinel
+    * stratum surfaces as NULL in decisions — transport only. */
+  private[streaming] def decide(budget: Option[Long], admitted: Long,
+                                stratum: String,
+                                d: Doc): (Decision, Long) = {
+    val outStratum = if (stratum == NullStratumKey) null else stratum
+    val reason =
+      if (!d.valid || d.tokens <= 0) "invalid_row"
+      else if (budget.isEmpty) "no_budget"
+      else if (admitted < budget.get) "admitted"
+      else "budget_exhausted"
+    val admit = reason == "admitted"
+    val after = if (admit) admitted + d.tokens else admitted
+    (Decision(outStratum, d.order_id, d.tokens, admit, after, reason),
+      after)
+  }
+
+  /** The PURE admission walk — [[decide]] folded over one stratum's
+    * rows, SORTING them first: [[update]] drives it from GroupState
+    * (micro-batch groups, bounded by the trigger). The batch transport
+    * ([[StreamingCuration]]'s parquet carry) instead pre-sorts with
+    * the engine (`sortWithinPartitions`) and folds [[decide]] over the
+    * partition iterator — same decisions, no per-group
+    * materialization. `carried` is the stratum's admitted-token total
+    * BEFORE this batch; returns the decisions and the total AFTER. */
   private[streaming] def walk(budget: Option[Long], carried: Long,
                               stratum: String,
                               rows: Seq[Doc]): (Seq[Decision], Long) = {
-    val outStratum = if (stratum == NullStratumKey) null else stratum
     var admitted = carried
     val out = rows.sortBy(d => (d.order_id, d.tokens)).map { d =>
-      val reason =
-        if (!d.valid || d.tokens <= 0) "invalid_row"
-        else if (budget.isEmpty) "no_budget"
-        else if (admitted < budget.get) "admitted"
-        else "budget_exhausted"
-      val admit = reason == "admitted"
-      if (admit) admitted += d.tokens
-      Decision(outStratum, d.order_id, d.tokens, admit, admitted, reason)
+      val (dec, after) = decide(budget, admitted, stratum, d)
+      admitted = after
+      dec
     }
     (out, admitted)
   }

@@ -220,13 +220,39 @@ object StreamingCuration {
         coalesce(tok, lit(0L)).as("tokens"),
         (oid.isNotNull && tok.isNotNull).as("valid"))
       .as[StreamingBudget.Doc]
-    // the walk runs per stratum on executors (flatMapGroups — batch
-    // twin of the GroupState transport); decisions are pinned: three
-    // consumers (decision log, state increment, admission filter)
-    val dec = docs.groupByKey(_.stratum)
-      .flatMapGroups { (s, it) =>
-        StreamingBudget.walk(budgets.get(s), carried.getOrElse(s, 0L),
-          s, it.toSeq)._1.iterator
+    // the walk runs per stratum on executors, STREAMING: repartition
+    // co-locates each stratum, sortWithinPartitions imposes the walk's
+    // pinned (order_id, tokens) order with the engine's sort (spills
+    // under pressure), and the partition iterator folds the shared
+    // per-doc rule (StreamingBudget.decide) over each contiguous
+    // stratum run with O(1) state — the r12 shape materialized one
+    // stratum's whole batch slice per task (it.toSeq + sortBy), which
+    // a backfill-sized batch dominated by one stratum paid as O(slice)
+    // task memory. Decisions are pinned: three consumers (decision
+    // log, state increment, admission filter).
+    val dec = docs
+      .repartition(col("stratum"))
+      .sortWithinPartitions(col("stratum"), col("order_id"), col("tokens"))
+      .mapPartitions { it =>
+        new Iterator[StreamingBudget.Decision] {
+          private var cur: String = null
+          private var open = false
+          private var budget: Option[Long] = None
+          private var admitted = 0L
+          def hasNext: Boolean = it.hasNext
+          def next(): StreamingBudget.Decision = {
+            val d = it.next()
+            if (!open || d.stratum != cur) {
+              open = true; cur = d.stratum
+              budget = budgets.get(cur)
+              admitted = carried.getOrElse(cur, 0L)
+            }
+            val (decision, after) =
+              StreamingBudget.decide(budget, admitted, cur, d)
+            admitted = after
+            decision
+          }
+        }
       }
       .toDF().localCheckpoint(eager = true)
     // NO coalesce(1) here, unlike the funnel counters (|rules| rows)
