@@ -107,7 +107,7 @@ object UrlOps {
     * expressible-and-honest slice is the structural rule (last two
     * labels) plus the high-traffic second-level public suffixes
     * (co.uk-class), which covers the overwhelming mass of crawl URLs.
-    * [[registrableDomainPsl]] is the broadcast-PSL upgrade where
+    * [[registrableDomainPsl]] is the full-list trie upgrade where
     * exactness matters — the CALLING shape (domain as a groupBy/cap
     * key) is unchanged. An IPv4 literal is its own domain; a
     * single-label host (localhost) too; port, if present, is stripped
