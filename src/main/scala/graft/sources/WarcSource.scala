@@ -332,6 +332,44 @@ object WarcSource {
       }
     }
 
+  /** Open-and-parse with the quarantine posture extended to the OPEN
+    * itself: `GZIPInputStream`'s constructor reads the gzip header
+    * eagerly, and a streaming file can vanish between source listing
+    * and task open — either failure outside the parser's own
+    * try-boundary would kill the task (and, for a checkpointed
+    * streaming source, wedge the query on infinite retry of the same
+    * batch). An unopenable file costs ONE quarantine row naming it,
+    * like every other violation. `open` must build the full stream
+    * (gzip wrapping included) and close anything it half-built on
+    * failure. */
+  private def parseOpened(f: String,
+                          open: () => InputStream): Iterator[WarcRec] =
+    try {
+      val in = open()
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit] { _ =>
+          try in.close() catch { case _: java.io.IOException => () }
+        })
+      parseStream(f, in)
+    } catch {
+      case e: java.io.IOException =>
+        Iterator.single(WarcRec(f, 0L, null, Nil, Array.emptyByteArray,
+          corrupt = true, Array.emptyByteArray,
+          s"unreadable file: ${e.getMessage}"))
+    }
+
+  /** Gzip-wrap when the name says so, closing the base stream if the
+    * header read fails (no fd leak on the quarantine path). */
+  private def maybeGzip(f: String, base: InputStream): InputStream =
+    if (!f.endsWith(".gz")) base
+    else
+      try new GZIPInputStream(base, 1 << 16)
+      catch {
+        case e: java.io.IOException =>
+          try base.close() catch { case _: java.io.IOException => () }
+          throw e
+      }
+
   /** Re-render a clean record to bytes — the round-trip witness (and a
     * minimal WARC writer): version line, headers in preserved order,
     * blank line, payload, terminator. */
@@ -356,15 +394,7 @@ object WarcSource {
   def readRaw(spark: SparkSession, path: String): DataFrame = {
     val rdd = spark.sparkContext.binaryFiles(path)
       .flatMap { case (f, pds) =>
-        val base = pds.open()
-        val in =
-          if (f.endsWith(".gz")) new GZIPInputStream(base, 1 << 16)
-          else base
-        Option(org.apache.spark.TaskContext.get())
-          .foreach(_.addTaskCompletionListener[Unit] { _ =>
-            try in.close() catch { case _: java.io.IOException => () }
-          })
-        parseStream(f, in)
+        parseOpened(f, () => maybeGzip(f, pds.open()))
       }
     spark.createDataset(rdd)(Encoders.product[WarcRec]).toDF()
   }
@@ -453,16 +483,10 @@ object WarcSource {
                  hc: graft.core.Fs.HadoopConf): DataFrame =
     files.select(col("path")).as[String](Encoders.STRING)
       .flatMap { p =>
-        val path = new org.apache.hadoop.fs.Path(p)
-        val base = path.getFileSystem(hc.value).open(path)
-        val in =
-          if (p.endsWith(".gz")) new GZIPInputStream(base, 1 << 16)
-          else base
-        Option(org.apache.spark.TaskContext.get())
-          .foreach(_.addTaskCompletionListener[Unit] { _ =>
-            try in.close() catch { case _: java.io.IOException => () }
-          })
-        parseStream(p, in)
+        parseOpened(p, () => {
+          val path = new org.apache.hadoop.fs.Path(p)
+          maybeGzip(p, path.getFileSystem(hc.value).open(path))
+        })
       }(Encoders.product[WarcRec]).toDF()
 
   /** Record rows from ANY frame carrying (path, content) columns —
@@ -476,18 +500,11 @@ object WarcSource {
       .as[(String, Array[Byte])](
         Encoders.tuple(Encoders.STRING, Encoders.BINARY))
       .flatMap { case (f, bytes) =>
-        val base = new java.io.ByteArrayInputStream(bytes)
-        val in =
-          if (f.endsWith(".gz")) new GZIPInputStream(base, 1 << 16)
-          else base
-        // same early-stop hygiene as readRaw: a partially-consumed
-        // iterator (task failure, downstream limit) must not leak the
-        // decompressor's native Inflater until GC
-        Option(org.apache.spark.TaskContext.get())
-          .foreach(_.addTaskCompletionListener[Unit] { _ =>
-            try in.close() catch { case _: java.io.IOException => () }
-          })
-        parseStream(f, in)
+        // same early-stop hygiene as readRaw (the task-completion
+        // close in parseOpened): a partially-consumed iterator must
+        // not leak the decompressor's native Inflater until GC
+        parseOpened(f, () =>
+          maybeGzip(f, new java.io.ByteArrayInputStream(bytes)))
       }(Encoders.product[WarcRec]).toDF()
 
   /** STREAMING WARC ingest → the curation funnel, with zero funnel

@@ -229,6 +229,32 @@ class WarcSourceSpec extends SparkSpec {
     assert(recs == Set((false, big.length), (false, 2)))
   }
 
+  test("an unopenable file quarantines instead of killing the task: " +
+      "a .gz with a corrupt gzip HEADER (the eager-reading ctor), and " +
+      "a path that vanished between listing and open") {
+    val dir = java.nio.file.Files.createTempDirectory("warc_unopen")
+    java.nio.file.Files.copy(java.nio.file.Path.of(res("fixture_clean.warc")),
+      dir.resolve("good.warc"))
+    // not gzip: the magic bytes are wrong, GZIPInputStream's ctor throws
+    java.nio.file.Files.write(dir.resolve("bad.warc.gz"),
+      "this is not gzip at all".getBytes("ISO-8859-1"))
+    val out = WarcSource.readRaw(spark, dir.toString + "/*").collect()
+    assert(out.count(!_.getAs[Boolean]("corrupt")) == 5) // good.warc parses
+    val q = out.filter(_.getAs[Boolean]("corrupt"))
+    assert(q.length == 1 && q.head.getAs[String]("err")
+      .startsWith("unreadable file:"), q.toSeq.toString)
+    // the streaming-path race: the source listed a file that is gone
+    // by task time — one quarantine row, the batch (and with it a
+    // checkpointed streaming query) survives
+    import spark.implicits._
+    val ghost = dir.resolve("ghost.warc").toUri.toString
+    val rows = WarcSource.parsePaths(
+      Seq(ghost).toDF("path"), graft.core.Fs.onExecutors(spark))
+      .collect()
+    assert(rows.length == 1 && rows.head.getAs[Boolean]("corrupt") &&
+      rows.head.getAs[String]("err").startsWith("unreadable file:"))
+  }
+
   test("LIVE streaming composition: WARC segment drops feed the " +
       "curation funnel end to end — clean docs admit/cut per the " +
       "rules, duplicate drops dedup, corrupt regions land in the " +
