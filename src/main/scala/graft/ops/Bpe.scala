@@ -129,28 +129,16 @@ object Bpe {
       })
   }
 
-  /** Diff-and-release checkpoint hygiene (the Dedup.connectedGroups
-    * idiom): localCheckpoint pins blocks that only the ContextCleaner
-    * would otherwise release, and a tight hundreds-of-merges loop with
-    * little driver garbage can accumulate superseded vocabulary-sized
-    * tables in executor storage before a GC ever runs. Tracking the
-    * context's persistent-RDD set around each checkpoint and releasing
-    * the superseded pins bounds storage deterministically at two
-    * vocabulary-sized tables. Same caveat as connectedGroups: assumes
-    * no CONCURRENT persist/checkpoint activity on the SparkContext —
-    * true for this engine's single-threaded driver paths. */
-  private def ckpt(df: DataFrame): (DataFrame, Set[Int]) = {
-    val sc = df.sparkSession.sparkContext
-    val before = sc.getPersistentRDDs.keySet.toSet
-    val pinned = df.localCheckpoint(eager = true)
-    (pinned, sc.getPersistentRDDs.keySet.toSet -- before)
-  }
+  /** Diff-and-release checkpoint hygiene — [[graft.core.Pins]], the
+    * shared idiom (single-threaded-driver contract documented there):
+    * a tight hundreds-of-merges loop would otherwise accumulate
+    * superseded vocabulary-sized tables in executor storage; tracking
+    * and releasing bounds it at two. */
+  private def ckpt(df: DataFrame): (DataFrame, Set[Int]) =
+    graft.core.Pins.ckpt(df)
 
-  private def release(df: DataFrame, ids: Set[Int]): Unit = {
-    val sc = df.sparkSession.sparkContext
-    ids.foreach(id => sc.getPersistentRDDs.get(id)
-      .foreach(_.unpersist(blocking = false)))
-  }
+  private def release(df: DataFrame, ids: Set[Int]): Unit =
+    graft.core.Pins.release(df.sparkSession.sparkContext, ids)
 
   /** The per-round adjacent-pair count table over a word table —
     * (l, r, cnt), pair-vocabulary-sized, all-integer. */

@@ -420,20 +420,15 @@ object Dedup {
     // track each checkpoint's block-manager pins so superseded label
     // tables release as the loop advances — without this a deep
     // component leaves O(iterations) full label-table copies cached
-    // for the life of the job
-    def pinned[T](before: Set[Int])(df: DataFrame): (DataFrame, Set[Int]) =
-      (df, sc.getPersistentRDDs.keySet.toSet -- before)
-    def release(ids: Set[Int]): Unit =
-      ids.foreach(id => sc.getPersistentRDDs.get(id)
-        .foreach(_.unpersist(blocking = false)))
+    // for the life of the job ([[graft.core.Pins]], the shared idiom;
+    // single-threaded-driver contract documented there)
+    def release(ids: Set[Int]): Unit = graft.core.Pins.release(sc, ids)
 
     val half = pairs.select(col(a).cast("long").as("u"),
       col(b).cast("long").as("v"))
-    val preE = sc.getPersistentRDDs.keySet.toSet
-    val edges = half.unionByName(half.select(col("v").as("u"),
-        col("u").as("v")))
-      .where(col("u") =!= col("v")).distinct().localCheckpoint(true)
-    val edgePins = sc.getPersistentRDDs.keySet.toSet -- preE
+    val (edges, edgePins) = graft.core.Pins.ckpt(
+      half.unionByName(half.select(col("v").as("u"), col("u").as("v")))
+        .where(col("u") =!= col("v")).distinct())
     val ids = nodes match {
       case Some(n) =>
         val idsN =
@@ -451,9 +446,8 @@ object Dedup {
       case None => half.select(col("u").as("id"))
         .unionByName(half.select(col("v").as("id"))).distinct()
     }
-    val pre0 = sc.getPersistentRDDs.keySet.toSet
-    var (labels, labelPins) = pinned(pre0)(
-      ids.withColumn("group_id", col("id")).localCheckpoint(true))
+    var (labels, labelPins) = graft.core.Pins.ckpt(
+      ids.withColumn("group_id", col("id")))
 
     def minStep(cur: DataFrame): DataFrame = {
       val nbrMin = edges
@@ -482,9 +476,7 @@ object Dedup {
     var i = 0
     var converged = false
     while (!converged && i < maxIter) {
-      val before = sc.getPersistentRDDs.keySet.toSet
-      val (next, nextPins) =
-        pinned(before)(minStep(labels).localCheckpoint(true))
+      val (next, nextPins) = graft.core.Pins.ckpt(minStep(labels))
       converged = changedVs(next, labels) == 0
       release(labelPins)
       labels = next; labelPins = nextPins

@@ -335,26 +335,21 @@ object VectorOps {
     if (bands == 1) bandUnion(bucketed(left, "src_id"),
       bucketed(right, "tgt_id"))
     else {
-      // ckpt/release hygiene (the Bpe.ckpt idiom): the two side pins
-      // exist only to serve the band joins, and relying on the
-      // ContextCleaner to drop them accumulates superseded
+      // ckpt/release hygiene ([[graft.core.Pins]] — the shared idiom,
+      // single-threaded-driver contract documented there): the two
+      // side pins exist only to serve the band joins, and relying on
+      // the ContextCleaner to drop them accumulates superseded
       // corpus-projection blocks across repeated calls in a long
       // session. Materialize the (candidate-bounded) pair table, then
       // release the side pins deterministically; the single returned
       // pin replaces two corpus-sided ones and is the caller's
       // consumable (their contract — same as any localCheckpoint'd
       // return in this repo).
-      val sc = left.sparkSession.sparkContext
-      def pinTracked(d: DataFrame): (DataFrame, Set[Int]) = {
-        val before = sc.getPersistentRDDs.keySet.toSet
-        val p = d.localCheckpoint(eager = true)
-        (p, sc.getPersistentRDDs.keySet.toSet -- before)
-      }
-      val (l, lIds) = pinTracked(bucketed(left, "src_id"))
-      val (r, rIds) = pinTracked(bucketed(right, "tgt_id"))
-      val (pairs, _) = pinTracked(bandUnion(l, r))
-      (lIds ++ rIds).foreach(id =>
-        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+      val (l, lIds) = graft.core.Pins.ckpt(bucketed(left, "src_id"))
+      val (r, rIds) = graft.core.Pins.ckpt(bucketed(right, "tgt_id"))
+      val (pairs, _) = graft.core.Pins.ckpt(bandUnion(l, r))
+      graft.core.Pins.release(left.sparkSession.sparkContext,
+        lIds ++ rIds)
       pairs
     }
   }

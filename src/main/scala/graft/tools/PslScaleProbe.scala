@@ -38,6 +38,10 @@ object PslScaleProbe {
     spark.sparkContext.setLogLevel("ERROR")
 
     val full = UrlOps.PslFull
+    // every gen point is a PREFIX of the full list (full.take(n)) —
+    // the fixture-SIZED first point is NOT the committed fixture's
+    // hand-picked rule mix, just the list's first rules; label curve
+    // rows accordingly
     val sizes: Seq[Int] =
       if (args.nonEmpty) args.map(_.toInt).toSeq
       else Seq(UrlOps.PslFixture.size, 500, 1000, 2000, 4000, full.size)

@@ -64,7 +64,7 @@ object WarcBigSegProbe {
           val root = Iterator.iterate(e)(_.getCause)
             .takeWhile(_ != null).toSeq.last
           s"refused as expected: ${root.getClass.getSimpleName}: " +
-            root.getMessage.take(120)
+            String.valueOf(root.getMessage).take(120)
       }
     println(s"WARCBIG content-transport -> $contentFail")
 
