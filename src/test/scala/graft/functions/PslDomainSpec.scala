@@ -41,6 +41,25 @@ class PslDomainSpec extends SparkSpec {
     assert(out.length == hosts.distinct.size)
   }
 
+  test("trie ≡ generated at full-list-prefix scale (2,000 rules) — " +
+      "coverage beyond the fixture's rule count") {
+    val rules = UrlOps.PslFull.take(2000)
+    val trie = UrlOps.trieOf(rules)
+    // host family over a rule sample spanning the prefix (every 40th
+    // rule keeps the battery small while touching all rule shapes the
+    // prefix carries), plus the garbage classes
+    val hosts = rules.grouped(40).map(_.head).toSeq.flatMap { r =>
+      Seq(r.suffix, s"alpha.${r.suffix}", s"beta.alpha.${r.suffix}")
+    } ++ Seq("", "a.b.unlisted", "10.0.0.1", "x..y")
+    val out = hosts.distinct.toDF("host").select(
+        UrlOps.registrableDomainPslGen(col("host"), rules).as("gen"),
+        UrlOps.registrableDomainPsl(col("host"), trie).as("trie"))
+      .collect()
+    assert(out.forall(r => Option(r.getString(0)) == Option(r.getString(1))),
+      out.filter(r => Option(r.getString(0)) != Option(r.getString(1)))
+        .take(5).mkString(";"))
+  }
+
   test("full list: hand-checked hosts incl. a unicode (IDN) rule") {
     def d(h: String): String = {
       val r = Seq(h).toDF("host")
