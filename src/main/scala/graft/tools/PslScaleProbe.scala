@@ -43,12 +43,31 @@ object PslScaleProbe {
     // hand-picked rule mix, just the list's first rules; label curve
     // rows accordingly
     val sizes: Seq[Int] =
-      if (args.nonEmpty) args.map(_.toInt).toSeq
+      if (args.length == 1 && args(0) == "trie-only") Nil
+      else if (args.nonEmpty) args.map(_.toInt).toSeq
       else Seq(UrlOps.PslFixture.size, 500, 1000, 2000, 4000, full.size)
 
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-      .select(col("doc_id"), concat(lit("https://h"),
-        col("doc_id").cast("string"), lit(".example.co.uk/x")).as("url"))
+    // SPARK_GRAFT_PSL_SYNTH=N swaps the documents scan for an N-row
+    // range source with hosts cycling through suffix classes (plain
+    // 2-level, co.uk, blogspot, wildcard-fed kawasaki.jp, unlisted) —
+    // the production-volume throughput leg: per-row cost over
+    // millions of rows instead of the sf tables' thousands, scan and
+    // codegen shapes identical to the real path.
+    val docs = sys.env.get("SPARK_GRAFT_PSL_SYNTH") match {
+      case Some(n) =>
+        val id = col("id").cast("string")
+        spark.range(n.toLong).select(col("id").as("doc_id"),
+          concat(lit("https://h"), id,
+            element_at(array(lit(".example.com"), lit(".example.co.uk"),
+              lit(".blogspot.com"), lit(".x.kawasaki.jp"),
+              lit(".unlisted")), (col("id") % 5 + 1).cast("int")),
+            lit("/x")).as("url"))
+      case None =>
+        spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id"), concat(lit("https://h"),
+            col("doc_id").cast("string"),
+            lit(".example.co.uk/x")).as("url"))
+    }
     val rows = docs.count()
 
     def probe(label: String, nRules: Int, mk: => org.apache.spark.sql.Column)
@@ -73,7 +92,10 @@ object PslScaleProbe {
     // warm the session once (scan + noop machinery)
     docs.write.format("noop").mode("overwrite").save()
 
-    var go = true
+    // `trie-only` as the sole size arg skips the generated-form curve
+    // entirely — the production-volume synth leg would pay the gen
+    // form's O(|rules|) per row for hours at 10M rows
+    var go = !(args.length == 1 && args(0) == "trie-only")
     for (n <- sizes if go) {
       val rules = full.take(n)
       go = probe("gen", rules.size,
