@@ -228,8 +228,13 @@ object StreamingCuration {
     // stratum run with O(1) state — the r12 shape materialized one
     // stratum's whole batch slice per task (it.toSeq + sortBy), which
     // a backfill-sized batch dominated by one stratum paid as O(slice)
-    // task memory. Decisions are pinned: three consumers (decision
-    // log, state increment, admission filter).
+    // task memory. The one-task WALL per stratum remains — prefix
+    // admission is a sequential dependency by definition (each
+    // decision needs the running total before it), so per-stratum
+    // serialism is the semantics' own grain, not a plan defect; the
+    // memory bound is what this shape fixes. Decisions are pinned:
+    // three consumers (decision log, state increment, admission
+    // filter).
     val dec = docs
       .repartition(col("stratum"))
       .sortWithinPartitions(col("stratum"), col("order_id"), col("tokens"))
