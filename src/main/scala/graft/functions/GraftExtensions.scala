@@ -71,6 +71,27 @@ object GraftExtensions {
       (es: Seq[Expression]) => {
         arity("graft_lsh_bucket", 3)(es)
         LshBucket(es(0), intLit(es(1), "dim"), intLit(es(2), "nPlanes"))
+      }),
+    (FunctionIdentifier("graft_psl_domain"),
+      info("graft_psl_domain", "graft_psl_domain(host) - registrable " +
+        "domain of a hostname under the full committed Public Suffix " +
+        "List (publicsuffix.org algorithm; unicode and punycode IDN " +
+        "forms both resolve); lowercases and strips port / trailing " +
+        "FQDN dots first, exactly like the Column API form"),
+      (es: Seq[Expression]) => {
+        arity("graft_psl_domain", 1)(es)
+        // the Column-side form's EXACT strip chain (lower → port strip
+        // → FQDN-dot strip), authored as raw Catalyst nodes — a Column
+        // round-trip here would hand PslDomain an unresolved
+        // ColumnNodeExpression; the builder runs pre-analysis. Defaults
+        // to the session-wide PslFullTrie plan reference.
+        import org.apache.spark.sql.catalyst.expressions.{Lower, RegExpReplace}
+        PslDomain(
+          RegExpReplace(
+            RegExpReplace(Lower(es(0)),
+              Literal(":[0-9]+$"), Literal("")),
+            Literal("\\.+$"), Literal("")),
+          graft.ops.UrlOps.PslFullTrie)
       }))
 
   /** Register the function table on a LIVE session (the config path does

@@ -26,10 +26,15 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - registrable domain = public suffix + one label; a host that IS
   *    a public suffix yields NULL.
   * Envelope (asserted at build): `*` appears only as a rule's leftmost
-  * label — true of every published list revision; rules are matched
-  * against the list's own label forms (the list carries IDN rules as
-  * unicode labels, so a punycode host does not match them — the same
-  * as-is matching the generated form and the DuckDB oracle do).
+  * label — true of every published list revision. The list carries IDN
+  * rules as unicode labels; [[graft.ops.UrlOps.trieOf]] inserts each
+  * IDN rule's punycode (`xn--`) twin at build, so hosts resolve in
+  * EITHER canonical form — unicode or on-the-wire ACE — to the same
+  * registrable domain (the generated form and the DuckDB oracle expand
+  * the same twins from the same artifact). A host mixing forms ACROSS
+  * its own labels (one label unicode, another punycode) is outside the
+  * envelope: rules match whole-host-form-consistently, as after any
+  * single-pass canonicalization.
   *
   * Build is driver-side, once per rule set (~10 ms for the full list);
   * the trie ships to executors as ONE plan reference object, not per

@@ -166,6 +166,53 @@ object UrlOps {
     finally in.close()
   }
 
+  /** IDNA/punycode (ACE) twin of a rule suffix — each label through
+    * `java.net.IDN.toASCII`, lowercased; None when the twin equals the
+    * input (pure-ASCII rule). The published list carries IDN rules as
+    * UNICODE labels, but real crawl URLs carry IDN hosts in their
+    * on-the-wire punycode form (`xn--55qx5d.cn`), so matching the
+    * list's own forms alone silently drops every IDN rule for those
+    * hosts (publicsuffix.org's algorithm assumes canonicalization —
+    * rules match both forms). A label `toASCII` rejects (not valid
+    * IDNA — never the case for published rules) keeps its original
+    * form rather than failing the build. */
+  def punycodeTwin(suffix: String): Option[String] = {
+    val twin = suffix.split("\\.", -1).map { lab =>
+      if (lab.forall(_ < 0x80)) lab
+      else
+        try java.net.IDN.toASCII(lab).toLowerCase(java.util.Locale.ROOT)
+        catch { case _: IllegalArgumentException => lab }
+    }.mkString(".")
+    if (twin == suffix) None else Some(twin)
+  }
+
+  /** Punycode twin of one verbatim PSL LINE (markers preserved):
+    * None for comments, blanks, and pure-ASCII rules. The aux-artifact
+    * writer ships this next to each raw line so the DuckDB oracle can
+    * union both rule forms — DuckDB has no IDNA codec (the xxhash64
+    * aux-table precedent). */
+  def punycodeTwinLine(rawLine: String): Option[String] = {
+    val l = rawLine.trim
+    if (l.isEmpty || l.startsWith("//")) None
+    else {
+      val (marker, body) =
+        if (l.startsWith("!")) ("!", l.drop(1))
+        else if (l.startsWith("*.")) ("*.", l.drop(2))
+        else ("", l)
+      punycodeTwin(body).map(marker + _)
+    }
+  }
+
+  /** Rule set with each IDN rule's punycode twin inserted (same
+    * wildcard/exception class) — the form [[trieOf]] and
+    * [[registrableDomainPslGen]] compile, so unicode and `xn--` hosts
+    * resolve to the same registrable domain. Driver-side, once per
+    * rule set; ~466 extra rules on the full list. */
+  def withPunycodeTwins(rules: Seq[PslRule]): Seq[PslRule] =
+    rules.flatMap { r =>
+      r +: punycodeTwin(r.suffix).map(s => r.copy(suffix = s)).toSeq
+    }
+
   /** The committed PSL fixture (resources/psl/public_suffix_fixture
     * .dat) — a slice of the real list covering every rule class. Kept
     * for the generated-expression form's specs and the |rules|-scaling
@@ -184,12 +231,15 @@ object UrlOps {
     * path evaluates — O(host labels) per row whatever |rules| is. */
   lazy val PslFullTrie: PslTrie = trieOf(PslFull)
 
-  /** Compile a rule set for [[registrableDomainPsl]]. One trie per
-    * DISTINCT rule set per session is the intended shape (the lazy
-    * vals above) — the build is cheap but the compiled object is what
-    * ships to executors as a plan reference. */
+  /** Compile a rule set for [[registrableDomainPsl]] — punycode twins
+    * inserted first ([[withPunycodeTwins]]), so a compiled trie always
+    * resolves both host forms. One trie per DISTINCT rule set per
+    * session is the intended shape (the lazy vals above) — the build
+    * is cheap but the compiled object is what ships to executors as a
+    * plan reference. */
   def trieOf(rules: Seq[PslRule]): PslTrie =
-    PslTrie.build(rules.map(r => (r.suffix, r.wildcard, r.exception)))
+    PslTrie.build(
+      withPunycodeTwins(rules).map(r => (r.suffix, r.wildcard, r.exception)))
 
   /** Registrable domain under the Public Suffix List algorithm
     * (publicsuffix.org/list/, pinned):
@@ -243,7 +293,7 @@ object UrlOps {
     // host expression (often itself a regex parse chain) into every
     // probe multiplies both the optimizer's tree and the per-row work
     // by |rules| — measured 54 s → 1.0 s at sf0.01.
-    bind1(h0)(h => pslMatch(h, rules))
+    bind1(h0)(h => pslMatch(h, withPunycodeTwins(rules)))
   }
 
   private def pslMatch(h: Column, rules: Seq[PslRule]): Column = {

@@ -306,7 +306,24 @@ object VectorOps {
     * never all-pairs. Returns (src_id, tgt_id). */
   def lshBandedPairs(left: DataFrame, right: DataFrame, idCol: String,
                      vecCol: String, dim: Int, planesPerBand: Int = 5,
-                     bands: Int = 2): DataFrame = {
+                     bands: Int = 2): DataFrame =
+    lshBandedPairsPinned(left, right, idCol, vecCol, dim,
+      planesPerBand, bands)._1
+
+  /** [[lshBandedPairs]] plus the returned pair table's checkpoint pin
+    * ids (empty at bands=1, where nothing is materialized). The pair
+    * table at bands>1 is localCheckpoint-pinned — `DataFrame.unpersist`
+    * does NOT drop localCheckpoint RDD pins, so a caller that is done
+    * with the candidates (a tight loop sweeping band settings, a long
+    * session running many mines) releases deterministically via
+    * `graft.core.Pins.release(sc, ids)` instead of waiting on the
+    * ContextCleaner. One-shot callers (the oracle queries) can keep
+    * the plain overload: its single bounded pin lives until GC, which
+    * a once-per-query call absorbs — the loop case is what leaks. */
+  def lshBandedPairsPinned(left: DataFrame, right: DataFrame,
+                           idCol: String, vecCol: String, dim: Int,
+                           planesPerBand: Int = 5,
+                           bands: Int = 2): (DataFrame, Set[Int]) = {
     require(planesPerBand > 0 && bands > 0,
       s"need planesPerBand/bands > 0, got $planesPerBand/$bands")
     require(planesPerBand * bands <= 62,
@@ -332,8 +349,8 @@ object VectorOps {
           .join(r.select(col("tgt_id"), band.as("__lb_k")), "__lb_k")
           .select(col("src_id"), col("tgt_id"))
       }.reduce(_ unionByName _).distinct()
-    if (bands == 1) bandUnion(bucketed(left, "src_id"),
-      bucketed(right, "tgt_id"))
+    if (bands == 1) (bandUnion(bucketed(left, "src_id"),
+      bucketed(right, "tgt_id")), Set.empty[Int])
     else {
       // ckpt/release hygiene ([[graft.core.Pins]] — the shared idiom,
       // single-threaded-driver contract documented there): the two
@@ -347,10 +364,10 @@ object VectorOps {
       // return in this repo).
       val (l, lIds) = graft.core.Pins.ckpt(bucketed(left, "src_id"))
       val (r, rIds) = graft.core.Pins.ckpt(bucketed(right, "tgt_id"))
-      val (pairs, _) = graft.core.Pins.ckpt(bandUnion(l, r))
+      val (pairs, pairIds) = graft.core.Pins.ckpt(bandUnion(l, r))
       graft.core.Pins.release(left.sparkSession.sparkContext,
         lIds ++ rIds)
-      pairs
+      (pairs, pairIds)
     }
   }
 }

@@ -464,10 +464,11 @@ object OracleQueries {
     * suffix (blogspot.com), wildcard (*.ck, *.kawasaki.jp), exception
     * (!www.ck, !city.kawasaki.jp), a 3-label private suffix
     * (s3.amazonaws.com), a trailing FQDN dot + port, an IPv4 literal,
-    * an unlisted TLD (the PSL default rule), and an unparseable
-    * string. */
+    * an unlisted TLD (the PSL default rule), an unparseable string,
+    * and an on-the-wire punycode IDN host (`xn--55qx5d.cn` = 公司.cn,
+    * a real ICANN rule — resolved via the rule's inserted ACE twin). */
   private def rawUrlPsl: Column = {
-    val m = col("doc_id") % 10
+    val m = col("doc_id") % 11
     val id = col("doc_id").cast("string")
     when(m === 0, concat(lit("https://"), col("source"),
         lit(".blogspot.com/post/"), id))
@@ -484,12 +485,14 @@ object OracleQueries {
       .when(m === 7, lit("http://10.2.3.4:8080/x"))
       .when(m === 8, concat(lit("https://assets."), col("source"),
         lit(".s3.amazonaws.com/k")))
+      .when(m === 9, concat(lit("https://blog."), col("source"),
+        lit(".xn--55qx5d.cn/p/"), id))
       .otherwise(concat(lit("not a url "), id))
   }
 
   /** SQL twin of [[rawUrlPsl]] (CTE `u`). */
   private val rawUrlPslSql: String =
-    """u AS (SELECT doc_id, CASE CAST(doc_id % 10 AS INTEGER)
+    """u AS (SELECT doc_id, CASE CAST(doc_id % 11 AS INTEGER)
           WHEN 0 THEN 'https://' || source || '.blogspot.com/post/'
             || CAST(doc_id AS VARCHAR)
           WHEN 1 THEN 'http://shop.' || source || '.co.uk/x'
@@ -500,14 +503,20 @@ object OracleQueries {
           WHEN 6 THEN 'HTTP://CDN.' || source || '.COM.:80/x'
           WHEN 7 THEN 'http://10.2.3.4:8080/x'
           WHEN 8 THEN 'https://assets.' || source || '.s3.amazonaws.com/k'
+          WHEN 9 THEN 'https://blog.' || source || '.xn--55qx5d.cn/p/'
+            || CAST(doc_id AS VARCHAR)
           ELSE 'not a url ' || CAST(doc_id AS VARCHAR) END AS url
         FROM documents)"""
 
   /** The FULL committed Public Suffix List, re-parsed by DuckDB from
-    * the verbatim artifact bytes (Verify copies the classpath resource
-    * to `$AuxDir/psl_list.dat` — one source of truth, two independent
-    * parsers) — plus an independent replay of the PSL algorithm over
-    * `dom.hp`. At ~9.5k rules the r12 per-rule CROSS JOIN probe would
+    * the verbatim artifact lines (Verify dumps the classpath resource
+    * line-split into `$AuxDir/psl_lines` parquet — one source of
+    * truth, two independent rule parsers) — plus an independent replay
+    * of the PSL algorithm over `dom.hp`. Each IDN rule's precomputed
+    * punycode twin (`line_ascii`, the UrlOps.withPunycodeTwins form —
+    * DuckDB has no IDNA codec) is unioned into the rule table so
+    * on-the-wire `xn--` hosts resolve like their unicode twins. At
+    * ~9.5k rules the r12 per-rule CROSS JOIN probe would
     * be |docs|·|rules| rows, so the replay is the SUFFIX-JOIN form:
     * every suffix of a host (≤ its label count) equi-joins the rule
     * table — a rule matches iff one of the host's suffixes IS the
@@ -518,15 +527,20 @@ object OracleQueries {
     * the host IS a public suffix. Leaves `psl` (doc_id, psl_l) in
     * scope; expects `dom`. */
   private def pslChainSql: String =
-    s"""psl_lines AS (SELECT trim(line) AS line
-          FROM read_csv('$AuxDir/psl_list.dat', header=false,
-            sep='\\t', quote='', columns={'line': 'VARCHAR'})),
+    s"""psl_raw AS (SELECT trim(line) AS line, line_ascii
+          FROM '$AuxDir/psl_lines/*.parquet'),
+        rule_lines AS (
+          SELECT line FROM psl_raw
+            WHERE line <> '' AND line NOT LIKE '//%'
+          UNION
+          SELECT line_ascii AS line FROM psl_raw
+            WHERE line_ascii IS NOT NULL),
         rules AS (SELECT
             CASE WHEN line LIKE '!%' THEN substr(line, 2)
                  WHEN line LIKE '*.%' THEN substr(line, 3)
                  ELSE line END AS rule,
             line LIKE '*.%' AS wild, line LIKE '!%' AS exc
-          FROM psl_lines WHERE line <> '' AND line NOT LIKE '//%'),
+          FROM rule_lines),
         rules2 AS (SELECT rule, len(string_split(rule, '.')) AS nlab,
             wild, exc FROM rules),
         hsuf AS (SELECT doc_id, i,
@@ -557,16 +571,28 @@ object OracleQueries {
   def writeOracleAux(s: SparkSession, dir: String,
                      auxDir: String = DefaultAuxDir): Unit = {
     val AuxDir = auxDir // shadow the token for the writes below
-    // the full Public Suffix List, byte-verbatim from the classpath
-    // resource the Spark trie compiles from — the PSL oracles re-parse
-    // and re-derive the whole algorithm from the same artifact
+    import s.implicits._
+    // the full Public Suffix List, line-verbatim from the classpath
+    // resource the Spark trie compiles from, as a one-row-per-line
+    // parquet (every aux entry must BE parquet — the driver's aux
+    // check scans the whole dir as parquet tables; a raw .dat here
+    // errored the r13 oracle_aux row). The oracle re-parses the rule
+    // syntax and re-derives the whole algorithm from these verbatim
+    // lines; only the line split is done here. `line_ascii` is each
+    // IDN rule line's punycode twin (None for ASCII/comment lines) —
+    // DuckDB has no IDNA codec, so the twin ships precomputed like
+    // the xxhash64 aux tables do, and the oracle unions both forms
+    // exactly as UrlOps.withPunycodeTwins does.
     val pslIn = getClass.getResourceAsStream("/psl/public_suffix_list.dat")
     require(pslIn != null, "psl list resource missing")
-    val pslBytes =
-      try pslIn.readAllBytes()
+    val pslText =
+      try new String(pslIn.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
       finally pslIn.close()
-    graft.core.Fs.write(s"$AuxDir/psl_list.dat", pslBytes,
-      graft.core.Fs.conf(s))
+    pslText.split("\n", -1).toSeq
+      .map(l => (l, UrlOps.punycodeTwinLine(l).orNull))
+      .toDF("line", "line_ascii")
+      .coalesce(1).write.mode("overwrite").parquet(s"$AuxDir/psl_lines")
     val docs = t(s, dir, "documents")
     // minhash: one row per (doc, shingle occurrence, hash family) with the
     // family hash fh = xxhash64(xxhash64(shingle), seed) — exactly the

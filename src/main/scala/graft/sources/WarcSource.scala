@@ -352,7 +352,14 @@ object WarcSource {
         })
       parseStream(f, in)
     } catch {
-      case e: java.io.IOException =>
+      // NonFatal, not just IOException: `open` spans new Path(p) /
+      // getFileSystem too, and a malformed PATH ROW (e.g.
+      // IllegalArgumentException from the URI parse) must cost one
+      // quarantine row like a vanished file does — an escaping throw
+      // kills the task, and for the checkpointed streaming source
+      // wedges the query on infinite retry of the same batch: the
+      // exact failure mode the quarantine posture exists to prevent.
+      case scala.util.control.NonFatal(e) =>
         Iterator.single(WarcRec(f, 0L, null, Nil, Array.emptyByteArray,
           corrupt = true, Array.emptyByteArray,
           s"unreadable file: ${e.getMessage}"))

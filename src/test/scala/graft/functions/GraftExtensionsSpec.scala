@@ -48,6 +48,27 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(viaSql == viaCol)
   }
 
+  test("graft_psl_domain equals the Column-API form on the full list") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // unstripped hosts (case, port, FQDN dot), every rule class incl.
+    // punycode and unicode IDN — the builder wraps the SAME strips the
+    // Column API applies, so the plans must be value-identical
+    val hosts = Seq("MyBlog.Blogspot.COM:443", "a.b.example.co.uk.",
+      "x.shop.anything.ck", "media.city.kawasaki.jp", "co.uk",
+      "foo.xn--55qx5d.cn", "bar.公司.cn", "10.1.2.3:8080", "", "plain")
+      .toDF("host")
+    hosts.createOrReplaceTempView("psl_hosts")
+    val viaSql = spark.sql(
+      "SELECT graft_psl_domain(host) AS d FROM psl_hosts")
+      .collect().map(r => Option(r.getString(0)))
+    val viaCol = hosts.select(
+        graft.ops.UrlOps.registrableDomainPsl(col("host")).as("d"))
+      .collect().map(r => Option(r.getString(0)))
+    assert(viaSql.toSeq == viaCol.toSeq)
+    assert(viaSql.contains(Option("foo.xn--55qx5d.cn"))) // twin resolved
+  }
+
   test("non-literal dim/planes fail fast with a clear message") {
     val ex = intercept[Exception](
       spark.sql("SELECT graft_lsh_bucket(array(1.0d), id, 4) " +

@@ -20,9 +20,13 @@ class PslDomainSpec extends SparkSpec {
   test("trie ≡ generated expression on every fixture rule's host family") {
     // per rule: the bare suffix, +1 label, +2 labels — covers rule-is-
     // host (NULL), plain registrable, and sub-registrable for normal,
-    // wildcard (star consuming the extra label) and exception classes
+    // wildcard (star consuming the extra label) and exception classes;
+    // IDN rules additionally contribute their punycode-twin host family
+    // (the on-the-wire form — both implementations insert the twin
+    // rules, so the battery drives them too)
     val hosts = UrlOps.PslFixture.flatMap { r =>
-      Seq(r.suffix, s"alpha.${r.suffix}", s"beta.alpha.${r.suffix}")
+      (r.suffix +: UrlOps.punycodeTwin(r.suffix).toList).flatMap(s =>
+        Seq(s, s"alpha.$s", s"beta.alpha.$s"))
     } ++ Seq(
       "", "localhost", "corp.example", "a.corp.example",
       "10.1.2.3", "999.1.2.3", "1.2.3.4.5", "10.1.2",
@@ -77,9 +81,53 @@ class PslDomainSpec extends SparkSpec {
     assert(d("co.uk") == null)
     assert(d("com") == null)
     // the list carries IDN rules as unicode labels (公司.cn is a real
-    // ICANN rule) — matched as-is, per the declared envelope
+    // ICANN rule) — matched as-is
     assert(d("foo.公司.cn") == "foo.公司.cn")
     assert(d("公司.cn") == null)
+    // ...AND in the on-the-wire punycode form via the build-time ACE
+    // twin (xn--55qx5d.cn = 公司.cn): real crawls carry IDN hosts as
+    // xn--, which before the twin insertion silently fell through to
+    // the default rule (registrable domain one label too short)
+    assert(d("foo.xn--55qx5d.cn") == "foo.xn--55qx5d.cn")
+    assert(d("xn--55qx5d.cn") == null)
+    // a unicode-IDN TLD (中国 = xn--fiqs8s), both forms
+    assert(d("site.中国") == "site.中国")
+    assert(d("site.xn--fiqs8s") == "site.xn--fiqs8s")
+    assert(d("xn--fiqs8s") == null)
+  }
+
+  test("punycode twins: every IDN fixture rule resolves both host " +
+      "forms to form-consistent, label-identical domains") {
+    val idn = UrlOps.PslFixture.filter(r =>
+      UrlOps.punycodeTwin(r.suffix).isDefined)
+    assert(idn.nonEmpty, "fixture lost its IDN rules")
+    val trie = UrlOps.trieOf(UrlOps.PslFixture)
+    idn.foreach { r =>
+      val twin = UrlOps.punycodeTwin(r.suffix).get
+      val hosts = Seq(s"alpha.${r.suffix}", s"alpha.$twin")
+      val out = hosts.toDF("host")
+        .select(UrlOps.registrableDomainPsl(col("host"), trie))
+        .collect().map(x => if (x.isNullAt(0)) null else x.getString(0))
+      // same label count under both forms, each in its own host's form
+      assert(out(0) == s"alpha.${r.suffix}", s"${r.suffix}: ${out(0)}")
+      assert(out(1) == s"alpha.$twin", s"$twin: ${out(1)}")
+    }
+    // synthetic wildcard + exception IDN classes (the published list
+    // has none today — the twin insertion must still cover them if a
+    // revision adds one): *.例.jp with !www.例.jp
+    val synth = UrlOps.trieOf(Seq(
+      UrlOps.PslRule("例.jp", wildcard = true, exception = false),
+      UrlOps.PslRule("www.例.jp", wildcard = false, exception = true)))
+    val ace = UrlOps.punycodeTwin("例.jp").get // xn--fsq.jp
+    def d2(h: String): String = {
+      val r = Seq(h).toDF("host")
+        .select(UrlOps.registrableDomainPsl(col("host"), synth)).collect()
+      if (r.head.isNullAt(0)) null else r.head.getString(0)
+    }
+    assert(d2(s"a.shop.$ace") == s"a.shop.$ace")
+    assert(d2(s"shop.$ace") == null)      // star consumed 'shop'
+    assert(d2(s"sub.www.$ace") == s"www.$ace") // exception prevails
+    assert(d2("a.shop.例.jp") == "a.shop.例.jp") // unicode unchanged
   }
 
   test("build envelope: full list loads; non-leading star rejected") {

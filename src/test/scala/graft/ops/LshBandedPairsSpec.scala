@@ -54,6 +54,24 @@ class LshBandedPairsSpec extends SparkSpec {
     assert(p2 == want, s"B=2 diverged from the reference OR semantics")
   }
 
+  test("pinned variant exposes the pair table's checkpoint pin for " +
+      "deterministic release (and B=1 pins nothing)") {
+    val sc = spark.sparkContext
+    val (l, r) = (vecs(20, 0), vecs(20, 1))
+    val (pairs, ids) = VectorOps.lshBandedPairsPinned(
+      l, r, "vec_id", "v", dim = 16, planesPerBand = 4, bands = 2)
+    assert(ids.nonEmpty, "bands>1 must return the pair pin ids")
+    assert(ids.forall(sc.getPersistentRDDs.contains),
+      "returned ids must name live pins")
+    pairs.count() // consumable while pinned
+    graft.core.Pins.release(sc, ids)
+    assert(ids.forall(!sc.getPersistentRDDs.contains(_)),
+      "release must drop the exposed pins")
+    val (_, none) = VectorOps.lshBandedPairsPinned(
+      l, r, "vec_id", "v", dim = 16, planesPerBand = 4, bands = 1)
+    assert(none.isEmpty)
+  }
+
   test("guards: zero bands / key wider than a long are rejected") {
     val d = vecs(4, 0)
     intercept[IllegalArgumentException] {

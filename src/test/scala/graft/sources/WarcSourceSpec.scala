@@ -253,6 +253,16 @@ class WarcSourceSpec extends SparkSpec {
       .collect()
     assert(rows.length == 1 && rows.head.getAs[Boolean]("corrupt") &&
       rows.head.getAs[String]("err").startsWith("unreadable file:"))
+    // a MALFORMED PATH ROW (non-IO failure: new Path / URI parse throws
+    // IllegalArgumentException, not IOException) — same posture: one
+    // quarantine row, not a dead task wedging a checkpointed query
+    val malformed = "hdfs://bad_authority:not_a_port/x.warc"
+    val mrows = WarcSource.parsePaths(
+      Seq(malformed).toDF("path"), graft.core.Fs.onExecutors(spark))
+      .collect()
+    assert(mrows.length == 1 && mrows.head.getAs[Boolean]("corrupt") &&
+      mrows.head.getAs[String]("err").startsWith("unreadable file:"),
+      mrows.toSeq.toString)
   }
 
   test("LIVE streaming composition: WARC segment drops feed the " +
