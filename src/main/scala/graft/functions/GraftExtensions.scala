@@ -6,14 +6,28 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
 import org.apache.spark.sql.types.IntegerType
 
 /** SQL registration for the engine's native Catalyst expressions, so a
-  * pure-SQL user gets the same codegen'd kernels the DataFrame API uses:
+  * pure-SQL user gets the same kernels the DataFrame API uses:
   *
   * {{{
   *   SELECT graft_cosine(embedding, query_vec)        -- array<double> x2
   *   SELECT graft_dot(a, b)
   *   SELECT graft_sig_agree(sig_a, sig_b)             -- array<bigint> x2
   *   SELECT graft_lsh_bucket(vec, 64, 10)             -- dims, planes literal
+  *   SELECT graft_rp_project(vec, 64, 16)             -- JL projection
+  *   SELECT graft_psl_domain(host)                    -- full-list PSL trie
+  *   SELECT graft_nfc(text), graft_deflate_ratio(text)
+  *   SELECT graft_minhash_sig(text, 3, 32)            -- shingle family
+  *   SELECT graft_simhash(text, 3), graft_winnow_sig(text, 3, 4)
+  *   SELECT graft_shingle_hashes(text, 3), graft_shingle_hashes_pos(text, 3)
+  *   SELECT graft_repetition_sig(text, 10)            -- quality features
   * }}}
+  *
+  * NOT registered (and why): `PqEncodeSig` and `HouseholderRotate`
+  * take trained artifacts (a codebook / a reflection direction) as
+  * constructor data — a SQL surface would need a literal-encoded
+  * artifact format, and their callers always hold the staged artifact
+  * object anyway; `PolygonContains` takes parsed polygon geometry
+  * (same reasoning — the mask DSL is the user surface there).
   *
   * Two wiring paths, same function table:
   *  - config: `spark.sql.extensions=graft.functions.GraftExtensions`
@@ -71,6 +85,80 @@ object GraftExtensions {
       (es: Seq[Expression]) => {
         arity("graft_lsh_bucket", 3)(es)
         LshBucket(es(0), intLit(es(1), "dim"), intLit(es(2), "nPlanes"))
+      }),
+    (FunctionIdentifier("graft_nfc"),
+      info("graft_nfc", "graft_nfc(text) - Unicode NFC normalization " +
+        "(java.text.Normalizer; fast no-alloc path for already-NFC text)"),
+      (es: Seq[Expression]) => {
+        arity("graft_nfc", 1)(es); NfcNormalize(es(0))
+      }),
+    (FunctionIdentifier("graft_deflate_ratio"),
+      info("graft_deflate_ratio", "graft_deflate_ratio(text) - DEFLATE " +
+        "compressed/raw size ratio, 6dp (low = template/boilerplate, " +
+        "~1.0 = incompressible); rerun-stable, not a cross-engine " +
+        "constant"),
+      (es: Seq[Expression]) => {
+        arity("graft_deflate_ratio", 1)(es); DeflateRatio(es(0))
+      }),
+    (FunctionIdentifier("graft_minhash_sig"),
+      info("graft_minhash_sig", "graft_minhash_sig(text, n, k) - " +
+        "k-hash minhash signature over word n-gram shingles as " +
+        "array<bigint>; n and k are integer literals; null when the " +
+        "document has fewer than n words"),
+      (es: Seq[Expression]) => {
+        arity("graft_minhash_sig", 3)(es)
+        MinhashSig(es(0), intLit(es(1), "n"), intLit(es(2), "k"))
+      }),
+    (FunctionIdentifier("graft_simhash"),
+      info("graft_simhash", "graft_simhash(text, n) - 64-bit SimHash " +
+        "fingerprint over distinct word n-gram shingles; n is an " +
+        "integer literal; null when the document has fewer than n words"),
+      (es: Seq[Expression]) => {
+        arity("graft_simhash", 2)(es)
+        SimhashSig(es(0), intLit(es(1), "n"))
+      }),
+    (FunctionIdentifier("graft_winnow_sig"),
+      info("graft_winnow_sig", "graft_winnow_sig(text, n, window) - " +
+        "winnowing (MOSS) fingerprint set: distinct sliding-window " +
+        "minima of positional n-gram shingle hashes, sorted ascending; " +
+        "n and window are integer literals; null without a full window"),
+      (es: Seq[Expression]) => {
+        arity("graft_winnow_sig", 3)(es)
+        WinnowSig(es(0), intLit(es(1), "n"), intLit(es(2), "window"))
+      }),
+    (FunctionIdentifier("graft_shingle_hashes"),
+      info("graft_shingle_hashes", "graft_shingle_hashes(text, n) - " +
+        "distinct word n-gram shingle hashes (xxhash64 family) as " +
+        "array<bigint>; n is an integer literal"),
+      (es: Seq[Expression]) => {
+        arity("graft_shingle_hashes", 2)(es)
+        DistinctShingleHashes(es(0), intLit(es(1), "n"))
+      }),
+    (FunctionIdentifier("graft_shingle_hashes_pos"),
+      info("graft_shingle_hashes_pos", "graft_shingle_hashes_pos(text, " +
+        "n) - positional word n-gram shingle hashes in document order " +
+        "(winnowing's input granularity); n is an integer literal"),
+      (es: Seq[Expression]) => {
+        arity("graft_shingle_hashes_pos", 2)(es)
+        PositionalShingleHashes(es(0), intLit(es(1), "n"))
+      }),
+    (FunctionIdentifier("graft_repetition_sig"),
+      info("graft_repetition_sig", "graft_repetition_sig(text, n) - " +
+        "(dup_token_frac, dup_ngram_frac, top_token_frac) repetition " +
+        "features in one row-local pass; n is an integer literal"),
+      (es: Seq[Expression]) => {
+        arity("graft_repetition_sig", 2)(es)
+        RepetitionSig(es(0), intLit(es(1), "n"))
+      }),
+    (FunctionIdentifier("graft_rp_project"),
+      info("graft_rp_project", "graft_rp_project(vec, dim, rDim) - " +
+        "Johnson-Lindenstrauss random projection of an array<double> " +
+        "vector to rDim dims (deterministic sin-table directions, " +
+        "bit-identical to the Column form); dim and rDim are integer " +
+        "literals"),
+      (es: Seq[Expression]) => {
+        arity("graft_rp_project", 3)(es)
+        RandomProject(es(0), intLit(es(1), "dim"), intLit(es(2), "rDim"))
       }),
     (FunctionIdentifier("graft_psl_domain"),
       info("graft_psl_domain", "graft_psl_domain(host) - registrable " +

@@ -69,6 +69,57 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(viaSql.contains(Option("foo.xn--55qx5d.cn"))) // twin resolved
   }
 
+  test("r14 text/signature/JL functions: SQL ≡ the ops-layer Column " +
+      "forms on real corpus text (registration + literal plumbing)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = Seq(
+      "the quick brown fox jumps over the lazy dog again and again",
+      "aaa aaa aaa aaa aaa aaa aaa aaa",
+      "short",
+      "Précomposed vs précomposed text",  // NFC-divergent forms
+      null.asInstanceOf[String])
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    docs.createOrReplaceTempView("ext_docs")
+    val sqlOut = spark.sql(
+      """SELECT id,
+           graft_nfc(text) AS nfc,
+           graft_deflate_ratio(text) AS dr,
+           graft_minhash_sig(text, 3, 8) AS mh,
+           graft_simhash(text, 3) AS sh,
+           graft_winnow_sig(text, 3, 4) AS ws,
+           graft_shingle_hashes(text, 3) AS dh,
+           graft_shingle_hashes_pos(text, 3) AS ph,
+           graft_repetition_sig(text, 2) AS rep
+         FROM ext_docs""").collect().map(r => r.toSeq.map(v =>
+      Option(v).map(_.toString))).toSeq
+    import org.apache.spark.sql.graftshim.Internals.{column => c, expression => e}
+    val colOut = docs.select(col("id"),
+        c(NfcNormalize(e(col("text")))).as("nfc"),
+        c(DeflateRatio(e(col("text")))).as("dr"),
+        c(MinhashSig(e(col("text")), 3, 8)).as("mh"),
+        c(SimhashSig(e(col("text")), 3)).as("sh"),
+        c(WinnowSig(e(col("text")), 3, 4)).as("ws"),
+        c(DistinctShingleHashes(e(col("text")), 3)).as("dh"),
+        c(PositionalShingleHashes(e(col("text")), 3)).as("ph"),
+        c(RepetitionSig(e(col("text")), 2)).as("rep"))
+      .collect().map(r => r.toSeq.map(v =>
+        Option(v).map(_.toString))).toSeq
+    assert(sqlOut == colOut)
+    // JL projection: 2 input rows, 16→4 dims, bit-identical
+    val vecs = Seq.tabulate(2)(i =>
+      (i.toLong, Array.tabulate(16)(j => math.cos(i * 16 + j))))
+      .toDF("id", "v")
+    vecs.createOrReplaceTempView("ext_vecs")
+    val rpSql = spark.sql(
+        "SELECT graft_rp_project(v, 16, 4) AS p FROM ext_vecs")
+      .collect().map(_.getSeq[Double](0)).toSeq
+    val rpCol = vecs.select(
+        graft.ops.VectorOps.randomProject(col("v"), 16, 4).as("p"))
+      .collect().map(_.getSeq[Double](0)).toSeq
+    assert(rpSql == rpCol)
+  }
+
   test("non-literal dim/planes fail fast with a clear message") {
     val ex = intercept[Exception](
       spark.sql("SELECT graft_lsh_bucket(array(1.0d), id, 4) " +
