@@ -180,6 +180,28 @@ object GraftExtensions {
               Literal(":[0-9]+$"), Literal("")),
             Literal("\\.+$"), Literal("")),
           graft.ops.UrlOps.PslFullTrie)
+      }),
+    (FunctionIdentifier("graft_idn_ascii"),
+      info("graft_idn_ascii", "graft_idn_ascii(host) - per-label " +
+        "IDNA/punycode canonicalization of a hostname (unicode labels " +
+        "to their xn-- ACE form; ASCII hosts pass through untouched)"),
+      (es: Seq[Expression]) => {
+        arity("graft_idn_ascii", 1)(es); IdnAscii(es(0))
+      }),
+    (FunctionIdentifier("graft_psl_domain_ascii"),
+      info("graft_psl_domain_ascii", "graft_psl_domain_ascii(host) - " +
+        "graft_psl_domain over the ACE-canonicalized host: unicode and " +
+        "punycode spellings of one domain key identically (output " +
+        "always the on-the-wire xn-- form)"),
+      (es: Seq[Expression]) => {
+        arity("graft_psl_domain_ascii", 1)(es)
+        import org.apache.spark.sql.catalyst.expressions.{Lower, RegExpReplace}
+        PslDomain(IdnAscii(
+          RegExpReplace(
+            RegExpReplace(Lower(es(0)),
+              Literal(":[0-9]+$"), Literal("")),
+            Literal("\\.+$"), Literal(""))),
+          graft.ops.UrlOps.PslFullTrie)
       }))
 
   /** Register the function table on a LIVE session (the config path does

@@ -177,12 +177,11 @@ object UrlOps {
     * IDNA — never the case for published rules) keeps its original
     * form rather than failing the build. */
   def punycodeTwin(suffix: String): Option[String] = {
-    val twin = suffix.split("\\.", -1).map { lab =>
-      if (lab.forall(_ < 0x80)) lab
-      else
-        try java.net.IDN.toASCII(lab).toLowerCase(java.util.Locale.ROOT)
-        catch { case _: IllegalArgumentException => lab }
-    }.mkString(".")
+    // ONE conversion implementation with the host-side canonicalizer
+    // ([[graft.functions.IdnAscii]]) — twin rules and canonicalized
+    // hosts must agree bit-for-bit or twin matching breaks
+    val twin = suffix.split("\\.", -1)
+      .map(graft.functions.IdnAscii.asciiLabel).mkString(".")
     if (twin == suffix) None else Some(twin)
   }
 
@@ -270,8 +269,28 @@ object UrlOps {
     * (the SCALE_r13 §1 curve). */
   def registrableDomainPsl(host: Column,
                            trie: PslTrie = PslFullTrie): Column =
-    toCol(PslDomain(toExpr(regexp_replace(
-      regexp_replace(lower(host), ":[0-9]+$", ""), "\\.+$", "")), trie))
+    toCol(PslDomain(strippedHost(host), trie))
+
+  /** The shared host strip (lowercase, port, trailing FQDN dots) as a
+    * Catalyst expression — every PSL entry point applies exactly this. */
+  private def strippedHost(host: Column) =
+    toExpr(regexp_replace(
+      regexp_replace(lower(host), ":[0-9]+$", ""), "\\.+$", ""))
+
+  /** [[registrableDomainPsl]] with the host CANONICALIZED to its
+    * on-the-wire ACE form first ([[graft.functions.IdnAscii]] — per
+    * label, so mixed-form hosts canonicalize too): `blog.公司.cn` and
+    * `blog.xn--55qx5d.cn` key to the SAME registrable domain
+    * (`<x>.xn--55qx5d.cn`), where the plain form keys each spelling in
+    * its own form (two domains for one wire identity — under-merged
+    * caps/mixes in any corpus carrying IRIs next to wire URLs). The
+    * output is always the ACE form. Opt-in rather than the default
+    * because the plain form's output-follows-input behavior is what
+    * the cross-engine oracle replays (DuckDB has no IDNA codec);
+    * rows-only / spec-gated class, like DeflateRatio. */
+  def registrableDomainPslAscii(host: Column,
+                                trie: PslTrie = PslFullTrie): Column =
+    toCol(PslDomain(graft.functions.IdnAscii(strippedHost(host)), trie))
 
   /** The GENERATED-EXPRESSION form of [[registrableDomainPsl]]: per
     * rule one endswith/equality probe, the prevailing length a
@@ -333,5 +352,15 @@ object UrlOps {
     bind1(url) { u =>
       when(scheme(u) === "", lit(null).cast("string"))
         .otherwise(registrableDomainPsl(normHost(u), trie))
+    }
+
+  /** [[urlDomainPsl]] over the ACE-canonicalized host
+    * ([[registrableDomainPslAscii]]) — ONE key per wire identity for
+    * corpora mixing IRI and punycode URL spellings. */
+  def urlDomainPslAscii(url: Column,
+                        trie: PslTrie = PslFullTrie): Column =
+    bind1(url) { u =>
+      when(scheme(u) === "", lit(null).cast("string"))
+        .otherwise(registrableDomainPslAscii(normHost(u), trie))
     }
 }
