@@ -41,19 +41,29 @@ class IdnAsciiSpec extends SparkSpec {
   }
 
   test("eval ≡ codegen path on the conversion battery") {
-    // a filter forces the codegen'd predicate path; compare against
-    // the collected projection values
+    // CODEGEN_ONLY forces doGenCode (a broken static-call site cannot
+    // hide behind interpreted fallback), NO_CODEGEN forces eval — the
+    // two paths must agree value-for-value (the VectorExpressions
+    // pattern)
     val hosts = Seq("blog.公司.cn", "example.co.uk", "公司.xn--fiqs8s",
-      "a..b", "", "blog.xn--55qx5d.cn")
+      "a..b", "", "blog.xn--55qx5d.cn", null)
     val df = hosts.toDF("host")
-    val proj = df.select(col("host"),
-      org.apache.spark.sql.graftshim.Internals.column(
-        IdnAscii(org.apache.spark.sql.graftshim.Internals.expression(
-          col("host")))).as("a"))
-    val viaProj = proj.collect().map(r => r.getString(0) -> r.getString(1))
-    viaProj.foreach { case (h, a) =>
-      assert(proj.where(col("host") === h && col("a") === a).count() == 1)
+    def run(): Seq[Option[String]] = df.select(
+        org.apache.spark.sql.graftshim.Internals.column(
+          IdnAscii(org.apache.spark.sql.graftshim.Internals.expression(
+            col("host")))).as("a"))
+      .collect().map(r => Option(r.getString(0))).toSeq
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    val gen = try run() finally
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    val interp = try run() finally {
+      spark.conf.unset("spark.sql.codegen.wholeStage")
+      spark.conf.unset("spark.sql.codegen.factoryMode")
     }
+    assert(gen == interp)
+    assert(gen(0) == Some("blog.xn--55qx5d.cn") && gen.last.isEmpty)
   }
 
   test("one key per wire identity: unicode, punycode and mixed " +
