@@ -56,11 +56,24 @@ object PslScaleProbe {
     val docs = sys.env.get("SPARK_GRAFT_PSL_SYNTH") match {
       case Some(n) =>
         val id = col("id").cast("string")
+        // SPARK_GRAFT_PSL_IDN=1 adds a 2/7 IDN share (one unicode,
+        // one punycode spelling) — the r14 canonicalization leg's
+        // worst-realistic case; default keeps the r13 5-class mix so
+        // the recorded curves stay comparable
+        val suffixes =
+          if (sys.env.get("SPARK_GRAFT_PSL_IDN").contains("1"))
+            array(lit(".example.com"), lit(".example.co.uk"),
+              lit(".blogspot.com"), lit(".x.kawasaki.jp"),
+              lit(".unlisted"), lit(".公司.cn"), lit(".xn--55qx5d.cn"))
+          else
+            array(lit(".example.com"), lit(".example.co.uk"),
+              lit(".blogspot.com"), lit(".x.kawasaki.jp"),
+              lit(".unlisted"))
+        val k = if (sys.env.get("SPARK_GRAFT_PSL_IDN").contains("1")) 7
+          else 5
         spark.range(n.toLong).select(col("id").as("doc_id"),
           concat(lit("https://h"), id,
-            element_at(array(lit(".example.com"), lit(".example.co.uk"),
-              lit(".blogspot.com"), lit(".x.kawasaki.jp"),
-              lit(".unlisted")), (col("id") % 5 + 1).cast("int")),
+            element_at(suffixes, (col("id") % k + 1).cast("int")),
             lit("/x")).as("url"))
       case None =>
         spark.read.parquet(s"$sfDir/documents.parquet")
@@ -106,6 +119,12 @@ object PslScaleProbe {
     }
     probe("trie", full.size,
       UrlOps.registrableDomainPsl(
+        regexp_extract(col("url"), "^https://([^/]*)/", 1)))
+    // the r14 canonicalization leg: same trie, host through IdnAscii
+    // first — prices the per-label ACE conversion (ASCII fast path on
+    // the default mix; real conversions under SPARK_GRAFT_PSL_IDN=1)
+    probe("trie_canon", full.size,
+      UrlOps.registrableDomainPslAscii(
         regexp_extract(col("url"), "^https://([^/]*)/", 1)))
     spark.stop()
   }
