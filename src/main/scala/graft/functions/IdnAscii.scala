@@ -82,11 +82,14 @@ object IdnAscii {
   }
 
   /** Whole stripped host, per label; ASCII hosts return the INPUT
-    * object (no re-encode, no allocation). Called from generated code. */
+    * object — `UTF8String.isFullAscii` tests the raw bytes, so the
+    * dominant path allocates NOTHING (a `toString` before the test
+    * would silently tax every row of a 100 TB scan for the benefit of
+    * the rare IDN row). Called from generated code. */
   def toAsciiHost(host: UTF8String): UTF8String = {
     if (host == null) return null
-    val h = host.toString
-    if (isAscii(h)) return host
-    UTF8String.fromString(h.split("\\.", -1).map(asciiLabel).mkString("."))
+    if (host.isFullAscii) return host
+    UTF8String.fromString(
+      host.toString.split("\\.", -1).map(asciiLabel).mkString("."))
   }
 }

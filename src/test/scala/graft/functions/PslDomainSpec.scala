@@ -134,6 +134,19 @@ class PslDomainSpec extends SparkSpec {
     assert(UrlOps.PslFull.size > 9000)
     assert(UrlOps.PslFull.count(_.wildcard) > 50)
     assert(UrlOps.PslFull.count(_.exception) > 0)
+    // every IDN rule in the committed artifact converts CLEANLY: its
+    // twin is full-ASCII (a label IDN.toASCII rejects would keep its
+    // unicode form and silently leave that rule's xn-- hosts on the
+    // default rule — if a future list revision trips this, the
+    // conversion flags need revisiting, loudly not silently)
+    val idn = UrlOps.PslFull.filter(r => r.suffix.exists(_ >= 0x80))
+    assert(idn.size > 400, s"expected 400+ IDN rules, got ${idn.size}")
+    val dirty = idn.flatMap(r => UrlOps.punycodeTwin(r.suffix) match {
+      case None => Some(r.suffix -> "no twin")
+      case Some(t) if t.exists(_ >= 0x80) => Some(r.suffix -> t)
+      case _ => None
+    })
+    assert(dirty.isEmpty, dirty.take(5).mkString("; "))
     // every star in the published artifact is leftmost — the build
     // asserts it, so a future list revision that breaks the envelope
     // fails loudly at compile-the-trie time, not silently at match time
