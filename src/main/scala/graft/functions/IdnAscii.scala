@@ -8,9 +8,9 @@ import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Per-label IDNA/punycode (ACE) canonicalization of a hostname —
-  * `java.net.IDN.toASCII` on each non-ASCII label, ASCII labels (and
-  * so ASCII-only hosts, the overwhelming majority) pass through
-  * untouched on a zero-allocation fast path.
+  * ICU UTS #46 nontransitional `toASCII` on each non-ASCII label,
+  * ASCII labels (and so ASCII-only hosts, the overwhelming majority)
+  * pass through untouched on a zero-allocation fast path.
   *
   * Why this exists: crawl corpora carry the SAME IDN domain in two
   * spellings — the on-the-wire punycode form (`blog.xn--55qx5d.cn`)
@@ -21,10 +21,19 @@ import org.apache.spark.unsafe.types.UTF8String
   * punycode) — the case single-pass whole-host converters miss and the
   * one the PSL twin-rule envelope (PslDomain) excludes.
   *
-  * Semantics:
-  *  - each label through `IDN.toASCII`, lowercased (already-punycode
-  *    and plain-ASCII labels are fixpoints);
-  *  - a label the IDNA algorithm rejects keeps its original form (the
+  * Semantics (UTS #46 NONTRANSITIONAL processing — what modern
+  * browsers and registries implement, NOT `java.net.IDN`'s IDNA2003,
+  * whose Nameprep folds the deviation characters and would over-merge
+  * DISTINCT registrations):
+  *  - each label through ICU `IDNA.getUTS46Instance(
+  *    NONTRANSITIONAL_TO_ASCII).labelToASCII`, lowercased
+  *    (already-punycode and plain-ASCII labels are fixpoints);
+  *  - deviation characters keep their own registrations: `faß` →
+  *    `xn--fa-hia` (a DIFFERENT domain from `fass` since IDNA2008),
+  *    final sigma `ς` → `xn--3xa` (≠ `σ`'s `xn--4xa`), ZWJ/ZWNJ
+  *    encode rather than vanish — IdnAsciiSpec pins all three;
+  *  - a label the algorithm rejects (bad punycode, ACE > 63 octets,
+  *    UTS-46 hyphen rule) keeps its original form (the
   *    [[graft.ops.UrlOps.punycodeTwin]] posture — garbage stays
   *    observable, never throws mid-scan);
   *  - null → null, '' → '', label structure ('.' count) preserved.
@@ -62,15 +71,28 @@ case class IdnAscii(child: Expression) extends UnaryExpression {
 
 object IdnAscii {
 
-  /** One label to its ACE form: ASCII labels unchanged; IDNA-rejected
-    * labels keep their original form. The single conversion
-    * implementation — rule twins and host canonicalization must agree
-    * bit-for-bit or twin-rule matching breaks. */
+  /** The shared UTS #46 converter — nontransitional ToASCII, the
+    * registry/browser wire semantics (IDNA2008-compatible deviation
+    * handling). ICU `IDNA` instances are immutable and thread-safe;
+    * ONE instance serves every executor thread. icu4j ships on the
+    * Spark classpath (Spark itself depends on it) — no new dependency. */
+  private val Uts46: com.ibm.icu.text.IDNA =
+    com.ibm.icu.text.IDNA.getUTS46Instance(
+      com.ibm.icu.text.IDNA.NONTRANSITIONAL_TO_ASCII)
+
+  /** One label to its ACE form: ASCII labels unchanged; labels the
+    * UTS-46 algorithm flags (any `IDNA.Info` error — bad punycode,
+    * ACE > 63 octets, hyphen-3-4) keep their original form. The single
+    * conversion implementation — rule twins and host canonicalization
+    * must agree bit-for-bit or twin-rule matching breaks. */
   def asciiLabel(lab: String): String =
     if (isAscii(lab)) lab
-    else
-      try java.net.IDN.toASCII(lab).toLowerCase(java.util.Locale.ROOT)
-      catch { case _: IllegalArgumentException => lab }
+    else {
+      val info = new com.ibm.icu.text.IDNA.Info
+      val out = Uts46.labelToASCII(lab, new java.lang.StringBuilder, info)
+      if (info.hasErrors) lab
+      else out.toString.toLowerCase(java.util.Locale.ROOT)
+    }
 
   private def isAscii(s: String): Boolean = {
     var i = 0

@@ -167,7 +167,8 @@ object UrlOps {
   }
 
   /** IDNA/punycode (ACE) twin of a rule suffix — each label through
-    * `java.net.IDN.toASCII`, lowercased; None when the twin equals the
+    * UTS #46 nontransitional toASCII ([[graft.functions.IdnAscii
+    * .asciiLabel]]), lowercased; None when the twin equals the
     * input (pure-ASCII rule). The published list carries IDN rules as
     * UNICODE labels, but real crawl URLs carry IDN hosts in their
     * on-the-wire punycode form (`xn--55qx5d.cn`), so matching the

@@ -583,6 +583,14 @@ object OracleQueries {
     // DuckDB has no IDNA codec, so the twin ships precomputed like
     // the xxhash64 aux tables do, and the oracle unions both forms
     // exactly as UrlOps.withPunycodeTwins does.
+    // an aux dir reused across rounds may carry the pre-r14 RAW
+    // psl_list.dat — the whole-dir parquet scan errors on it even
+    // though psl_lines itself was rewritten, so remove it explicitly
+    locally {
+      val stale = new org.apache.hadoop.fs.Path(s"$AuxDir/psl_list.dat")
+      val fs = stale.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(stale)) fs.delete(stale, false)
+    }
     val pslIn = getClass.getResourceAsStream("/psl/public_suffix_list.dat")
     require(pslIn != null, "psl list resource missing")
     val pslText =

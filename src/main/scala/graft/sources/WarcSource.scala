@@ -359,10 +359,14 @@ object WarcSource {
       // kills the task, and for the checkpointed streaming source
       // wedges the query on infinite retry of the same batch: the
       // exact failure mode the quarantine posture exists to prevent.
+      // the class name rides along: a swallowed NON-IO failure (an NPE
+      // whose getMessage is null, a logic bug in parser setup) must
+      // stay attributable from the quarantine row alone, not read as
+      // an anonymous data problem
       case scala.util.control.NonFatal(e) =>
         Iterator.single(WarcRec(f, 0L, null, Nil, Array.emptyByteArray,
           corrupt = true, Array.emptyByteArray,
-          s"unreadable file: ${e.getMessage}"))
+          s"unreadable file: ${e.getClass.getName}: ${e.getMessage}"))
     }
 
   /** Gzip-wrap when the name says so, closing the base stream if the

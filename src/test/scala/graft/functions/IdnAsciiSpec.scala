@@ -40,6 +40,27 @@ class IdnAsciiSpec extends SparkSpec {
     assert(ascii(longLab + ".公司.cn") == longLab + ".xn--55qx5d.cn")
   }
 
+  test("UTS-46 nontransitional envelope: deviation characters keep " +
+      "their own registrations (≠ IDNA2003's Nameprep folding)") {
+    // German sharp s: faß.de and fass.de are DIFFERENT registrations
+    // since IDNA2008 — java.net.IDN (IDNA2003) would fold faß → fass,
+    // over-merging them under one per-domain cap/dedup key
+    assert(ascii("faß.de") == "xn--fa-hia.de")
+    assert(ascii("fass.de") == "fass.de")
+    assert(ascii("faß.de") != ascii("fass.de"))
+    // Greek final sigma keeps its own code point (σ encodes xn--4xa)
+    assert(ascii("ς") == "xn--3xa")
+    assert(ascii("σ") == "xn--4xa")
+    // ZWJ/ZWNJ encode rather than vanish (Nameprep deleted them,
+    // merging visually-distinct joiner domains with their base form)
+    assert(ascii("a‍b") == "xn--ab-m1t")
+    assert(ascii("a‌b") == "xn--ab-j1t")
+    assert(ascii("a‍b") != "ab")
+    // and the wire form of a deviation host is a fixpoint, so the
+    // one-key-per-wire-identity property holds for faß.de too
+    assert(ascii("xn--fa-hia.de") == "xn--fa-hia.de")
+  }
+
   test("eval ≡ codegen path on the conversion battery") {
     // CODEGEN_ONLY forces doGenCode (a broken static-call site cannot
     // hide behind interpreted fallback), NO_CODEGEN forces eval — the
