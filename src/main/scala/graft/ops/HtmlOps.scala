@@ -1,0 +1,112 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** HTML → text extraction — the stage every production crawl-curation
+  * recipe (CCNet, C4, RefinedWeb, FineWeb, Dolma) runs between WARC
+  * ingest and the quality filters. A Common Crawl response body is raw
+  * HTML, not prose: fed directly to [[TextMetrics.gopherFlags]] /
+  * langid / repetition scoring, the markup dominates the token stream
+  * (mean word length blown out by attribute runs, stopword counts
+  * diluted, symbol ratios saturated) and the rules reject essentially
+  * every real page. Extraction first makes the funnel true end to end
+  * from a crawl container (HtmlOpsSpec pins exactly that:
+  * `gopherFlags.keep` accepts the extracted prose of a page whose raw
+  * form it rejects).
+  *
+  * The transform is a fixed chain of literal/regexp replacements —
+  * ENTIRELY row-local, codegen'd, zero shuffles, rides the scan at
+  * 100 TB. Every pattern stays inside the Java-regex ∩ RE2 common
+  * subset ([[TextMetrics.EmailRe]] rule: no lookaround, no backrefs,
+  * explicit whitespace classes per [[graft.core.Ws]]), so the DuckDB
+  * oracle replays extraction verbatim: [[htmlToTextSql]] generates the
+  * SQL form from the SAME step table — one source of truth, two
+  * engines (the `text_extract` CORRECTNESS row).
+  *
+  * Chain (in order):
+  *  1. `<script>`/`<style>` elements removed WITH their content
+  *     (case-insensitive, multi-line; separate passes — RE2 has no
+  *     backreferences to pair open/close tags in one pattern);
+  *  2. HTML comments removed;
+  *  3. block-level tags (p, div, br, li, tr, h1-6, title, …) become
+  *     newlines — block structure survives as line structure;
+  *  4. remaining tag-shaped spans `</?[a-zA-Z!?]…>` removed (covers
+  *     inline tags, `<!DOCTYPE>`, `<?xml?>`); a bare `<` or `>` in
+  *     prose ("a < b") is NOT tag-shaped and survives;
+  *  5. the fixed named/numeric entity set decoded ONCE (`&lt; &gt;
+  *     &quot; &#39; &apos; &nbsp; &amp;` — `&amp;` deliberately last,
+  *     so `&amp;lt;` decodes to the literal text `&lt;`, not `<`);
+  *  6. whitespace canonicalized: horizontal runs → one space, spaces
+  *     trimmed around newlines, 3+ newlines → one blank line, ends
+  *     trimmed.
+  *
+  * Declared envelope (documented, spec-pinned, NOT handled): entities
+  * beyond the fixed set pass through as text; CDATA sections lose
+  * their brackets like any tag-shaped span; an UNCLOSED `<script>`
+  * degrades to tag-stripping (its code text survives as prose — the
+  * quality rules then judge it); `<pre>` loses interior whitespace
+  * like all text; lone-CR line endings collapse to spaces, not
+  * newlines. Pages needing a DOM (JS-rendered content, srcset
+  * selection) are out of scope by design — this is the bounded
+  * regex-expressible core, the cross-engine-replayable contract. */
+object HtmlOps {
+
+  private val WsB = graft.core.Ws.Body // " \t\n\x0B\f\r" as escapes
+  private val BlockTags = Seq(
+    "p", "div", "br", "hr", "li", "ul", "ol", "dl", "dt", "dd",
+    "tr", "td", "th", "table", "thead", "tbody", "tfoot",
+    "h1", "h2", "h3", "h4", "h5", "h6", "blockquote", "pre",
+    "section", "article", "aside", "header", "footer", "nav", "main",
+    "form", "fieldset", "figure", "figcaption", "address", "title")
+
+  /** One replacement step: regex (`re = true`, global) or literal
+    * substring (`re = false`). The SINGLE definition both engines
+    * compile from. */
+  final case class Step(re: Boolean, pattern: String, replacement: String)
+
+  /** The extraction chain, in application order. */
+  val Steps: Seq[Step] = Seq(
+    Step(re = true, s"(?is)<script\\b[^>]*>.*?</script[$WsB]*>", ""),
+    Step(re = true, s"(?is)<style\\b[^>]*>.*?</style[$WsB]*>", ""),
+    Step(re = true, "(?s)<!--.*?-->", ""),
+    Step(re = true,
+      s"(?is)</?(${BlockTags.mkString("|")})\\b[^>]*>", "\n"),
+    Step(re = true, "(?s)</?[a-zA-Z!?][^>]*>", ""),
+    Step(re = false, "&lt;", "<"),
+    Step(re = false, "&gt;", ">"),
+    Step(re = false, "&quot;", "\""),
+    Step(re = false, "&#39;", "'"),
+    Step(re = false, "&apos;", "'"),
+    Step(re = false, "&nbsp;", " "),
+    Step(re = false, "&amp;", "&"),
+    Step(re = true, "[ \\t\\x0B\\f\\r]+", " "),
+    Step(re = true, " ?\\n ?", "\n"),
+    Step(re = true, "\\n{3,}", "\n\n"),
+    Step(re = true, s"^[$WsB]+", ""),
+    Step(re = true, s"[$WsB]+$$", ""))
+
+  /** Extracted block text of an HTML column — NULL in, NULL out; plain
+    * prose (a WET body, a text/plain payload) passes through modulo
+    * whitespace canonicalization. All built-in codegen'd expressions
+    * (`regexp_replace` + literal `replace`), no UDFs. */
+  def htmlToText(html: Column): Column =
+    Steps.foldLeft(html) { (c, s) =>
+      if (s.re) regexp_replace(c, s.pattern, s.replacement)
+      else replace(c, lit(s.pattern), lit(s.replacement))
+    }
+
+  private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** The DuckDB replay of [[htmlToText]] over the SQL expression
+    * `expr`, generated from [[Steps]] — the oracle cannot drift from
+    * the engine because both read one table. DuckDB's regexp_replace
+    * is single-occurrence by default, hence the explicit 'g'. */
+  def htmlToTextSql(expr: String): String =
+    Steps.foldLeft(expr) { (e, s) =>
+      if (s.re)
+        s"regexp_replace($e, ${sqlLit(s.pattern)}, " +
+          s"${sqlLit(s.replacement)}, 'g')"
+      else s"replace($e, ${sqlLit(s.pattern)}, ${sqlLit(s.replacement)})"
+    }
+}

@@ -456,23 +456,67 @@ object WarcSource {
     when(at > 0, s.substr(at + lit(4), length(s))).otherwise(s)
   }
 
+  /** The HTTP envelope's Content-Type (lowercased media type, params
+    * stripped) from an `application/http` payload — '' when the
+    * envelope carries none. This is the PAYLOAD's type (text/html,
+    * text/plain), not the WARC record's (application/http): the
+    * extraction decision needs the former. */
+  def httpContentType(payload: Column): Column = {
+    val s = payload.cast("string")
+    val at = locate("\r\n\r\n", s)
+    val head = when(at > 0, s.substr(lit(1), at - 1)).otherwise(s)
+    lower(trim(regexp_extract(head,
+      "(?im)^content-type:[ \\t]*([^\\r\\n;]+)", 1)))
+  }
+
+  /** Document text of a record: [[httpBody]] for HTTP payloads, raw
+    * payload text otherwise; with `extract = true`, an HTML body (the
+    * HTTP envelope says text/html / application/xhtml+xml) projects
+    * through [[graft.ops.HtmlOps.htmlToText]] — raw crawl responses
+    * are MARKUP, and every downstream quality rule assumes prose;
+    * non-HTML bodies (text/plain, a WET-style pre-extracted drop)
+    * pass through untouched, so already-clean corpora are not
+    * re-mangled. ONE definition serves the batch view and the
+    * streaming funnel transport — the two paths must agree or a
+    * replayed segment curates differently batch-vs-stream. */
+  private def bodyText(warcContentType: Column, payload: Column,
+                       extract: Boolean): Column = {
+    val isHttp = warcContentType.startsWith("application/http")
+    val body = when(isHttp, httpBody(payload))
+      .otherwise(payload.cast("string"))
+    if (!extract) body
+    else {
+      val ct = when(isHttp, httpContentType(payload)).otherwise(lit(""))
+      when(ct === "text/html" || ct === "application/xhtml+xml",
+        graft.ops.HtmlOps.htmlToText(body)).otherwise(body)
+    }
+  }
+
   /** The curation-funnel ingest projection over a [[cleanView]] frame:
-    * response records as (record_id, url, warc_date, text) — text via
-    * [[httpBody]] for HTTP payloads, raw payload text otherwise. */
-  private def documentsView(clean: DataFrame): DataFrame =
+    * response records as (record_id, url, warc_date, text) —
+    * [[bodyText]] for the text column. */
+  private def documentsView(clean: DataFrame,
+                            extract: Boolean): DataFrame =
     clean.where(lower(col("warc_type")) === "response")
       .select(col("record_id"), col("target_uri").as("url"),
         col("warc_date"),
-        when(col("content_type").startsWith("application/http"),
-          httpBody(col("payload")))
-          .otherwise(col("payload").cast("string")).as("text"))
+        bodyText(col("content_type"), col("payload"), extract).as("text"))
 
   /** The curation-funnel ingest view of `path`: response records as
-    * (record_id, url, warc_date, text). Feed it `UrlOps.normalize` /
-    * `CurateStages.qualityDedup` — the same seam `pipeline_curate`'s
-    * JSONL ingest uses (WarcSourceSpec composes it end to end). */
+    * (record_id, url, warc_date, text), HTML bodies extracted to block
+    * text ([[graft.ops.HtmlOps]]) — the projection the quality filters
+    * are true over. Feed it `UrlOps.normalize` / `CurateStages
+    * .qualityDedup` — the same seam `pipeline_curate`'s JSONL ingest
+    * uses (WarcSourceSpec composes it end to end). The raw-body form
+    * is [[documentsRaw]]. */
   def documents(spark: SparkSession, path: String): DataFrame =
-    documentsView(read(spark, path)._1)
+    documentsView(read(spark, path)._1, extract = true)
+
+  /** [[documents]] WITHOUT HTML extraction — text is the raw HTTP
+    * body. For consumers that need the wire form (boilerplate
+    * research, re-extraction experiments, link-graph mining). */
+  def documentsRaw(spark: SparkSession, path: String): DataFrame =
+    documentsView(read(spark, path)._1, extract = false)
 
   /** Record rows from a frame carrying file PATHS only — the
     * RECORD-BOUNDED streaming transport (and the batch twin the spec
@@ -588,9 +632,8 @@ object WarcSource {
       rid.as("record_id"),
       headerVal("warc-target-uri").as("url"),
       headerVal("warc-date").as("warc_date"),
-      when(headerVal("content-type").startsWith("application/http"),
-        httpBody(col("payload")))
-        .otherwise(col("payload").cast("string")).as("text")))
+      bodyText(headerVal("content-type"), col("payload"),
+        extract = true).as("text")))
     val marker = concat(lit("WARC-QUARANTINE\t"), col("file"), lit("\t"),
       col("offset").cast("string"), lit("\t"), base64(col("raw")),
       lit("\t"), col("err"))

@@ -1,0 +1,117 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.WarcSource
+
+/** HTML → text extraction: the replacement-chain battery, the declared
+  * envelope, and the property the operator exists for — the Gopher
+  * rules ACCEPT a real page's extracted prose while REJECTING its raw
+  * HTML form, so the curation funnel is true end to end from a crawl
+  * container ([[HtmlOps]] doc; VERDICT r14 Missing #1). */
+class HtmlOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def extract(s: String): String = {
+    val r = Seq(s).toDF("h").select(HtmlOps.htmlToText(col("h"))).collect()
+    if (r.head.isNullAt(0)) null else r.head.getString(0)
+  }
+
+  test("chain battery: script/style/comment removal, block structure, " +
+      "tag strip, entity decode, whitespace canonicalization") {
+    assert(extract(
+      "<!DOCTYPE html><html><head><title>T</title>" +
+        "<style>p{color:#fff}</style><script>var x = 1 < 2;</script>" +
+        "</head><body><h1>Head</h1><p>one two</p><!-- c --></body></html>")
+      == "T\n\nHead\n\none two")
+    // block tags become line structure; inline tags vanish in place
+    assert(extract("<p>a<b>b</b>c</p><p>d</p>") == "abc\n\nd")
+    assert(extract("line one<br>line two") == "line one\nline two")
+    // entity set decodes ONCE — &amp;lt; is the literal text "&lt;"
+    assert(extract(
+      "Fish &amp; chips &lt;x&gt; &quot;q&quot; &#39;s&nbsp;end &amp;lt;")
+      == "Fish & chips <x> \"q\" 's end &lt;")
+    // a bare < or > in prose is not tag-shaped and survives
+    assert(extract("a < b > c") == "a < b > c")
+    // uppercase tags, attribute runs (incl. > inside nothing — the
+    // envelope's tag shape is <[letter!?/]...>)
+    assert(extract("<DIV CLASS=\"a\" data-x=\"1\">up</DIV>") == "up")
+    // whitespace: horizontal runs collapse, blank-line runs cap at one
+    assert(extract("  <p>\n\n\n  a   b\t\tc</p>\n\n\n\n<p>d</p> ")
+      == "a b c\n\nd")
+    // NULL in, NULL out; empty in, empty out
+    assert(extract(null) == null)
+    assert(extract("") == "")
+  }
+
+  test("declared envelope: unclosed script degrades to tag strip; " +
+      "multi-line SCRIPT with spaced close tag still removed; " +
+      "unknown entities pass through as text") {
+    assert(extract("<script>unclosed <p>visible</p>")
+      == "unclosed\nvisible")
+    assert(extract("<SCRIPT SRC=\"x.js\">\nmulti\nline\n</SCRIPT >after")
+      == "after")
+    assert(extract("<p>&copy; &hellip;</p>") == "&copy; &hellip;")
+  }
+
+  test("plain prose (WET-style) passes through modulo whitespace " +
+      "canonicalization") {
+    assert(extract("already extracted text, one line")
+      == "already extracted text, one line")
+    assert(extract("para one\n\npara two\n")
+      == "para one\n\npara two")
+  }
+
+  test("the operator's reason to exist: gopherFlags REJECTS the raw " +
+      "HTML form of the fixture page and ACCEPTS its extracted prose") {
+    val res = getClass.getResource("/warc/fixture_html.warc").getPath
+    val raw = WarcSource.documentsRaw(spark, res)
+      .where(col("url") === "https://research.example.org/notes/winter")
+      .select(col("text")).collect()(0).getString(0)
+    assert(raw.startsWith("<!DOCTYPE html>"), raw.take(40))
+    val forms = Seq(("raw", raw), ("extracted", extract(raw)))
+      .toDF("form", "text")
+      .select(col("form"),
+        TextMetrics.gopherFlags(col("text")).as("g"))
+      .collect().map(r => r.getString(0) ->
+        r.getStruct(1).getAs[Boolean]("keep")).toMap
+    assert(forms == Map("raw" -> false, "extracted" -> true), forms.toString)
+  }
+
+  test("WarcSource.documents extracts HTML bodies by content type and " +
+      "leaves text/plain untouched; documentsRaw keeps the wire form") {
+    val res = getClass.getResource("/warc/fixture_html.warc").getPath
+    val docs = WarcSource.documents(spark, res)
+      .orderBy(col("record_id")).collect()
+    assert(docs.length == 2)
+    val htmlText = docs(0).getAs[String]("text")
+    assert(htmlText.startsWith("Field Notes & Observations"), htmlText)
+    assert(!htmlText.contains("<") && !htmlText.contains("dataLayer"),
+      htmlText.take(200))
+    // prose content survived extraction verbatim
+    assert(htmlText.contains(
+      "and every morning the crew would walk down to the water"))
+    // the text/plain record is byte-identical (no re-mangling of
+    // pre-extracted corpora — blank-line structure kept)
+    assert(docs(1).getAs[String]("text") ==
+      "pre extracted text from a wet conversion keeps its own " +
+        "spacing\n\nand its blank line structure untouched\n")
+    // the raw view still serves the wire form
+    val rawDocs = WarcSource.documentsRaw(spark, res)
+      .orderBy(col("record_id")).collect()
+    assert(rawDocs(0).getAs[String]("text").contains("<script"))
+  }
+
+  test("streaming funnel transport extracts identically to the batch " +
+      "view (one bodyText definition, batch ≡ stream)") {
+    val res = getClass.getResource("/warc/fixture_html.warc").getPath
+    val lineDf = WarcSource.documentLines(WarcSource.readRaw(spark, res))
+    assert(lineDf.count() == 2)
+    val texts = lineDf.select(get_json_object(col("value"), "$.text"))
+      .collect().map(_.getString(0)).sorted
+    val batch = WarcSource.documents(spark, res)
+      .select(col("text")).collect().map(_.getString(0)).sorted
+    assert(texts.toSeq == batch.toSeq)
+  }
+}
