@@ -286,9 +286,14 @@ object UrlOps {
     * its own form (two domains for one wire identity — under-merged
     * caps/mixes in any corpus carrying IRIs next to wire URLs). The
     * output is always the ACE form. Opt-in rather than the default
-    * because the plain form's output-follows-input behavior is what
-    * the cross-engine oracle replays (DuckDB has no IDNA codec);
-    * rows-only / spec-gated class, like DeflateRatio. */
+    * because the plain form's output-follows-input behavior is the
+    * simplest cross-engine contract. ORACLE-GATED since r15: the
+    * `url_psl_domain_ascii` row replays the per-label canonicalization
+    * in DuckDB over a precomputed label map (the psl_lines twin-column
+    * precedent — DuckDB has no IDNA codec, so conversions ship as aux
+    * data while the split/map/reassemble/PSL algorithm replays
+    * engine-independently), merging unicode, punycode and MIXED
+    * spellings — including the UTS-46 deviation case faß.de ≠ fass.de. */
   def registrableDomainPslAscii(host: Column,
                                 trie: PslTrie = PslFullTrie): Column =
     toCol(PslDomain(graft.functions.IdnAscii(strippedHost(host)), trie))
@@ -364,4 +369,15 @@ object UrlOps {
       when(scheme(u) === "", lit(null).cast("string"))
         .otherwise(registrableDomainPslAscii(normHost(u), trie))
     }
+
+  /** The PSL keying host of a raw URL — [[normHost]] with port and
+    * trailing FQDN dots stripped, lowercased; NULL when the URL does
+    * not parse. EXACTLY the host string every `registrableDomainPsl*`
+    * entry point resolves (pre-IdnAscii for the ascii form) — public
+    * so oracles and spelling-audit queries can key on the same form
+    * the domain extraction consumed. */
+  def strippedUrlHost(url: Column): Column = bind1(url) { u =>
+    when(scheme(u) === "", lit(null).cast("string"))
+      .otherwise(toCol(strippedHost(normHost(u))))
+  }
 }

@@ -490,6 +490,60 @@ object OracleQueries {
       .otherwise(concat(lit("not a url "), id))
   }
 
+  /** The non-ASCII labels the [[rawUrlIdn]] generator embeds — the
+    * vocabulary of the `idn_label_map` aux parquet (ulabel → UTS-46
+    * ACE alabel, computed driver-side once by the SAME
+    * IdnAscii.asciiLabel the engine evaluates; DuckDB has no IDNA
+    * codec, so conversions ship precomputed while the per-label
+    * split/map/reassemble and the whole PSL algorithm replay
+    * engine-independently — the psl_lines twin-column precedent). */
+  private val IdnGenLabels = Seq("中国", "公司", "faß")
+
+  /** Messy-URL column for the `url_psl_domain_ascii` row: unicode-IRI,
+    * on-the-wire punycode and MIXED spellings of the same registrable
+    * domains (doc_id % 8) — cases 0/1 and 2/3 are spelling PAIRS that
+    * must MERGE under the ACE key, case 4 is a mixed-form host, and
+    * cases 5/6 pin the UTS-46 nontransitional deviation semantics
+    * cross-engine: faß.de keys to xn--fa-hia.de, a DIFFERENT
+    * registrable domain from fass.de (IDNA2003 would fold them). */
+  private def rawUrlIdn: Column = {
+    val m = col("doc_id") % 8
+    val id = col("doc_id").cast("string")
+    when(m === 0, concat(lit("https://news.中国/a/"), id))
+      .when(m === 1, concat(lit("https://news.xn--fiqs8s/a/"), id))
+      // cases 2/3 share the g<k> subdomain (k from doc_id >> 3, the
+      // SAME value for a 2-row and its sibling 3-row) so each
+      // g<k>.公司.cn domain genuinely carries BOTH spellings —
+      // keying on `source` here left the two classes on disjoint
+      // subdomains and the merge property unexercised
+      .when(m === 2, concat(lit("http://blog.g"),
+        (shiftright(col("doc_id"), 3) % 3).cast("string"),
+        lit(".公司.cn/x")))
+      .when(m === 3, concat(lit("http://blog.g"),
+        (shiftright(col("doc_id"), 3) % 3).cast("string"),
+        lit(".xn--55qx5d.cn/x")))
+      .when(m === 4, lit("https://shop.公司.xn--fiqs8s/x"))
+      .when(m === 5, concat(lit("https://faß.de/p/"), id))
+      .when(m === 6, concat(lit("https://fass.de/p/"), id))
+      .otherwise(concat(lit("not a url "), id))
+  }
+
+  /** SQL twin of [[rawUrlIdn]] (CTE `u`). */
+  private def rawUrlIdnSql: String =
+    """u AS (SELECT doc_id, CASE CAST(doc_id % 8 AS INTEGER)
+          WHEN 0 THEN 'https://news.中国/a/' || CAST(doc_id AS VARCHAR)
+          WHEN 1 THEN 'https://news.xn--fiqs8s/a/'
+            || CAST(doc_id AS VARCHAR)
+          WHEN 2 THEN 'http://blog.g' || CAST((doc_id >> 3) % 3 AS VARCHAR)
+            || '.公司.cn/x'
+          WHEN 3 THEN 'http://blog.g' || CAST((doc_id >> 3) % 3 AS VARCHAR)
+            || '.xn--55qx5d.cn/x'
+          WHEN 4 THEN 'https://shop.公司.xn--fiqs8s/x'
+          WHEN 5 THEN 'https://faß.de/p/' || CAST(doc_id AS VARCHAR)
+          WHEN 6 THEN 'https://fass.de/p/' || CAST(doc_id AS VARCHAR)
+          ELSE 'not a url ' || CAST(doc_id AS VARCHAR) END AS url
+        FROM documents)"""
+
   /** SQL twin of [[rawUrlPsl]] (CTE `u`). */
   private val rawUrlPslSql: String =
     """u AS (SELECT doc_id, CASE CAST(doc_id % 11 AS INTEGER)
@@ -658,6 +712,13 @@ object OracleQueries {
       .map(l => (l, UrlOps.punycodeTwinLine(l).orNull))
       .toDF("line", "line_ascii")
       .coalesce(1).write.mode("overwrite").parquet(s"$AuxDir/psl_lines")
+    // the url_psl_domain_ascii generator's label vocabulary with each
+    // label's UTS-46 ACE form — the ONE engine-side conversion the
+    // oracle consumes; the per-label mapping, host reassembly and PSL
+    // resolution all replay in DuckDB (see IdnGenLabels)
+    IdnGenLabels.map(l => (l, graft.functions.IdnAscii.asciiLabel(l)))
+      .toDF("ulabel", "alabel")
+      .coalesce(1).write.mode("overwrite").parquet(s"$AuxDir/idn_label_map")
     val docs = t(s, dir, "documents")
     // minhash: one row per (doc, shingle occurrence, hash family) with the
     // family hash fh = xxhash64(xxhash64(shingle), seed) — exactly the
@@ -5371,6 +5432,74 @@ object OracleQueries {
               len(string_split(d.hp, '.'))), '.') END AS domain_psl
         FROM dom d JOIN psl p USING (doc_id) JOIN res USING (doc_id)
         ORDER BY doc_id""")),
+
+    // =========== ACE-canonicalized PSL domains (one key per wire =========
+    // =========== identity) — the IdnAscii oracle gate (r15) ==============
+    // A crawl corpus carries the SAME IDN domain as unicode IRIs,
+    // on-the-wire xn-- URLs, and mixed-form hosts; keying per spelling
+    // under-merges per-domain caps/dedup. urlDomainPslAscii
+    // canonicalizes each host label to its UTS-46 ACE form BEFORE the
+    // trie — this row cross-engine-replays that whole path: DuckDB
+    // re-splits the host, maps each label through the precomputed
+    // idn_label_map aux parquet (conversion precomputed, algorithm
+    // replayed — the psl_lines precedent), reassembles, and re-derives
+    // the PSL resolution over the ASCII host. n_forms ≥ 2 rows ARE the
+    // merge property (unicode + punycode spellings of one identity);
+    // the faß.de / fass.de PAIR pins UTS-46 nontransitional deviation
+    // semantics as data, not just spec (IDNA2003 would fold them to
+    // one row). Spark side: one row-local codegen'd projection riding
+    // the scan (IdnAscii + ONE trie reference), one bounded exchange
+    // for the group-by — flat in |rules| and |labels| at 100 TB.
+    Q("url_psl_domain_ascii",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"),
+          UrlOps.urlDomainPslAscii(rawUrlIdn).as("domain_ascii"),
+          UrlOps.strippedUrlHost(rawUrlIdn).as("hp"))
+        .where(col("domain_ascii").isNotNull)
+        .groupBy(col("domain_ascii"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("hp")).as("n_forms"))
+        .orderBy(col("domain_ascii")),
+      Some(s"""WITH $rawUrlIdnSql,
+        pr AS (SELECT doc_id,
+            lower(regexp_extract(url,
+              '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS sch,
+            lower(regexp_extract(url,
+              '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)) AS auth
+          FROM u),
+        hostp AS (SELECT doc_id, sch,
+            regexp_replace(regexp_replace(
+              CASE WHEN sch = 'http' THEN regexp_replace(auth, ':80$$', '')
+                   WHEN sch = 'https' THEN regexp_replace(auth, ':443$$', '')
+                   ELSE auth END,
+              ':[0-9]+$$', ''), '\\.+$$', '') AS hp0
+          FROM pr WHERE sch <> ''),
+        imap AS (SELECT ulabel, alabel
+          FROM '$AuxDir/idn_label_map/*.parquet'),
+        labs AS (SELECT doc_id, sch, hp0, i, list_extract(ls, i) AS lab
+          FROM (SELECT doc_id, sch, hp0, string_split(hp0, '.') AS ls,
+                  unnest(range(1, len(string_split(hp0, '.')) + 1)) AS i
+                FROM hostp WHERE hp0 <> '')),
+        amap AS (SELECT l.doc_id, l.sch, l.hp0, l.i,
+            COALESCE(m.alabel, l.lab) AS alab
+          FROM labs l LEFT JOIN imap m ON l.lab = m.ulabel),
+        dom AS (SELECT doc_id, sch, hp0,
+            string_agg(alab, '.' ORDER BY i) AS hp
+          FROM amap GROUP BY doc_id, sch, hp0),
+        $pslChainSql,
+        pd AS (SELECT d.doc_id, d.hp0,
+            CASE WHEN d.hp = '' THEN NULL
+              WHEN regexp_matches(d.hp,
+                '^[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+$$') THEN d.hp
+              WHEN len(string_split(d.hp, '.')) <= p.psl_l THEN NULL
+              ELSE array_to_string(list_slice(string_split(d.hp, '.'),
+                len(string_split(d.hp, '.')) - p.psl_l,
+                len(string_split(d.hp, '.'))), '.') END AS domain_ascii
+          FROM dom d JOIN psl p USING (doc_id))
+        SELECT domain_ascii, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(COUNT(DISTINCT hp0) AS BIGINT) AS n_forms
+        FROM pd WHERE domain_ascii IS NOT NULL
+        GROUP BY domain_ascii ORDER BY domain_ascii""")),
 
     // ============== per-domain caps on the PSL-exact key ==================
     // mix_domain_caps re-keyed on the PSL registrable domain (the
