@@ -27,4 +27,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  // ad-hoc profiling hooks for the forked run JVM (JFR, -Xlog:gc*) —
+  // space-separated, empty by default
+) ++ sys.env.get("SPARK_GRAFT_JVM_OPTS").toSeq
+  .flatMap(_.split(" ").filter(_.nonEmpty))

@@ -28,6 +28,16 @@ import org.apache.spark.sql.types.IntegerType
   * artifact format, and their callers always hold the staged artifact
   * object anyway; `PolygonContains` takes parsed polygon geometry
   * (same reasoning — the mask DSL is the user surface there).
+  * `UrlOps.normalize` and `HtmlOps.htmlToText` are COMPOSITIONS of
+  * built-in expressions (regexp/when/struct chains), not single
+  * Expression classes — registering them would mean re-authoring each
+  * chain as raw pre-analysis Catalyst nodes (builders run BEFORE
+  * analysis, so the Column API is unavailable — see the strip-chain
+  * note below) and maintaining two copies of pinned normalization
+  * rules. A SQL user composes them from builtins (the chains are
+  * documented + oracle-replayed), or calls the Column API — the
+  * decision boundary is: one native kernel class → registered; a
+  * builtin composition → stays a Column/def.
   *
   * Two wiring paths, same function table:
   *  - config: `spark.sql.extensions=graft.functions.GraftExtensions`
