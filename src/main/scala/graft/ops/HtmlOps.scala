@@ -96,6 +96,35 @@ object HtmlOps {
       else replace(c, lit(s.pattern), lit(s.replacement))
     }
 
+  /** href patterns for [[extractLinks]] — double- and single-quoted
+    * anchor hrefs, case-insensitive across tag and attribute, dotall
+    * so attributes may span lines. Java∩RE2 subset (no lookaround/
+    * backrefs), so two passes instead of one backreferenced quote
+    * group. Declared envelope: UNQUOTED href values (legal HTML5,
+    * rare in crawl HTML) and non-anchor link carriers (`<link>`,
+    * `<area>`) are not harvested; hrefs inside comments/scripts ARE
+    * (extraction runs over the RAW markup by design — strip first if
+    * that matters). */
+  private val HrefDq = "(?is)<a\\b[^>]*\\bhref[ \\t]*=[ \\t]*\"([^\"]*)\""
+  private val HrefSq = "(?is)<a\\b[^>]*\\bhref[ \\t]*=[ \\t]*'([^']*)'"
+
+  /** All anchor hrefs of an HTML column, as an array (double-quoted
+    * matches first, then single-quoted — a deterministic order both
+    * engines replay; NULL in, NULL out). The crawl → link-graph seam:
+    * compose with [[UrlOps.urlDomain]] / [[UrlOps.urlDomainPsl]] for
+    * per-domain outlink counts (the `html_links` row), or
+    * [[UrlOps.normalize]] for frontier keys. Row-local codegen'd
+    * builtins, zero shuffles. */
+  def extractLinks(html: Column): Column =
+    concat(regexp_extract_all(html, lit(HrefDq), lit(1)),
+      regexp_extract_all(html, lit(HrefSq), lit(1)))
+
+  /** DuckDB replay of [[extractLinks]] over SQL expression `expr` —
+    * generated from the same pattern constants. */
+  def extractLinksSql(expr: String): String =
+    s"list_concat(regexp_extract_all($expr, ${sqlLit(HrefDq)}, 1), " +
+      s"regexp_extract_all($expr, ${sqlLit(HrefSq)}, 1))"
+
   private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
 
   /** The DuckDB replay of [[htmlToText]] over the SQL expression

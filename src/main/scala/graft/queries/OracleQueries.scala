@@ -619,6 +619,32 @@ object OracleQueries {
         s" ELSE ${of(5)} END")
   }
 
+  /** Anchor-soup column for the `html_links` row: double-quoted,
+    * single-quoted, relative (→ NULL quarantine), uppercase, and
+    * UNQUOTED (envelope: not harvested) hrefs. */
+  private def rawHtmlLinks: Column = {
+    val id = col("doc_id").cast("string")
+    concat(
+      lit("<p>See <a href=\"https://www."), col("source"),
+      lit(".com/a?utm_source=z&id="), id,
+      lit("\">one</a> and <a href='http://blog."), col("source"),
+      lit(".co.uk:80/x'>two</a>, plus <a class=\"x\" href=\"/rel/"), id,
+      lit("\">rel</a> and <A HREF=\"HTTPS://CDN."), col("source"),
+      lit(".NET/y\">four</A> and <a href=/plain/"), id,
+      lit(">skip</a>.</p>"))
+  }
+
+  /** SQL twin of [[rawHtmlLinks]]. */
+  private def rawHtmlLinksSql: String =
+    """'<p>See <a href="https://www.' || source
+      || '.com/a?utm_source=z&id=' || CAST(doc_id AS VARCHAR)
+      || '">one</a> and <a href=''http://blog.' || source
+      || '.co.uk:80/x''>two</a>, plus <a class="x" href="/rel/'
+      || CAST(doc_id AS VARCHAR)
+      || '">rel</a> and <A HREF="HTTPS://CDN.' || source
+      || '.NET/y">four</A> and <a href=/plain/'
+      || CAST(doc_id AS VARCHAR) || '>skip</a>.</p>'"""
+
   /** The FULL committed Public Suffix List, re-parsed by DuckDB from
     * the verbatim artifact lines (Verify dumps the classpath resource
     * line-split into `$AuxDir/psl_lines` parquet — one source of
@@ -4592,6 +4618,35 @@ object OracleQueries {
           FROM documents)
         SELECT doc_id, ${HtmlOps.htmlToTextSql("html")} AS text_plain
         FROM h ORDER BY doc_id""")),
+
+    // ================= outlink extraction → link graph ===================
+    // The crawl → link-graph seam (frontier building, per-domain
+    // outlink counts, domain-authority scoring): harvest anchor hrefs
+    // from RAW markup (two quote-form passes — RE2 has no backrefs),
+    // key each link by its registrable domain, count. The relative
+    // link (no scheme) quarantines as NULL — never keyed on garbage —
+    // and the unquoted-href anchor pins the declared envelope (NOT
+    // harvested) in both engines. Row-local extraction riding the
+    // scan + one bounded group-by exchange; the oracle replays the
+    // SAME patterns (generated from HtmlOps constants) through
+    // DuckDB's regexp_extract_all + the independent URL-rule chain.
+    Q("html_links",
+      (s, dir) => t(s, dir, "documents")
+        .select(explode(HtmlOps.extractLinks(rawHtmlLinks)).as("link"))
+        .select(UrlOps.urlDomain(col("link")).as("link_domain"))
+        .where(col("link_domain").isNotNull)
+        .groupBy(col("link_domain"))
+        .agg(count(lit(1)).as("n_links"))
+        .orderBy(col("link_domain")),
+      Some(s"""WITH hsrc AS (SELECT doc_id, $rawHtmlLinksSql AS html
+          FROM documents),
+        u AS (SELECT doc_id,
+            unnest(${HtmlOps.extractLinksSql("html")}) AS url
+          FROM hsrc),
+        $urlChainSql
+        SELECT domain AS link_domain, CAST(COUNT(*) AS BIGINT) AS n_links
+        FROM res WHERE domain IS NOT NULL
+        GROUP BY domain ORDER BY link_domain""")),
 
     // ===================== curation funnel report =========================
     // The dashboard a curation engineer reads before shipping a filter

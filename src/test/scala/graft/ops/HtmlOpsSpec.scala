@@ -63,6 +63,31 @@ class HtmlOpsSpec extends SparkSpec {
       == "para one\n\npara two")
   }
 
+  test("extractLinks: both quote forms and uppercase tags harvest; " +
+      "unquoted hrefs and non-anchor carriers are the declared " +
+      "envelope; raw markup means entities stay encoded") {
+    def links(s: String): Seq[String] = Seq(s).toDF("h")
+      .select(HtmlOps.extractLinks(col("h"))).collect()(0)
+      .getSeq[String](0)
+    assert(links("<a href=\"https://a.com/x\">1</a>" +
+      "<a class='k' href='http://b.org/y'>2</a>" +
+      "<A HREF=\"https://C.net\">3</A>" +
+      "<a href=/unquoted>skip</a><link href=\"/css\">") ==
+      Seq("https://a.com/x", "https://C.net", "http://b.org/y"))
+    assert(links(null) == null)
+    // the committed fixture page: its three ANCHOR hrefs harvest (the
+    // <link> stylesheet does not), and the &amp; inside a raw href
+    // stays encoded — decoding is htmlToText's concern, not the
+    // harvester's (normalize decides what to do with query strings)
+    val res = getClass.getResource("/warc/fixture_html.warc").getPath
+    val raw = graft.sources.WarcSource.documentsRaw(spark, res)
+      .where(col("url") === "https://research.example.org/notes/winter")
+      .select(HtmlOps.extractLinks(col("text"))).collect()(0)
+      .getSeq[String](0)
+    assert(raw == Seq("/home", "/archive?year=2024&amp;month=1",
+      "/rss.xml"), raw.toString)
+  }
+
   test("the operator's reason to exist: gopherFlags REJECTS the raw " +
       "HTML form of the fixture page and ACCEPTS its extracted prose") {
     val res = getClass.getResource("/warc/fixture_html.warc").getPath
