@@ -128,6 +128,38 @@ class HtmlOpsSpec extends SparkSpec {
     assert(rawDocs(0).getAs[String]("text").contains("<script"))
   }
 
+  test("the funnel is true end to end from a real crawl container: " +
+      "a LIVE drop of the HTML fixture admits the MARKUP page (its " +
+      "extracted prose passes the default Gopher rules) and cuts the " +
+      "short text/plain record — the inversion extraction buys") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val in = java.nio.file.Files.createTempDirectory("html_in")
+    val out = java.nio.file.Files.createTempDirectory("html_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("html_ck").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Path.of(
+        getClass.getResource("/warc/fixture_html.warc").getPath),
+      in.resolve("drop1.warc"))
+    val lines = WarcSource.streamDocumentLines(spark, in.toString)
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("record_id", StringType), StructField("url", StringType),
+      StructField("text", StringType)))
+    // DEFAULT word/stopword rules — the production thresholds the raw
+    // markup form fails (mean word len 14.1) and real prose passes
+    val q = graft.streaming.StreamingCuration.start(spark, lines, schema,
+      "doc_id", "text", out, ckpt,
+      graft.streaming.StreamingCuration.Config())
+    try q.processAllAvailable() finally q.stop()
+    val admitted = spark.read.parquet(s"$out/admitted")
+    val htmlId = spark.range(1).select(xxhash64(
+      lit("<urn:uuid:00000000-0000-0000-0000-00000000h001>")))
+      .collect()(0).getLong(0)
+    // exactly one admission: the HTML page, via its extracted prose;
+    // the 17-word text/plain record is cut by words_in_range
+    assert(admitted.count() == 1)
+    assert(admitted.collect()(0).getLong(0) == htmlId)
+  }
+
   test("streaming funnel transport extracts identically to the batch " +
       "view (one bodyText definition, batch ≡ stream)") {
     val res = getClass.getResource("/warc/fixture_html.warc").getPath
