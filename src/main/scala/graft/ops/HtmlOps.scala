@@ -98,15 +98,24 @@ object HtmlOps {
 
   /** href patterns for [[extractLinks]] — double- and single-quoted
     * anchor hrefs, case-insensitive across tag and attribute, dotall
-    * so attributes may span lines. Java∩RE2 subset (no lookaround/
-    * backrefs), so two passes instead of one backreferenced quote
-    * group. Declared envelope: UNQUOTED href values (legal HTML5,
-    * rare in crawl HTML) and non-anchor link carriers (`<link>`,
-    * `<area>`) are not harvested; hrefs inside comments/scripts ARE
-    * (extraction runs over the RAW markup by design — strip first if
-    * that matters). */
-  private val HrefDq = "(?is)<a\\b[^>]*\\bhref[ \\t]*=[ \\t]*\"([^\"]*)\""
-  private val HrefSq = "(?is)<a\\b[^>]*\\bhref[ \\t]*=[ \\t]*'([^']*)'"
+    * PLUS explicit whitespace classes around `=` so attributes may
+    * genuinely span lines. Java∩RE2 subset (no lookaround/backrefs),
+    * so two passes instead of one backreferenced quote group. The
+    * attribute name is anchored by a PRECEDING whitespace character
+    * (`\bhref` would also match `data-href`/`xlink:href` — '-' and
+    * ':' are non-word, so the \b sits right before the h), and the
+    * captured value excludes `<`/`>` so an UNTERMINATED quote fails
+    * to match instead of swallowing every anchor until the next
+    * stray quote (URLs carry those bracket characters only
+    * percent-encoded). Declared envelope: UNQUOTED href values
+    * (legal HTML5, rare in crawl HTML) and non-anchor link carriers
+    * (`<link>`, `<area>`) are not harvested; hrefs inside
+    * comments/scripts ARE (extraction runs over the RAW markup by
+    * design — strip first if that matters). */
+  private val HrefDq =
+    s"(?is)<a\\b[^>]*[$WsB]href[$WsB]*=[$WsB]*\"([^\"<>]*)\""
+  private val HrefSq =
+    s"(?is)<a\\b[^>]*[$WsB]href[$WsB]*=[$WsB]*'([^'<>]*)'"
 
   /** All anchor hrefs of an HTML column, as an array (double-quoted
     * matches first, then single-quoted — a deterministic order both
@@ -125,7 +134,11 @@ object HtmlOps {
     s"list_concat(regexp_extract_all($expr, ${sqlLit(HrefDq)}, 1), " +
       s"regexp_extract_all($expr, ${sqlLit(HrefSq)}, 1))"
 
-  private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
+  /** SQL single-quoted literal of `s` — THE escaping rule for every
+    * engine-generated DuckDB fragment (shared with the oracle-side
+    * generators; one copy, or an escaping fix silently misses one). */
+  private[graft] def sqlLit(s: String): String =
+    "'" + s.replace("'", "''") + "'"
 
   /** The DuckDB replay of [[htmlToText]] over the SQL expression
     * `expr`, generated from [[Steps]] — the oracle cannot drift from

@@ -562,14 +562,32 @@ object OracleQueries {
           ELSE 'not a url ' || CAST(doc_id AS VARCHAR) END AS url
         FROM documents)"""
 
-  /** One token of a text_extract HTML shell: a literal fragment, the
-    * doc_id, or the document text. The shells are DATA so the Spark
-    * generator and its SQL twin assemble from the SAME fragments —
-    * the HtmlOps.Steps discipline applied to the test harness too. */
+  /** One token of a generated-HTML shell: a literal fragment, the
+    * doc_id, the source column, or the document text. The shells are
+    * DATA so the Spark generator and its SQL twin assemble from the
+    * SAME fragments — the HtmlOps.Steps discipline applied to the
+    * test harness too ([[rawHtml]]/[[rawHtmlSql]] and
+    * [[rawHtmlLinks]]/[[rawHtmlLinksSql]] are all emitted from one
+    * token list each by [[htokColumn]]/[[htokSql]]). */
   private sealed trait HTok
   private final case class HLit(s: String) extends HTok
   private case object HId extends HTok
+  private case object HSrc extends HTok
   private case object HText extends HTok
+
+  private def htokColumn(toks: Seq[HTok]): Column = concat(toks.map {
+    case HLit(t) => lit(t)
+    case HId => col("doc_id").cast("string")
+    case HSrc => col("source")
+    case HText => col("text")
+  }: _*)
+
+  private def htokSql(toks: Seq[HTok]): String = toks.map {
+    case HLit(t) => HtmlOps.sqlLit(t)
+    case HId => "CAST(doc_id AS VARCHAR)"
+    case HSrc => "source"
+    case HText => "text"
+  }.mkString(" || ")
 
   /** The six shells of the `text_extract` generator, one per rule
     * class of the extraction chain: full page (script/style/comment,
@@ -596,54 +614,37 @@ object OracleQueries {
   /** Messy-HTML column for the `text_extract` row. */
   private def rawHtml: Column = {
     val m = col("doc_id") % 6
-    def of(i: Int): Column = concat(htmlShells(i).map {
-      case HLit(s) => lit(s)
-      case HId => col("doc_id").cast("string")
-      case HText => col("text")
-    }: _*)
+    def of(i: Int): Column = htokColumn(htmlShells(i))
     when(m === 0, of(0)).when(m === 1, of(1)).when(m === 2, of(2))
       .when(m === 3, of(3)).when(m === 4, of(4)).otherwise(of(5))
   }
 
   /** SQL twin of [[rawHtml]], assembled from the same shell tokens
     * (literal newlines/tabs embed directly in the SQL literals). */
-  private def rawHtmlSql: String = {
-    def lit(s: String): String = "'" + s.replace("'", "''") + "'"
-    def of(i: Int): String = htmlShells(i).map {
-      case HLit(s) => lit(s)
-      case HId => "CAST(doc_id AS VARCHAR)"
-      case HText => "text"
-    }.mkString(" || ")
-    (0 to 4).map(i => s"WHEN $i THEN ${of(i)}")
+  private def rawHtmlSql: String =
+    (0 to 4).map(i => s"WHEN $i THEN ${htokSql(htmlShells(i))}")
       .mkString("CASE CAST(doc_id % 6 AS INTEGER) ", " ",
-        s" ELSE ${of(5)} END")
-  }
+        s" ELSE ${htokSql(htmlShells(5))} END")
 
-  /** Anchor-soup column for the `html_links` row: double-quoted,
-    * single-quoted, relative (→ NULL quarantine), uppercase, and
-    * UNQUOTED (envelope: not harvested) hrefs. */
-  private def rawHtmlLinks: Column = {
-    val id = col("doc_id").cast("string")
-    concat(
-      lit("<p>See <a href=\"https://www."), col("source"),
-      lit(".com/a?utm_source=z&id="), id,
-      lit("\">one</a> and <a href='http://blog."), col("source"),
-      lit(".co.uk:80/x'>two</a>, plus <a class=\"x\" href=\"/rel/"), id,
-      lit("\">rel</a> and <A HREF=\"HTTPS://CDN."), col("source"),
-      lit(".NET/y\">four</A> and <a href=/plain/"), id,
-      lit(">skip</a>.</p>"))
-  }
+  /** Anchor-soup shell for the `html_links` row: double-quoted,
+    * single-quoted, relative (→ NULL quarantine), uppercase,
+    * UNQUOTED (envelope: not harvested), and a data-href decoy
+    * (envelope: a non-href attribute merely ENDING in "href" must not
+    * harvest). ONE token list; both engines assemble from it. */
+  private def linkShell: Seq[HTok] = Seq(
+    HLit("<p>See <a href=\"https://www."), HSrc,
+    HLit(".com/a?utm_source=z&id="), HId,
+    HLit("\">one</a> and <a href='http://blog."), HSrc,
+    HLit(".co.uk:80/x'>two</a>, plus <a class=\"x\" href=\"/rel/"), HId,
+    HLit("\">rel</a> and <A HREF=\"HTTPS://CDN."), HSrc,
+    HLit(".NET/y\">four</A> and <a href=/plain/"), HId,
+    HLit(">skip</a> and <a data-href=\"https://tracker."), HSrc,
+    HLit(".example/t\">decoy</a>.</p>"))
 
-  /** SQL twin of [[rawHtmlLinks]]. */
-  private def rawHtmlLinksSql: String =
-    """'<p>See <a href="https://www.' || source
-      || '.com/a?utm_source=z&id=' || CAST(doc_id AS VARCHAR)
-      || '">one</a> and <a href=''http://blog.' || source
-      || '.co.uk:80/x''>two</a>, plus <a class="x" href="/rel/'
-      || CAST(doc_id AS VARCHAR)
-      || '">rel</a> and <A HREF="HTTPS://CDN.' || source
-      || '.NET/y">four</A> and <a href=/plain/'
-      || CAST(doc_id AS VARCHAR) || '>skip</a>.</p>'"""
+  private def rawHtmlLinks: Column = htokColumn(linkShell)
+
+  /** SQL twin of [[rawHtmlLinks]] — same tokens, by construction. */
+  private def rawHtmlLinksSql: String = htokSql(linkShell)
 
   /** The FULL committed Public Suffix List, re-parsed by DuckDB from
     * the verbatim artifact lines (Verify dumps the classpath resource
@@ -720,13 +721,17 @@ object OracleQueries {
     // DuckDB has no IDNA codec, so the twin ships precomputed like
     // the xxhash64 aux tables do, and the oracle unions both forms
     // exactly as UrlOps.withPunycodeTwins does.
-    // an aux dir reused across rounds may carry the pre-r14 RAW
-    // psl_list.dat — the whole-dir parquet scan errors on it even
-    // though psl_lines itself was rewritten, so remove it explicitly
+    // the driver's aux check parquet-scans the WHOLE dir, so its
+    // invariant is "AuxDir contains only parquet tables this run
+    // wrote". EVERY aux artifact is written by THIS function, so the
+    // robust form is to recreate the dir per run — any stale leftover
+    // (the pre-r14 raw psl_list.dat, a renamed artifact, a _temporary
+    // dir from a killed run) vanishes instead of needing its own
+    // hardcoded delete
     locally {
-      val stale = new org.apache.hadoop.fs.Path(s"$AuxDir/psl_list.dat")
-      val fs = stale.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (fs.exists(stale)) fs.delete(stale, false)
+      val root = new org.apache.hadoop.fs.Path(AuxDir)
+      val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(root)) fs.delete(root, true)
     }
     val pslIn = getClass.getResourceAsStream("/psl/public_suffix_list.dat")
     require(pslIn != null, "psl list resource missing")

@@ -75,6 +75,21 @@ class HtmlOpsSpec extends SparkSpec {
       "<a href=/unquoted>skip</a><link href=\"/css\">") ==
       Seq("https://a.com/x", "https://C.net", "http://b.org/y"))
     assert(links(null) == null)
+    // a non-href attribute merely ENDING in href (data-href,
+    // xlink:href) must NOT harvest — the attribute name is anchored
+    // by a preceding whitespace, not a \b ('-'/':' are non-word)
+    assert(links("<a data-href=\"https://tracker.example/t\" " +
+      "href='https://real.example/p'>x</a>") ==
+      Seq("https://real.example/p"))
+    // an UNTERMINATED quote fails in place instead of swallowing the
+    // rest of the document's anchors (the capture excludes <>)
+    assert(links("<a href=\"https://broken.example/x>one</a>" +
+      "<a href=\"https://intact.example/y\">two</a>") ==
+      Seq("https://intact.example/y"))
+    // attributes genuinely spanning lines harvest (whitespace around
+    // '=' is the full class, not just space/tab)
+    assert(links("<a\n  href\n  = \"https://multi.example/z\">m</a>") ==
+      Seq("https://multi.example/z"))
     // the committed fixture page: its three ANCHOR hrefs harvest (the
     // <link> stylesheet does not), and the &amp; inside a raw href
     // stays encoded — decoding is htmlToText's concern, not the
