@@ -140,6 +140,73 @@ object HtmlOps {
   private[graft] def sqlLit(s: String): String =
     "'" + s.replace("'", "''") + "'"
 
+  // ------------------------- page metadata --------------------------
+  // The three header signals curation stacks key on BEFORE any body
+  // work: <title> (quality/dedup keys), <html lang> (language routing
+  // ahead of content langid), and meta-robots noindex (politeness/
+  // compliance — pages that ask to be excluded). Same discipline as
+  // the chain: Java∩RE2 patterns, quote forms as separate passes
+  // (no backrefs), attribute names anchored by preceding whitespace,
+  // values excluding <> so malformed markup fails in place. Declared
+  // envelope: first occurrence wins; attribute ORDER within a meta
+  // tag is name-then-content or content-then-name (both patterns);
+  // unquoted attribute values not matched.
+
+  private val TitleRe = "(?is)<title\\b[^>]*>([^<]*)</title"
+  private def langRe(q: String) =
+    s"(?is)<html\\b[^>]*[$WsB]lang[$WsB]*=[$WsB]*$q([a-zA-Z-]{1,20})$q"
+  private def robotsRe(q: String) =
+    s"(?is)<meta\\b[^>]*[$WsB]name[$WsB]*=[$WsB]*${q}robots$q" +
+      s"[^>]*[$WsB]content[$WsB]*=[$WsB]*$q([^<>$q]*)$q"
+  private def robotsRevRe(q: String) =
+    s"(?is)<meta\\b[^>]*[$WsB]content[$WsB]*=[$WsB]*$q([^<>$q]*)$q" +
+      s"[^>]*[$WsB]name[$WsB]*=[$WsB]*${q}robots$q"
+
+  /** First `<title>` text of the page ('' when absent — the
+    * regexp_extract no-match convention both engines share); raw
+    * inner text, entities NOT decoded (run [[htmlToText]] over it if
+    * prose form is needed). */
+  def htmlTitle(html: Column): Column =
+    regexp_extract(html, TitleRe, 1)
+
+  /** The `<html lang="…">` attribute, lowercased ('' when absent);
+    * double- then single-quoted form. */
+  def htmlLang(html: Column): Column =
+    lower(when(regexp_extract(html, langRe("\""), 1) =!= "",
+      regexp_extract(html, langRe("\""), 1))
+      .otherwise(regexp_extract(html, langRe("'"), 1)))
+
+  /** TRUE when a `<meta name="robots">` content carries `noindex`
+    * (either attribute order, either quote form, case-insensitive) —
+    * the exclusion-compliance flag. NULL html → false (concat_ws
+    * absorbs NULLs in both engines, so no flag, not unknown — a page
+    * that does not exist asks for nothing). */
+  def htmlNoindex(html: Column): Column = {
+    val content = Seq(robotsRe("\""), robotsRe("'"),
+      robotsRevRe("\""), robotsRevRe("'"))
+      .map(p => regexp_extract(html, p, 1))
+    lower(concat_ws(" ", content: _*)).contains("noindex")
+  }
+
+  /** DuckDB replays of the metadata extractors over SQL expression
+    * `expr` — generated from the same pattern constants. */
+  def htmlTitleSql(expr: String): String =
+    s"regexp_extract($expr, ${sqlLit(TitleRe)}, 1)"
+
+  def htmlLangSql(expr: String): String = {
+    val dq = s"regexp_extract($expr, ${sqlLit(langRe("\""))}, 1)"
+    val sq = s"regexp_extract($expr, ${sqlLit(langRe("'"))}, 1)"
+    s"lower(CASE WHEN $dq <> '' THEN $dq ELSE $sq END)"
+  }
+
+  def htmlNoindexSql(expr: String): String = {
+    val parts = Seq(robotsRe("\""), robotsRe("'"),
+      robotsRevRe("\""), robotsRevRe("'"))
+      .map(p => s"regexp_extract($expr, ${sqlLit(p)}, 1)")
+      .mkString(", ")
+    s"contains(lower(concat_ws(' ', $parts)), 'noindex')"
+  }
+
   /** The DuckDB replay of [[htmlToText]] over the SQL expression
     * `expr`, generated from [[Steps]] — the oracle cannot drift from
     * the engine because both read one table. DuckDB's regexp_replace

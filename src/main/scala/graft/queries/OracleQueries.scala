@@ -646,6 +646,43 @@ object OracleQueries {
   /** SQL twin of [[rawHtmlLinks]] — same tokens, by construction. */
   private def rawHtmlLinksSql: String = htokSql(linkShell)
 
+  /** Header-metadata shells for the `html_meta` row (doc_id % 5):
+    * lang/title/robots in lowercase-dq, UPPERCASE-sq, absent (bare
+    * prose), REVERSED meta attribute order, and a DECOY case
+    * (data-lang, name="robotsx", robots text inside a description
+    * content) that must extract NOTHING — the envelope
+    * oracle-checked in both engines. */
+  private def metaShells: Seq[Seq[HTok]] = Seq(
+    Seq(HLit("<!DOCTYPE html><html lang=\"en\"><head><title>Doc "),
+      HId, HLit(" of "), HSrc,
+      HLit("</title><meta name=\"robots\" content=\"index, follow\">" +
+        "</head><body><p>"), HText, HLit("</p></body></html>")),
+    Seq(HLit("<html LANG='zh-CN'><head><TITLE>doc "), HId,
+      HLit("</TITLE><META NAME=\"robots\" " +
+        "CONTENT=\"noindex, nofollow\"></head><body>"), HText,
+      HLit("</body></html>")),
+    Seq(HText),
+    Seq(HLit("<html lang=\"de\"><meta content=\"NOINDEX\" " +
+      "name=\"robots\"><title>Titel "), HId, HLit("</title><div>"),
+      HText, HLit("</div></html>")),
+    Seq(HLit("<html data-lang=\"xx\"><meta name=\"robotsx\" " +
+      "content=\"noindex\"><meta name=\"description\" " +
+      "content=\"robots noindex here\"><p>"), HText,
+      HLit("</p></html>")))
+
+  private def rawHtmlMeta: Column = {
+    val m = col("doc_id") % 5
+    def of(i: Int): Column = htokColumn(metaShells(i))
+    when(m === 0, of(0)).when(m === 1, of(1)).when(m === 2, of(2))
+      .when(m === 3, of(3)).otherwise(of(4))
+  }
+
+  /** SQL twin of [[rawHtmlMeta]] — same tokens, by construction. */
+  private def rawHtmlMetaSql: String =
+    (0 to 3).map(i => s"WHEN $i THEN ${htokSql(metaShells(i))}")
+      .mkString("CASE CAST(doc_id % 5 AS INTEGER) ", " ",
+        s" ELSE ${htokSql(metaShells(4))} END")
+
   /** The FULL committed Public Suffix List, re-parsed by DuckDB from
     * the verbatim artifact lines (Verify dumps the classpath resource
     * line-split into `$AuxDir/psl_lines` parquet — one source of
@@ -4652,6 +4689,37 @@ object OracleQueries {
         SELECT domain AS link_domain, CAST(COUNT(*) AS BIGINT) AS n_links
         FROM res WHERE domain IS NOT NULL
         GROUP BY domain ORDER BY link_domain""")),
+
+    // ================== page-header metadata signals ======================
+    // The three header signals a curation stack keys on BEFORE body
+    // work: <html lang> (language routing ahead of content langid),
+    // <title> presence (quality/dedup keys), meta-robots noindex
+    // (exclusion compliance). Shells cover both quote forms, both
+    // meta attribute orders, uppercase tags, and a decoy case
+    // (data-lang / name="robotsx" / robots prose inside a description
+    // content) that must extract NOTHING — so the envelope itself is
+    // cross-engine data. Row-local regexp projections riding the
+    // scan; one bounded group-by exchange.
+    Q("html_meta",
+      (s, dir) => t(s, dir, "documents")
+        .select(rawHtmlMeta.as("h"))
+        .select(HtmlOps.htmlLang(col("h")).as("lang"),
+          HtmlOps.htmlNoindex(col("h")).cast("int").as("noindex"),
+          when(HtmlOps.htmlTitle(col("h")) =!= "", lit(1L))
+            .otherwise(lit(0L)).as("titled"))
+        .groupBy(col("lang"), col("noindex"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("titled")).as("n_titled"))
+        .orderBy(col("lang"), col("noindex")),
+      Some(s"""WITH hm AS (SELECT $rawHtmlMetaSql AS h FROM documents),
+        m AS (SELECT ${HtmlOps.htmlLangSql("h")} AS lang,
+            CAST(${HtmlOps.htmlNoindexSql("h")} AS INTEGER) AS noindex,
+            CASE WHEN ${HtmlOps.htmlTitleSql("h")} <> ''
+              THEN 1 ELSE 0 END AS titled
+          FROM hm)
+        SELECT lang, noindex, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(titled) AS BIGINT) AS n_titled
+        FROM m GROUP BY lang, noindex ORDER BY lang, noindex""")),
 
     // ===================== curation funnel report =========================
     // The dashboard a curation engineer reads before shipping a filter

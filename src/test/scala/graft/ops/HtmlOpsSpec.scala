@@ -103,6 +103,45 @@ class HtmlOpsSpec extends SparkSpec {
       "/rss.xml"), raw.toString)
   }
 
+  test("page metadata: title, html-lang, robots-noindex across quote " +
+      "forms, attribute orders and case; decoys extract nothing") {
+    def meta(s: String): (String, Boolean, String) = {
+      val r = Seq(s).toDF("h").select(
+        HtmlOps.htmlLang(col("h")), HtmlOps.htmlNoindex(col("h")),
+        HtmlOps.htmlTitle(col("h"))).collect()(0)
+      (r.getString(0), r.getBoolean(1), r.getString(2))
+    }
+    assert(meta("<html lang=\"en\"><title>T</title>" +
+      "<meta name=\"robots\" content=\"index\">") == ("en", false, "T"))
+    // uppercase + single quotes + noindex
+    assert(meta("<HTML LANG='zh-CN'><TITLE>t2</TITLE>" +
+      "<META NAME=\"robots\" CONTENT=\"noindex,nofollow\">") ==
+      ("zh-cn", true, "t2"))
+    // reversed meta attribute order, uppercase content value
+    assert(meta("<html lang=\"de\">" +
+      "<meta content=\"NOINDEX\" name=\"robots\">") == ("de", true, ""))
+    // decoys: data-lang is not lang, robotsx is not robots, and
+    // 'robots noindex' prose inside a description content is not a
+    // robots directive
+    assert(meta("<html data-lang=\"xx\">" +
+      "<meta name=\"robotsx\" content=\"noindex\">" +
+      "<meta name=\"description\" content=\"robots noindex here\">") ==
+      ("", false, ""))
+    // absent everything; title text stays raw (entities undecoded)
+    assert(meta("plain text, no markup") == ("", false, ""))
+    assert(meta("<title>A &amp; B</title>")._3 == "A &amp; B")
+    // the committed fixture page: lang="en" on the html tag, the
+    // title extracts raw, no robots meta
+    val res = getClass.getResource("/warc/fixture_html.warc").getPath
+    val raw = graft.sources.WarcSource.documentsRaw(spark, res)
+      .where(col("url") === "https://research.example.org/notes/winter")
+      .select(HtmlOps.htmlTitle(col("text")),
+        HtmlOps.htmlLang(col("text")),
+        HtmlOps.htmlNoindex(col("text"))).collect()(0)
+    assert(raw.getString(0) == "Field Notes &amp; Observations")
+    assert(raw.getString(1) == "en" && !raw.getBoolean(2))
+  }
+
   test("the operator's reason to exist: gopherFlags REJECTS the raw " +
       "HTML form of the fixture page and ACCEPTS its extracted prose") {
     val res = getClass.getResource("/warc/fixture_html.warc").getPath
