@@ -495,6 +495,61 @@ object TextMetrics {
           .otherwise("tail").as("bucket"))
   }
 
+  /** C4 cleaning rules (Raffel et al. 2020, arXiv:1910.10683 §2.2 —
+    * the most-cited crawl-cleaning recipe; the LINE- and PAGE-level
+    * half that composes with this repo's other stages):
+    *
+    *  - LINE rules (a line survives iff ALL hold): ends in a terminal
+    *    punctuation mark (`. ! ?` or a closing quote `"` `”` — the
+    *    paper's "terminal punctuation" reading), carries at least
+    *    `minLineWords` (3) whitespace words, and does not contain the
+    *    word "javascript" in any case (the boilerplate "enable
+    *    JavaScript" banner rule);
+    *  - PAGE rules over the SURVIVING text: at least `minSentences`
+    *    (5) sentences (approximated as `[.!?]` occurrences — the
+    *    paper counts sentences; this pinned proxy is cross-engine
+    *    exact), no "lorem ipsum" (any case), no `{` (code filter).
+    *
+    * OUT OF SCOPE here by design: the paper's badword list (an
+    * external artifact this repo does not ship), langdetect (the
+    * `lang_id` operator), and the three-sentence-span dedup (the
+    * `dedup_substring_spans` operator) — C4's full pipeline is the
+    * COMPOSITION of those existing stages with these rules.
+    *
+    * Row-local; the line rules use a lambda filter over the line
+    * array (bounded by document newlines — the dupLineFeatures
+    * posture); the cleaned text binds ONCE (one-element transform)
+    * before the sentence-count/length fan-out. Returns
+    * (text_clean, n_lines_kept, n_sentences, has_lorem, has_brace,
+    * keep). */
+  def c4Flags(text: Column, minSentences: Int = 5,
+              minLineWords: Int = 3): Column = {
+    val keptLines = filter(split(text, "\n"), l => {
+      val t = trim(l)
+      t.rlike("[.!?\"”]$") &&
+        size(split(t, graft.core.Ws.Plus)) >= minLineWords &&
+        !lower(t).contains("javascript")
+    })
+    // bind the cleaned text: sentence count, char length and the
+    // output column all reference it (conditional-branch CSE does not
+    // merge the copies — the UrlOps.bind1 lesson)
+    element_at(transform(array(struct(
+      array_join(keptLines, "\n").as("tc"),
+      size(keptLines).as("nk"))), p => {
+      val tc = p.getField("tc")
+      val nSent = regexp_count(tc, lit("[.!?]"))
+      val hasLorem = lower(text).contains("lorem ipsum")
+      val hasBrace = text.contains("{")
+      struct(
+        tc.as("text_clean"),
+        p.getField("nk").cast("long").as("n_lines_kept"),
+        nSent.cast("long").as("n_sentences"),
+        hasLorem.as("has_lorem"),
+        hasBrace.as("has_brace"),
+        (nSent >= minSentences && !hasLorem && !hasBrace).as("keep"))
+    }), 1)
+  }
+
   /** Words of [[GopherStopwords]] — the eight common-English-word list the
     * Gopher rules test membership against (Rae et al. 2021 §A1.1). */
   val GopherStopwords: Seq[String] =

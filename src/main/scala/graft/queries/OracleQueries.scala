@@ -670,6 +670,39 @@ object OracleQueries {
       "content=\"robots noindex here\"><p>"), HText,
       HLit("</p></html>")))
 
+  /** Page shells for the `quality_c4` row (doc_id % 3): a clean page
+    * (6 sentences across 4 surviving lines — the no-punct, <3-word
+    * and javascript lines drop), the clean page PLUS a lorem-ipsum
+    * line (line-level SURVIVES — it is a proper sentence — but the
+    * page drops), and PLUS a code line (the `;`-terminated line drops
+    * at line level AND its `{` drops the page). */
+  private def c4Shells: Seq[Seq[HTok]] = {
+    val base = Seq[HTok](
+      HText, HLit(" is the opening line of this page.\n" +
+        "short line\n" +
+        "Please enable JavaScript to view the comments.\n" +
+        "The second sentence carries enough words! Really!\n" +
+        "Ok.\n" +
+        "A fifth sentence lands here. And a sixth one too.\n"),
+      HText, HLit(" closes the page with one more proper sentence?"))
+    Seq(
+      base,
+      base :+ HLit("\nLorem ipsum dolor sit amet."),
+      base :+ HLit("\nvar config = { debug: true };"))
+  }
+
+  private def rawC4Page: Column = {
+    val m = col("doc_id") % 3
+    def of(i: Int): Column = htokColumn(c4Shells(i))
+    when(m === 0, of(0)).when(m === 1, of(1)).otherwise(of(2))
+  }
+
+  /** SQL twin of [[rawC4Page]] — same tokens, by construction. */
+  private def rawC4PageSql: String =
+    (0 to 1).map(i => s"WHEN $i THEN ${htokSql(c4Shells(i))}")
+      .mkString("CASE CAST(doc_id % 3 AS INTEGER) ", " ",
+        s" ELSE ${htokSql(c4Shells(2))} END")
+
   private def rawHtmlMeta: Column = {
     val m = col("doc_id") % 5
     def of(i: Int): Column = htokColumn(metaShells(i))
@@ -4720,6 +4753,52 @@ object OracleQueries {
         SELECT lang, noindex, CAST(COUNT(*) AS BIGINT) AS n_docs,
           CAST(SUM(titled) AS BIGINT) AS n_titled
         FROM m GROUP BY lang, noindex ORDER BY lang, noindex""")),
+
+    // ======================= C4 cleaning rules ============================
+    // Raffel et al. 2020 §2.2, the most-cited crawl-cleaning recipe:
+    // line rules (terminal punctuation, ≥3 words, no-javascript) and
+    // page rules (≥5 sentences over the SURVIVING text, no lorem
+    // ipsum, no curly brace). The generator's three shells pin the
+    // interaction cases: a lorem line that SURVIVES line-level but
+    // drops the page, and a code line that drops at BOTH levels. The
+    // badword list / langdetect / span-dedup halves of C4 are the
+    // composition with existing operators (documented in c4Flags).
+    // Row-local; the oracle re-derives every rule independently.
+    Q("quality_c4",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextMetrics.c4Flags(rawC4Page).as("c"))
+        .select(col("doc_id"),
+          col("c.n_lines_kept").as("n_lines_kept"),
+          col("c.n_sentences").as("n_sentences"),
+          length(col("c.text_clean")).cast("long").as("clean_chars"),
+          col("c.has_lorem").cast("int").as("has_lorem"),
+          col("c.has_brace").cast("int").as("has_brace"),
+          col("c.keep").cast("int").as("keep"))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH src AS (SELECT doc_id, $rawC4PageSql AS t
+          FROM documents),
+        k AS (SELECT doc_id, t,
+            list_filter(string_split(t, chr(10)), l ->
+              regexp_matches(trim(l), '[.!?"”]$$')
+              AND len(string_split_regex(trim(l),
+                '[ \\t\\n\\x0B\\f\\r]+')) >= 3
+              AND NOT contains(lower(l), 'javascript')) AS kept
+          FROM src),
+        c AS (SELECT doc_id,
+            array_to_string(kept, chr(10)) AS tc, len(kept) AS nk,
+            contains(lower(t), 'lorem ipsum') AS hl,
+            contains(t, '{') AS hb
+          FROM k)
+        SELECT doc_id, CAST(nk AS BIGINT) AS n_lines_kept,
+          CAST(len(regexp_extract_all(tc, '[.!?]')) AS BIGINT)
+            AS n_sentences,
+          CAST(length(tc) AS BIGINT) AS clean_chars,
+          CAST(hl AS INTEGER) AS has_lorem,
+          CAST(hb AS INTEGER) AS has_brace,
+          CAST((len(regexp_extract_all(tc, '[.!?]')) >= 5
+            AND NOT hl AND NOT hb) AS INTEGER) AS keep
+        FROM c ORDER BY doc_id""")),
 
     // ===================== curation funnel report =========================
     // The dashboard a curation engineer reads before shipping a filter

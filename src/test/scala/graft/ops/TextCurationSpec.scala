@@ -178,4 +178,45 @@ class TextCurationSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
   }
+
+  test("c4Flags: line rules (terminal punct, >=3 words, javascript) " +
+      "and page rules (>=5 sentences, lorem, brace) — each rule " +
+      "isolated, interaction cases pinned") {
+    def flags(t: String) = Seq(t).toDF("t")
+      .select(TextMetrics.c4Flags(col("t")).as("c"))
+      .select(col("c.text_clean"), col("c.n_lines_kept"),
+        col("c.n_sentences"), col("c.has_lorem"), col("c.has_brace"),
+        col("c.keep")).collect()(0)
+    val page = Seq(
+      "A proper first sentence with enough words.",
+      "no terminal punctuation here",
+      "Please enable JavaScript to continue.",
+      "Too few.",
+      "A second proper sentence follows right here! Indeed it does!",
+      "And a fifth one closes the page with room to spare.",
+      "Then a sixth sentence seals the keep decision?").mkString("\n")
+    val r = flags(page)
+    // kept: lines 1, 5, 6, 7 (no-punct, javascript and <3-words
+    // drop); sentence marks across them: 1 + 2 + 1 + 1 = 5, exactly
+    // the keep floor
+    assert(r.getLong(1) == 4 && r.getLong(2) == 5)
+    assert(!r.getBoolean(3) && !r.getBoolean(4))
+    assert(r.getBoolean(5), r.toString)
+    assert(!r.getString(0).toLowerCase.contains("javascript"))
+    // a lorem line SURVIVES line-level (proper sentence) but drops
+    // the page; a brace inside a dropped line still drops the page
+    val lorem = flags(page + "\nLorem ipsum dolor sit amet.")
+    assert(lorem.getLong(1) == 5 && !lorem.getBoolean(5) &&
+      lorem.getBoolean(3))
+    val brace = flags(page + "\nvar config = { debug: true };")
+    assert(brace.getLong(1) == 4 && !brace.getBoolean(5) &&
+      brace.getBoolean(4))
+    // below the sentence floor: 4 sentences -> cut
+    val thin = flags(Seq(
+      "One proper sentence stands alone.",
+      "Two proper sentences stand together!",
+      "Three is still not enough for the floor.",
+      "Four misses the floor too?").mkString("\n"))
+    assert(thin.getLong(2) == 4 && !thin.getBoolean(5))
+  }
 }
