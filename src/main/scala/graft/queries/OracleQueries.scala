@@ -703,6 +703,53 @@ object OracleQueries {
       .mkString("CASE CAST(doc_id % 3 AS INTEGER) ", " ",
         s" ELSE ${htokSql(c4Shells(2))} END")
 
+  /** The `robots_eval` universe — FOUR robots.txt documents (star
+    * group with overlapping allow/disallow + wildcard/$ rules; an
+    * exact graftbot group that SHADOWS a disallow-all star group; a
+    * star group reached only because the named group is another
+    * bot's; an empty-disallow allow-all) and FIVE paths, keyed by
+    * doc_id % 4 / % 5 (coprime — every (host, path) pair occurs).
+    * ONE constant table serves the Column generators and the SQL
+    * twins ([[HtmlOps.sqlLit]]); the whole RFC 9309 pipeline — parse,
+    * grouping, selection, pattern translation, longest-match,
+    * tie-to-allow — replays independently in DuckDB. */
+  private val RobotsTexts = Seq(
+    "User-agent: *\nDisallow: /private/\nAllow: /private/open/\n" +
+      "# note\nDisallow: /*.pdf$\n",
+    "User-agent: graftbot\nDisallow: /tmp/\nUser-agent: *\nDisallow: /\n",
+    "User-Agent: other\nDisallow: /\n\nUser-agent: *\n" +
+      "Allow: /public\nDisallow: /pub\n",
+    "User-agent: *\nDisallow:\n")
+  private val RobotsPaths = Seq(
+    "/private/x.html", "/private/open/y", "/files/a.pdf",
+    "/public/page.html", "/tmp/z")
+
+  private def robotsHost: Column =
+    concat(lit("h"), (col("doc_id") % 4).cast("string"), lit(".example"))
+  private val robotsHostSql =
+    "'h' || CAST(doc_id % 4 AS VARCHAR) || '.example'"
+
+  private def rawRobotsTxt: Column = {
+    val m = col("doc_id") % 4
+    when(m === 0, lit(RobotsTexts(0))).when(m === 1, lit(RobotsTexts(1)))
+      .when(m === 2, lit(RobotsTexts(2))).otherwise(lit(RobotsTexts(3)))
+  }
+  private def rawRobotsTxtSql: String =
+    (0 to 2).map(i => s"WHEN $i THEN ${HtmlOps.sqlLit(RobotsTexts(i))}")
+      .mkString("CASE CAST(doc_id % 4 AS INTEGER) ", " ",
+        s" ELSE ${HtmlOps.sqlLit(RobotsTexts(3))} END")
+
+  private def rawRobotsPath: Column = {
+    val m = col("doc_id") % 5
+    when(m === 0, lit(RobotsPaths(0))).when(m === 1, lit(RobotsPaths(1)))
+      .when(m === 2, lit(RobotsPaths(2))).when(m === 3, lit(RobotsPaths(3)))
+      .otherwise(lit(RobotsPaths(4)))
+  }
+  private def rawRobotsPathSql: String =
+    (0 to 3).map(i => s"WHEN $i THEN ${HtmlOps.sqlLit(RobotsPaths(i))}")
+      .mkString("CASE CAST(doc_id % 5 AS INTEGER) ", " ",
+        s" ELSE ${HtmlOps.sqlLit(RobotsPaths(4))} END")
+
   private def rawHtmlMeta: Column = {
     val m = col("doc_id") % 5
     def of(i: Int): Column = htokColumn(metaShells(i))
@@ -4799,6 +4846,96 @@ object OracleQueries {
           CAST((len(regexp_extract_all(tc, '[.!?]')) >= 5
             AND NOT hl AND NOT hb) AS INTEGER) AS keep
         FROM c ORDER BY doc_id""")),
+
+    // ================ robots.txt evaluation (RFC 9309) ====================
+    // The crawl-politeness gate: parse robots documents (comment
+    // strip, key/value lines, consecutive user-agent lines heading
+    // ONE group), select the crawler's group (exact token shadows *,
+    // same-selector groups merge), translate patterns (* wildcard,
+    // trailing $ anchor, regex specials literal), match paths, and
+    // resolve by MOST-OCTETS precedence with allow winning ties;
+    // unmatched URLs default allowed. Everything is relational —
+    // explode + two windows for the parse, an equi-join on host with
+    // the match as join condition, one bounded window per URL for
+    // the argmax — so the ORACLE replays the ENTIRE RFC pipeline
+    // independently in DuckDB (no aux data at all).
+    Q("robots_eval",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val robots = docs
+          .select(robotsHost.as("host"), rawRobotsTxt.as("txt"))
+          .distinct()
+        val urls = docs
+          .select(robotsHost.as("host"), rawRobotsPath.as("path"))
+          .distinct()
+        RobotsOps.evaluate(urls, RobotsOps.rules(robots, "graftbot"))
+          .select(col("host"), col("path"),
+            col("allowed").cast("int").as("allowed"),
+            coalesce(col("winner_pattern"), lit(""))
+              .as("winner_pattern"))
+          .orderBy(col("host"), col("path"))
+      },
+      Some(s"""WITH rsrc AS (SELECT DISTINCT $robotsHostSql AS host,
+            $rawRobotsTxtSql AS txt FROM documents),
+        usrc AS (SELECT DISTINCT $robotsHostSql AS host,
+            $rawRobotsPathSql AS path FROM documents),
+        rlines AS (SELECT host, i AS pos, list_extract(ls, i) AS line
+          FROM (SELECT host, string_split_regex(txt, '\\r?\\n') AS ls,
+                  unnest(range(1,
+                    len(string_split_regex(txt, '\\r?\\n')) + 1)) AS i
+                FROM rsrc)),
+        kv AS (SELECT host, pos,
+            lower(trim(regexp_extract(
+              trim(regexp_replace(line, '#.*$$', '')),
+              '^([^:]+):', 1))) AS k,
+            trim(regexp_extract(
+              trim(regexp_replace(line, '#.*$$', '')),
+              '^[^:]+:(.*)$$', 1)) AS v
+          FROM rlines),
+        kept AS (SELECT * FROM kv
+          WHERE k IN ('user-agent', 'allow', 'disallow')),
+        g1 AS (SELECT host, pos, k, v,
+            CASE WHEN k = 'user-agent' AND COALESCE(
+                LAG(k) OVER (PARTITION BY host ORDER BY pos), '')
+                <> 'user-agent' THEN 1 ELSE 0 END AS boundary
+          FROM kept),
+        g2 AS (SELECT host, pos, k, v,
+            SUM(boundary) OVER (PARTITION BY host ORDER BY pos
+              ROWS UNBOUNDED PRECEDING) AS grp
+          FROM g1),
+        agents AS (SELECT host, grp, lower(v) AS ua FROM g2
+          WHERE k = 'user-agent'),
+        hx AS (SELECT host, MAX(CASE WHEN ua = 'graftbot' THEN 1
+            ELSE 0 END) AS has_exact
+          FROM agents GROUP BY host),
+        chosen AS (SELECT DISTINCT a.host, a.grp
+          FROM agents a JOIN hx USING (host)
+          WHERE (hx.has_exact = 1 AND a.ua = 'graftbot')
+             OR (hx.has_exact = 0 AND a.ua = '*')),
+        rrules AS (SELECT g2.host, g2.k AS directive, g2.v AS pattern,
+            length(g2.v) AS pat_len,
+            replace(regexp_replace(g2.v,
+              '([\\\\.^$$+?(){}\\[\\]|])', '\\\\\\1', 'g'),
+              '*', '.*') AS star
+          FROM g2 JOIN chosen USING (host, grp)
+          WHERE g2.k IN ('allow', 'disallow') AND g2.v <> ''),
+        rx AS (SELECT host, directive, pattern, pat_len,
+            '^' || CASE WHEN ends_with(star, '\\$$')
+              THEN substring(star, 1, length(star) - 2) || '$$'
+              ELSE star END AS rx
+          FROM rrules),
+        m AS (SELECT u.host, u.path, r.directive, r.pattern, r.pat_len
+          FROM usrc u LEFT JOIN rx r
+            ON u.host = r.host AND regexp_matches(u.path, r.rx)),
+        vw AS (SELECT host, path, directive, pattern,
+            ROW_NUMBER() OVER (PARTITION BY host, path
+              ORDER BY pat_len DESC NULLS LAST,
+                CASE WHEN directive = 'allow' THEN 0 ELSE 1 END) AS rn
+          FROM m)
+        SELECT host, path,
+          CAST(COALESCE(directive = 'allow', TRUE) AS INTEGER) AS allowed,
+          COALESCE(pattern, '') AS winner_pattern
+        FROM vw WHERE rn = 1 ORDER BY host, path""")),
 
     // ===================== curation funnel report =========================
     // The dashboard a curation engineer reads before shipping a filter
