@@ -105,6 +105,29 @@ class RobotsOpsSpec extends SparkSpec {
     assert(v(("h", "/open"))._1 == true)
   }
 
+  test("the offline-audit seam: a crawled WARC drop evaluated against " +
+      "robots snapshots — the fetched page that violates its host's " +
+      "rules is flagged, the compliant one passes") {
+    val res = getClass.getResource("/warc/fixture_html.warc").getPath
+    val docs = graft.sources.WarcSource.documents(spark, res)
+      .select(col("url"),
+        UrlOps.strippedUrlHost(col("url")).as("host"),
+        coalesce(nullif(regexp_extract(col("url"),
+          "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1), lit("")),
+          lit("/")).as("path"))
+    val robots = Seq(("research.example.org",
+      "User-agent: *\nDisallow: /notes/winter$\nAllow: /notes/")).toDF(
+      "host", "txt")
+    val audit = RobotsOps.evaluate(
+      docs.select(col("host"), col("path")).distinct(),
+      RobotsOps.rules(robots, "graftbot"))
+      .collect().map(r => r.getString(1) -> r.getBoolean(2)).toMap
+    // the HTML page's exact path is disallowed (anchored rule); the
+    // .txt sibling under /notes/ rides the broader allow
+    assert(audit("/notes/winter") == false)
+    assert(audit("/notes/winter.txt") == true)
+  }
+
   test("patternRegex: the translation is RE2/Java-safe and exact") {
     val got = Seq("/*.pdf$", "/a+b/", "/x$y/", "/p")
       .toDF("pattern")
