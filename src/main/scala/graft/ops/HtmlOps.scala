@@ -47,9 +47,16 @@ import org.apache.spark.sql.functions._
   * degrades to tag-stripping (its code text survives as prose — the
   * quality rules then judge it); `<pre>` loses interior whitespace
   * like all text; lone-CR line endings collapse to spaces, not
-  * newlines. Pages needing a DOM (JS-rendered content, srcset
-  * selection) are out of scope by design — this is the bounded
-  * regex-expressible core, the cross-engine-replayable contract. */
+  * newlines; and the strip is SINGLE-PASS, not run to fixpoint — an
+  * adversarial splice like `<<b>word>` strips `<b>` and leaves the
+  * tag-shaped residue `<word>` (found by the property spec's random
+  * tag soup; iterating to fixpoint would make worst-case work
+  * unbounded per row, and such constructs are not markup any
+  * browser nests either — downstream quality rules judge the
+  * residue as text). Pages needing a DOM (JS-rendered content,
+  * srcset selection) are out of scope by design — this is the
+  * bounded regex-expressible core, the cross-engine-replayable
+  * contract. */
 object HtmlOps {
 
   private val WsB = graft.core.Ws.Body // " \t\n\x0B\f\r" as escapes
