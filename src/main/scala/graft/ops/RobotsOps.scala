@@ -13,7 +13,8 @@ import org.apache.spark.sql.functions._
   *  - lines are `key: value` with `#` comments stripped; keys
   *    case-insensitive; CRLF and LF both accepted; only
   *    `user-agent` / `allow` / `disallow` participate in matching
-  *    (sitemap, crawl-delay etc. pass through unharvested);
+  *    (`crawl-delay` and `sitemap` are harvested by [[directives]],
+  *    never by the matching path);
   *  - consecutive `user-agent` lines head ONE group (a user-agent
   *    line starts a new group only when the previous parsed line is
   *    not itself a user-agent line — §2.2.1's grouping);
@@ -59,44 +60,112 @@ object RobotsOps {
     concat(lit("^"), body)
   }
 
-  /** Rule rows of the group RFC 9309 selects for `agent`:
-    * (host, directive ∈ {allow,disallow}, pattern, pat_len).
-    * `robots` carries one row per robots.txt document:
-    * (host string, txt string). */
-  def rules(robots: DataFrame, agent: String): DataFrame = {
+  /** `txt` → one (host, pos, k, v) row per parseable `key: value`
+    * line: comments stripped, key lowercased, both sides trimmed,
+    * CRLF/LF accepted. NO key filter — each consumer keeps the key
+    * set that participates in ITS semantics ([[rules]]: the three
+    * matching keys; [[directives]]: plus crawl-delay/sitemap). */
+  private def parsedLines(robots: DataFrame): DataFrame = robots
+    .select(col("host"),
+      posexplode(split(col("txt"), "\\r?\\n")).as(Seq("pos", "line")))
+    .select(col("host"), col("pos"),
+      trim(regexp_replace(col("line"), "#.*$", "")).as("l"))
+    .select(col("host"), col("pos"),
+      lower(trim(regexp_extract(col("l"), "^([^:]+):", 1))).as("k"),
+      trim(regexp_extract(col("l"), "^[^:]+:(.*)$", 1)).as("v"))
+
+  /** §2.2.1 grouping over an already-key-filtered [[parsedLines]]
+    * frame: a user-agent line opens a new group only when the
+    * previous KEPT line is not itself a user-agent line — so which
+    * keys the caller kept defines which lines can split a run of
+    * user-agent lines (rules: allow/disallow; directives: those plus
+    * crawl-delay). Adds (boundary, grp). */
+  private def grouping(parsed: DataFrame): DataFrame = {
     val byPos = Window.partitionBy("host").orderBy("pos")
-    val parsed = robots
-      .select(col("host"),
-        posexplode(split(col("txt"), "\\r?\\n")).as(Seq("pos", "line")))
-      .select(col("host"), col("pos"),
-        trim(regexp_replace(col("line"), "#.*$", "")).as("l"))
-      .select(col("host"), col("pos"),
-        lower(trim(regexp_extract(col("l"), "^([^:]+):", 1))).as("k"),
-        trim(regexp_extract(col("l"), "^[^:]+:(.*)$", 1)).as("v"))
-      .where(col("k").isin("user-agent", "allow", "disallow"))
-    val grouped = parsed
+    parsed
       .withColumn("boundary",
         (col("k") === "user-agent" &&
           coalesce(lag(col("k"), 1).over(byPos), lit("")) =!= "user-agent")
           .cast("int"))
       .withColumn("grp", sum(col("boundary")).over(
         byPos.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  /** §2.2.1 group selection over a [[grouping]] frame: the (host, grp)
+    * pairs whose selector is the crawler's exact product token when any
+    * group on the host names it, else the `*` groups; same-selector
+    * groups MERGE (multiple rows per host). */
+  private def chosenGroups(grouped: DataFrame, agent: String): DataFrame = {
     val agents = grouped.where(col("k") === "user-agent")
       .select(col("host"), col("grp"), lower(col("v")).as("ua"))
-    // §2.2.1 selection: exact product token when any group names it,
-    // else the '*' groups; groups with the same selector merge
     val hostHasExact = agents
       .groupBy("host")
       .agg(max((col("ua") === agent.toLowerCase).cast("int"))
         .as("has_exact"))
-    val chosen = agents.join(hostHasExact, "host")
+    agents.join(hostHasExact, "host")
       .where((col("has_exact") === 1 && col("ua") === agent.toLowerCase) ||
         (col("has_exact") === 0 && col("ua") === "*"))
       .select(col("host"), col("grp")).distinct()
+  }
+
+  /** Rule rows of the group RFC 9309 selects for `agent`:
+    * (host, directive ∈ {allow,disallow}, pattern, pat_len).
+    * `robots` carries one row per robots.txt document:
+    * (host string, txt string). */
+  def rules(robots: DataFrame, agent: String): DataFrame = {
+    val parsed = parsedLines(robots)
+      .where(col("k").isin("user-agent", "allow", "disallow"))
+    val grouped = grouping(parsed)
     grouped.where(col("k").isin("allow", "disallow") && col("v") =!= "")
-      .join(chosen, Seq("host", "grp"))
+      .join(chosenGroups(grouped, agent), Seq("host", "grp"))
       .select(col("host"), col("k").as("directive"),
         col("v").as("pattern"), length(col("v")).as("pat_len"))
+  }
+
+  /** The two non-rule directive families the same parse has in hand
+    * but [[rules]] deliberately ignores — politeness scheduling and
+    * discovery both key on them:
+    *
+    *  - `crawl-delay` (de-facto standard — Bing/Yandex; not in
+    *    RFC 9309): GROUP-scoped like allow/disallow, so the value is
+    *    taken from the groups §2.2.1 selects for `agent`, with the
+    *    SAME consecutive-user-agent grouping computed over
+    *    {user-agent, allow, disallow, crawl-delay} lines (a rule line
+    *    between two user-agent lines splits them here exactly as it
+    *    does for [[rules]]). Same-selector groups merge; multiple
+    *    surviving values resolve to the MAXIMUM (the conservative
+    *    politeness bound — wait as long as any selected group asks);
+    *    an unparseable value (try_cast) contributes NULL;
+    *  - `sitemap` (sitemaps.org protocol): HOST-GLOBAL by its own
+    *    spec — independent of user-agent groups, so sitemap lines
+    *    neither join a group nor split a user-agent run; harvested in
+    *    document order.
+    *
+    * One row per `robots` host: (host, crawl_delay double — NULL when
+    * absent/unparseable, sitemaps string — the ordered URLs joined
+    * with one space, '' when none, n_sitemaps long). */
+  def directives(robots: DataFrame, agent: String): DataFrame = {
+    val parsed = parsedLines(robots).where(col("k").isin(
+      "user-agent", "allow", "disallow", "crawl-delay", "sitemap"))
+    val sitemaps = parsed.where(col("k") === "sitemap" && col("v") =!= "")
+      .groupBy("host")
+      .agg(array_sort(collect_list(struct(col("pos"), col("v"))))
+        .as("sm"))
+      .select(col("host"),
+        array_join(transform(col("sm"), _.getField("v")), " ")
+          .as("sitemaps"),
+        size(col("sm")).cast("long").as("n_sitemaps"))
+    val grouped = grouping(parsed.where(col("k") =!= "sitemap"))
+    val delays = grouped.where(col("k") === "crawl-delay")
+      .join(chosenGroups(grouped, agent), Seq("host", "grp"))
+      .groupBy("host")
+      .agg(max(col("v").try_cast("double")).as("crawl_delay"))
+    robots.select(col("host")).distinct()
+      .join(delays, Seq("host"), "left")
+      .join(sitemaps, Seq("host"), "left")
+      .select(col("host"), col("crawl_delay"),
+        coalesce(col("sitemaps"), lit("")).as("sitemaps"),
+        coalesce(col("n_sitemaps"), lit(0L)).as("n_sitemaps"))
   }
 
   /** Per-URL verdict over a [[rules]] table: (host, path, allowed,
@@ -116,9 +185,13 @@ object RobotsOps {
     val joined = urls.join(r,
       urls("host") === r("r_host") &&
         regexp_like(urls("path"), r("rx")), "left")
+    // final `pattern` key: two same-length rules with the SAME directive
+    // (where the RFC is indifferent) would otherwise make winner_pattern
+    // row_number-arbitrary — the verdict must be a function of the data
     val byUrl = Window.partitionBy(col("host"), col("path"))
       .orderBy(col("pat_len").desc_nulls_last,
-        when(col("directive") === "allow", 0).otherwise(1))
+        when(col("directive") === "allow", 0).otherwise(1),
+        col("pattern"))
     joined
       .withColumn("rn", row_number().over(byUrl))
       .where(col("rn") === 1)

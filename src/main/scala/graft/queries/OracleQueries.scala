@@ -709,16 +709,23 @@ object OracleQueries {
     * star group reached only because the named group is another
     * bot's; an empty-disallow allow-all) and FIVE paths, keyed by
     * doc_id % 4 / % 5 (coprime — every (host, path) pair occurs).
+    * The texts also carry crawl-delay/sitemap lines — invisible to
+    * `robots_eval` (both engines filter to the three matching keys),
+    * harvested by `robots_directives`.
     * ONE constant table serves the Column generators and the SQL
     * twins ([[HtmlOps.sqlLit]]); the whole RFC 9309 pipeline — parse,
     * grouping, selection, pattern translation, longest-match,
     * tie-to-allow — replays independently in DuckDB. */
   private val RobotsTexts = Seq(
-    "User-agent: *\nDisallow: /private/\nAllow: /private/open/\n" +
-      "# note\nDisallow: /*.pdf$\n",
-    "User-agent: graftbot\nDisallow: /tmp/\nUser-agent: *\nDisallow: /\n",
+    "User-agent: *\nCrawl-delay: 2.5\nDisallow: /private/\n" +
+      "Allow: /private/open/\n# note\nDisallow: /*.pdf$\n" +
+      "Sitemap: https://h0.example/sitemap.xml\n" +
+      "Sitemap: https://h0.example/news.xml\n",
+    "User-agent: graftbot\nCrawl-delay: 1\nDisallow: /tmp/\n" +
+      "User-agent: *\nCrawl-delay: 10\nDisallow: /\n",
     "User-Agent: other\nDisallow: /\n\nUser-agent: *\n" +
-      "Allow: /public\nDisallow: /pub\n",
+      "Allow: /public\nSitemap: /sm.xml\nCrawl-delay: fast\n" +
+      "Disallow: /pub\n",
     "User-agent: *\nDisallow:\n")
   private val RobotsPaths = Seq(
     "/private/x.html", "/private/open/y", "/files/a.pdf",
@@ -4930,12 +4937,81 @@ object OracleQueries {
         vw AS (SELECT host, path, directive, pattern,
             ROW_NUMBER() OVER (PARTITION BY host, path
               ORDER BY pat_len DESC NULLS LAST,
-                CASE WHEN directive = 'allow' THEN 0 ELSE 1 END) AS rn
+                CASE WHEN directive = 'allow' THEN 0 ELSE 1 END,
+                pattern) AS rn
           FROM m)
         SELECT host, path,
           CAST(COALESCE(directive = 'allow', TRUE) AS INTEGER) AS allowed,
           COALESCE(pattern, '') AS winner_pattern
         FROM vw WHERE rn = 1 ORDER BY host, path""")),
+
+    // ============== robots.txt non-rule directives ========================
+    // The politeness/discovery half of the same parse: crawl-delay
+    // (group-scoped, de-facto standard — value from the §2.2.1-selected
+    // groups, max of survivors, NULL when absent/unparseable) and
+    // sitemap URLs (host-global per sitemaps.org — group-independent,
+    // document order). The four-host universe covers: a star-group
+    // delay with two ordered sitemaps; a named-group delay SHADOWING a
+    // larger star delay; an unparseable delay ('fast' → NULL) plus a
+    // mid-group sitemap; and a host with neither. The oracle replays
+    // parse, grouping (crawl-delay lines split user-agent runs exactly
+    // like rules), selection and both harvests independently in DuckDB.
+    Q("robots_directives",
+      (s, dir) => {
+        val robots = t(s, dir, "documents")
+          .select(robotsHost.as("host"), rawRobotsTxt.as("txt"))
+          .distinct()
+        RobotsOps.directives(robots, "graftbot").orderBy(col("host"))
+      },
+      Some(s"""WITH rsrc AS (SELECT DISTINCT $robotsHostSql AS host,
+            $rawRobotsTxtSql AS txt FROM documents),
+        rlines AS (SELECT host, i AS pos, list_extract(ls, i) AS line
+          FROM (SELECT host, string_split_regex(txt, '\\r?\\n') AS ls,
+                  unnest(range(1,
+                    len(string_split_regex(txt, '\\r?\\n')) + 1)) AS i
+                FROM rsrc)),
+        kv AS (SELECT host, pos,
+            lower(trim(regexp_extract(
+              trim(regexp_replace(line, '#.*$$', '')),
+              '^([^:]+):', 1))) AS k,
+            trim(regexp_extract(
+              trim(regexp_replace(line, '#.*$$', '')),
+              '^[^:]+:(.*)$$', 1)) AS v
+          FROM rlines),
+        kept AS (SELECT * FROM kv WHERE k IN ('user-agent', 'allow',
+          'disallow', 'crawl-delay', 'sitemap')),
+        sm AS (SELECT host, string_agg(v, ' ' ORDER BY pos) AS sitemaps,
+            CAST(COUNT(*) AS BIGINT) AS n_sitemaps
+          FROM kept WHERE k = 'sitemap' AND v <> '' GROUP BY host),
+        gl AS (SELECT * FROM kept WHERE k <> 'sitemap'),
+        g1 AS (SELECT host, pos, k, v,
+            CASE WHEN k = 'user-agent' AND COALESCE(
+                LAG(k) OVER (PARTITION BY host ORDER BY pos), '')
+                <> 'user-agent' THEN 1 ELSE 0 END AS boundary
+          FROM gl),
+        g2 AS (SELECT host, pos, k, v,
+            SUM(boundary) OVER (PARTITION BY host ORDER BY pos
+              ROWS UNBOUNDED PRECEDING) AS grp
+          FROM g1),
+        agents AS (SELECT host, grp, lower(v) AS ua FROM g2
+          WHERE k = 'user-agent'),
+        hx AS (SELECT host, MAX(CASE WHEN ua = 'graftbot' THEN 1
+            ELSE 0 END) AS has_exact
+          FROM agents GROUP BY host),
+        chosen AS (SELECT DISTINCT a.host, a.grp
+          FROM agents a JOIN hx USING (host)
+          WHERE (hx.has_exact = 1 AND a.ua = 'graftbot')
+             OR (hx.has_exact = 0 AND a.ua = '*')),
+        cd AS (SELECT g2.host,
+            MAX(TRY_CAST(g2.v AS DOUBLE)) AS crawl_delay
+          FROM g2 JOIN chosen USING (host, grp)
+          WHERE g2.k = 'crawl-delay' GROUP BY g2.host)
+        SELECT r.host, cd.crawl_delay,
+          COALESCE(sm.sitemaps, '') AS sitemaps,
+          CAST(COALESCE(sm.n_sitemaps, 0) AS BIGINT) AS n_sitemaps
+        FROM (SELECT DISTINCT host FROM rsrc) r
+        LEFT JOIN cd USING (host) LEFT JOIN sm USING (host)
+        ORDER BY host""")),
 
     // ===================== curation funnel report =========================
     // The dashboard a curation engineer reads before shipping a filter

@@ -128,6 +128,49 @@ class RobotsOpsSpec extends SparkSpec {
     assert(audit("/notes/winter.txt") == true)
   }
 
+  test("evaluate: an equal-length same-directive tie resolves to the " +
+      "lexicographically smallest pattern — never row_number-arbitrary") {
+    val robots = Seq(("h",
+      "User-agent: *\nDisallow: /a*\nDisallow: /ab\n"))
+    val v = verdicts(robots, Seq(("h", "/ab")))
+    assert(v(("h", "/ab")) == ((false, Some("/a*"))))
+  }
+
+  test("directives: crawl-delay is group-scoped (selected group wins, " +
+      "max of survivors, NULL on garbage); sitemaps are host-global " +
+      "and ordered; a rule line still splits user-agent runs") {
+    val robots = Seq(
+      // named group (delay 1) shadows the star group (delay 10); the
+      // Disallow between the two user-agent lines is what splits them
+      ("a", "User-agent: graftbot\nCrawl-delay: 1\nDisallow: /tmp/\n" +
+        "User-agent: *\nCrawl-delay: 10\nDisallow: /\n"),
+      // merged same-selector star groups: max(2, 7) = 7
+      ("b", "User-agent: *\nCrawl-delay: 2\nDisallow: /x\n\n" +
+        "User-agent: *\nCrawl-delay: 7\n"),
+      // unparseable delay; sitemap mid-group is harvested host-globally
+      ("c", "User-agent: *\nSitemap: /first.xml\nCrawl-delay: fast\n" +
+        "Disallow: /y\nSitemap: /second.xml\n"),
+      // nothing to harvest
+      ("d", "User-agent: *\nDisallow: /z\n")).toDF("host", "txt")
+    val got = RobotsOps.directives(robots, "graftbot").collect()
+      .map(r => r.getString(0) ->
+        ((Option(r.get(1)), r.getString(2), r.getLong(3)))).toMap
+    assert(got("a") == ((Some(1.0), "", 0L)))
+    assert(got("b") == ((Some(7.0), "", 0L)))
+    assert(got("c") == ((None, "/first.xml /second.xml", 2L)))
+    assert(got("d") == ((None, "", 0L)))
+  }
+
+  test("directives: a sitemap line does NOT split a user-agent run " +
+      "(host-global lines sit outside grouping)") {
+    val robots = Seq(("h",
+      "User-agent: graftbot\nSitemap: /s.xml\nUser-agent: otherbot\n" +
+        "Crawl-delay: 4\n")).toDF("host", "txt")
+    // graftbot and otherbot still head ONE group — its delay applies
+    val got = RobotsOps.directives(robots, "graftbot").collect()(0)
+    assert(Option(got.get(1)) == Some(4.0) && got.getLong(3) == 1L)
+  }
+
   test("patternRegex: the translation is RE2/Java-safe and exact") {
     val got = Seq("/*.pdf$", "/a+b/", "/x$y/", "/p")
       .toDF("pattern")
