@@ -20,4 +20,11 @@ object Ws {
   val One = s"[$Body]"
   /** `\S` */
   val Not = s"[^$Body]"
+  /** The HORIZONTAL subset — [[Body]] minus `\n` — for per-line rules
+    * applied to text whose line terminators are structural (a rule
+    * must not let a ws class eat the `\n` that ends the line). */
+  val HorizBody = " \\t\\x0B\\f\\r"
+  /** Horizontal `\s` / `\s*` */
+  val HorizOne = s"[$HorizBody]"
+  val HorizStar = s"[$HorizBody]*"
 }

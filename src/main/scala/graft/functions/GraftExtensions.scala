@@ -198,6 +198,16 @@ object GraftExtensions {
       (es: Seq[Expression]) => {
         arity("graft_idn_ascii", 1)(es); IdnAscii(es(0))
       }),
+    (FunctionIdentifier("graft_c4_clean_lines"),
+      info("graft_c4_clean_lines", "graft_c4_clean_lines(text, " +
+        "minWords) - the C4 line rules (terminal punctuation, >= " +
+        "minWords words, no 'javascript') in one byte-level pass: " +
+        "surviving lines joined by newline; minWords is an integer " +
+        "literal"),
+      (es: Seq[Expression]) => {
+        arity("graft_c4_clean_lines", 2)(es)
+        C4CleanLines(es(0), intLit(es(1), "minWords"))
+      }),
     (FunctionIdentifier("graft_psl_domain_ascii"),
       info("graft_psl_domain_ascii", "graft_psl_domain_ascii(host) - " +
         "graft_psl_domain over the ACE-canonicalized host: unicode and " +

@@ -495,20 +495,38 @@ object TextMetrics {
           .otherwise("tail").as("bucket"))
   }
 
+  /** Default C4 thresholds — hoisted to named constants so the DuckDB
+    * twin interpolates THE SAME values instead of restating literals
+    * (a tuned default desynchronizing the twins silently was the
+    * r15-ADVICE hazard). */
+  val C4MinSentences = 5
+  val C4MinLineWords = 3
+
+  /** Terminal-punctuation characters a surviving C4 line must end in
+    * (`. ! ?` or a closing quote `"` `”` — the paper's "terminal
+    * punctuation" reading), and the sentence-mark proxy class. Regex
+    * class innards/source shared with the oracle twin. */
+  val C4TerminalChars = ".!?\"”"
+  val C4Terminal = s"[$C4TerminalChars]"
+  val C4SentenceChars = ".!?"
+  val C4SentenceMark = s"[$C4SentenceChars]"
+
   /** C4 cleaning rules (Raffel et al. 2020, arXiv:1910.10683 §2.2 —
     * the most-cited crawl-cleaning recipe; the LINE- and PAGE-level
     * half that composes with this repo's other stages):
     *
-    *  - LINE rules (a line survives iff ALL hold): ends in a terminal
-    *    punctuation mark (`. ! ?` or a closing quote `"` `”` — the
-    *    paper's "terminal punctuation" reading), carries at least
-    *    `minLineWords` (3) whitespace words, and does not contain the
-    *    word "javascript" in any case (the boilerplate "enable
-    *    JavaScript" banner rule);
-    *  - PAGE rules over the SURVIVING text: at least `minSentences`
-    *    (5) sentences (approximated as `[.!?]` occurrences — the
-    *    paper counts sentences; this pinned proxy is cross-engine
-    *    exact), no "lorem ipsum" (any case), no `{` (code filter).
+    *  - LINE rules (a line survives iff ALL hold): its last
+    *    non-(horizontal-whitespace) character is terminal punctuation
+    *    ([[C4Terminal]]), it carries at least `minLineWords` (3)
+    *    whitespace-separated words (maximal non-whitespace runs), and
+    *    it does not contain the word "javascript" in any case (the
+    *    boilerplate "enable JavaScript" banner rule);
+    *  - PAGE rules: at least `minSentences` (5) sentences OVER THE
+    *    SURVIVING TEXT (approximated as [[C4SentenceMark]]
+    *    occurrences — the paper counts sentences; this pinned proxy
+    *    is cross-engine exact), while the "lorem ipsum" (any case)
+    *    and `{` (code filter) scans read the ORIGINAL page — a brace
+    *    inside a dropped line still drops the page (spec-pinned).
     *
     * OUT OF SCOPE here by design: the paper's badword list (an
     * external artifact this repo does not ship), langdetect (the
@@ -516,38 +534,54 @@ object TextMetrics {
     * `dedup_substring_spans` operator) — C4's full pipeline is the
     * COMPOSITION of those existing stages with these rules.
     *
-    * Row-local; the line rules use a lambda filter over the line
-    * array (bounded by document newlines — the dupLineFeatures
-    * posture); the cleaned text binds ONCE (one-element transform)
-    * before the sentence-count/length fan-out. Returns
+    * Row-local and FULLY CODEGEN'D: the line rules run as ONE
+    * byte-level pass ([[graft.functions.C4CleanLines]] — surviving
+    * lines re-joined, the input object returned untouched when
+    * nothing drops), replacing the former interpreted lambda filter
+    * over the line array (SCALE_r15 §8's named lever). A pure-builtin
+    * form exists — three whole-text `regexp_replace` line-deletion
+    * passes plus a trailing-newline strip — but re-materializes the
+    * page once per pass (measured ~3x the single-pass cost at sf0.1);
+    * it survives as the SPEC-side reference implementation the
+    * property test drives against this expression. The word-count
+    * rule is pinned as "maximal non-whitespace runs" (the gopher
+    * tokenization), not Java split-token counting — the former
+    * lambda's split-with-limit -1 counted a leading tab as an empty
+    * token ("\ta b." passed with two words); the terminal rule reads
+    * through trailing tabs/CR the way it always read through trailing
+    * spaces. Returns
     * (text_clean, n_lines_kept, n_sentences, has_lorem, has_brace,
     * keep). */
-  def c4Flags(text: Column, minSentences: Int = 5,
-              minLineWords: Int = 3): Column = {
-    val keptLines = filter(split(text, "\n"), l => {
-      val t = trim(l)
-      t.rlike("[.!?\"”]$") &&
-        size(split(t, graft.core.Ws.Plus)) >= minLineWords &&
-        !lower(t).contains("javascript")
-    })
-    // bind the cleaned text: sentence count, char length and the
-    // output column all reference it (conditional-branch CSE does not
-    // merge the copies — the UrlOps.bind1 lesson)
-    element_at(transform(array(struct(
-      array_join(keptLines, "\n").as("tc"),
-      size(keptLines).as("nk"))), p => {
-      val tc = p.getField("tc")
-      val nSent = regexp_count(tc, lit("[.!?]"))
-      val hasLorem = lower(text).contains("lorem ipsum")
-      val hasBrace = text.contains("{")
-      struct(
-        tc.as("text_clean"),
-        p.getField("nk").cast("long").as("n_lines_kept"),
-        nSent.cast("long").as("n_sentences"),
-        hasLorem.as("has_lorem"),
-        hasBrace.as("has_brace"),
-        (nSent >= minSentences && !hasLorem && !hasBrace).as("keep"))
-    }), 1)
+  def c4Flags(text: Column, minSentences: Int = C4MinSentences,
+              minLineWords: Int = C4MinLineWords): Column = {
+    require(minLineWords >= 1, s"minLineWords must be >= 1, got $minLineWords")
+    import org.apache.spark.sql.graftshim.Internals
+    val tc = Internals.column(graft.functions.C4CleanLines(
+      Internals.expression(text), minLineWords))
+    // NO lambda binding around the repeated `tc`/`text` references:
+    // every use below is UNCONDITIONAL in one projection list, so
+    // whole-stage codegen's subexpression elimination evaluates each
+    // shared subtree once per row (the bind1 lesson applies to
+    // CONDITIONAL fan-outs, which CSE does not merge) — where a
+    // transform-array binding would drag the entire subtree through
+    // the interpreted CodegenFallback path HigherOrderFunctions ride
+    // (measured: the binding, not the former lambda line filter, was
+    // this row's dominant cost)
+    // counts as length deltas under `translate` (a codegen'd char-map
+    // pass) — regexp_count would allocate every match via
+    // RegExpExtractAll just to take its size
+    val nk = when(length(tc) === 0, lit(0))
+      .otherwise(length(tc) - length(translate(tc, "\n", "")) + 1)
+    val nSent = length(tc) - length(translate(tc, C4SentenceChars, ""))
+    val hasLorem = lower(text).contains("lorem ipsum")
+    val hasBrace = text.contains("{")
+    struct(
+      tc.as("text_clean"),
+      nk.cast("long").as("n_lines_kept"),
+      nSent.cast("long").as("n_sentences"),
+      hasLorem.as("has_lorem"),
+      hasBrace.as("has_brace"),
+      (nSent >= minSentences && !hasLorem && !hasBrace).as("keep"))
   }
 
   /** Words of [[GopherStopwords]] — the eight common-English-word list the

@@ -4834,9 +4834,10 @@ object OracleQueries {
           FROM documents),
         k AS (SELECT doc_id, t,
             list_filter(string_split(t, chr(10)), l ->
-              regexp_matches(trim(l), '[.!?"”]$$')
-              AND len(string_split_regex(trim(l),
-                '[ \\t\\n\\x0B\\f\\r]+')) >= 3
+              regexp_matches(l,
+                '${TextMetrics.C4Terminal}${graft.core.Ws.HorizStar}$$')
+              AND len(regexp_extract_all(l, '${graft.core.Ws.Not}+'))
+                >= ${TextMetrics.C4MinLineWords}
               AND NOT contains(lower(l), 'javascript')) AS kept
           FROM src),
         c AS (SELECT doc_id,
@@ -4845,12 +4846,13 @@ object OracleQueries {
             contains(t, '{') AS hb
           FROM k)
         SELECT doc_id, CAST(nk AS BIGINT) AS n_lines_kept,
-          CAST(len(regexp_extract_all(tc, '[.!?]')) AS BIGINT)
-            AS n_sentences,
+          CAST(len(regexp_extract_all(tc,
+            '${TextMetrics.C4SentenceMark}')) AS BIGINT) AS n_sentences,
           CAST(length(tc) AS BIGINT) AS clean_chars,
           CAST(hl AS INTEGER) AS has_lorem,
           CAST(hb AS INTEGER) AS has_brace,
-          CAST((len(regexp_extract_all(tc, '[.!?]')) >= 5
+          CAST((len(regexp_extract_all(tc, '${TextMetrics.C4SentenceMark}'))
+            >= ${TextMetrics.C4MinSentences}
             AND NOT hl AND NOT hb) AS INTEGER) AS keep
         FROM c ORDER BY doc_id""")),
 

@@ -48,6 +48,26 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(viaSql == viaCol)
   }
 
+  test("graft_c4_clean_lines equals the Column-API c4Flags text_clean") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = Seq(
+      "A good first sentence here.\nshort\nPlease enable " +
+        "JavaScript now.\nAnd a proper closing line!",
+      "no punct line\nOnly surviving sentence stays here.",
+      "").toDF("text")
+    docs.createOrReplaceTempView("c4_docs")
+    val viaSql = spark.sql(
+      "SELECT graft_c4_clean_lines(text, 3) AS tc FROM c4_docs")
+      .collect().map(_.getString(0)).toSeq
+    val viaCol = docs.select(
+      graft.ops.TextMetrics.c4Flags(col("text")).getField("text_clean"))
+      .collect().map(_.getString(0)).toSeq
+    assert(viaSql == viaCol)
+    assert(viaSql(0) ==
+      "A good first sentence here.\nAnd a proper closing line!")
+  }
+
   test("graft_psl_domain equals the Column-API form on the full list") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -219,4 +219,78 @@ class TextCurationSpec extends SparkSpec {
       "Four misses the floor too?").mkString("\n"))
     assert(thin.getLong(2) == 4 && !thin.getBoolean(5))
   }
+
+  test("c4Flags: whitespace edges of the codegen'd line rules — words " +
+      "are maximal non-ws runs, the terminal rule reads through " +
+      "trailing tabs/CR, kept lines keep their raw form") {
+    def kept(t: String): (String, Long) = {
+      val r = Seq(t).toDF("t")
+        .select(TextMetrics.c4Flags(col("t")).as("c"))
+        .select(col("c.text_clean"), col("c.n_lines_kept")).collect()(0)
+      (r.getString(0), r.getLong(1))
+    }
+    // a leading tab is NOT an extra word: two words -> dropped
+    assert(kept("\tOnly two.") == (("", 0L)))
+    // trailing tab/CR after the terminal mark: the line survives, and
+    // survives UNTRIMMED
+    assert(kept("This line ends properly.\t") ==
+      (("This line ends properly.\t", 1L)))
+    assert(kept("This line ends properly.\r") ==
+      (("This line ends properly.\r", 1L)))
+    // blank and ws-only interior lines vanish with their newlines
+    assert(kept("A good first sentence here.\n\n \t\nAnd a good second one.")
+      == (("A good first sentence here.\nAnd a good second one.", 2L)))
+    // a trailing newline (phantom empty final line) is not a kept line
+    assert(kept("A good single sentence stays.\n") ==
+      (("A good single sentence stays.", 1L)))
+    // final line without terminator still subject to every rule
+    assert(kept("A good first sentence here.\nbad tail line") ==
+      (("A good first sentence here.", 1L)))
+  }
+
+  test("C4CleanLines: the byte-level pass is equivalent to the " +
+      "builtin regex-deletion reference over random line soup " +
+      "(whitespace edges, multibyte marks, javascript casings)") {
+    // the pure-regex reference form (three line-deletion passes + a
+    // trailing-newline strip) the expression replaced for cost — the
+    // pinned semantics, restated independently. (?d) = UNIX_LINES:
+    // without it Java's (?m) also treats a bare \r as a line
+    // terminator, silently splitting CR-carrying lines the \n-only
+    // contract (expression, DuckDB twin, the former lambda's split)
+    // keeps whole
+    def ref(text: String, minWords: Int): String = {
+      val H = "[ \\t\\x0B\\f\\r]"
+      val N = "[^ \\t\\n\\x0B\\f\\r]"
+      val le = "(?:\\n|\\z)"
+      val few =
+        if (minWords == 1) ""
+        else s"(?:$N+(?:$H+$N+){0,${minWords - 2}}$H*)?"
+      text
+        .replaceAll(s"(?idm)^[^\\n]*javascript[^\\n]*$le", "")
+        .replaceAll(s"(?dm)^$H*$few$le", "")
+        .replaceAll(
+          s"(?dm)^[^\\n]*[^.!?\"” \\t\\x0B\\f\\r\\n]$H*$le", "")
+        .replaceAll("\\n+\\z", "")
+    }
+    val atoms = Array("a", "bc", " ", "\t", "\r", "", "\f", ".",
+      "!", "?", "\"", "”", "{", "é", "道", "javascript",
+      "JavaScript", "JAVASCRIPT", "javascrip", "word", "\n", "\n\n")
+    val rnd = new scala.util.Random(4216)
+    val texts = Seq.tabulate(300) { _ =>
+      (0 until (1 + rnd.nextInt(30)))
+        .map(_ => atoms(rnd.nextInt(atoms.length))).mkString
+    } ++ Seq("", "\n", " \n ", "a.", "one two three.")
+    for (minWords <- Seq(1, 2, 3, 5)) {
+      val got = texts.toDF("t")
+        .select(org.apache.spark.sql.graftshim.Internals.column(
+          graft.functions.C4CleanLines(
+            org.apache.spark.sql.graftshim.Internals
+              .expression(col("t")), minWords)))
+        .collect().map(_.getString(0))
+      val want = texts.map(ref(_, minWords))
+      got.zip(want).zip(texts).foreach { case ((g, w), t) =>
+        assert(g == w, s"minWords=$minWords input=${t.replace("\n", "\\n")}")
+      }
+    }
+  }
 }
