@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** HTML → text extraction — the stage every production crawl-curation
@@ -72,14 +72,18 @@ object HtmlOps {
     * compile from. */
   final case class Step(re: Boolean, pattern: String, replacement: String)
 
-  /** The extraction chain, in application order. */
-  val Steps: Seq[Step] = Seq(
+  /** The chain's sections, separable so the anchor-marking variant
+    * ([[markedText]]) can splice its marker steps between element
+    * removal and tag stripping while sharing every byte of the rest. */
+  private val StripSteps: Seq[Step] = Seq(
     Step(re = true, s"(?is)<script\\b[^>]*>.*?</script[$WsB]*>", ""),
     Step(re = true, s"(?is)<style\\b[^>]*>.*?</style[$WsB]*>", ""),
-    Step(re = true, "(?s)<!--.*?-->", ""),
+    Step(re = true, "(?s)<!--.*?-->", ""))
+  private val TagSteps: Seq[Step] = Seq(
     Step(re = true,
       s"(?is)</?(${BlockTags.mkString("|")})\\b[^>]*>", "\n"),
-    Step(re = true, "(?s)</?[a-zA-Z!?][^>]*>", ""),
+    Step(re = true, "(?s)</?[a-zA-Z!?][^>]*>", ""))
+  private val TextSteps: Seq[Step] = Seq(
     Step(re = false, "&lt;", "<"),
     Step(re = false, "&gt;", ">"),
     Step(re = false, "&quot;", "\""),
@@ -93,15 +97,28 @@ object HtmlOps {
     Step(re = true, s"^[$WsB]+", ""),
     Step(re = true, s"[$WsB]+$$", ""))
 
+  /** The extraction chain, in application order. */
+  val Steps: Seq[Step] = StripSteps ++ TagSteps ++ TextSteps
+
+  private def applySteps(steps: Seq[Step])(html: Column): Column =
+    steps.foldLeft(html) { (c, s) =>
+      if (s.re) regexp_replace(c, s.pattern, s.replacement)
+      else replace(c, lit(s.pattern), lit(s.replacement))
+    }
+
+  private def stepsSql(steps: Seq[Step])(expr: String): String =
+    steps.foldLeft(expr) { (e, s) =>
+      if (s.re)
+        s"regexp_replace($e, ${sqlLit(s.pattern)}, " +
+          s"${sqlLit(s.replacement)}, 'g')"
+      else s"replace($e, ${sqlLit(s.pattern)}, ${sqlLit(s.replacement)})"
+    }
+
   /** Extracted block text of an HTML column — NULL in, NULL out; plain
     * prose (a WET body, a text/plain payload) passes through modulo
     * whitespace canonicalization. All built-in codegen'd expressions
     * (`regexp_replace` + literal `replace`), no UDFs. */
-  def htmlToText(html: Column): Column =
-    Steps.foldLeft(html) { (c, s) =>
-      if (s.re) regexp_replace(c, s.pattern, s.replacement)
-      else replace(c, lit(s.pattern), lit(s.replacement))
-    }
+  def htmlToText(html: Column): Column = applySteps(Steps)(html)
 
   /** href patterns for [[extractLinks]] — double- and single-quoted
     * anchor hrefs, case-insensitive across tag and attribute, dotall
@@ -218,11 +235,102 @@ object HtmlOps {
     * `expr`, generated from [[Steps]] — the oracle cannot drift from
     * the engine because both read one table. DuckDB's regexp_replace
     * is single-occurrence by default, hence the explicit 'g'. */
-  def htmlToTextSql(expr: String): String =
-    Steps.foldLeft(expr) { (e, s) =>
-      if (s.re)
-        s"regexp_replace($e, ${sqlLit(s.pattern)}, " +
-          s"${sqlLit(s.replacement)}, 'g')"
-      else s"replace($e, ${sqlLit(s.pattern)}, ${sqlLit(s.replacement)})"
-    }
+  def htmlToTextSql(expr: String): String = stepsSql(Steps)(expr)
+
+  // ---------------- main-content (boilerplate) selection ----------------
+  // Production curation recipes (RefinedWeb/trafilatura, FineWeb) do
+  // not stop at tag-stripping: nav bars, footers and cookie banners
+  // survive extraction as short all-link lines that poison dedup keys
+  // and quality stats. The standard bounded remedy is per-LINE link
+  // density — the fraction of a line's extracted characters that came
+  // from anchor text — with high-density lines dropped. Everything
+  // here is regex/translate-expressible, so the DuckDB oracle replays
+  // the whole pipeline (the `html_main` row).
+
+  /** Anchor-span markers: `<a …>` becomes U+0001 and `</a>` U+0002
+    * BEFORE tag stripping, so the extracted text carries exact anchor
+    * spans as zero-width-ish control chars (excluded from all char
+    * counts, stripped from the final output). Pre-existing control
+    * chars 01/02 in the input are deleted first — a page cannot forge
+    * spans. */
+  val MarkOpen = "\u0001"
+  val MarkClose = "\u0002"
+
+  /** [[Steps]] with anchor marking spliced between element removal and
+    * tag stripping — shares every other step byte-for-byte. */
+  val MarkedSteps: Seq[Step] =
+    Step(re = true, s"[$MarkOpen$MarkClose]", "") +: (StripSteps ++ Seq(
+      Step(re = true, "(?is)<a\\b[^>]*>", MarkOpen),
+      Step(re = true, s"(?is)</a[$WsB]*>", MarkClose)) ++
+      TagSteps ++ TextSteps)
+
+  /** [[htmlToText]] with anchor spans marked — the input to per-line
+    * link-density scoring. */
+  def markedText(html: Column): Column = applySteps(MarkedSteps)(html)
+
+  /** DuckDB replay of [[markedText]]. */
+  def markedTextSql(expr: String): String = stepsSql(MarkedSteps)(expr)
+
+  /** Per-line span accounting, pinned PER LINE (anchor spans may cross
+    * line boundaries when a block tag sits inside the anchor): a span
+    * runs from U+0001 to the next U+0002 or LINE END, and a U+0002
+    * with no opener on its line closes a span carried in from above —
+    * its line-start prefix counts as linked. Expressed as two
+    * deletions whose survivors are the UNLINKED characters; both
+    * patterns are Java∩RE2 (`\z`, no lookaround), shared verbatim with
+    * the oracle. Declared envelope: a MARKER-FREE interior line of an
+    * anchor that spans 3+ lines scores unlinked (the per-line rule
+    * carries no cross-line state — bounded work per line, exact
+    * SQL replay; such anchors are block-wrapping wrappers whose
+    * interior is usually the prose worth keeping anyway). */
+  val CarryRe = s"^[^$MarkOpen]*$MarkClose"
+  val SpanRe = s"$MarkOpen[^$MarkClose]*(?:$MarkClose|\\z)"
+
+  /** Default [[mainContent]] thresholds — named so the oracle twin
+    * interpolates the same values (the quality_c4 constants rule). */
+  val DefaultMaxLinkDensity = 0.5
+  val DefaultMinChars = 1
+
+  /** Line-density main-content selection over `df`: per document
+    * (`idCol`), the lines of [[markedText]] score
+    * `linked / total` extracted chars; a line survives iff
+    * `total >= minChars` and `linked <= maxLinkDensity * total`
+    * (IEEE double product — bit-identical cross-engine). Returns one
+    * row per document: (idCol, n_lines, n_lines_kept, text_chars,
+    * link_chars, text_main — surviving lines in order, markers
+    * stripped).
+    *
+    * Shape at 100 TB: the scan-riding projection computes the marked
+    * extraction once; posexplode fans out to bounded per-line rows
+    * (codegen'd translate/regexp projections — no interpreted
+    * higher-order functions); ONE exchange keyed by `idCol`
+    * re-assembles documents (map-side partial aggregation applies to
+    * the counts; the line payload rides the shuffle once). */
+  def mainContent(df: DataFrame, idCol: String, htmlCol: String,
+                  maxLinkDensity: Double = DefaultMaxLinkDensity,
+                  minChars: Int = DefaultMinChars): DataFrame = {
+    val marks = MarkOpen + MarkClose
+    val lines = df.select(col(idCol),
+      posexplode(split(markedText(col(htmlCol)), "\n")).as(Seq("pos", "l")))
+    val total = length(translate(col("l"), marks, ""))
+    val unlinked = length(translate(
+      regexp_replace(regexp_replace(col("l"), CarryRe, ""), SpanRe, ""),
+      marks, ""))
+    lines
+      .select(col(idCol), col("pos"), col("l"),
+        total.as("total"), (total - unlinked).as("linked"))
+      .withColumn("keep", col("total") >= minChars &&
+        col("linked").cast("double") <=
+          lit(maxLinkDensity) * col("total").cast("double"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(col("keep").cast("long")).as("n_lines_kept"),
+        sum(col("total").cast("long")).as("text_chars"),
+        sum(col("linked").cast("long")).as("link_chars"),
+        array_join(transform(array_sort(collect_list(
+          when(col("keep"),
+            struct(col("pos"), translate(col("l"), marks, "").as("t"))))),
+          x => x.getField("t")), "\n").as("text_main"))
+  }
 }

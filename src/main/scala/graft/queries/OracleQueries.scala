@@ -691,6 +691,42 @@ object OracleQueries {
       base :+ HLit("\nvar config = { debug: true };"))
   }
 
+  /** Page shells for the `html_main` row (doc_id % 3): a nav/footer
+    * page (all-link lines drop, the prose line survives), an
+    * inline-link paragraph below the density threshold (survives,
+    * with a FORGED U+0001 in the prose that must be stripped — spans
+    * cannot be faked from content), and an anchor spanning a block
+    * boundary (the open line is all-linked and drops; the carry-close
+    * line's prefix counts as linked; plain lines around it stay). */
+  private def mainShells: Seq[Seq[HTok]] = Seq(
+    Seq(HLit("<html><body><div><a href=\"/\">Home</a> " +
+      "<a href=\"/about\">About</a> <a href=\"/contact\">Contact</a>" +
+      "</div><p>"), HText,
+      HLit(" carries the real article prose of this page with plenty " +
+        "of plain words beyond any anchors.</p><div>" +
+        "<a href=\"/privacy\">Privacy</a> <a href=\"/terms\">Terms</a>" +
+        "</div></body></html>")),
+    Seq(HLit("<p>"), HText,
+      HLit(" mentions <a href=\"/x\">a link</a> inside a long " +
+        "paragraph of otherwise plain \u0001 prose text that stays." +
+        "</p>")),
+    Seq(HLit("<p>plain intro line of honest words.</p><p>" +
+      "<a href=\"/y\">linked start"), HId,
+      HLit("<div>marker-free interior words</div>ends</a></p><p>"),
+      HText, HLit(" closes with one more plain prose line.</p>")))
+
+  private def rawHtmlMain: Column = {
+    val m = col("doc_id") % 3
+    def of(i: Int): Column = htokColumn(mainShells(i))
+    when(m === 0, of(0)).when(m === 1, of(1)).otherwise(of(2))
+  }
+
+  /** SQL twin of [[rawHtmlMain]] — same tokens, by construction. */
+  private def rawHtmlMainSql: String =
+    (0 to 1).map(i => s"WHEN $i THEN ${htokSql(mainShells(i))}")
+      .mkString("CASE CAST(doc_id % 3 AS INTEGER) ", " ",
+        s" ELSE ${htokSql(mainShells(2))} END")
+
   private def rawC4Page: Column = {
     val m = col("doc_id") % 3
     def of(i: Int): Column = htokColumn(c4Shells(i))
@@ -4807,6 +4843,62 @@ object OracleQueries {
         SELECT lang, noindex, CAST(COUNT(*) AS BIGINT) AS n_docs,
           CAST(SUM(titled) AS BIGINT) AS n_titled
         FROM m GROUP BY lang, noindex ORDER BY lang, noindex""")),
+
+    // ================ main-content line-density selection =================
+    // The boilerplate stage past tag-stripping (RefinedWeb/FineWeb
+    // recipe class): anchor spans marked before extraction, per-line
+    // link density = linked/total extracted chars, all-link nav and
+    // footer lines drop, prose survives — including a line whose one
+    // inline link sits below the threshold, an anchor spanning a block
+    // boundary (open line all-linked, carry-close prefix linked), and
+    // a forged U+0001 in page content (stripped — spans cannot be
+    // faked). Scan-riding marked extraction, codegen'd per-line
+    // projections after posexplode, ONE doc-keyed exchange to
+    // re-assemble; the oracle replays marking, splitting, density and
+    // re-assembly from the same constants.
+    Q("html_main",
+      (s, dir) => {
+        val src = t(s, dir, "documents")
+          .select(col("doc_id"), rawHtmlMain.as("h"))
+        HtmlOps.mainContent(src, "doc_id", "h")
+          .select(col("doc_id"), col("n_lines"), col("n_lines_kept"),
+            col("text_chars"), col("link_chars"), col("text_main"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH hsrc AS (SELECT doc_id, $rawHtmlMainSql AS h
+          FROM documents),
+        mx AS (SELECT doc_id, ${HtmlOps.markedTextSql("h")} AS mt
+          FROM hsrc),
+        lx AS (SELECT doc_id, i - 1 AS pos, list_extract(ls, i) AS line
+          FROM (SELECT doc_id, string_split(mt, chr(10)) AS ls,
+                  unnest(range(1,
+                    len(string_split(mt, chr(10))) + 1)) AS i
+                FROM mx)),
+        sx AS (SELECT doc_id, pos, line,
+            length(translate(line,
+              '${HtmlOps.MarkOpen}${HtmlOps.MarkClose}', '')) AS total,
+            length(translate(regexp_replace(regexp_replace(line,
+                ${HtmlOps.sqlLit(HtmlOps.CarryRe)}, '', 'g'),
+                ${HtmlOps.sqlLit(HtmlOps.SpanRe)}, '', 'g'),
+              '${HtmlOps.MarkOpen}${HtmlOps.MarkClose}', '')) AS unlinked
+          FROM lx),
+        kx AS (SELECT doc_id, pos, line, total,
+            total - unlinked AS linked,
+            (total >= ${HtmlOps.DefaultMinChars}
+              AND CAST(total - unlinked AS DOUBLE)
+                <= ${HtmlOps.DefaultMaxLinkDensity}
+                   * CAST(total AS DOUBLE)) AS keep
+          FROM sx)
+        SELECT doc_id,
+          CAST(COUNT(*) AS BIGINT) AS n_lines,
+          CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_lines_kept,
+          CAST(SUM(total) AS BIGINT) AS text_chars,
+          CAST(SUM(linked) AS BIGINT) AS link_chars,
+          COALESCE(string_agg(CASE WHEN keep THEN translate(line,
+              '${HtmlOps.MarkOpen}${HtmlOps.MarkClose}', '') END,
+            chr(10) ORDER BY pos), '') AS text_main
+        FROM kx GROUP BY doc_id ORDER BY doc_id""")),
 
     // ======================= C4 cleaning rules ============================
     // Raffel et al. 2020 §2.2, the most-cited crawl-cleaning recipe:

@@ -214,6 +214,56 @@ class HtmlOpsSpec extends SparkSpec {
     assert(admitted.collect()(0).getLong(0) == htmlId)
   }
 
+  test("mainContent: all-link nav/footer lines drop, prose survives, " +
+      "an inline link below the density threshold is kept, markers " +
+      "cannot be forged from page content") {
+    import spark.implicits._
+    val page =
+      "<html><body><div><a href=\"/\">Home</a> <a href=\"/b\">About" +
+        "</a></div><p>The article prose of this page runs long and " +
+        "mentions <a href=\"/x\">a link</a> on the way.</p>" +
+        "<div><a href=\"/p\">Privacy</a></div></body></html>"
+    val out = HtmlOps.mainContent(
+      Seq((1L, page)).toDF("id", "h"), "id", "h").collect()(0)
+    // n_lines, n_lines_kept, text_chars, link_chars, text_main
+    // 5 lines: nav, empty, prose, empty, footer (blank separator
+    // lines survive extraction; total = 0 chars -> dropped)
+    assert(out.getLong(1) == 5, out.toString)
+    assert(out.getLong(2) == 1)
+    assert(out.getString(5) ==
+      "The article prose of this page runs long and mentions a link " +
+        "on the way.")
+    // the kept line's link chars ("a link") are counted, the dropped
+    // nav/footer link chars too (the space BETWEEN nav anchors is
+    // unlinked): Home + About + "a link" + Privacy
+    assert(out.getLong(4) == ("Home".length + "About".length +
+      "a link".length + "Privacy".length))
+    // a forged U+0001/U+0002 in content is stripped before marking
+    val forged = "<p>honest words only here.</p>"
+    val f = HtmlOps.mainContent(
+      Seq((1L, forged)).toDF("id", "h"), "id", "h").collect()(0)
+    assert(f.getLong(4) == 0 && f.getString(5) == "honest words only here.")
+  }
+
+  test("mainContent: an anchor spanning a block boundary — the open " +
+      "line is fully linked and drops, the carry-close prefix counts " +
+      "as linked, marker-free interior lines score unlinked") {
+    import spark.implicits._
+    val page = "<p>plain intro words here</p><p><a href=\"/y\">link " +
+      "start<div>interior words</div>tail</a> and plain closing " +
+      "prose that is long enough to stay.</p>"
+    val rows = HtmlOps.mainContent(
+      Seq((1L, page)).toDF("id", "h"), "id", "h").collect()(0)
+    // lines: [plain intro words here][link start][interior
+    // words][tail and plain closing ...] — open line drops
+    // (density 1), interior line kept (no cross-line state, pinned),
+    // close line kept ("tail" = 4 linked of 44 total)
+    assert(rows.getLong(1) == 5 && rows.getLong(2) == 3, rows.toString)
+    val kept = rows.getString(5).split("\n").toSeq
+    assert(kept == Seq("plain intro words here", "interior words",
+      "tail and plain closing prose that is long enough to stay."))
+  }
+
   test("streaming funnel transport extracts identically to the batch " +
       "view (one bodyText definition, batch ≡ stream)") {
     val res = getClass.getResource("/warc/fixture_html.warc").getPath
