@@ -727,6 +727,48 @@ object OracleQueries {
       .mkString("CASE CAST(doc_id % 3 AS INTEGER) ", " ",
         s" ELSE ${htokSql(mainShells(2))} END")
 
+  /** Charset-decode scenarios for the `warc_charset` row — ONE
+    * constant table serving the Spark payload generator, the DuckDB
+    * twin's detection replay, and WarcCharsetSpec's JVM pin of every
+    * (tailHex, charset) -> tailText decode. Fields: HTTP content-type
+    * header value (null = not an HTTP payload), ASCII body prefix
+    * (meta tags, prose), non-ASCII tail as hex, the tail's decoded
+    * text under the scenario's resolved charset. Scenarios: cp1252
+    * header; shift_jis header; gb2312 meta (GBK alias); ISO-8859-1
+    * http-equiv (windows-1252 alias); UTF-8 BOM beating a shift_jis
+    * header; UTF-16LE BOM; unknown label falling through to UTF-8;
+    * invalid UTF-8 replaced; header beating meta; meta beyond the
+    * 1024-byte prescan window; a non-HTTP payload with meta only. */
+  private[graft] final case class CsCase(header: String, prefix: String,
+                                         tailHex: String, tailText: String,
+                                         http: Boolean = true)
+  private[graft] val CsEnvPre = "HTTP/1.1 200 OK\r\nContent-Type: "
+  private[graft] val CsEnvHeadTail = "\r\nX-Served-By: graft"
+  private[graft] val CsEnvPost = CsEnvHeadTail + "\r\n\r\n"
+  private[graft] val CsCases: Seq[CsCase] = Seq(
+    CsCase("text/html; charset=windows-1252", "<p>Smart punctuation ",
+      "93949685", "\u201c\u201d\u2013\u2026"),
+    CsCase("text/html; charset=shift_jis", "<p>Japanese ",
+      "93FA967B8CEA", "\u65e5\u672c\u8a9e"),
+    CsCase("text/html",
+      "<html><head><meta charset=gb2312></head><body>Chinese ",
+      "D6D0CEC4", "\u4e2d\u6587"),
+    CsCase("text/html",
+      "<meta http-equiv=\"Content-Type\" content=\"text/html; " +
+        "charset=ISO-8859-1\"><p>Euro ", "80", "\u20ac"),
+    CsCase("text/html; charset=shift_jis", "",
+      "EFBBBF68C3A96C6C6F", "h\u00e9llo"),
+    CsCase("text/html", "", "FFFE68006900", "hi"),
+    CsCase("text/plain; charset=x-klingon", "plain ascii stays ",
+      "6F6B", "ok"),
+    CsCase("text/plain", "broken ", "FF", "\ufffd"),
+    CsCase("text/html; charset=windows-1252",
+      "<meta charset=\"shift_jis\"><p>quote ", "92", "\u2019"),
+    CsCase("text/html", ("x" * 1040) + "<meta charset=\"shift_jis\">" +
+      "<p>late ", "93FA", "\ufffd\ufffd"),
+    CsCase(null, "<meta charset=windows-1252><p>dash ", "97",
+      "\u2014", http = false))
+
   private def rawC4Page: Column = {
     val m = col("doc_id") % 3
     def of(i: Int): Column = htokColumn(c4Shells(i))
@@ -4899,6 +4941,106 @@ object OracleQueries {
               '${HtmlOps.MarkOpen}${HtmlOps.MarkClose}', '') END,
             chr(10) ORDER BY pos), '') AS text_main
         FROM kx GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ================= charset-aware payload decoding =====================
+    // The WARC ingest's non-UTF-8 web: BOM > HTTP header charset >
+    // meta prescan > UTF-8, WHATWG alias table (ISO-8859-1 IS
+    // windows-1252, gb2312 IS GBK), REPLACE on malformed bytes. The
+    // DETECTION pipeline — BOM sniff over the generated payload blob's
+    // hex, header/meta regexes (the shared pattern constants), the
+    // alias CASE generated from HttpDecode.Aliases, precedence —
+    // replays fully in DuckDB; the byte→text DECODE kernel is pinned
+    // as shared constants (prefix + tailText per scenario), which
+    // WarcCharsetSpec verifies against the JVM decoder byte-for-byte
+    // (the idn_label_map precedent, constants instead of aux). The
+    // scenario-label registry membership rides a generated IN list.
+    Q("warc_charset",
+      (s, dir) => {
+        val n = CsCases.length
+        val cid = (col("doc_id") % n).cast("int")
+        def pay(c: CsCase): Column = {
+          val body = concat(lit(c.prefix).cast("binary"),
+            unhex(lit(c.tailHex)))
+          if (c.http)
+            concat(lit(CsEnvPre + c.header + CsEnvPost).cast("binary"),
+              body)
+          else body
+        }
+        val payload = CsCases.zipWithIndex.init.foldRight(
+          pay(CsCases.last): Column) { case ((c, i), acc) =>
+          when(cid === i, pay(c)).otherwise(acc)
+        }
+        val wct = CsCases.zipWithIndex.init.foldRight(
+          lit(if (CsCases.last.http) "application/http; msgtype=response"
+              else "application/octet-stream"): Column) {
+          case ((c, i), acc) =>
+            when(cid === i,
+              lit(if (c.http) "application/http; msgtype=response"
+                  else "application/octet-stream")).otherwise(acc)
+        }
+        val d = graft.sources.WarcSource.decodedPayload(wct, payload)
+        t(s, dir, "documents")
+          .select(col("doc_id"), cid.as("case_id"),
+            d.getField("charset").as("charset"),
+            d.getField("text").as("text"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        import graft.functions.HttpDecode
+        val n = CsCases.length
+        def caseOver(f: CsCase => String): String =
+          CsCases.zipWithIndex.init.map { case (c, i) =>
+            s"WHEN $i THEN ${f(c)}"
+          }.mkString("CASE case_id ", " ",
+            s" ELSE ${f(CsCases.last)} END")
+        val headSql = caseOver(c =>
+          if (c.http) HtmlOps.sqlLit(CsEnvPre + c.header + CsEnvHeadTail)
+          else "''")
+        val prefixSql = caseOver(c => HtmlOps.sqlLit(c.prefix))
+        val bodyHexSql = caseOver(c =>
+          s"upper(hex(${HtmlOps.sqlLit(c.prefix)}::BLOB)) || " +
+            s"'${c.tailHex.toUpperCase(java.util.Locale.ROOT)}'")
+        val textSql = caseOver(c => HtmlOps.sqlLit(c.prefix + c.tailText))
+        // the alias CASE + registry-membership filter, generated from
+        // the SAME tables the engine resolves with
+        def resolveSql(lab: String): String = {
+          val aliased = HttpDecode.Aliases.toSeq.sortBy(_._1)
+            .map { case (k, v) =>
+              s"WHEN ${HtmlOps.sqlLit(k)} THEN " +
+                HtmlOps.sqlLit(v.toLowerCase(java.util.Locale.ROOT))
+            }.mkString(s"CASE lower($lab) ", " ", s" ELSE lower($lab) END")
+          val known = Seq("windows-1252", "shift_jis", "gbk", "utf-8",
+            "utf-16le", "utf-16be")
+            .map(HtmlOps.sqlLit).mkString("(", ", ", ")")
+          s"(SELECT CASE WHEN x.r IN $known THEN x.r END " +
+            s"FROM (SELECT $aliased AS r) x)"
+        }
+        s"""WITH src AS (SELECT doc_id,
+              CAST(doc_id % $n AS INTEGER) AS case_id FROM documents),
+          gen AS (SELECT doc_id, case_id,
+              $headSql AS head,
+              $prefixSql AS prefix,
+              $bodyHexSql AS body_hex,
+              $textSql AS text
+            FROM src),
+          det AS (SELECT doc_id, case_id, text,
+              CASE WHEN left(body_hex, 6) = 'EFBBBF' THEN 'utf-8'
+                   WHEN left(body_hex, 4) = 'FEFF' THEN 'utf-16be'
+                   WHEN left(body_hex, 4) = 'FFFE' THEN 'utf-16le'
+              END AS bom_cs,
+              regexp_extract(head,
+                ${HtmlOps.sqlLit(HttpDecode.HeaderCharsetRe)}, 1)
+                AS hdr_lab,
+              regexp_extract(left(prefix, ${HttpDecode.PrescanBytes}),
+                ${HtmlOps.sqlLit(HttpDecode.MetaCharsetRe)}, 1)
+                AS meta_lab
+            FROM gen)
+          SELECT doc_id, case_id,
+            COALESCE(bom_cs, ${resolveSql("hdr_lab")},
+              ${resolveSql("meta_lab")}, 'utf-8') AS charset,
+            text
+          FROM det ORDER BY doc_id"""
+      }),
 
     // ======================= C4 cleaning rules ============================
     // Raffel et al. 2020 §2.2, the most-cited crawl-cleaning recipe:

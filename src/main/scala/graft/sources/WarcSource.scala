@@ -449,7 +449,11 @@ object WarcSource {
 
   /** Body of an `application/http` payload: everything past the HTTP
     * envelope's blank line (the whole payload if none). Byte→string is
-    * UTF-8 with replacement — the curation funnel's text contract. */
+    * the raw UTF-8 cast — the BYTE-BLIND legacy helper (a non-UTF-8
+    * page comes out as mojibake): the document views decode
+    * charset-aware via [[decodedPayload]]; this form remains for
+    * consumers that need the undecoded wire text (and as the spec's
+    * mojibake witness). */
   def httpBody(payload: Column): Column = {
     val s = payload.cast("string")
     val at = locate("\r\n\r\n", s)
@@ -470,51 +474,57 @@ object WarcSource {
     lower(trim(regexp_extract(head, HttpCtRe, 1)))
   }
 
-  /** Let-bind `c` as a lambda variable before a fan-out of references
-    * (a one-element transform — the UrlOps.bind1 idiom): the payload
-    * string and its envelope-separator position are referenced by
-    * body, header AND content-type below, and conditional-branch CSE
-    * would not merge the copies (the measured 54 s → 1 s class of
-    * fan-out, SCALE_r12 §6). */
-  private def bind1(c: Column)(f: Column => Column): Column =
-    try_element_at(transform(array(c), f), lit(1))
+  /** The charset-aware decoded view of a payload:
+    * struct(head, text, charset) via [[graft.functions.HttpDecoded]]
+    * — envelope split, BOM/header/meta charset resolution with the
+    * WHATWG alias table, REPLACE-decoded body text. `isHttp` is
+    * coalesced (a record with no content-type header is not an HTTP
+    * message). */
+  def decodedPayload(warcContentType: Column, payload: Column): Column =
+    org.apache.spark.sql.graftshim.Internals.column(
+      graft.functions.HttpDecoded(
+        org.apache.spark.sql.graftshim.Internals.expression(payload),
+        org.apache.spark.sql.graftshim.Internals.expression(
+          coalesce(warcContentType.startsWith("application/http"),
+            lit(false)))))
 
-  /** Document text of a record: [[httpBody]] for HTTP payloads, raw
-    * payload text otherwise; with `extract = true`, an HTML body (the
-    * HTTP envelope says text/html / application/xhtml+xml) projects
-    * through [[graft.ops.HtmlOps.htmlToText]] — raw crawl responses
-    * are MARKUP, and every downstream quality rule assumes prose;
+  /** Document text of a record: the CHARSET-DECODED body (see
+    * [[decodedPayload]] — windows-1252 / Shift_JIS / GBK pages become
+    * text, not replacement-character mojibake); with `extract = true`,
+    * an HTML body (the HTTP envelope says text/html /
+    * application/xhtml+xml) projects through
+    * [[graft.ops.HtmlOps.htmlToText]] — raw crawl responses are
+    * MARKUP, and every downstream quality rule assumes prose;
     * non-HTML bodies (text/plain, a WET-style pre-extracted drop)
     * pass through untouched, so already-clean corpora are not
     * re-mangled. ONE definition serves the batch view and the
     * streaming funnel transport — the two paths must agree or a
     * replayed segment curates differently batch-vs-stream.
     *
-    * Shape: the payload casts to string ONCE and the `\r\n\r\n`
-    * envelope separator is located ONCE (both bound as one struct —
-    * the UrlOps.normalize two-level binding); body, header and
-    * content-type then read the BOUND fields. Semantics are
-    * bit-identical to [[httpBody]]/[[httpContentType]] over the same
-    * payload (spec-pinned) — this is the same logic with the row-wise
-    * fan-out priced out of the 100 TB ingest scan. */
+    * An HTTP payload with NO `\r\n\r\n` envelope separator yields an
+    * EMPTY head: no content-type sniff, no extraction — the body
+    * passes through whole (the r15-ADVICE gate; previously a
+    * `content-type:` line anywhere in an undelimited payload
+    * triggered extraction over bytes still carrying the status line).
+    *
+    * Shape: ONE decode expression; the struct's fields are referenced
+    * unconditionally (head) and in both extraction branches (text),
+    * so subexpression elimination — codegen'd AND interpreted
+    * (SPARK-33427) — evaluates the decode once per row; no lambda
+    * binding, so the whole projection (decode + the 17-step
+    * extraction chain) stays inside whole-stage codegen (the
+    * quality_c4 lesson: a transform-array binding drags every child
+    * through the interpreted CodegenFallback path). */
   private def bodyText(warcContentType: Column, payload: Column,
                        extract: Boolean): Column = {
-    val isHttp = warcContentType.startsWith("application/http")
-    bind1(payload.cast("string")) { str =>
-      bind1(struct(str.as("s"), locate("\r\n\r\n", str).as("at"))) { p =>
-        val s = p.getField("s"); val at = p.getField("at")
-        val body = when(isHttp && at > 0,
-          s.substr(at + lit(4), length(s))).otherwise(s)
-        if (!extract) body
-        else {
-          val head = when(at > 0, s.substr(lit(1), at - 1)).otherwise(s)
-          val ct = when(isHttp,
-            lower(trim(regexp_extract(head, HttpCtRe, 1))))
-            .otherwise(lit(""))
-          when(ct === "text/html" || ct === "application/xhtml+xml",
-            graft.ops.HtmlOps.htmlToText(body)).otherwise(body)
-        }
-      }
+    val d = decodedPayload(warcContentType, payload)
+    val body = d.getField("text")
+    if (!extract) body
+    else {
+      val ct = lower(trim(regexp_extract(d.getField("head"),
+        HttpCtRe, 1)))
+      when(ct === "text/html" || ct === "application/xhtml+xml",
+        graft.ops.HtmlOps.htmlToText(body)).otherwise(body)
     }
   }
 

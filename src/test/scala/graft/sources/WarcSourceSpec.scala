@@ -344,4 +344,40 @@ class WarcSourceSpec extends SparkSpec {
     assert(curated.columns.toSeq ==
       Seq("record_id", "url", "warc_date", "text"))
   }
+
+  test("charset fixture: cp1252 and Shift_JIS pages decode to text, " +
+      "the cp1252 and utf-8 spellings of ONE document converge on one " +
+      "dedup key (mojibake would split them), batch ≡ stream") {
+    val shared = "The café on the corner serves touché croissants — a " +
+      "naïve résumé of flavours “worth the detour” every single time."
+    val docs = WarcSource.documents(spark, res("fixture_charset.warc"))
+      .orderBy(col("record_id")).collect()
+    assert(docs.length == 3)
+    // both spellings decode to the SAME text -> same xxhash64 dedup key
+    assert(docs(0).getAs[String]("text") == shared) // cp1252 record
+    assert(docs(1).getAs[String]("text") == shared) // utf-8 record
+    // the replacement-decoded (mojibake) form would NOT converge
+    val raw = WarcSource.read(spark, res("fixture_charset.warc"))._1
+      .orderBy(col("record_id"))
+      .select(WarcSource.httpBody(col("payload"))).collect()
+    assert(raw(0).getString(0) != raw(1).getString(0))
+    assert(raw(0).getString(0).contains("�"))
+    // Shift_JIS HTML: META-declared charset decodes BEFORE extraction
+    assert(docs(2).getAs[String]("text")
+      == "テスト\n\n日本語の文書です。検索品質の確認用です。")
+    // ONE bodyText definition: the streaming funnel transport carries
+    // the same decoded text
+    val lines = WarcSource.documentLines(
+      WarcSource.readRaw(spark, res("fixture_charset.warc")))
+      .select(get_json_object(col("value"), "$.text")).collect()
+      .map(_.getString(0)).sorted
+    assert(lines.toSeq == docs.map(_.getAs[String]("text")).sorted.toSeq)
+    // the decoded charset is observable per record
+    val cs = WarcSource.read(spark, res("fixture_charset.warc"))._1
+      .orderBy(col("record_id"))
+      .select(WarcSource.decodedPayload(col("content_type"),
+        col("payload")).getField("charset")).collect()
+      .map(_.getString(0)).toSeq
+    assert(cs == Seq("windows-1252", "utf-8", "shift_jis"))
+  }
 }
