@@ -40,7 +40,10 @@ object KMeans {
 
   /** Assign each vector to its nearest centroid. `vectors` must carry
     * (idCol, `v`: array<double>); `centroids` carries (cid, cv). Returns
-    * (idCol, v, cid, d). */
+    * (idCol, v, cid, d). This is the RELATIONAL form — the in-repo
+    * oracle an external engine can replay; [[fit]]'s hot path rides
+    * [[assignLocal]] instead (KMeansAssignFormSpec pins the two forms
+    * row for row). */
   def assign(vectors: DataFrame, centroids: DataFrame,
              idCol: String): DataFrame = {
     val w = Window.partitionBy(col(idCol)).orderBy(col("d"), col("cid"))
@@ -50,6 +53,41 @@ object KMeans {
       .withColumn("_r", row_number().over(w))
       .where(col("_r") === 1)
       .drop("_r")
+  }
+
+  /** Row-local assignment against a LOCAL centroid table — the same
+    * argmin as [[assign]] computed as ONE shuffle-free projection: the
+    * centroids ride inside a [[graft.functions.PqEncodeSig]] literal
+    * (one subspace spanning the whole vector), so the scan pays neither
+    * the k-fold broadcast-join row amplification nor the
+    * sort/WindowGroupLimit/exchange machinery, and the k distances per
+    * row run in the expression's compiled decimal loop instead of k
+    * interpreted zip_with/aggregate evaluations. Bit-equality is the
+    * PqEncodeSig contract: it mirrors [[sqDistDecimal]] term for term,
+    * compares the same doubles, and breaks ties on the entry INDEX —
+    * here the rank of the centroid id, i.e. exactly the (d, cid) order
+    * the window form uses. The winning distance is re-derived with
+    * [[sqDistDecimal]] against the winner's centroid literal (one HOF
+    * eval per row instead of k). One envelope difference, enforced
+    * loudly upstream: a per-dimension squared difference beyond the
+    * decimal(18,9) domain THROWS in the expression where the relational
+    * form's overflow-to-null would silently win the argmin via NULLS
+    * FIRST — out-of-domain vectors were never supported (the [[Pq]]
+    * distance-domain contract). Returns (idCol, v, cid, d). */
+  private[ops] def assignLocal(vectors: DataFrame, idCol: String,
+                               cent: Seq[(Long, Seq[Double])]): DataFrame = {
+    import org.apache.spark.sql.graftshim.Internals.{column => toCol, expression => toExpr}
+    val sorted = cent.sortBy(_._1)
+    val cids = sorted.map(_._1)
+    val cvs: Vector[Vector[Double]] = sorted.map(_._2.toVector).toVector
+    val enc = graft.functions.PqEncodeSig(toExpr(col("v")), Vector(cvs))
+    vectors
+      .select(col(idCol), col("v"),
+        element_at(toCol(enc), 1).as("__km_code"))
+      .select(col(idCol), col("v"),
+        element_at(typedLit(cids), col("__km_code") + 1).as("cid"),
+        sqDistDecimal(col("v"),
+          element_at(typedLit(cvs), col("__km_code") + 1)).as("d"))
   }
 
   /** Per-cluster decimal-mean centroids, re-assembled into dim-ordered
@@ -85,33 +123,25 @@ object KMeans {
     val initRows = sel.collect()
     require(initRows.length == k,
       s"k-means needs at least k=$k vectors, got ${initRows.length}")
-    val init = {
-      import scala.jdk.CollectionConverters._
-      vectors.sparkSession.createDataFrame(
-        initRows.toSeq.asJava, sel.schema)
-    }
-    // every iteration's centroid table is COLLECT-ROUTED into a k-row
-    // LocalRelation (the init/PQ-codebook bounded-table idiom): without
-    // it the returned assignment's lineage embeds the whole iteration
-    // chain, so EVERY downstream consumer re-executes every Lloyd pass
-    // — the ScanCensus/§22 defect class (dedup_semantic re-scanned the
-    // corpus 12x through exactly this). With it, training executes each
-    // pass once and the returned frame is vectors x broadcast(k local
-    // rows): one corpus scan per consumer, and the values are
-    // bit-identical (collecting k rows changes nothing numeric).
-    def localized(cent: DataFrame): DataFrame = {
-      import scala.jdk.CollectionConverters._
-      val rows = cent.collect()
-      vectors.sparkSession.createDataFrame(rows.toSeq.asJava, cent.schema)
-    }
-    var cent = init
-    var assigned = assign(vectors, cent, idCol)
+    // every iteration's centroid table is COLLECT-ROUTED to the driver
+    // (the init/PQ-codebook bounded-table idiom, k rows): without it the
+    // returned assignment's lineage embeds the whole iteration chain, so
+    // EVERY downstream consumer re-executes every Lloyd pass — the
+    // ScanCensus/§22 defect class (dedup_semantic re-scanned the corpus
+    // 12x through exactly this). With it, training executes each pass
+    // once; the values are bit-identical (collecting k rows changes
+    // nothing numeric). The empty-cluster keep-previous rule — formerly
+    // a unionByName + left_anti plan over the k-row table — is the same
+    // driver-side merge by cid. Assignments ride [[assignLocal]] (the
+    // shuffle-free expression form; bit-equality with [[assign]] pinned
+    // by KMeansAssignFormSpec).
+    var cent: Seq[(Long, Seq[Double])] =
+      initRows.toSeq.map(r => r.getLong(0) -> r.getSeq[Double](1))
     (2 to iters).foreach { _ =>
-      val updated = recentroid(assigned)
-      cent = localized(updated.unionByName(
-        cent.join(updated.select(col("cid")), Seq("cid"), "left_anti")))
-      assigned = assign(vectors, cent, idCol)
+      val updated = recentroid(assignLocal(vectors, idCol, cent))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      cent = cent.map { case (cid, cv) => cid -> updated.getOrElse(cid, cv) }
     }
-    assigned.select(col(idCol), col("cid"), col("d"))
+    assignLocal(vectors, idCol, cent).select(col(idCol), col("cid"), col("d"))
   }
 }

@@ -74,14 +74,14 @@ object Pq {
 
   /** Per-(subspace, entry) decimal-mean centroids — [[KMeans.recentroid]]
     * with the subspace riding in the key; the whole update is S×k×(D/S)
-    * rows. */
-  private def recentroidG(assigned: DataFrame): DataFrame =
+    * rows. `entry` names the entry-id column of `assigned`. */
+  private def recentroidG(assigned: DataFrame, entry: String): DataFrame =
     assigned
-      .select(col("sub"), col("cid"), posexplode(col("sv")).as(Seq("i", "x")))
-      .groupBy(col("sub"), col("cid"), col("i"))
+      .select(col("sub"), col(entry), posexplode(col("sv")).as(Seq("i", "x")))
+      .groupBy(col("sub"), col(entry), col("i"))
       .agg((sum(col("x").cast("decimal(18,9)")).cast("double") /
         count(lit(1))).as("c"))
-      .groupBy(col("sub"), col("cid"))
+      .groupBy(col("sub"), col(entry))
       .agg(transform(array_sort(collect_list(struct(col("i"), col("c")))),
         s => s.getField("c")).as("cv"))
 
@@ -89,12 +89,28 @@ object Pq {
     * (codebook (sub, code, cv), assigned (id, sub, code, d)) with codes
     * densely relabelled 0..k-1 (rank of the init vector's id — byte-range
     * for k <= 256). Empty clusters keep their previous centroid, the
-    * [[KMeans.fit]] rule. */
+    * [[KMeans.fit]] rule.
+    *
+    * Hot path: every Lloyd assignment rides [[graft.functions.PqEncodeSig]]
+    * with the iteration's codebook as the expression literal — the same
+    * shuffle-free projection [[encodeLocal]] uses (bit-equality with the
+    * relational argmin pinned by PqEncodeFormSpec/PqSpec), so a training
+    * pass is scan → encode → one bounded S×k×(D/S) aggregation, with no
+    * k-fold join amplification and no per-(row, entry) interpreted
+    * decimal HOF. Codes are dense from the start (entry index = rank of
+    * the init vector's id — exactly the (d, cid) tie order the window
+    * form used, since ranking preserves id order); each iteration's
+    * centroid update is collect-routed (S×k rows, the bounded-table
+    * idiom [[KMeans.fit]] shares) and the keep-previous rule is a
+    * driver-side merge. The returned assignment re-derives the winning
+    * distance with [[KMeans.sqDistDecimal]] against the winner's
+    * centroid literal — one HOF eval per row instead of k. */
   def train(vecs: DataFrame, idCol: String, vecCol: String, subspaces: Int,
             dim: Int, k: Int, iters: Int): (DataFrame, DataFrame) = {
     require(k > 0 && iters > 0, s"need k/iters > 0, got $k/$iters")
     val sd = dim / subspaces
-    val sv = subVectors(vecs, idCol, vecCol, subspaces, dim)
+    require(subspaces > 0 && dim % subspaces == 0,
+      s"dim $dim must divide into $subspaces subspaces")
     // collect-route the k init vectors once (<= k rows); slicing them
     // into S×k sub-centroids is driver arithmetic
     val sel = vecs.orderBy(col(idCol)).limit(k)
@@ -103,36 +119,52 @@ object Pq {
     require(initRows.length == k,
       s"PQ training needs at least k=$k vectors, got ${initRows.length}")
     val spark = vecs.sparkSession
-    import spark.implicits._
-    val init = initRows.toSeq.flatMap { r =>
-      val cid = r.getLong(0)
-      val v = r.getSeq[Double](1)
-      (0 until subspaces).map(s =>
-        (s, cid, v.slice(s * sd, (s + 1) * sd)))
-    }.toDF("sub", "cid", "cv")
-    var cent = init
-    var assigned = assignG(sv, cent, "cid")
-    (2 to iters).foreach { _ =>
-      val updated = recentroidG(assigned)
-      cent = updated.unionByName(
-        cent.join(updated.select(col("sub"), col("cid")),
-          Seq("sub", "cid"), "left_anti"))
-      assigned = assignG(sv, cent, "cid")
+    val byCid = initRows.map(r =>
+      r.getLong(0) -> r.getSeq[Double](1).toVector).toMap
+    val cidsSorted = byCid.keys.toSeq.sorted // code c <-> cidsSorted(c)
+    var cbv: Vector[Vector[Vector[Double]]] =
+      Vector.tabulate(subspaces)(s =>
+        cidsSorted.map(cid => byCid(cid).slice(s * sd, (s + 1) * sd))
+          .toVector)
+    // (id, sub, code, sv) under codebook `cb` — one row-local projection
+    def assignedOf(cb: Vector[Vector[Vector[Double]]]): DataFrame = {
+      import org.apache.spark.sql.graftshim.Internals.{column => toCol, expression => toExpr}
+      vecs.select(col(idCol).as("id"), col(vecCol).as("__pq_v"))
+        .select(col("id"), col("__pq_v"),
+          posexplode(toCol(graft.functions.PqEncodeSig(
+            toExpr(col("__pq_v")), cb))).as(Seq("sub", "code")))
+        .select(col("id"), col("sub"), col("code"),
+          slice(col("__pq_v"), col("sub") * sd + 1, lit(sd)).as("sv"))
     }
-    val cidToCode = initRows.map(_.getLong(0)).sorted.toSeq
-      .zipWithIndex.toDF("cid", "code")
-    // collect-route the finished codebook (S×k rows, the repo's
-    // bounded-table idiom): every downstream reference ([[encode]], the
-    // ADC lookup table, the oracle aux dump) would otherwise re-execute
-    // the whole iterative training lineage per reference
-    val cbPlan = cent.join(broadcast(cidToCode), "cid")
-      .select(col("sub"), col("code"), col("cv"))
+    (2 to iters).foreach { _ =>
+      val updated = recentroidG(assignedOf(cbv), "code").collect()
+      val next = Array.tabulate(subspaces)(s => cbv(s).toArray)
+      updated.foreach(r =>
+        next(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toVector)
+      cbv = next.map(_.toVector).toVector
+    }
     val codebook = {
       import scala.jdk.CollectionConverters._
-      spark.createDataFrame(cbPlan.collect().toSeq.asJava, cbPlan.schema)
+      val rows: Seq[org.apache.spark.sql.Row] =
+        for { s <- 0 until subspaces; c <- 0 until k }
+          yield org.apache.spark.sql.Row(s, c, cbv(s)(c))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("sub",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("code",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("cv",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType, containsNull = true))))
+      spark.createDataFrame(rows.asJava, schema)
     }
-    val assignedOut = assigned.join(broadcast(cidToCode), "cid")
-      .select(col("id"), col("sub"), col("code"), col("d"))
+    val flat: Seq[Seq[Double]] =
+      for { s <- 0 until subspaces; c <- 0 until k } yield cbv(s)(c)
+    val assignedOut = assignedOf(cbv)
+      .select(col("id"), col("sub"), col("code"),
+        KMeans.sqDistDecimal(col("sv"),
+          element_at(typedLit(flat), col("sub") * k + col("code") + 1))
+          .as("d"))
     (codebook, assignedOut)
   }
 
