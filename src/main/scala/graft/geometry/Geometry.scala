@@ -174,23 +174,65 @@ object Geometry {
     * [[scalarPixelGeoFull]] for the interior pixels they actually emit.
     * Bit-identical to the attach columns (same expression order). */
   def scalarPixelHats(cal: Calibration): (Int, Int) => (Double, Double) = {
+    val into = scalarPixelHatsInto(cal)
+    val buf = new Array[Double](2)
+    (y: Int, x: Int) => { into(y, x, buf); (buf(0), buf(1)) }
+  }
+
+  /** Boxing-free form of [[scalarPixelHats]] — the one implementation of
+    * the hat arithmetic (the tuple form delegates here). */
+  def scalarPixelHatsInto(cal: Calibration): PixelHatsFn = {
     val (pxX, pxY) = (cal.pixelSize._1 / 1000.0, cal.pixelSize._2 / 1000.0)
     val (cx, cy) = cal.center
-    (y: Int, x: Int) => {
-      val dx = (x + 0.5) * pxX - cx
-      val dy = (y + 0.5) * pxY - cy
-      val rNorm = math.sqrt(dx * dx + dy * dy)
-      if (rNorm > 0) (dy / rNorm, dx / rNorm) else (0.0, 0.0)
+    new PixelHatsFn {
+      def apply(y: Int, x: Int, out: Array[Double]): Unit = {
+        val dx = (x + 0.5) * pxX - cx
+        val dy = (y + 0.5) * pxY - cy
+        val rNorm = math.sqrt(dx * dx + dy * dy)
+        if (rNorm > 0) { out(0) = dy / rNorm; out(1) = dx / rNorm }
+        else { out(0) = 0.0; out(1) = 0.0 }
+      }
     }
   }
 
-  /** Full scalar mirror of [[attach]]: (y, x) => [[PixelGeo]], every
-    * arithmetic step in the Column expressions' evaluation order so each
-    * field is bit-identical to the geometry table's (asserted in
-    * GeometrySpec). Used by the fused narrow+gradient tile kernel
+  /** Mutable [[PixelGeo]] for allocation-free kernel loops — filled in
+    * place by [[scalarPixelGeoInto]]. One holder per task replaces one
+    * PixelGeo case object per emitted pixel: the r15 JFR allocation
+    * profile charged ~5.6 GB/run of PixelGeo churn to the fused
+    * gradient kernel's emit path, the engine's single largest owned
+    * allocation site (SCALE_r15 §1). */
+  final class PixelGeoHolder {
+    var rhatY = 0.0; var rhatX = 0.0; var phatY = 0.0; var phatX = 0.0
+    var qBin = 0; var xMm = 0.0; var yMm = 0.0; var tthBin = 0
+    var q = 0.0; var azim = 0.0; var azimFlipped = 0.0
+  }
+
+  /** Boxing-free per-pixel mirror interfaces. A generic scala.FunctionN
+    * apply boxes every Int argument (Function3 is unspecialized;
+    * Function2 returning a non-specialized Tuple2 falls back to the
+    * generic apply too) — one java.lang.Integer per argument per pixel
+    * on the kernel hot path (r15 JFR: ~4.7 GB/run). Dedicated traits
+    * with primitive signatures keep the loop allocation-free. */
+  trait PixelGeoFn extends Serializable {
+    def apply(y: Int, x: Int, out: PixelGeoHolder): Unit
+  }
+
+  /** Hat-field mirror, boxing-free: writes (rhat_y, rhat_x) into
+    * `out(0)`, `out(1)`. */
+  trait PixelHatsFn extends Serializable {
+    def apply(y: Int, x: Int, out: Array[Double]): Unit
+  }
+
+  /** Full scalar mirror of [[attach]], allocation-free form: writes the
+    * per-pixel geometry into a caller-owned [[PixelGeoHolder]]. THE one
+    * implementation of the mirror arithmetic — every step in the Column
+    * expressions' evaluation order so each field is bit-identical to
+    * the geometry table's (asserted in GeometrySpec via
+    * [[scalarPixelGeoFull]], which delegates here). Used by the fused
+    * narrow+gradient tile kernel
     * (Stencil.secondDirectionalDerivNarrowRaw) to emit the pipeline's
     * pinned projection straight from the stencil pass. */
-  def scalarPixelGeoFull(cal: Calibration): (Int, Int) => PixelGeo = {
+  def scalarPixelGeoInto(cal: Calibration): PixelGeoFn = {
     val (pxX, pxY) = (cal.pixelSize._1 / 1000.0, cal.pixelSize._2 / 1000.0)
     val (cx, cy) = cal.center
     val distEff = cal.distance / math.cos(math.toRadians(cal.tilt))
@@ -209,7 +251,8 @@ object Geometry {
     val (tthLo, _) = cal.ioTth
     val tthStep = cal.tthStep
 
-    (y: Int, x: Int) => {
+    new PixelGeoFn { def apply(y: Int, x: Int, out: PixelGeoHolder)
+        : Unit = {
       val dx = (x + 0.5) * pxX - cx
       val dy = (y + 0.5) * pxY - cy
       val dz = dx * m02 + dy * m12
@@ -228,9 +271,23 @@ object Geometry {
       val rNorm = math.sqrt(dx * dx + dy * dy)
       val ry = if (rNorm > 0) dy / rNorm else 0.0
       val rx = if (rNorm > 0) dx / rNorm else 0.0
-      PixelGeo(ry, rx, -rx, ry, qBin,
-        (x + 0.5) * pxX, (y + 0.5) * pxY, tthBin, q, azim,
-        pmodD(azim + 180.0, 360.0))
+      out.rhatY = ry; out.rhatX = rx; out.phatY = -rx; out.phatX = ry
+      out.qBin = qBin; out.xMm = (x + 0.5) * pxX; out.yMm = (y + 0.5) * pxY
+      out.tthBin = tthBin; out.q = q; out.azim = azim
+      out.azimFlipped = pmodD(azim + 180.0, 360.0)
+    } }
+  }
+
+  /** Allocating convenience form of [[scalarPixelGeoInto]]: (y, x) =>
+    * [[PixelGeo]]. Same single arithmetic implementation; kernels on the
+    * per-pixel hot path take the Into form and reuse one holder. */
+  def scalarPixelGeoFull(cal: Calibration): (Int, Int) => PixelGeo = {
+    val into = scalarPixelGeoInto(cal)
+    (y: Int, x: Int) => {
+      val g = new PixelGeoHolder
+      into(y, x, g)
+      PixelGeo(g.rhatY, g.rhatX, g.phatY, g.phatX, g.qBin, g.xMm, g.yMm,
+        g.tthBin, g.q, g.azim, g.azimFlipped)
     }
   }
 

@@ -449,35 +449,47 @@ object Dedup {
     var (labels, labelPins) = graft.core.Pins.ckpt(
       ids.withColumn("group_id", col("id")))
 
+    // one propagation step: neighborhood min, then the pointer jump —
+    // adopt the label OF the label node (labels are node ids within the
+    // component, so m has a row for every label target; the left-join
+    // fallback only covers nodes outside the labels table, which cannot
+    // occur for reachable targets). `_old` (the pre-step label) rides
+    // through the jump so `_chg` (did THIS node's label move) lands in
+    // the returned frame and convergence is a filter on the
+    // already-checkpointed result — the separate next-vs-cur join (one
+    // more full label-table shuffle per iteration) is gone. A second
+    // jump per iteration was tried and REVERTED: every jump references
+    // its input subtree twice, so nesting doubles the un-shared plan
+    // tree per level and per-iteration Catalyst analysis time exploded
+    // past any scheduling win (187 s vs 5 s on the bounded oracle
+    // graph) — the plan-size pitfall of guide §3.3.
     def minStep(cur: DataFrame): DataFrame = {
       val nbrMin = edges
         .join(cur.select(col("id").as("v"), col("group_id").as("_nl")),
           "v")
         .groupBy(col("u")).agg(min(col("_nl")).as("_nmin"))
         .withColumnRenamed("u", "id")
-      val m = cur.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("group_id"), coalesce(col("_nmin"), col("group_id")))
+      val m = cur.select(col("id"), col("group_id").as("_old"))
+        .join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("_old"),
+          least(col("_old"), coalesce(col("_nmin"), col("_old")))
             .as("group_id"))
-      // pointer jump: adopt the label OF the label node (labels are
-      // node ids within the component, so m has a row for every label
-      // target; the left-join fallback only covers nodes outside the
-      // labels table, which cannot occur for reachable targets)
       m.join(m.select(col("id").as("group_id"),
           col("group_id").as("_jump")), Seq("group_id"), "left")
         .select(col("id"),
           least(col("group_id"), coalesce(col("_jump"), col("group_id")))
-            .as("group_id"))
+            .as("group_id"),
+          (least(col("group_id"), coalesce(col("_jump"), col("group_id")))
+            =!= col("_old")).as("_chg"))
     }
-    def changedVs(next: DataFrame, cur: DataFrame): Long = next
-      .join(cur.withColumnRenamed("group_id", "_old"), "id")
-      .where(col("group_id") =!= col("_old")).count()
 
     var i = 0
     var converged = false
     while (!converged && i < maxIter) {
-      val (next, nextPins) = graft.core.Pins.ckpt(minStep(labels))
-      converged = changedVs(next, labels) == 0
+      val (next, nextPins) = graft.core.Pins.ckpt(
+        minStep(labels.select(col("id"), col("group_id"))))
+      // convergence reads the PINNED result — a scan, not a join
+      converged = next.where(col("_chg")).isEmpty
       release(labelPins)
       labels = next; labelPins = nextPins
       i += 1
@@ -487,7 +499,8 @@ object Dedup {
       // without the budget for the confirming zero-change pass — run
       // that one check (no update) before declaring failure, so
       // maxIter bounds propagation steps, not propagation+1
-      converged = changedVs(minStep(labels), labels) == 0
+      converged = minStep(labels.select(col("id"), col("group_id")))
+        .where(col("_chg")).isEmpty
     }
     // the returned labels are independently pinned; the (larger) edge
     // table is not needed past this point
@@ -497,7 +510,7 @@ object Dedup {
       s"connectedGroups did not converge in $maxIter iterations — " +
         "component diameter exceeds the near-dup regime this operator " +
         "targets; raise maxIter or use a star-contraction variant")
-    labels
+    labels.select(col("id"), col("group_id"))
   }
 
   /** C4-style segment-level exact dedup: remove every repeat of a

@@ -232,8 +232,8 @@ object FramePipeline {
           col("corr_i"), col("corr"), col("base_mask"), col("is_outlier"))
         .localCheckpoint(true)
       val fused = graft.stencil.Stencil.secondDirectionalDerivNarrowRaw(
-          core, w, h, Geometry.scalarPixelGeoFull(cal),
-          Geometry.scalarPixelHats(cal), tile = 512)
+          core, w, h, Geometry.scalarPixelGeoInto(cal),
+          Geometry.scalarPixelHatsInto(cal), tile = 512)
         .localCheckpoint(true)
       // the kernel's packed key widens frame_no to long; restore the
       // input's type so downstream output schemas are unchanged

@@ -27,8 +27,59 @@ object OracleQueries {
                sql: Option[String])
 
   // ---- table loaders -----------------------------------------------------
+
+  /** Adaptive small-input fan-out (guide §2.5's unsplittable-input
+    * case). The test corpus ships each table as ONE single-row-group
+    * parquet file, which Spark cannot split below the row group — every
+    * scan-rooted pipeline runs on one core however many the session
+    * has, serializing all per-row work (decimal aggregation, text
+    * metrics, distance arithmetic) onto 1/Nth of the machine. When a
+    * table's total scan size is small enough for one bounded shuffle to
+    * be trivially cheap (<= `spark.graft.scan.fanoutMaxBytes`, default
+    * 256 MiB) and the session has parallelism to feed, a repartition
+    * to defaultParallelism fans the rows out. The partition key is a
+    * DETERMINISTIC content hash of the table's FIRST column (guide
+    * §2.5's derive-the-synthetic-key-deterministically rule — every
+    * corpus table leads with its high-cardinality id): retry-safe like
+    * Spark's sort-before-repartition round-robin but WITHOUT that sort
+    * (which would run single-threaded inside the one unsplit scan task,
+    * i.e. exactly the serialization this helper removes), and
+    * single-column so downstream column pruning still reaches the scan
+    * — hashing the whole row was tried and REVERTED: it pinned every
+    * column into the exchange and a 2-column query shuffled all 16. At
+    * corpus scale the rule SELF-DISABLES: a real table exceeds the byte
+    * bound — and arrives as many splittable files — so no production
+    * plan pays the extra exchange. Row values are
+    * partitioning-invariant repo-wide (the determinism contract every
+    * oracle row pins: decimal order-independent sums, tie-broken ranks,
+    * order-invariant array metrics), so results are bit-identical. */
+  /** Per-query opt-in scope for [[fanout]]: the `queries` map sets it
+    * from [[FanoutQueries]] around each query's plan construction (a
+    * driver-side, synchronous region, so the DynamicVariable scope is
+    * sound). Default false — a caller outside the map (tests, stage
+    * builders) that wants fan-out opts in explicitly. */
+  private[queries] val fanoutEnabled =
+    new scala.util.DynamicVariable[Boolean](false)
+
+  private[queries] def fanout(s: SparkSession, df: DataFrame): DataFrame = {
+    val maxBytes = s.conf.getOption("spark.graft.scan.fanoutMaxBytes")
+      .map(_.toLong).getOrElse(256L << 20)
+    val par = s.sparkContext.defaultParallelism
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (fanoutEnabled.value && par > 1 && bytes > 0 && bytes <= maxBytes)
+      df.repartition(par, xxhash64(col(df.columns.head)))
+    else df
+  }
+
+  /** Forces [[fanout]] on inside `body` — for the staged index
+    * builders whose training reads are always per-row-compute-bound
+    * (PQ/OPQ codebook training), independent of which query first
+    * triggers the memo. */
+  private[queries] def withFanout[T](body: => T): T =
+    fanoutEnabled.withValue(true)(body)
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    fanout(s, s.read.parquet(s"$dir/$name.parquet"))
 
   /** `ts` as epoch-nanos BIGINT whatever the parquet writer produced:
     * the driver's generator has emitted both timestamp[ns] (which Spark
@@ -6235,8 +6286,33 @@ object OracleQueries {
         ORDER BY col_name"""))
   )
 
+  /** Queries that measurably BENEFIT from the small-input scan fan-out
+    * (see [[fanout]]) — the per-query opt-in list, measured by the
+    * interleaved FanoutAB probe at sf0.1/local[32] (2026-08-19):
+    * blanket-on summed −21.4 s on these thirty rows (per-row compute
+    * dominates: decimal aggregation, text metrics, distance/encode
+    * arithmetic) but +25 s of scattered ~0.3–0.5 s losses across the
+    * ~60 light rows whose tiny multi-stage plans pay fixed per-stage
+    * overhead for every extra exchange — so fan-out is off unless a
+    * query's own measurement says otherwise. The staged index builders
+    * (PqStage/PcaStage/BpeStage) opt in at their own read sites. */
+  private val FanoutQueries: Set[String] = Set(
+    "a2_integrate", "a7_spot_stats", "a8_grad_stats", "agg_cube",
+    "agg_rollup", "cluster_kmeans", "cluster_quota_sample",
+    "dedup_canonical", "dedup_containment", "dedup_containment_lsh",
+    "dedup_minhash", "dedup_minhash_groups", "dedup_ngram_jaccard",
+    "dedup_semantic", "dedup_substring_spans", "embedding_covariance",
+    "embedding_pca", "html_links", "html_main", "lang_id", "pq_train",
+    "q1_pricing", "quality_c4", "quality_funnel", "quality_gopher",
+    "text_bigram_logprob", "text_extract",
+    "text_redact", "warc_charset")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
-    all.map(q => q.name -> q.fn).toMap
+    all.map(q => q.name -> { (s: SparkSession, dir: String) =>
+      fanoutEnabled.withValue(FanoutQueries.contains(q.name)) {
+        q.fn(s, dir)
+      }
+    }).toMap
 
   /** Oracle SQL with the aux-table placeholder resolved to `auxDir`. */
   def oracleSqlFor(auxDir: String): Map[String, String] =

@@ -60,8 +60,12 @@ object PqStage {
 
   /** The embeddings table in the family's canonical shape:
     * (vec_id, label, v: array<double>). */
+  /** Fan-out rides the caller's [[OracleQueries.fanout]] gate: the
+    * staging bodies below force it on (training is compute-bound); the
+    * sim_* probe queries read this raw — a 5-row probe projection
+    * gains nothing from an extra exchange (measured +0.2-0.3 s/row). */
   def embeddings(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/embeddings.parquet")
+    OracleQueries.fanout(s, s.read.parquet(s"$dir/embeddings.parquet"))
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("v"))
 
@@ -70,8 +74,14 @@ object PqStage {
     * evicted (see the retention contract above). */
   def staged(s: SparkSession, dir: String): Staged =
     memo(s, dir) {
+      // fan-out ONLY the training read (Lloyd is the compute-bound
+      // pass); the encode/cell artifacts are checkpointed ONCE and
+      // re-read by every search row, so they keep the raw scan's few
+      // partitions — a 32-way checkpoint taxed each sub-second sim_*
+      // query with 32-task stages over ~2000 rows (measured +0.2 s/row)
+      val eTrain = OracleQueries.withFanout(embeddings(s, dir))
       val e = embeddings(s, dir)
-      val (cb, _) = Pq.train(e, "vec_id", "v", Sub, Dim, K, Iters)
+      val (cb, _) = Pq.train(eTrain, "vec_id", "v", Sub, Dim, K, Iters)
       val codes = Pq.encodeLocal(e, "vec_id", "v", cb, Sub, Dim)
         .localCheckpoint(eager = true)
       val withCell = codes
@@ -101,11 +111,16 @@ object PqStage {
   def stagedOpq(s: SparkSession, dir: String): StagedOpq =
     opqMemo(s, dir) {
       val u = graft.ops.Opq.householderU(PcaStage.fitted(s, dir).direction)
+      // the rotated corpus is checkpointed once; training reads the
+      // pinned partitions (tiny), so no scan fan-out is in play here
       val rot = embeddings(s, dir)
         .select(col("vec_id"), col("label"),
           graft.ops.Opq.rotate(col("v"), u).as("v"))
         .localCheckpoint(eager = true)
-      val (cb, _) = Pq.train(rot, "vec_id", "v", Sub, Dim, K, Iters)
+      // train reads a fanned-out view of the pinned rotation (compute-
+      // bound Lloyd); the checkpointed artifacts keep few partitions
+      val rotTrain = OracleQueries.withFanout(OracleQueries.fanout(s, rot))
+      val (cb, _) = Pq.train(rotTrain, "vec_id", "v", Sub, Dim, K, Iters)
       val codes = Pq.encodeLocal(rot, "vec_id", "v", cb, Sub, Dim)
         .localCheckpoint(eager = true)
       // the rotated-space IVF-PQ index layout: the coarse cell (the

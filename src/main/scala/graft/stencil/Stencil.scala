@@ -669,9 +669,10 @@ object Stencil {
     */
   def secondDirectionalDerivNarrowRaw(px: DataFrame, width: Int,
                                       height: Int,
-                                      geo: (Int, Int) =>
-                                        graft.geometry.Geometry.PixelGeo,
-                                      hats: (Int, Int) => (Double, Double),
+                                      geo: graft.geometry.Geometry
+                                        .PixelGeoFn,
+                                      hats: graft.geometry.Geometry
+                                        .PixelHatsFn,
                                       tile: Int = 512): DataFrame = {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow,
@@ -794,6 +795,10 @@ object Stencil {
         private val proj = UnsafeProjection.create(outTypes)
         private val outRow = new org.apache.spark.sql.catalyst.expressions
           .SpecificInternalRow(outTypes)
+        // ONE geometry holder per task — reused for every emitted pixel
+        private val geoHolder =
+          new graft.geometry.Geometry.PixelGeoHolder
+        private val hatBuf = new Array[Double](2)
         private val n = side * side
         // PING-PONG accumulation planes: emitTile hands the CURRENT set
         // to its (lazily drained) output iterator and scattering for the
@@ -868,10 +873,10 @@ object Stencil {
               while (lx < side) {
                 val gx = x0 + lx
                 if (gx >= 0 && gx < w) {
-                  val hat = hats(gy, gx)
+                  hats(gy, gx, hatBuf)
                   val i = ly * side + lx
-                  ryb(i) = hat._1; rxb(i) = hat._2
-                  pyb(i) = -hat._2; pxb(i) = hat._1
+                  ryb(i) = hatBuf(0); rxb(i) = hatBuf(1)
+                  pyb(i) = -hatBuf(1); pxb(i) = hatBuf(0)
                 }
                 lx += 1
               }
@@ -897,11 +902,26 @@ object Stencil {
           }
           val yMax = math.min(tile, h - ty * tile)
           val xMax = math.min(tile, w - tx * tile)
-          (halo until halo + yMax).iterator.flatMap { oy =>
-            (halo until halo + xMax).iterator.map { ox =>
+          // hand-rolled emit iterator: the former Range
+          // iterator.flatMap/map boxed both loop indices per pixel
+          // (~4.7 GB/run of java.lang.Integer, r15 JFR §1) and
+          // allocated one PixelGeo case object per emitted pixel
+          // (~5.6 GB/run) — primitive int cursors plus the one
+          // task-reused geometry holder bring the emit path's owned
+          // churn to ~zero. Values bit-identical: same visit order,
+          // same arithmetic (the Into mirror is the same single
+          // implementation behind scalarPixelGeoFull).
+          new Iterator[InternalRow] {
+            private var oy = halo
+            private var ox = halo
+            private val oyEnd = halo + yMax
+            private val oxEnd = halo + xMax
+            def hasNext: Boolean = oy < oyEnd && ox < oxEnd
+            def next(): InternalRow = {
               val i = oy * side + ox
               val gy = y0 + oy; val gx = x0 + ox
-              val g = geo(gy, gx)
+              geo(gy, gx, geoHolder)
+              val g = geoHolder
               val d2r = 0.5 * (d1r(i + side) - d1r(i - side)) * ryb(i) +
                 0.5 * (d1r(i + 1) - d1r(i - 1)) * rxb(i)
               val d2a = 0.5 * (d1a(i + side) - d1a(i - side)) * pyb(i) +
@@ -916,6 +936,8 @@ object Stencil {
               outRow.setDouble(11, g.q); outRow.setDouble(12, g.azim)
               outRow.setDouble(13, g.azimFlipped)
               outRow.setDouble(14, d2r); outRow.setDouble(15, d2a)
+              ox += 1
+              if (ox >= oxEnd) { ox = halo; oy += 1 }
               // NO per-row copy: Spark's iterator contract makes the
               // consumer copy when it buffers (Dataset.localCheckpoint
               // maps _.copy() itself; collect/shuffle/sort serialize or

@@ -57,7 +57,7 @@ object CacheFormProbe {
     val keep2 = spark.sparkContext.getPersistentRDDs.keySet
     def kernel: DataFrame =
       graft.stencil.Stencil.secondDirectionalDerivNarrowRaw(core, w, h,
-        Geometry.scalarPixelGeoFull(cal), Geometry.scalarPixelHats(cal),
+        Geometry.scalarPixelGeoInto(cal), Geometry.scalarPixelHatsInto(cal),
         tile = 512)
 
     /** The consumer suite over a materialized fused table: classify +

@@ -85,7 +85,7 @@ object NarrowFuseBench {
       }
       val (sb, tb) = time {
         val fz = Stencil.secondDirectionalDerivNarrowRaw(core, w, h,
-            Geometry.scalarPixelGeoFull(cal), Geometry.scalarPixelHats(cal),
+            Geometry.scalarPixelGeoInto(cal), Geometry.scalarPixelHatsInto(cal),
             tile = 512)
           .localCheckpoint(true)
         val s = sig(fz.drop("grad2_r", "grad2_a"),
@@ -102,7 +102,7 @@ object NarrowFuseBench {
     // real pipeline row shape: fused table + synthetic-but-deterministic
     // flag columns (labels from pixel ids on outliers)
     val fz = Stencil.secondDirectionalDerivNarrowRaw(core, w, h,
-        Geometry.scalarPixelGeoFull(cal), Geometry.scalarPixelHats(cal),
+        Geometry.scalarPixelGeoInto(cal), Geometry.scalarPixelHatsInto(cal),
         tile = 512)
       .localCheckpoint(true)
     val pxs = fz.withColumn("is_spot",

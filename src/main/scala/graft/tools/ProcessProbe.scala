@@ -73,7 +73,7 @@ object ProcessProbe {
     // from ONE exchange (this is what process() actually checkpoints)
     t("fused narrow+ckpt")(
       graft.stencil.Stencil.secondDirectionalDerivNarrowRaw(core, w, h,
-        Geometry.scalarPixelGeoFull(cal), Geometry.scalarPixelHats(cal),
+        Geometry.scalarPixelGeoInto(cal), Geometry.scalarPixelHatsInto(cal),
         tile = 512).localCheckpoint(true))
 
     // both percentile forms: gather-and-sort (serial per frame — crawls

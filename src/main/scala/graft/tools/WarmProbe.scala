@@ -72,7 +72,7 @@ object WarmProbe {
           .localCheckpoint(true))
       val fused = t(s"fused stencil ckpt")(
         graft.stencil.Stencil.secondDirectionalDerivNarrowRaw(core, w, h,
-          Geometry.scalarPixelGeoFull(cal), Geometry.scalarPixelHats(cal),
+          Geometry.scalarPixelGeoInto(cal), Geometry.scalarPixelHatsInto(cal),
           tile = 512).localCheckpoint(true))
       val fno = px.schema("frame_no").dataType
       val narrow = fused.drop("grad2_r")

@@ -62,11 +62,19 @@ class PlanInvariantsSpec extends SparkSpec {
   }
 
   test("a2_integrate keeps its one-aggregation-shuffle shape") {
-    val exchanges = "Exchange".r.findAllIn(plan("a2_integrate")).length
+    val p = plan("a2_integrate")
+    val exchanges = "Exchange".r.findAllIn(p).length
     // one shuffle for the grouped aggregation + one range exchange for
-    // the final orderBy — anything more means the multi-variant
-    // integration regressed into multiple passes
-    assert(exchanges <= 2, s"a2_integrate plans $exchanges exchanges")
+    // the final orderBy + (since r16) the small-input scan fan-out's
+    // hash repartition (OracleQueries.fanout: this query is on the
+    // measured opt-in list) — anything more means the multi-variant
+    // integration regressed into multiple passes. The fan-out exchange
+    // is pinned as exactly the xxhash64 repartition so computation
+    // exchanges cannot hide behind the allowance.
+    assert(exchanges <= 3, s"a2_integrate plans $exchanges exchanges")
+    if (exchanges == 3)
+      assert("xxhash64".r.findAllIn(p).nonEmpty,
+        "third exchange is not the scan fan-out repartition")
   }
 
   test("skew_salted_agg is exactly two aggregation stages") {

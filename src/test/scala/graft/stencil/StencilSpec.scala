@@ -398,8 +398,8 @@ class InterpolateSpec extends SparkSpec {
     val core = rows.toDF("frame_no", "y", "x", "corr_i", "corr",
       "base_mask", "is_outlier")
     val fused = Stencil.secondDirectionalDerivNarrowRaw(core, w, h,
-      graft.geometry.Geometry.scalarPixelGeoFull(cal),
-      graft.geometry.Geometry.scalarPixelHats(cal), tile = 16)
+      graft.geometry.Geometry.scalarPixelGeoInto(cal),
+      graft.geometry.Geometry.scalarPixelHatsInto(cal), tile = 16)
       .collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)) -> r).toMap
 
