@@ -68,8 +68,20 @@ object PcaStage {
 
   def fitted(s: SparkSession, dir: String): Fitted =
     fittedMemo(s, dir) {
-      val (mean, d) = Pca.fit(
-        s.read.parquet(s"$dir/embeddings.parquet"), "embedding", Iters)
+      // fan out the fit read (guide §2.5's unsplittable-input case): the
+      // covariance pass floors D(D+1)/2 = 2080 products per row, and the
+      // raw single-row-group test parquet otherwise serializes all of it
+      // on one core. Interleaved A/B (StageFanoutAB, 3 reps, one JVM):
+      // fanned fit 0.74x of raw at the healthiest rep and 0.17x at the
+      // bus-throttled one (5.70 -> 0.94 s) — the exchange is one bounded
+      // shuffle of the ~N x 64-double vectors, repaid 2080-fold by the
+      // parallel product pass. dimStats stays RAW: its per-row work is a
+      // single 64-group posexplode and the same probe measured the fan
+      // arm LOSING (0.44 raw vs 0.78 fanned min) — exchange overhead
+      // exceeds the compute it spreads.
+      val e = OracleQueries.withFanout(OracleQueries.fanout(s,
+        s.read.parquet(s"$dir/embeddings.parquet")))
+      val (mean, d) = Pca.fit(e, "embedding", Iters)
       Fitted(mean, d)
     }
 

@@ -74,15 +74,24 @@ object PqStage {
     * evicted (see the retention contract above). */
   def staged(s: SparkSession, dir: String): Staged =
     memo(s, dir) {
-      // fan-out ONLY the training read (Lloyd is the compute-bound
-      // pass); the encode/cell artifacts are checkpointed ONCE and
-      // re-read by every search row, so they keep the raw scan's few
-      // partitions — a 32-way checkpoint taxed each sub-second sim_*
-      // query with 32-task stages over ~2000 rows (measured +0.2 s/row)
-      val eTrain = OracleQueries.withFanout(embeddings(s, dir))
+      // fan out the training AND encode reads (the compute-bound
+      // passes: Lloyd, and the S*k*(D/S) PqEncodeSig kernel per row);
+      // the encode/cell ARTIFACTS are checkpointed ONCE and re-read by
+      // every search row, so they are pinned back to ONE partition (the
+      // raw scan's layout) before the checkpoint — a 32-way checkpoint
+      // taxed each sub-second sim_* query with 32-task stages over
+      // ~2000 rows (measured +0.2 s/row). The pin is a hash
+      // repartition(1) on the id (deterministic, no sort-before-
+      // repartition), an exchange of the tiny (id, 8-byte-codes) rows
+      // only: the encode projection runs on the 32 map-side tasks and
+      // the checkpoint materializes the single reduce partition.
+      // Interleaved A/B (StageFanoutAB): encode+checkpoint 1.26 s raw ->
+      // 0.37 s fanned (min of 3 reps; throttled tail 7.88 -> 0.52).
+      val eFan = OracleQueries.withFanout(embeddings(s, dir))
       val e = embeddings(s, dir)
-      val (cb, _) = Pq.train(eTrain, "vec_id", "v", Sub, Dim, K, Iters)
-      val codes = Pq.encodeLocal(e, "vec_id", "v", cb, Sub, Dim)
+      val (cb, _) = Pq.train(eFan, "vec_id", "v", Sub, Dim, K, Iters)
+      val codes = Pq.encodeLocal(eFan, "vec_id", "v", cb, Sub, Dim)
+        .repartition(1, col("id"))
         .localCheckpoint(eager = true)
       val withCell = codes
         .join(e.select(col("vec_id").as("id"), col("label")), "id")
@@ -111,17 +120,24 @@ object PqStage {
   def stagedOpq(s: SparkSession, dir: String): StagedOpq =
     opqMemo(s, dir) {
       val u = graft.ops.Opq.householderU(PcaStage.fitted(s, dir).direction)
-      // the rotated corpus is checkpointed once; training reads the
-      // pinned partitions (tiny), so no scan fan-out is in play here
-      val rot = embeddings(s, dir)
+      // the rotated corpus is computed on the FANNED read (the 64x64
+      // Householder reflection is per-row compute serialized on one
+      // core off the raw single-row-group scan), then pinned back to
+      // one partition before its checkpoint — search probes filter this
+      // artifact, so its partition count stays the raw scan's layout
+      // (the staged() rule above)
+      val rot = OracleQueries.withFanout(embeddings(s, dir))
         .select(col("vec_id"), col("label"),
           graft.ops.Opq.rotate(col("v"), u).as("v"))
+        .repartition(1, col("vec_id"))
         .localCheckpoint(eager = true)
-      // train reads a fanned-out view of the pinned rotation (compute-
-      // bound Lloyd); the checkpointed artifacts keep few partitions
-      val rotTrain = OracleQueries.withFanout(OracleQueries.fanout(s, rot))
-      val (cb, _) = Pq.train(rotTrain, "vec_id", "v", Sub, Dim, K, Iters)
-      val codes = Pq.encodeLocal(rot, "vec_id", "v", cb, Sub, Dim)
+      // train and encode read a fanned-out view of the pinned rotation
+      // (compute-bound: Lloyd, PqEncodeSig); the checkpointed artifacts
+      // keep the single partition
+      val rotFan = OracleQueries.withFanout(OracleQueries.fanout(s, rot))
+      val (cb, _) = Pq.train(rotFan, "vec_id", "v", Sub, Dim, K, Iters)
+      val codes = Pq.encodeLocal(rotFan, "vec_id", "v", cb, Sub, Dim)
+        .repartition(1, col("id"))
         .localCheckpoint(eager = true)
       // the rotated-space IVF-PQ index layout: the coarse cell (the
       // label — a rotation-INVARIANT key, nothing geometric about it)
