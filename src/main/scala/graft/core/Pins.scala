@@ -33,6 +33,24 @@ object Pins {
     (pinned, sc.getPersistentRDDs.keySet.toSet -- before)
   }
 
+  /** LAZILY localCheckpoint `df` and materialize it with ONE counting
+    * action: returns the pinned frame, its pin ids, and the number of
+    * pinned rows satisfying `pred`. For an iterate-until-no-change
+    * loop this fuses the checkpoint job and the convergence probe —
+    * the eager form pays a materialization pass PLUS a re-read of the
+    * checkpointed table per iteration (at scale: one extra full
+    * label-table scan every round; locally: one extra job's fixed
+    * scheduling latency), where the count here rides the same job that
+    * computes and stores the blocks. */
+  def ckptCount(df: DataFrame,
+                pred: org.apache.spark.sql.Column): (DataFrame, Set[Int], Long) = {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet.toSet
+    val pinned = df.localCheckpoint(eager = false)
+    val n = pinned.where(pred).count()
+    (pinned, sc.getPersistentRDDs.keySet.toSet -- before, n)
+  }
+
   /** Release tracked pins (non-blocking; ids already gone are fine). */
   def release(sc: SparkContext, ids: Set[Int]): Unit =
     ids.foreach(id => sc.getPersistentRDDs.get(id)

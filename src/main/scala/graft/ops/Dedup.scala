@@ -426,6 +426,18 @@ object Dedup {
 
     val half = pairs.select(col(a).cast("long").as("u"),
       col(b).cast("long").as("v"))
+    // NOTE (measured, 2026-08-19): pre-partitioning this checkpoint on
+    // the per-iteration join key (repartition(v) here, repartition(id)
+    // on each label checkpoint) was tried and REVERTED — under AQE the
+    // executed plan reports UnknownPartitioning at checkpoint-capture
+    // time (CcPlanProbe: LogicalRDD outputPartitioning =
+    // UnknownPartitioning(0) even after an explicit repartition), so
+    // the downstream joins re-exchange anyway and the extra
+    // repartitions were pure cost (dedup_groups 110 -> 122 AQE stage
+    // jobs). The edge table therefore IS re-shuffled per iteration;
+    // with AQE off the elision would work, but AQE's runtime skew-join
+    // splitting is worth more at real scale (a hot component's label
+    // join is exactly the §2.5 skew case).
     val (edges, edgePins) = graft.core.Pins.ckpt(
       half.unionByName(half.select(col("v").as("u"), col("u").as("v")))
         .where(col("u") =!= col("v")).distinct())
@@ -486,10 +498,14 @@ object Dedup {
     var i = 0
     var converged = false
     while (!converged && i < maxIter) {
-      val (next, nextPins) = graft.core.Pins.ckpt(
-        minStep(labels.select(col("id"), col("group_id"))))
-      // convergence reads the PINNED result — a scan, not a join
-      converged = next.where(col("_chg")).isEmpty
+      // the convergence count rides the SAME job that materializes the
+      // checkpoint (Pins.ckptCount): the eager-ckpt-then-isEmpty form
+      // paid a second pass over the pinned labels every iteration —
+      // at scale a full re-scan of the label table per round, locally
+      // one-to-three extra take-jobs' scheduling latency.
+      val (next, nextPins, changed) = graft.core.Pins.ckptCount(
+        minStep(labels.select(col("id"), col("group_id"))), col("_chg"))
+      converged = changed == 0L
       release(labelPins)
       labels = next; labelPins = nextPins
       i += 1
