@@ -4519,6 +4519,11 @@ object OracleQueries {
         // projection, both anti-join left sides, and the
         // decontamination explode — and each would otherwise
         // re-execute the whole scan lineage
+        // Fan-out measured OFF for this query in both forms
+        // (FanoutAB 2026-08-19): blanket 5.79 off / 5.90 on, and a
+        // SELECTIVE fan of only this stage-1 corpus pass 6.03 off /
+        // 6.39 on — the downstream shingle explodes and anti-joins
+        // re-key everything anyway, so the extra exchange never pays.
         val s1 = CurateStages.cleanedCorpus(s, docs)
           .localCheckpoint(eager = true)
         // 4. near dedup: LSH candidates >= 0.5 est-Jaccard, connected
