@@ -79,23 +79,63 @@ case class PqEncodeSig(child: Expression,
             other.simpleString)
     }
 
+  /** The exact decimal distance the relational form computes — the
+    * bit-compatibility contract: per-dimension term rounded once into
+    * decimal scale 9 via the shortest-decimal double->BigDecimal route
+    * Spark's Cast uses, exact decimal sum, ONE double conversion at
+    * the end. This is the DECIDER for every argmin this expression
+    * returns; the binary prefilter below only narrows which codes it
+    * must be run on. */
+  private def exactD(arr: Array[Double], base: Int, flat: Array[Double],
+                     cOff: Int): Double = {
+    var acc = java.math.BigDecimal.ZERO
+    var i = 0
+    while (i < sd) {
+      val diff = arr(base + i) - flat(cOff + i)
+      val term = diff * diff
+      acc = acc.add(java.math.BigDecimal.valueOf(term)
+        .setScale(9, java.math.RoundingMode.HALF_UP))
+      i += 1
+    }
+    acc.doubleValue()
+  }
+
   override def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData].toDoubleArray()
     if (arr.length != subspaces * sd)
       throw new IllegalArgumentException(
         s"$prettyName: vector has ${arr.length} dims, codebook expects " +
           s"${subspaces * sd}")
+    // Binary prefilter with a rigorous error envelope (the output is
+    // CODES only, so the exact decimal value is needed only where the
+    // envelope cannot already separate the argmin): for each code, the
+    // plain double sum b differs from the exact decimal-rounded d by
+    //   |d - b| <= sd * 0.5e-9                (HALF_UP at 9 dp, per term)
+    //            + b * 1.12e-16               (shortest-decimal repr of
+    //                                          each term: ulp/2 <= x*2^-53)
+    //            + b * sd * 2.23e-16          (double summation error)
+    // so with B(b) doubled for safety, any code whose b - B lies above
+    // min(b) + B(min(b)) can never win the exact argmin. In practice
+    // the candidate set is a single code and ZERO BigDecimal work runs;
+    // genuine near-ties (duplicate centroids, adversarial spacing) fall
+    // through to [[exactD]], whose (d, code) order — ties to the
+    // smaller code — remains the only decision procedure. Parity is
+    // pinned by PqEncodeFormSpec plus the near-tie/duplicate-centroid
+    // cases in PqEncodeSigFastPathSpec and a 20k-vector random sweep
+    // (PqEvalKernelBench: 0 mismatches).
+    def bound(b: Double): Double =
+      2.0 * (sd * 0.5e-9 + b * (1.12e-16 + sd * 2.23e-16))
+    val bsum = new Array[Double](k)
     val codes = new Array[Int](subspaces)
     var s = 0
     while (s < subspaces) {
       val base = s * sd
-      var bestCode = 0
-      var bestD = Double.PositiveInfinity
       val flat = cb(s)
+      var bMin = Double.PositiveInfinity
       var c = 0
       while (c < k) {
         val cOff = c * sd
-        var acc = java.math.BigDecimal.ZERO
+        var b = 0.0
         var i = 0
         while (i < sd) {
           val diff = arr(base + i) - flat(cOff + i)
@@ -112,15 +152,38 @@ case class PqEncodeSig(child: Expression,
               s"$prettyName: squared per-dimension distance $term " +
                 "exceeds the decimal(18,9) domain (|diff| >= ~31623); " +
                 "scale the embedding space")
-          acc = acc.add(java.math.BigDecimal.valueOf(term)
-            .setScale(9, java.math.RoundingMode.HALF_UP))
+          b += term
           i += 1
         }
-        val d = acc.doubleValue() // the relational form compares DOUBLES
-        if (d < bestD) { bestD = d; bestCode = c }
+        bsum(c) = b
+        if (b < bMin) bMin = b
         c += 1
       }
-      codes(s) = bestCode
+      val cut = bMin + bound(bMin)
+      var cand = -1
+      var multi = false
+      c = 0
+      while (c < k && !multi) {
+        if (bsum(c) - bound(bsum(c)) <= cut) {
+          if (cand < 0) cand = c else multi = true
+        }
+        c += 1
+      }
+      if (!multi) codes(s) = cand
+      else {
+        // near-tie: the exact decimal kernel decides, (d, code) order
+        var bestCode = 0
+        var bestD = Double.PositiveInfinity
+        c = 0
+        while (c < k) {
+          if (bsum(c) - bound(bsum(c)) <= cut) {
+            val d = exactD(arr, base, flat, c * sd)
+            if (d < bestD) { bestD = d; bestCode = c }
+          }
+          c += 1
+        }
+        codes(s) = bestCode
+      }
       s += 1
     }
     new GenericArrayData(codes)
